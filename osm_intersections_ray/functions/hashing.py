@@ -1,0 +1,88 @@
+"""Stable, SQL-reproducible hashing for dedup/sketch operators.
+
+All content hashes are md5-derived so every engine result can be checked by a
+DuckDB oracle (`md5(...)` is available there); no dependency on Python's
+randomized `hash()` or on xxhash/mmh3 (absent in this environment).
+
+`h60(s)` = first 15 hex chars of md5(s) as an integer (60 bits — safely inside
+both int64 and DuckDB UBIGINT/BIGINT when cast from 15 hex digits).
+DuckDB equivalent::
+
+    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def h60(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def h60_bytes(b: bytes) -> int:
+    return int(hashlib.md5(b).hexdigest()[:15], 16)
+
+
+def minhash_signature(shingles: set[str] | list[str], num_perm: int) -> list[int]:
+    """MinHash signature: perm j's hash of shingle s = h60(f"{j}|{s}").
+
+    Seeded by prefixing the permutation index — mergeable, deterministic, and
+    exactly reproducible in SQL (min over unnested shingles).  Empty shingle
+    sets map to the max 60-bit value.
+    """
+    empty = (1 << 60) - 1
+    sig = [empty] * num_perm
+    for s in set(shingles):
+        for j in range(num_perm):
+            v = h60(f"{j}|{s}")
+            if v < sig[j]:
+                sig[j] = v
+    return sig
+
+
+def char_shingles(text: str, k: int) -> list[str]:
+    """Distinct character k-shingles of a document (lowercased)."""
+    t = text.lower()
+    if len(t) < k:
+        return [t] if t else []
+    return list({t[i : i + k] for i in range(len(t) - k + 1)})
+
+
+def word_shingles(text: str, k: int) -> list[str]:
+    """Distinct word k-shingles (whitespace tokens, lowercased, space-joined)."""
+    toks = text.lower().split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token md5 hashes (unweighted).
+
+    Uses the low 60 bits of md5 per token (so a DuckDB oracle can reproduce it
+    bit-for-bit with the same h60) and packs the sign vector of the 60
+    counters; bits 60-63 are zero.
+    """
+    if not tokens:
+        return 0
+    counts = np.zeros(60, dtype=np.int64)
+    for t in tokens:
+        h = h60(t)
+        for b in range(60):
+            counts[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(60):
+        if counts[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
