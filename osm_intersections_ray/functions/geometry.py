@@ -116,6 +116,62 @@ def point_in_shape(lon: float, lat: float, polygons: list[list[np.ndarray]]) -> 
     return any(point_in_polygon(lon, lat, rings) for rings in polygons)
 
 
+def points_in_ring_np(lons: np.ndarray, lats: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast of many points against one ring.
+
+    Matches :func:`point_in_ring` for all points not exactly on the boundary
+    (synthetic/generic coordinates never are); used in the batch hot paths
+    (city tagging, pages geotag join refinement)."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    inside = np.zeros(len(lons), dtype=bool)
+    xs = ring[:, 0]
+    ys = ring[:, 1]
+    n = len(xs)
+    j = n - 1
+    for i in range(n):
+        xi, yi, xj, yj = xs[i], ys[i], xs[j], ys[j]
+        crosses = (yi > lats) != (yj > lats)
+        if crosses.any():
+            with np.errstate(divide="ignore", invalid="ignore"):
+                x_at = (xj - xi) * (lats - yi) / (yj - yi) + xi
+            inside ^= crosses & (lons < x_at)
+        j = i
+    return inside
+
+
+def points_in_shape_np(
+    lons: np.ndarray, lats: np.ndarray, polygons: list[list[np.ndarray]]
+) -> np.ndarray:
+    """Vectorized MultiPolygon membership (outer ring minus holes, even-odd)."""
+    out = np.zeros(len(lons), dtype=bool)
+    for rings in polygons:
+        m = points_in_ring_np(lons, lats, rings[0])
+        for hole in rings[1:]:
+            m &= ~points_in_ring_np(lons, lats, hole)
+        out |= m
+    return out
+
+
+def first_match_city_np(
+    lons: np.ndarray, lats: np.ndarray, city_polys: list[tuple[str, list]]
+) -> np.ndarray:
+    """First-match-in-file-order city assignment (js/geo.js:60-70):
+    for each point, the first city polygon (boundary-file order) containing it,
+    else 'Unincorporated' (js/geo.js:1255)."""
+    n = len(lons)
+    out = np.full(n, "Unincorporated", dtype=object)
+    unassigned = np.ones(n, dtype=bool)
+    for name, polys in city_polys:
+        if not unassigned.any():
+            break
+        idx = np.nonzero(unassigned)[0]
+        hit = points_in_shape_np(np.asarray(lons)[idx], np.asarray(lats)[idx], polys)
+        out[idx[hit]] = name
+        unassigned[idx[hit]] = False
+    return out
+
+
 def parse_geom_json(geom_json: str) -> list[list[np.ndarray]]:
     """Parse the boundaries table's geometry encoding into polygon lists.
 

@@ -1,0 +1,72 @@
+"""Shared batch utilities for the engine stages (pyarrow-first, vectorized)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# data_rank phase offsets: wayData order = named rows (way order), then
+# propagated links (adoption order), then fake-named ways (way order)
+# (js/geo.js:392-595).  Monotone composite ranks replace list append order.
+RANK_NAMED = 0
+RANK_PROPAGATED = 1 << 40
+RANK_FAKE = 1 << 41
+
+# emit_rank of a node = lexicographic (data_rank, position-in-way) of its
+# first appearance while scanning wayData (Map insertion order stand-in).
+POS_BITS = 20  # ways here have << 1M vertices
+
+
+_BROADCAST_CACHE: dict = {}
+
+
+def cached_get(ref):
+    """Per-worker-process cache around ``ray.get`` for broadcast objects.
+
+    Lets broadcast-consuming stages stay STATELESS TASKS (no actor-pool CPU
+    reservation): the first task on a worker deserializes the object, later
+    tasks on the same worker reuse it.  Actor pools are reserved for stages
+    where per-actor state is heavy or mutable; a pipeline whose every stage
+    is an actor pool can deadlock when the sum of pool minimums exceeds the
+    cluster's CPUs."""
+    import ray
+
+    if not isinstance(ref, ray.ObjectRef):
+        return ref
+    key = ref.hex()
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+def rank64(data_rank: int, pos: int) -> int:
+    return (int(data_rank) << POS_BITS) | int(pos)
+
+
+def list_column(values: list[list], dtype) -> pa.Array:
+    return pa.array(values, type=pa.list_(dtype))
+
+
+def explode_lists(batch: pa.Table, list_cols: list[str], keep_cols: list[str]) -> dict:
+    """Explode parallel list columns; returns dict of numpy/python arrays with
+    ``keep_cols`` repeated per element plus flattened ``list_cols`` and a
+    ``pos`` array (index within the parent list).  Vectorized via Arrow
+    offsets + np.repeat."""
+    col0 = batch[list_cols[0]].combine_chunks()
+    if isinstance(col0, pa.ChunkedArray):
+        col0 = col0.chunk(0) if col0.num_chunks else pa.array([], col0.type)
+    lengths = np.asarray(col0.value_lengths())
+    out: dict = {}
+    for c in keep_cols:
+        vals = batch[c].to_numpy(zero_copy_only=False)
+        out[c] = np.repeat(vals, lengths)
+    for c in list_cols:
+        arr = batch[c].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0) if arr.num_chunks else pa.array([], arr.type)
+        out[c] = np.asarray(arr.flatten())
+    total = int(lengths.sum())
+    starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:] if len(lengths) > 1 else starts[1:])
+    out["pos"] = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+    return out

@@ -1,0 +1,183 @@
+"""Geometric segment-crossing join: distributed ``findIntersectionsGeomtric``
+(js/geo.js:248-329 + classGpsbins, SURVEY.md J2/J3/T1).
+
+The reference's in-process 0.01-degree grid index becomes a cell-keyed hash
+join: both sides explode to one row per bbox-cover cell and meet in a
+``groupby(cell)`` — the join IS the shuffle; no shared index object exists.
+
+Exactness notes (all verified against the committed Napa golden output):
+
+* emission is one-directional: way1 iterates wayData in order and must be a
+  motorway (the reference's bridge predicate tests ``wayData.bridge`` which
+  doesn't exist, so only ``highway == 'motorway'`` passes; and the iterator's
+  id-order dedup tests ``pred(raw_way)`` whose ``.highway`` is undefined —
+  it never fires).  way2 is ANY named wayData row sharing the cell.
+* one output row per shared cover cell per ordered pair — do NOT dedup
+  (Napa: 14 ordered pairs x2/x4 cells = 48 rows).
+* crossing point = FIRST crossing (turf features[0]); common-node check via
+  set intersection ordered by the smaller side (JS Set.prototype.intersection).
+
+Scale design: only cells covered by at least one motorway way can produce
+pairs, so the explode is pre-filtered by the (small, broadcast) motorway cell
+set — dense urban cells containing zero motorways never shuffle.  Pair work
+within a cell is bounded by cell size (0.01 deg); hot cells can be salted by
+way1 (each way1's pairs are independent), noted in PipelineConfig.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.cells import cover_cells
+from ..functions.geometry import first_line_crossing
+from ..functions.scalar import MOTORWAY, check_highway_types, clean_streets
+from .intersections_node import SEP
+
+GEOM_SCHEMA = pa.schema(
+    [
+        ("county", pa.string()),
+        ("pos", pa.int64()),
+        ("raw", pa.string()),
+        ("streets", pa.string()),
+        ("lat", pa.float64()),
+        ("lon", pa.float64()),
+        ("way_ids", pa.list_(pa.int64())),
+        ("node_id", pa.int64()),       # -1 => 'Geom' sentinel
+        ("has_node", pa.bool_()),
+    ]
+)
+
+
+def motorway_cell_set(waydata_ds) -> set:
+    """Distinct (county, cell) covers of motorway ways — the broadcast
+    prefilter for the explode (small: motorways are sparse)."""
+
+    def cells(b: pa.Table) -> pa.Table:
+        county, cell = [], []
+        hw = b["highway"].to_pylist()
+        cs = b["county"].to_pylist()
+        for i in range(b.num_rows):
+            if hw[i] != MOTORWAY:
+                continue
+            for c in cover_cells(
+                b["minlat"][i].as_py(), b["minlon"][i].as_py(),
+                b["maxlat"][i].as_py(), b["maxlon"][i].as_py(),
+            ):
+                county.append(cs[i])
+                cell.append(c)
+        return pa.table({"county": county, "cell": pa.array(cell, pa.int64())})
+
+    df = waydata_ds.map_batches(cells, batch_format="pyarrow").to_pandas()
+    return set(zip(df["county"], df["cell"].astype(int)))
+
+
+def explode_cells(waydata_ds, mot_cells_ref):
+    """One row per (way, cover cell) limited to motorway-covered cells;
+    carries the full geometry (the pair kernel needs it, as the reference's
+    bins carry way references)."""
+    from .common import cached_get
+
+    class Explode:
+        def __init__(self):
+            self.mot = cached_get(mot_cells_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            out = {k: [] for k in ("gkey", "county", "cell", "data_rank", "way_id",
+                                   "name", "highway", "nodes", "lats", "lons")}
+            cs = b["county"].to_pylist()
+            for i in range(b.num_rows):
+                c = cs[i]
+                covers = cover_cells(
+                    b["minlat"][i].as_py(), b["minlon"][i].as_py(),
+                    b["maxlat"][i].as_py(), b["maxlon"][i].as_py(),
+                )
+                hits = [cell for cell in covers if (c, cell) in self.mot]
+                if not hits:
+                    continue
+                row = {k: b[k][i].as_py() for k in
+                       ("data_rank", "way_id", "name", "highway", "nodes", "lats", "lons")}
+                for cell in hits:
+                    out["gkey"].append(f"{c}{SEP}{cell}")
+                    out["county"].append(c)
+                    out["cell"].append(cell)
+                    for k, v in row.items():
+                        out[k].append(v)
+            return pa.table(
+                {
+                    "gkey": pa.array(out["gkey"], pa.string()),
+                    "county": pa.array(out["county"], pa.string()),
+                    "cell": pa.array(out["cell"], pa.int64()),
+                    "data_rank": pa.array(out["data_rank"], pa.int64()),
+                    "way_id": pa.array(out["way_id"], pa.int64()),
+                    "name": pa.array(out["name"], pa.string()),
+                    "highway": pa.array(out["highway"], pa.string()),
+                    "nodes": pa.array(out["nodes"], pa.list_(pa.int64())),
+                    "lats": pa.array(out["lats"], pa.list_(pa.float64())),
+                    "lons": pa.array(out["lons"], pa.list_(pa.float64())),
+                }
+            )
+
+    def explode(b: pa.Table) -> pa.Table:
+        return Explode()(b)
+
+    return waydata_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _common_nodes(nodes1, nodes2):
+    s1 = list(dict.fromkeys(nodes1))
+    s2 = list(dict.fromkeys(nodes2))
+    if len(s1) <= len(s2):
+        other = set(s2)
+        return [n for n in s1 if n in other]
+    other = set(s1)
+    return [n for n in s2 if n in other]
+
+
+def pair_kernel(df) -> pa.Table:
+    """Per-cell pairwise crossing test (J2+J3).  Rows sorted by data_rank =
+    bin insertion order; way1 = motorway rows in that order; way2 = all rows."""
+    rows = {k: [] for k in ("county", "pos", "raw", "streets", "lat", "lon",
+                            "way_ids", "node_id", "has_node")}
+    df = df.sort_values("data_rank", kind="stable")
+    recs = df.to_dict("records")
+    for r1 in recs:
+        if r1["highway"] != MOTORWAY or not r1["name"]:
+            continue
+        for r2 in recs:
+            if r2["data_rank"] == r1["data_rank"] or not r2["name"]:
+                continue
+            hit = first_line_crossing(r1["lons"], r1["lats"], r2["lons"], r2["lats"])
+            if hit is None:
+                continue
+            common = _common_nodes(r1["nodes"], r2["nodes"])
+            if not check_highway_types(r1["highway"], r2["highway"], bool(common)):
+                continue
+            raw = f"{r1['name']}/{r2['name']}"
+            rows["county"].append(r1["county"])
+            rows["pos"].append(int(r1["data_rank"]))
+            rows["raw"].append(raw)
+            rows["streets"].append(clean_streets(raw))
+            rows["lat"].append(float(hit[1]))
+            rows["lon"].append(float(hit[0]))
+            rows["way_ids"].append([int(r1["way_id"]), int(r2["way_id"])])
+            rows["node_id"].append(int(common[0]) if common else -1)
+            rows["has_node"].append(bool(common))
+    return pa.table(
+        {
+            "county": pa.array(rows["county"], pa.string()),
+            "pos": pa.array(rows["pos"], pa.int64()),
+            "raw": pa.array(rows["raw"], pa.string()),
+            "streets": pa.array(rows["streets"], pa.string()),
+            "lat": pa.array(rows["lat"], pa.float64()),
+            "lon": pa.array(rows["lon"], pa.float64()),
+            "way_ids": pa.array(rows["way_ids"], pa.list_(pa.int64())),
+            "node_id": pa.array(rows["node_id"], pa.int64()),
+            "has_node": pa.array(rows["has_node"], pa.bool_()),
+        },
+        schema=GEOM_SCHEMA,
+    )
+
+
+def geometric_intersections(waydata_ds, mot_cells_ref):
+    exploded = explode_cells(waydata_ds, mot_cells_ref)
+    return exploded.groupby("gkey").map_groups(pair_kernel, batch_format="pandas")
