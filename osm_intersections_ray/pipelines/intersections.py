@@ -106,10 +106,13 @@ def intersections_pipeline(fixture_dir: str, counties: list[str] | None = None,
     bd = pq.read_table(os.path.join(fixture_dir, "boundaries.parquet"))
     cc = pq.read_table(os.path.join(fixture_dir, "county_cities.parquet"))
     polys_ref = ray.put(load_city_polys(bd, cc))
+    # actor pool (T3): polygons parsed once per actor; autoscaling from 1 so
+    # the pool can never reserve every CPU and starve upstream stages
     tagged = out.map_batches(
-        CityTagger, batch_format="pyarrow", concurrency=cfg.tag_concurrency,
+        CityTagger, batch_format="pyarrow",
+        concurrency=(1, cfg.tag_concurrency),
         batch_size=cfg.batch_size, fn_constructor_args=(polys_ref,),
-    )  # actor pool: polygons parsed once per actor (T3)
+    )
     return tagged
 
 
