@@ -87,6 +87,14 @@ def fix6_np(x: np.ndarray) -> np.ndarray:
     return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
 
 
+def round_half_away_np(x: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero, matching DuckDB/SQL ``round()`` (numpy's
+    rint is banker's and would diverge on exact .5 products).  Used for all
+    integer-cents aggregates so engine and oracle hash identically."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+
+
 def dist_l1_m(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
     """Reference distance metric: L1 degrees * 100000 m/deg (js/geo.js:661-666).
 

@@ -1,0 +1,181 @@
+"""Query registry: every implemented operator/pipeline from SURVEY.md section
+2 (plus the training-data graft ops) as ``name -> callable(sf_dir)`` with a
+matching DuckDB oracle where SQL-expressible.
+
+Contract notes (driver):
+* Ray is initialized by the caller; nothing here calls ray.init/shutdown.
+* Oracles run at sf=0.01 against the pre-registered TPC-H views; spatial
+  queries read the deterministic synthetic fixture parquet directly from its
+  /tmp path (generated on demand, cached, atomic).
+* Column names and integer dtypes match the SQL exactly; aggregates are
+  integers (counts/cents) so float summation order never enters the hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from .sources.synthetic import ensure_fixtures
+from .stages import dedup, events, knn, pages, queries_spatial as qs, relational, similarity, text
+
+ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def _ways(sf_dir: str):
+    fx = ensure_fixtures(sf_dir)
+    return rd.read_parquet(os.path.join(fx, "ways.parquet"), override_num_blocks=16)
+
+
+def _pages(sf_dir: str):
+    fx = ensure_fixtures(sf_dir)
+    return rd.read_parquet(os.path.join(fx, "pages.parquet"))
+
+
+def _tbl(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def queries() -> dict:
+    q = {}
+
+    # --- spatial operators over the synthetic ways table (SURVEY section 2)
+    q["way_names"] = lambda sf: qs.way_names(_ways(sf))
+    q["shared_node_candidates"] = lambda sf: qs.shared_node_candidates(_ways(sf))
+    q["dead_ends"] = lambda sf: qs.dead_end_rows(_ways(sf))
+    q["cell_cover_stats"] = lambda sf: qs.cell_cover_stats(_ways(sf))
+    q["cell_population"] = lambda sf: qs.cell_population(_ways(sf))
+    q["geom_candidate_pairs"] = lambda sf: qs.geom_candidate_pairs(_ways(sf))
+    q["nearest_way"] = lambda sf: knn.nearest_way_queries(_ways(sf))
+
+    # --- full reference-exact pipeline (oracle = pytest golden vs the
+    # single-process reference oracle; driver gets a rows-only check)
+    def intersections_full(sf):
+        from .pipelines.intersections import intersections_pipeline
+
+        fx = ensure_fixtures(sf)
+        ds = intersections_pipeline(fx)
+
+        def flatten(b):
+            import pyarrow as pa
+
+            streets = ["/".join(s) for s in b["streets"].to_pylist()]
+            way_ids = [",".join(str(x) for x in w) for w in b["way_ids"].to_pylist()]
+            return pa.table({
+                "county": b["county"], "lat": b["lat"], "lon": b["lon"],
+                "streets": pa.array(streets, pa.string()),
+                "node_id": b["node_id"], "node_id_kind": b["node_id_kind"],
+                "way_ids": pa.array(way_ids, pa.string()),
+                "city": b["city"], "source": b["source"],
+            })
+
+        return ds.map_batches(flatten, batch_format="pyarrow")
+
+    q["intersections_full"] = intersections_full
+
+    # --- pages graft (input_hint table)
+    q["pages_extract"] = lambda sf: _pages(sf).map_batches(
+        pages.Extractor, batch_format="pyarrow", concurrency=(1, 4), batch_size=512)
+    q["pages_geotag"] = lambda sf: _pages(sf).map_batches(
+        pages.geotag_batch, batch_format="pyarrow", batch_size=512)
+    q["pages_way_join"] = lambda sf: pages.pages_way_join(_pages(sf), _ways(sf))
+
+    # --- text analysis over documents
+    q["doc_stats"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
+        text.doc_stats_batch, batch_format="pyarrow")
+    q["lang_id"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
+        text.lang_id_batch, batch_format="pyarrow")
+    q["quality_score"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
+        text.quality_score_batch, batch_format="pyarrow")
+    q["fingerprint"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
+        text.fingerprint_batch, batch_format="pyarrow")
+
+    # --- dedup family
+    q["exact_dedup"] = lambda sf: dedup.exact_dedup(_tbl(sf, "documents", ["doc_id", "text"]))
+    q["minhash_lsh_pairs"] = lambda sf: dedup.lsh_candidate_pairs(
+        _tbl(sf, "documents", ["doc_id", "text"]))
+    q["near_dup_jaccard"] = lambda sf: dedup.jaccard_verified_pairs(
+        _tbl(sf, "documents", ["doc_id", "text"]))
+    q["simhash"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
+        dedup.simhash_batch, batch_format="pyarrow")
+
+    # --- similarity search over embeddings
+    def knn_cosine(sf):
+        emb = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        qref = ray.put(similarity.load_queries(emb))
+        return similarity.knn_brute(_tbl(sf, "embeddings", ["vec_id", "embedding"]), qref)
+
+    q["knn_cosine"] = knn_cosine
+    q["embedding_near_dup"] = lambda sf: similarity.near_dup_pairs(
+        _tbl(sf, "embeddings", ["vec_id", "embedding"]))
+
+    def ann_lsh(sf):  # approximate — no SQL oracle by design
+        emb = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        qref = ray.put(similarity.load_queries(emb))
+        return similarity.ann_bucketed(_tbl(sf, "embeddings", ["vec_id", "embedding"]), qref)
+
+    q["ann_lsh"] = ann_lsh
+
+    # --- events (stream-shaped)
+    q["events_hourly"] = lambda sf: events.hourly_window(
+        _tbl(sf, "events", ["event_type", "ts", "value"]))
+    q["sessions"] = lambda sf: events.sessionize(
+        _tbl(sf, "events", ["user_id", "event_id", "ts"]))
+
+    # --- relational building blocks
+    q["pricing_summary"] = lambda sf: relational.pricing_summary(
+        _tbl(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                              "l_extendedprice", "l_discount"]))
+
+    def rev_nation(sf):
+        cust = pq.read_table(os.path.join(sf, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+        nat = pq.read_table(os.path.join(sf, "nation.parquet"))
+        return relational.revenue_by_nation(
+            _tbl(sf, "orders", ["o_custkey", "o_totalprice"]), cust, nat)
+
+    q["revenue_by_nation"] = rev_nation
+    q["top_parts"] = lambda sf: relational.top_parts(
+        _tbl(sf, "part", ["p_partkey", "p_name", "p_retailprice"]))
+
+    return q
+
+
+def oracle_sql() -> dict:
+    fx = ensure_fixtures(ORACLE_SF_DIR)
+    ways_path = os.path.join(fx, "ways.parquet")
+    pages_tbl = f"read_parquet('{os.path.join(fx, 'pages.parquet')}')"
+    return {
+        "way_names": qs.way_names_sql(ways_path),
+        "shared_node_candidates": qs.shared_node_candidates_sql(ways_path),
+        "dead_ends": qs.dead_ends_sql(ways_path),
+        "cell_cover_stats": qs.cell_cover_stats_sql(ways_path),
+        "cell_population": qs.cell_population_sql(ways_path),
+        "geom_candidate_pairs": qs.geom_candidate_pairs_sql(ways_path),
+        "nearest_way": knn.nearest_way_sql(ways_path),
+        "pages_extract": pages.extract_sql(pages_tbl),
+        "pages_geotag": pages.geotag_sql(pages_tbl),
+        "pages_way_join": pages.pages_way_join_sql(pages_tbl, ways_path),
+        "doc_stats": text.doc_stats_sql(),
+        "lang_id": text.lang_id_sql(),
+        "quality_score": text.quality_score_sql(),
+        "fingerprint": text.fingerprint_sql(),
+        "exact_dedup": dedup.exact_dedup_sql(),
+        "minhash_lsh_pairs": dedup.lsh_pairs_sql(),
+        "near_dup_jaccard": dedup.jaccard_pairs_sql(),
+        "simhash": dedup.simhash_sql(),
+        "knn_cosine": similarity.knn_sql(),
+        "embedding_near_dup": similarity.near_dup_sql(),
+        "events_hourly": events.hourly_window_sql(),
+        "sessions": events.sessionize_sql(),
+        "pricing_summary": relational.pricing_summary_sql(),
+        "revenue_by_nation": relational.revenue_by_nation_sql(),
+        "top_parts": relational.top_parts_sql(),
+        # intersections_full, ann_lsh: rows-only (non-SQL-expressible;
+        # intersections_full is golden-tested against the reference oracle
+        # in tests/test_golden_intersections.py)
+    }

@@ -1,0 +1,102 @@
+"""Stream-shaped operators over the ``events`` table.
+
+Ray Data has no event-time windowing; per the engine's design (ray_guide
+"Streaming-shaped workloads") the events table is treated as an ordered,
+partitioned log:
+
+* tumbling windows: a vectorized per-batch PARTIAL aggregate (combiner)
+  followed by a small ``groupby`` over (window, key) partials — the shuffle
+  moves one row per (batch, window, key), not per event;
+* sessionization: ``groupby(user).map_groups`` over ts-sorted groups.
+
+Money/value sums are integer cents so no float accumulation order can touch
+the correctness hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.scalar import round_half_away_np
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def hourly_window(ds):
+    from ray.data.aggregate import Count, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_pandas()
+        hour = ts.dt.floor("h").astype("datetime64[us]")
+        cents = round_half_away_np(b["value"].to_numpy(zero_copy_only=False) * 100)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "hour": hour, "cents": cents})
+        g = df.groupby(["event_type", "hour"], sort=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents")
+    )
+
+
+def hourly_window_sql(table: str = "events") -> str:
+    return f"""
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM {table} GROUP BY 1, 2
+"""
+
+
+def sessionize(ds):
+    """Sessions = maximal runs per user with gaps <= 30 min (ordered by
+    (ts, event_id) for determinism)."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="stable")
+        ts_us = df["ts"].astype("int64").to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (ts_us[1:] - ts_us[:-1]) > SESSION_GAP_US
+        sid = np.cumsum(new)
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "session_idx": sid,
+                            "ts": df["ts"].to_numpy(),
+                            "event_id": df["event_id"].to_numpy()})
+        g = out.groupby("session_idx", sort=True)
+        return pd.DataFrame({
+            "user_id": g["user_id"].first(),
+            "session_idx": g.size().index.astype(np.int64),
+            "n_events": g.size().astype(np.int64),
+            "start_ts": g["ts"].min().astype("datetime64[us]"),
+            "end_ts": g["ts"].max().astype("datetime64[us]"),
+        }).reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def sessionize_sql(table: str = "events") -> str:
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM {table}
+), m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR (epoch_us(ts) - epoch_us(prev_ts)) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM m
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY user_id, session_idx
+"""

@@ -1,0 +1,225 @@
+"""Common-Crawl-style pages pipeline (the web-scale graft, BASELINE.json
+input_hint): text extraction, geotagging, quadkey tile assignment, and the
+pages<->ways spatial join.
+
+* **Extractor (T6)**: an actor-pool ``map_batches`` stage; the per-row
+  invariant is byte-identical extracted text per url (verified row-wise
+  against the ``text`` column and by the DuckDB regexp oracle).
+* **Geotag**: compiled-regex parse of the geo.position meta tag ->
+  (lat, lon) + res-17 quadkey tile.  Vectorized over the batch.
+* **Tile join (J12)**: pages emit their res-14..17 ancestor-tile chain; ways
+  emit compacted mixed-resolution covers of their bboxes (H3-compact
+  analogue); a ``groupby(cell)`` meets them and a bbox containment test
+  refines — the cover is a superset of the bbox, so the join result equals
+  exact bbox containment (the SQL oracle).  Only (cell, url/way_id, coords)
+  rows shuffle — never html.  Hot-cell skew: the pages side of a cell can be
+  salted into sub-groups because each page row joins independently.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.cells import compacted_cover, tile_of, tile_parent, tile_res
+from .intersections_node import SEP
+
+TILE_RES_MIN = 14
+TILE_RES_MAX = 17
+
+_GEO_RE = re.compile(r'<meta name="geo\.position" content="([^;]+);([^"]+)">')
+_ARTICLE_RE = re.compile(rb"<article>(.*?)</article>", re.S)
+
+
+class Extractor:
+    """html -> text, built once per actor (compiled patterns); the stub shape
+    for any heavier model-based extractor."""
+
+    def __init__(self):
+        self.article = _ARTICLE_RE
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        htmls = b["html"].to_pylist()
+        texts = []
+        for h in htmls:
+            m = self.article.search(h)
+            texts.append(m.group(1).decode("utf-8") if m else "")
+        return pa.table({"url": b["url"], "text_extracted": pa.array(texts, pa.string())})
+
+
+def extract_sql(table: str = "pages") -> str:
+    return (f"SELECT url, regexp_extract(decode(html), "
+            f"'<article>(.*)</article>', 1) AS text_extracted FROM {table}")
+
+
+def geotag_batch(b: pa.Table) -> pa.Table:
+    htmls = b["html"].to_pylist()
+    lats, lons = [], []
+    for h in htmls:
+        m = _GEO_RE.search(h.decode("utf-8"))
+        if m:
+            lats.append(float(m.group(1)))
+            lons.append(float(m.group(2)))
+        else:
+            lats.append(np.nan)
+            lons.append(np.nan)
+    lat = np.asarray(lats)
+    lon = np.asarray(lons)
+    n = 1 << TILE_RES_MAX
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    iy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    tile = (np.int64(TILE_RES_MAX) << 58) | (ix << 29) | iy
+    return pa.table(
+        {
+            "url": b["url"],
+            "lat": pa.array(lat, pa.float64()),
+            "lon": pa.array(lon, pa.float64()),
+            "tile17": pa.array(tile, pa.int64()),
+        }
+    )
+
+
+def geotag_sql(table: str = "pages") -> str:
+    n = 1 << TILE_RES_MAX
+    return f"""
+WITH g AS (
+  SELECT url,
+         CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
+         CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
+  FROM {table}
+)
+SELECT url, lat, lon,
+       ({TILE_RES_MAX}::BIGINT << 58)
+     + (least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1}) << 29)
+     + least(greatest(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1}) AS tile17
+FROM g
+"""
+
+
+def pages_way_join(pages_ds, ways_ds):
+    """Cell-keyed hash join of geotagged pages against way-bbox tile covers,
+    refined by exact bbox containment.  Returns (url, way_id)."""
+
+    def pages_side(b: pa.Table) -> pa.Table:
+        g = geotag_batch(b)
+        urls = g["url"].to_pylist()
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        t17 = g["tile17"].to_numpy(zero_copy_only=False)
+        out = {"cellkey": [], "role": [], "url": [], "lat": [], "lon": [],
+               "way_id": [], "minlat": [], "minlon": [], "maxlat": [], "maxlon": []}
+        for i in range(len(urls)):
+            cell = int(t17[i])
+            for res in range(TILE_RES_MAX, TILE_RES_MIN - 1, -1):
+                c = tile_parent(cell, res)
+                out["cellkey"].append(c)
+                out["role"].append(0)
+                out["url"].append(urls[i])
+                out["lat"].append(float(lat[i]))
+                out["lon"].append(float(lon[i]))
+                out["way_id"].append(-1)
+                out["minlat"].append(np.nan)
+                out["minlon"].append(np.nan)
+                out["maxlat"].append(np.nan)
+                out["maxlon"].append(np.nan)
+        return _join_table(out)
+
+    def ways_side(b: pa.Table) -> pa.Table:
+        out = {"cellkey": [], "role": [], "url": [], "lat": [], "lon": [],
+               "way_id": [], "minlat": [], "minlon": [], "maxlat": [], "maxlon": []}
+        ids = b["way_id"].to_pylist()
+        for i in range(b.num_rows):
+            bb = (b["minlat"][i].as_py(), b["minlon"][i].as_py(),
+                  b["maxlat"][i].as_py(), b["maxlon"][i].as_py())
+            for c in _clamped_cover(bb):
+                out["cellkey"].append(c)
+                out["role"].append(1)
+                out["url"].append("")
+                out["lat"].append(np.nan)
+                out["lon"].append(np.nan)
+                out["way_id"].append(ids[i])
+                out["minlat"].append(bb[0])
+                out["minlon"].append(bb[1])
+                out["maxlat"].append(bb[2])
+                out["maxlon"].append(bb[3])
+        return _join_table(out)
+
+    def per_cell(df: pd.DataFrame) -> pa.Table:
+        pages = df[df["role"] == 0]
+        ways = df[df["role"] == 1]
+        if len(pages) == 0 or len(ways) == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "way_id": pa.array([], pa.int64())})
+        urls, wids = [], []
+        plat = pages["lat"].to_numpy()
+        plon = pages["lon"].to_numpy()
+        purl = pages["url"].to_numpy()
+        for _, w in ways.iterrows():
+            hit = ((plat >= w["minlat"]) & (plat <= w["maxlat"])
+                   & (plon >= w["minlon"]) & (plon <= w["maxlon"]))
+            for u in purl[hit]:
+                urls.append(u)
+                wids.append(int(w["way_id"]))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "way_id": pa.array(wids, pa.int64())})
+
+    p = pages_ds.map_batches(pages_side, batch_format="pyarrow")
+    w = ways_ds.map_batches(ways_side, batch_format="pyarrow")
+    return p.union(w).groupby("cellkey").map_groups(per_cell, batch_format="pandas")
+
+
+def _clamped_cover(bb) -> list[int]:
+    """Compacted cover of a bbox at res TILE_RES_MAX, with any cell compacted
+    coarser than TILE_RES_MIN re-expanded to TILE_RES_MIN children (pages
+    probe only the res 14..17 ancestor chain)."""
+    from ..functions.cells import tile_children
+
+    out = []
+    stack = list(compacted_cover(*bb, TILE_RES_MAX))
+    while stack:
+        c = stack.pop()
+        if tile_res(c) >= TILE_RES_MIN:
+            out.append(c)
+        else:
+            stack.extend(tile_children(c))
+    return out
+
+
+def _join_table(out: dict) -> pa.Table:
+    return pa.table(
+        {
+            "cellkey": pa.array(out["cellkey"], pa.int64()),
+            "role": pa.array(out["role"], pa.int8()),
+            "url": pa.array(out["url"], pa.string()),
+            "lat": pa.array(out["lat"], pa.float64()),
+            "lon": pa.array(out["lon"], pa.float64()),
+            "way_id": pa.array(out["way_id"], pa.int64()),
+            "minlat": pa.array(out["minlat"], pa.float64()),
+            "minlon": pa.array(out["minlon"], pa.float64()),
+            "maxlat": pa.array(out["maxlat"], pa.float64()),
+            "maxlon": pa.array(out["maxlon"], pa.float64()),
+        }
+    )
+
+
+def pages_way_join_sql(pages_table: str, ways_path: str) -> str:
+    """Oracle: exact bbox containment (the cover join + refinement equals it)."""
+    return f"""
+WITH g AS (
+  SELECT url,
+         CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
+         CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
+  FROM {pages_table}
+)
+SELECT g.url, w.way_id
+FROM g JOIN read_parquet('{ways_path}') w
+  ON g.lat BETWEEN w.minlat AND w.maxlat
+ AND g.lon BETWEEN w.minlon AND w.maxlon
+"""

@@ -1,0 +1,124 @@
+"""General relational operators over the TPC-H-shaped testdata — the engine's
+groupby-aggregate / broadcast-join / sort-limit building blocks exercised on
+real tables (pricing summary, dimension join, top-k).  Aggregates are integer
+cents; joins broadcast the small side (ray_guide "Joins and lookups")."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.scalar import round_half_away_np
+
+
+def pricing_summary(ds):
+    """TPC-H Q1-shaped: per (returnflag, linestatus): row count, sum qty,
+    sum extendedprice cents, sum discounted cents — partial per batch then a
+    tiny groupby (the two-phase aggregate pattern)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        px_c = round_half_away_np(px * 100)
+        # discounted price in integer cents: round half-away like rint? use
+        # floor(x+0.5) farming through rint on positives (prices positive)
+        disc_c = round_half_away_np(px * (1 - disc) * 100)
+        df = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_pandas(),
+            "l_linestatus": b["l_linestatus"].to_pandas(),
+            "n": 1,
+            "qty": round_half_away_np(qty),
+            "price_cents": px_c,
+            "disc_cents": disc_c,
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            n=("n", "sum"), sum_qty=("qty", "sum"),
+            sum_price_cents=("price_cents", "sum"),
+            sum_disc_cents=("disc_cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+    )
+
+
+def pricing_summary_sql(table: str = "lineitem") -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_price_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS sum_disc_cents
+FROM {table} GROUP BY 1, 2
+"""
+
+
+def revenue_by_nation(orders_ds, customer_tbl: pa.Table, nation_tbl: pa.Table):
+    """Broadcast join: orders x customer x nation (both dims tiny) -> revenue
+    cents per nation.  The dims ship once via closure capture; orders stream."""
+    cust = dict(zip(customer_tbl["c_custkey"].to_pylist(),
+                    customer_tbl["c_nationkey"].to_pylist()))
+    nation = dict(zip(nation_tbl["n_nationkey"].to_pylist(),
+                      nation_tbl["n_name"].to_pylist()))
+    from ray.data.aggregate import Count, Sum
+
+    def join(b: pa.Table) -> pa.Table:
+        keys = b["o_custkey"].to_pylist()
+        price = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = round_half_away_np(price * 100)
+        names = [nation[cust[k]] for k in keys]
+        df = pd.DataFrame({"n_name": names, "cents": cents})
+        g = df.groupby("n_name", sort=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = orders_ds.map_batches(join, batch_format="pyarrow")
+    return partials.groupby("n_name").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue_cents", alias_name="revenue_cents"),
+    )
+
+
+def revenue_by_nation_sql() -> str:
+    return """
+SELECT n.n_name,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+"""
+
+
+def top_parts(ds, k: int = 10):
+    """Top-k by retail price with deterministic tie-break (p_partkey asc):
+    per-batch local top-k, then a final driver-side merge of k rows/batch —
+    never a global sort."""
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["price_cents"] = round_half_away_np(df["p_retailprice"].to_numpy() * 100)
+        df = df.sort_values(["price_cents", "p_partkey"],
+                            ascending=[False, True], kind="stable").head(k)
+        return pa.Table.from_pandas(
+            df[["p_partkey", "p_name", "price_cents"]], preserve_index=False)
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["price_cents", "p_partkey"],
+                              ascending=[False, True], kind="stable").head(k)
+    return parts.reset_index(drop=True)
+
+
+def top_parts_sql(k: int = 10) -> str:
+    return f"""
+SELECT p_partkey, p_name,
+       CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+FROM part ORDER BY price_cents DESC, p_partkey ASC LIMIT {k}
+"""

@@ -1,0 +1,204 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+* Brute-force cosine top-k: the baseline — a broadcast query matrix
+  (``ray.put`` once) against streamed batches; each batch emits only its
+  LOCAL top-k per query, a tiny final merge picks the global top-k.  At
+  100 TB the shuffle carries k rows per (query, batch), never embeddings.
+* LSH-bucketed ANN: deterministic random-hyperplane signatures bucket the
+  vectors; queries probe only their own bucket (approximate; the scale path).
+* Near-duplicate pairs: cosine >= threshold over an augmented table (the
+  testdata embeddings are random, so exact near-dups are injected
+  deterministically, identically in engine and SQL oracle).
+
+Ordering ties break on vec_id ascending, so only integer ids and ranks enter
+the correctness hash — never float cosine values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+N_QUERIES = 10
+TOP_K = 5
+NEAR_DUP_MOD = 13
+NEAR_DUP_SCALE = 1.01  # scaling keeps cosine == 1 up to float error
+NEAR_COS_MIN = 0.999
+N_PLANES = 12
+
+
+def _mat(b: pa.Table) -> np.ndarray:
+    col = b["embedding"].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0)
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    n = b.num_rows
+    return flat.reshape(n, -1)
+
+
+def knn_brute(ds, queries_ref):
+    """Top-k neighbors for the broadcast query matrix; excludes self-match by
+    vec_id.  Returns (qid, nid, rk)."""
+    import ray
+
+    from .common import cached_get
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        q = cached_get(queries_ref)  # {"ids": (nq,), "mat": (nq, d) normalized}
+        m = _mat(b)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sims = q["mat"] @ mn.T  # (nq, batch)
+        ids = np.asarray(b["vec_id"].to_numpy(zero_copy_only=False))
+        out_q, out_n, out_c = [], [], []
+        k = min(TOP_K + 1, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            top = np.argpartition(-row, k - 1)[:k] if k < len(row) else np.arange(len(row))
+            for j in top:
+                if ids[j] == q["ids"][qi]:
+                    continue
+                out_q.append(int(q["ids"][qi]))
+                out_n.append(int(ids[j]))
+                out_c.append(float(row[j]))
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "nid": pa.array(out_n, pa.int64()),
+                         "cos": pa.array(out_c, pa.float64())})
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    local = local.sort_values(["qid", "cos", "nid"],
+                              ascending=[True, False, True], kind="stable")
+    local["rk"] = local.groupby("qid").cumcount() + 1
+    out = local[local["rk"] <= TOP_K][["qid", "nid", "rk"]].reset_index(drop=True)
+    return out.astype({"qid": "int64", "nid": "int64", "rk": "int64"})
+
+
+def load_queries(embeddings_tbl: pa.Table) -> dict:
+    import pyarrow.compute as pc
+
+    mask = pc.less(embeddings_tbl["vec_id"], N_QUERIES)
+    sub = embeddings_tbl.filter(mask)
+    m = _mat(sub)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return {"ids": np.asarray(sub["vec_id"].to_numpy(zero_copy_only=False)),
+            "mat": m / norms[:, None]}
+
+
+def knn_sql(table: str = "embeddings") -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM {table} WHERE vec_id < {N_QUERIES}),
+s AS (
+  SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qe, e.embedding) AS c
+  FROM q, {table} e WHERE e.vec_id != q.qid
+),
+r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rk FROM s)
+SELECT qid, nid, rk::BIGINT AS rk FROM r WHERE rk <= {TOP_K}
+"""
+
+
+def near_dup_pairs(ds):
+    """Cosine >= NEAR_COS_MIN pairs (a < b) over the augmented table.
+    Single-node fallback is a blocked matmul; the scale path buckets by
+    hyperplane signature first (``ann_bucketed``)."""
+
+    def augment(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_pylist()
+        emb = b["embedding"].to_pylist()
+        out_i, out_e = list(ids), list(emb)
+        for i, e in zip(ids, emb):
+            if i % NEAR_DUP_MOD == 0:
+                out_i.append(i + 1000000)
+                out_e.append([x * NEAR_DUP_SCALE for x in e])
+        return pa.table({"vec_id": pa.array(out_i, pa.int64()),
+                         "embedding": pa.array(out_e, pa.list_(pa.float32()))})
+
+    aug = ds.map_batches(augment, batch_format="pyarrow").to_pandas()
+    ids = aug["vec_id"].to_numpy()
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in aug["embedding"]])
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    sims = mn @ mn.T
+    ai, bi = np.nonzero(np.triu(sims >= NEAR_COS_MIN, k=1))
+    a = np.minimum(ids[ai], ids[bi])
+    b2 = np.maximum(ids[ai], ids[bi])
+    order = np.lexsort((b2, a))
+    return pd.DataFrame({"vec_a": a[order].astype("int64"),
+                         "vec_b": b2[order].astype("int64")})
+
+
+def near_dup_sql(table: str = "embeddings") -> str:
+    return f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM {table}
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x * {NEAR_DUP_SCALE} AS FLOAT))
+  FROM {table} WHERE vec_id % {NEAR_DUP_MOD} = 0
+)
+SELECT least(a.vec_id, b.vec_id)::BIGINT AS vec_a,
+       greatest(a.vec_id, b.vec_id)::BIGINT AS vec_b
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_COS_MIN}
+"""
+
+
+def ann_bucketed(ds, queries_ref, planes_seed: int = 424242):
+    """Approximate kNN: random-hyperplane signature buckets (groupby), query
+    probes its own bucket only.  No SQL oracle (approximate by design); a
+    pytest checks recall >= threshold against knn_brute."""
+    from .common import cached_get
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        m = _mat(b)
+        d = m.shape[1]
+        rng = np.random.default_rng(planes_seed)
+        planes = rng.standard_normal((N_PLANES, d))
+        sig = (m @ planes.T > 0).astype(np.int64)
+        bits = (sig * (1 << np.arange(N_PLANES))).sum(axis=1)
+        return pa.table({"vec_id": b["vec_id"], "bucket": pa.array(bits, pa.int64()),
+                         "embedding": b["embedding"]})
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        q = cached_get(queries_ref)
+        d = len(df["embedding"].iloc[0])
+        rng = np.random.default_rng(planes_seed)
+        planes = rng.standard_normal((N_PLANES, d))
+        qsig = (q["mat"] @ planes.T > 0).astype(np.int64)
+        qbits = (qsig * (1 << np.arange(N_PLANES))).sum(axis=1)
+        bucket = int(df["bucket"].iloc[0])
+        sel = np.nonzero(qbits == bucket)[0]
+        if len(sel) == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "nid": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        ids = df["vec_id"].to_numpy()
+        sims = q["mat"][sel] @ mn.T
+        out_q, out_n, out_c = [], [], []
+        for row_i, qi in enumerate(sel):
+            row = sims[row_i]
+            for j in np.argsort(-row)[: TOP_K + 1]:
+                if ids[j] == q["ids"][qi]:
+                    continue
+                out_q.append(int(q["ids"][qi]))
+                out_n.append(int(ids[j]))
+                out_c.append(float(row[j]))
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "nid": pa.array(out_n, pa.int64()),
+                         "cos": pa.array(out_c, pa.float64())})
+
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow")
+    local = buckets.groupby("bucket").map_groups(per_bucket, batch_format="pandas").to_pandas()
+    if len(local) == 0:
+        return pd.DataFrame({"qid": [], "nid": [], "rk": []}).astype("int64")
+    local = local.sort_values(["qid", "cos", "nid"],
+                              ascending=[True, False, True], kind="stable")
+    local["rk"] = local.groupby("qid").cumcount() + 1
+    return local[local["rk"] <= TOP_K][["qid", "nid", "rk"]].reset_index(drop=True).astype("int64")

@@ -1,0 +1,174 @@
+"""Text-analysis operators over the ``documents`` table (BASELINE graft:
+training-data pipeline ops): token/char stats, language-ID heuristic,
+quality scoring, document fingerprinting.
+
+Every operator is a vectorized ``map_batches`` stage whose semantics are
+co-defined with a DuckDB SQL oracle (the SQL is generated from the SAME
+constant lists below, so engine and oracle cannot drift).  All aggregate
+outputs are integers (counts, cents) — float accumulation order never enters
+the correctness hash.
+
+Canonical normalization: ``lower(trim(text))`` (SQL) == ``text.strip(' ').lower()``
+(Python); tokens = split on runs of whitespace.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+STOPWORDS_EN = ["the", "and", "of", "a", "to", "is", "in", "that", "it", "on"]
+PUNCT = ".,;:!?"
+
+LANG_MARKERS = [
+    ("en", ["the", "and", "over", "with", "while", "of"]),
+    ("de", ["der", "und", "über", "durch", "während", "die"]),
+    ("fr", ["le", "et", "par", "dans", "pendant", "les"]),
+    ("es", ["el", "y", "sobre", "por", "mientras", "los"]),
+]
+
+
+def _norm(text: str) -> str:
+    return text.strip(" ").lower()
+
+
+def _tokens(text: str) -> list[str]:
+    return _norm(text).split()
+
+
+def doc_stats_batch(b: pa.Table) -> pa.Table:
+    """n_tokens, punct_cnt, stop_cnt, tok_chars per document."""
+    texts = b["text"].to_pylist()
+    n_tokens, punct, stop, tok_chars = [], [], [], []
+    stops = set(STOPWORDS_EN)
+    for t in texts:
+        toks = _tokens(t)
+        n_tokens.append(len(toks))
+        punct.append(sum(t.count(c) for c in PUNCT))
+        stop.append(sum(1 for x in toks if x in stops))
+        tok_chars.append(sum(len(x) for x in toks))
+    return pa.table(
+        {
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "punct_cnt": pa.array(punct, pa.int64()),
+            "stop_cnt": pa.array(stop, pa.int64()),
+            "tok_chars": pa.array(tok_chars, pa.int64()),
+        }
+    )
+
+
+def doc_stats_sql(table: str = "documents") -> str:
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM {table}
+)
+SELECT doc_id,
+       len(t)::BIGINT AS n_tokens,
+       (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS punct_cnt,
+       len(list_filter(t, x -> x IN ({stops})))::BIGINT AS stop_cnt,
+       list_aggregate(list_transform(t, x -> length(x)), 'sum')::BIGINT AS tok_chars
+FROM toks
+"""
+
+
+def lang_id_batch(b: pa.Table) -> pa.Table:
+    """Marker-token counting language ID; ties resolve in LANG_MARKERS order."""
+    texts = b["text"].to_pylist()
+    preds = []
+    markers = [(lang, set(ws)) for lang, ws in LANG_MARKERS]
+    for t in texts:
+        toks = _tokens(t)
+        scores = [(sum(1 for x in toks if x in ws)) for _, ws in markers]
+        best, besti = -1, 0
+        for i, s in enumerate(scores):
+            if s > best:
+                best, besti = s, i
+        preds.append(markers[besti][0])
+    return pa.table({"doc_id": b["doc_id"], "lang_pred": pa.array(preds, pa.string())})
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    score_cols = []
+    for lang, ws in LANG_MARKERS:
+        lits = ", ".join(f"'{w}'" for w in ws)
+        score_cols.append(f"len(list_filter(t, x -> x IN ({lits}))) AS s_{lang}")
+    scores = ",\n       ".join(score_cols)
+    # first max in LANG_MARKERS order (strictly-greater comparison downstream)
+    cases = []
+    langs = [lang for lang, _ in LANG_MARKERS]
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{o}" for o in langs if o != lang]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "\n         ".join(cases)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM {table}
+), sc AS (
+  SELECT doc_id,
+       {scores}
+  FROM toks
+)
+SELECT doc_id,
+       CASE {case} END AS lang_pred
+FROM sc
+"""
+
+
+def quality_score_batch(b: pa.Table) -> pa.Table:
+    """Integer quality score in [0, 100]: length band + stopword presence +
+    punctuation sanity (a simple, exactly-reproducible heuristic)."""
+    texts = b["text"].to_pylist()
+    stops = set(STOPWORDS_EN)
+    scores = []
+    for t in texts:
+        toks = _tokens(t)
+        n = len(toks)
+        s = 0
+        if 20 <= n <= 1000:
+            s += 40
+        elif 5 <= n:
+            s += 20
+        punct_cnt = sum(t.count(c) for c in PUNCT)
+        if n > 0 and punct_cnt * 10 <= n * 3:
+            s += 30
+        stop_cnt = sum(1 for x in toks if x in stops)
+        if n > 0 and stop_cnt * 100 >= n * 2:
+            s += 30
+        scores.append(s)
+    return pa.table({"doc_id": b["doc_id"], "quality": pa.array(scores, pa.int64())})
+
+
+def quality_score_sql(table: str = "documents") -> str:
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM {table}
+), f AS (
+  SELECT doc_id,
+         len(t) AS n,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt,
+         len(list_filter(t, x -> x IN ({stops}))) AS stop_cnt
+  FROM toks
+)
+SELECT doc_id,
+       ((CASE WHEN n BETWEEN 20 AND 1000 THEN 40 WHEN n >= 5 THEN 20 ELSE 0 END)
+      + (CASE WHEN n > 0 AND punct_cnt * 10 <= n * 3 THEN 30 ELSE 0 END)
+      + (CASE WHEN n > 0 AND stop_cnt * 100 >= n * 2 THEN 30 ELSE 0 END))::BIGINT AS quality
+FROM f
+"""
+
+
+def fingerprint_batch(b: pa.Table) -> pa.Table:
+    """md5 content fingerprint of the normalized text (rolling-hash analogue
+    of the reference's per-record identity; md5 so DuckDB reproduces it)."""
+    texts = b["text"].to_pylist()
+    fps = [hashlib.md5(_norm(t).encode("utf-8")).hexdigest() for t in texts]
+    return pa.table({"doc_id": b["doc_id"], "fp": pa.array(fps, pa.string())})
+
+
+def fingerprint_sql(table: str = "documents") -> str:
+    return f"SELECT doc_id, md5(lower(trim(text))) AS fp FROM {table}"
