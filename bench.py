@@ -1,0 +1,194 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and print ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "rows": {...per-query output rows...}}
+
+--scaling: run the headline set twice in fresh processes (num_cpus=8 and 32)
+on the same input and report both durations + scaling efficiency
+(eff = (t_8/t_32)/(32/8); 1.0 = linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = [
+    "intersections_full",   # reference-exact spatial pipeline
+    "pages_extract",        # byte-identical html -> text (input_hint invariant)
+    "pages_way_join",       # pages x road tiles spatial join (north star)
+    "geom_candidate_pairs",
+    "minhash_lsh_pairs",
+    "simhash",
+    "knn_cosine",
+    "events_hourly",
+    "sessions",
+    "pricing_summary",
+]
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from osm_intersections_ray.queries import queries
+    from osm_intersections_ray.sources.synthetic import ensure_fixtures
+
+    ensure_fixtures(sf_dir)  # generate once; not timed
+
+    # warm the OS page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    for name in ("lineitem", "events", "documents", "embeddings"):
+        pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+
+    qs = queries()
+    per_q: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            n = res.count()
+        else:
+            n = len(res)
+        dt = time.time() - t0
+        per_q[name] = round(dt, 3)
+        rows[name] = int(n)
+        total += dt
+    out = {
+        "metric": "headline pipelines wall-clock (intersections + pages join + "
+                  "dedup/similarity/stream ops)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_q,
+        "rows": rows,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling_workload(num_cpus: int) -> dict:
+    """Compute-dominant headline workload for the two-parallelism-level
+    protocol: the spatial + pages pipelines over a 4x-scale synthetic world
+    (same deterministic input at both CPU levels) plus MinHash-LSH over the
+    pages text.  Fixed per-stage scheduling latency (~seconds) would swamp a
+    small input and measure the scheduler, not the engine."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from osm_intersections_ray.pipelines.intersections import intersections_pipeline
+    from osm_intersections_ray.sources.synthetic import ensure_fixtures
+    from osm_intersections_ray.stages import dedup, pages
+
+    fx = ensure_fixtures("/root/testdata/sf0.4")  # generated once, cached
+
+    def pages_ds():
+        return rd.read_parquet(os.path.join(fx, "pages.parquet"),
+                               override_num_blocks=4 * num_cpus)
+
+    def ways_ds():
+        return rd.read_parquet(os.path.join(fx, "ways.parquet"),
+                               override_num_blocks=32)
+
+    per_q: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        n = fn()
+        per_q[name] = round(time.time() - t0, 3)
+        rows[name] = int(n)
+
+    timed("intersections_full", lambda: intersections_pipeline(fx).count())
+    timed("pages_extract", lambda: pages_ds().map_batches(
+        pages.Extractor, batch_format="pyarrow", concurrency=(1, num_cpus),
+        batch_size=4096).count())
+    timed("pages_way_join", lambda: pages.pages_way_join(pages_ds(), ways_ds()).count())
+
+    def pages_minhash():
+        def to_doc(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            n = b.num_rows
+            ids = np.arange(n, dtype=np.int64)  # ids only key the groupby
+            return pa.table({"doc_id": pa.array(ids),
+                             "text": b["text"]})
+
+        docs = pages_ds().map_batches(to_doc, batch_format="pyarrow")
+        bands = docs.map_batches(dedup.minhash_bands_batch, batch_format="pyarrow")
+        from ray.data.aggregate import Count
+
+        return bands.groupby(["band", "bucket"]).aggregate(
+            Count(alias_name="n")).count()
+
+    timed("pages_minhash_buckets", pages_minhash)
+
+    total = sum(per_q.values())
+    ray.shutdown()
+    return {"value": round(total, 3), "queries": per_q, "rows": rows,
+            "num_cpus": num_cpus, "sf": fx}
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling-worker" in sys.argv:
+        print(json.dumps(run_scaling_workload(num_cpus)))
+        return
+    if "--scaling" in sys.argv:
+        def run(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--scaling-worker"],
+                env=env, capture_output=True, text=True, check=True).stdout
+            return json.loads(out.strip().splitlines()[-1])
+        lo, hi = 8, 32
+        run(lo)  # warm fixture generation + page cache (untimed)
+        r_lo = run(lo)
+        r_hi = run(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
+            "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+            "scaling_efficiency": round(eff, 3),
+            "queries_8": r_lo["queries"], "queries_32": r_hi["queries"],
+            "sf": r_lo["sf"],
+        }))
+        return
+    print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,12 @@ def intersections_pipeline(fixture_dir: str, counties: list[str] | None = None,
                            cfg: PipelineConfig | None = None):
     cfg = cfg or PipelineConfig()
     ways_ds = load_ways(fixture_dir, counties, cfg.num_blocks)
+    # The ways table is consumed by 6 downstream chains (small-state scans,
+    # both explodes, the geometric path); pin the parsed blocks once instead
+    # of re-reading parquet per consumer.  Way geometry is the SMALL side of
+    # this engine (pages are the 100 TB side) — at cluster scale this is an
+    # object-store-resident table, spilled if needed.
+    ways_ds = ways_ds.materialize()
 
     # small-side state (driver fixpoint + parity aggregate), broadcast once
     state = wd.compute_small_state(ways_ds)
@@ -78,7 +84,7 @@ def intersections_pipeline(fixture_dir: str, counties: list[str] | None = None,
     def make_waydata(b: pa.Table) -> pa.Table:
         return wd.MakeWayData(state_ref)(b)
 
-    waydata_ds = ways_ds.map_batches(make_waydata, batch_format="pyarrow")
+    waydata_ds = ways_ds.map_batches(make_waydata, batch_format="pyarrow").materialize()
 
     # --- shared-node path
     exploded = nodep.explode_for_join(waydata_ds, ways_ds, cfg.n_buckets)

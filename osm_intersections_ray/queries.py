@@ -32,8 +32,10 @@ def _ways(sf_dir: str):
 
 
 def _pages(sf_dir: str):
+    # pages is the big side: force enough input blocks that every stage can
+    # fan out (a single parquet file would otherwise read as one block)
     fx = ensure_fixtures(sf_dir)
-    return rd.read_parquet(os.path.join(fx, "pages.parquet"))
+    return rd.read_parquet(os.path.join(fx, "pages.parquet"), override_num_blocks=32)
 
 
 def _tbl(sf_dir: str, name: str, columns=None):
@@ -79,9 +81,9 @@ def queries() -> dict:
 
     # --- pages graft (input_hint table)
     q["pages_extract"] = lambda sf: _pages(sf).map_batches(
-        pages.Extractor, batch_format="pyarrow", concurrency=(1, 4), batch_size=512)
+        pages.Extractor, batch_format="pyarrow", concurrency=(1, 8), batch_size=4096)
     q["pages_geotag"] = lambda sf: _pages(sf).map_batches(
-        pages.geotag_batch, batch_format="pyarrow", batch_size=512)
+        pages.geotag_batch, batch_format="pyarrow", batch_size=4096)
     q["pages_way_join"] = lambda sf: pages.pages_way_join(_pages(sf), _ways(sf))
 
     # --- text analysis over documents

@@ -36,7 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-FIXTURE_ROOT = "/tmp/osmray_fixtures"
+FIXTURE_ROOT = "/tmp/osmray_fixtures_v2"
+# v2: parquet written with small row groups so block-split reads parallelize
 
 WORLD = {
     "counties": [
@@ -500,10 +501,12 @@ def ensure_fixtures(sf_dir: str) -> str:
     os.makedirs(FIXTURE_ROOT, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=FIXTURE_ROOT, prefix=f".{label}.")
     try:
-        pq.write_table(build_ways(scale), os.path.join(tmp, "ways.parquet"))
+        pq.write_table(build_ways(scale), os.path.join(tmp, "ways.parquet"),
+                       row_group_size=4096)
         pq.write_table(build_boundaries(), os.path.join(tmp, "boundaries.parquet"))
         pq.write_table(build_county_cities(), os.path.join(tmp, "county_cities.parquet"))
-        pq.write_table(build_pages(scale), os.path.join(tmp, "pages.parquet"))
+        pq.write_table(build_pages(scale), os.path.join(tmp, "pages.parquet"),
+                       row_group_size=8192)
         with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write("ok\n")
         if not os.path.exists(marker):

@@ -173,24 +173,24 @@ def eligible_nodes(exploded_ds):
         if len(nn) == 0:
             return CAND_SCHEMA.empty_table()
 
+        ok = names[names["node"].isin(ok_nodes)]
         nn_sorted = nn.sort_values(["node", "name"], kind="stable")
         base = nn_sorted.groupby("node", sort=False)["name"].agg("/".join)
-        ranks = names[names["node"].isin(ok_nodes)].groupby("node", sort=False)["rank"].min()
-        gps = names[names["node"].isin(ok_nodes)].drop_duplicates("node").set_index("node")
+        ranks = ok.groupby("node", sort=False)["rank"].min()
+        first = ok.drop_duplicates("node").set_index("node")
         ww = w[w["node"].isin(ok_nodes)].sort_values(["node", "way_rank"], kind="stable")
         wids = ww.groupby("node", sort=False)["way_id"].agg(list)
-        county = names[names["node"].isin(ok_nodes)].drop_duplicates("node").set_index("node")["county"]
 
         nodes = base.index.to_numpy()
         return pa.table(
             {
-                "county": pa.array([county[n] for n in nodes], pa.string()),
+                "county": pa.array(first["county"].reindex(nodes).tolist(), pa.string()),
                 "node": pa.array(nodes, pa.int64()),
-                "emit_rank": pa.array([int(ranks[n]) for n in nodes], pa.int64()),
-                "base": pa.array([base[n] for n in nodes], pa.string()),
-                "lat": pa.array([float(gps.loc[n, "lat"]) for n in nodes], pa.float64()),
-                "lon": pa.array([float(gps.loc[n, "lon"]) for n in nodes], pa.float64()),
-                "way_ids": pa.array([[int(x) for x in wids[n]] for n in nodes],
+                "emit_rank": pa.array(ranks.reindex(nodes).to_numpy().astype("int64")),
+                "base": pa.array(base.tolist(), pa.string()),
+                "lat": pa.array(first["lat"].reindex(nodes).to_numpy(), pa.float64()),
+                "lon": pa.array(first["lon"].reindex(nodes).to_numpy(), pa.float64()),
+                "way_ids": pa.array([[int(x) for x in xs] for xs in wids.reindex(nodes)],
                                     pa.list_(pa.int64())),
             }
         )
@@ -224,7 +224,22 @@ def suffixed(cands_ds, n_buckets: int):
             rows["way_ids"].append([int(x) for x in way_ids])
             rows["node_id"].append(int(node))
 
-        for (_, base), g in df.groupby(["county", "base"], sort=False):
+        # fast path: (county, base) groups of size 1 (the vast majority) —
+        # no suffixing, vectorized emit
+        sizes = df.groupby(["county", "base"], sort=False)["emit_rank"].transform("size")
+        singles = df[sizes == 1]
+        if len(singles):
+            rows["county"].extend(singles["county"].tolist())
+            rows["pos"].extend(int(x) for x in singles["emit_rank"])
+            bases = singles["base"].tolist()
+            rows["raw"].extend(bases)
+            rows["streets"].extend(clean_streets(s) for s in bases)
+            rows["lat"].extend(float(x) for x in singles["lat"])
+            rows["lon"].extend(float(x) for x in singles["lon"])
+            rows["way_ids"].extend([int(x) for x in w] for w in singles["way_ids"])
+            rows["node_id"].extend(int(x) for x in singles["node"])
+
+        for (_, base), g in df[sizes > 1].groupby(["county", "base"], sort=False):
             g = g.sort_values("emit_rank", kind="stable")
             n = len(g)
             recs = g.to_dict("records")
@@ -305,8 +320,14 @@ class Coalescer:
         return out
 
     def __call__(self, df: pd.DataFrame) -> pa.Table:
-        out_rows = []
-        for (county, streets), g in df.groupby(["county", "streets"], sort=False):
+        # fast path: singleton non-JUNCTION streets groups pass through
+        # untouched (the vast majority) — skip the per-group record path
+        sizes = df.groupby(["county", "streets"], sort=False)["pos"].transform("size")
+        is_junc = df["streets"].str.contains(JUNCTION, regex=False)
+        fast = df[(sizes == 1) & ~is_junc]
+        slow = df[(sizes > 1) | is_junc]
+        out_rows = list(fast.to_dict("records"))
+        for (county, streets), g in slow.groupby(["county", "streets"], sort=False):
             g = g.sort_values("pos", kind="stable")
             recs = g.to_dict("records")
             if JUNCTION in streets:  # substring test, as in the reference

@@ -42,12 +42,11 @@ class Extractor:
         self.article = _ARTICLE_RE
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        htmls = b["html"].to_pylist()
-        texts = []
-        for h in htmls:
-            m = self.article.search(h)
-            texts.append(m.group(1).decode("utf-8") if m else "")
-        return pa.table({"url": b["url"], "text_extracted": pa.array(texts, pa.string())})
+        # zero-copy binary->utf8 cast, then a vectorized (C) regex extract
+        ser = b["html"].cast(pa.string()).to_pandas()
+        texts = ser.str.extract(r"(?s)<article>(.*?)</article>", expand=False).fillna("")
+        return pa.table({"url": b["url"],
+                         "text_extracted": pa.array(texts.tolist(), pa.string())})
 
 
 def extract_sql(table: str = "pages") -> str:
@@ -56,18 +55,10 @@ def extract_sql(table: str = "pages") -> str:
 
 
 def geotag_batch(b: pa.Table) -> pa.Table:
-    htmls = b["html"].to_pylist()
-    lats, lons = [], []
-    for h in htmls:
-        m = _GEO_RE.search(h.decode("utf-8"))
-        if m:
-            lats.append(float(m.group(1)))
-            lons.append(float(m.group(2)))
-        else:
-            lats.append(np.nan)
-            lons.append(np.nan)
-    lat = np.asarray(lats)
-    lon = np.asarray(lons)
+    ser = b["html"].cast(pa.string()).to_pandas()
+    ext = ser.str.extract(_GEO_RE.pattern)
+    lat = ext[0].astype(np.float64).to_numpy()
+    lon = ext[1].astype(np.float64).to_numpy()
     n = 1 << TILE_RES_MAX
     ix = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
     iy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
@@ -106,28 +97,33 @@ def pages_way_join(pages_ds, ways_ds):
     refined by exact bbox containment.  Returns (url, way_id)."""
 
     def pages_side(b: pa.Table) -> pa.Table:
+        """Vectorized: the res-14..17 ancestor chain via int bit ops."""
         g = geotag_batch(b)
-        urls = g["url"].to_pylist()
+        n = g.num_rows
         lat = g["lat"].to_numpy(zero_copy_only=False)
         lon = g["lon"].to_numpy(zero_copy_only=False)
-        t17 = g["tile17"].to_numpy(zero_copy_only=False)
-        out = {"cellkey": [], "role": [], "url": [], "lat": [], "lon": [],
-               "way_id": [], "minlat": [], "minlon": [], "maxlat": [], "maxlon": []}
-        for i in range(len(urls)):
-            cell = int(t17[i])
-            for res in range(TILE_RES_MAX, TILE_RES_MIN - 1, -1):
-                c = tile_parent(cell, res)
-                out["cellkey"].append(c)
-                out["role"].append(0)
-                out["url"].append(urls[i])
-                out["lat"].append(float(lat[i]))
-                out["lon"].append(float(lon[i]))
-                out["way_id"].append(-1)
-                out["minlat"].append(np.nan)
-                out["minlon"].append(np.nan)
-                out["maxlat"].append(np.nan)
-                out["maxlon"].append(np.nan)
-        return _join_table(out)
+        t17 = g["tile17"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix = (t17 >> 29) & ((1 << 29) - 1)
+        iy = t17 & ((1 << 29) - 1)
+        cells = []
+        for res in range(TILE_RES_MAX, TILE_RES_MIN - 1, -1):
+            s = TILE_RES_MAX - res
+            cells.append((np.int64(res) << 58) | ((ix >> s) << 29) | (iy >> s))
+        k = len(cells)
+        nan = np.full(n * k, np.nan)
+        return pa.table({
+            "cellkey": pa.array(np.concatenate(cells), pa.int64()),
+            "role": pa.array(np.zeros(n * k, dtype=np.int8)),
+            "url": pa.array(np.tile(np.asarray(g["url"].to_pylist(), dtype=object), k).tolist(),
+                            pa.string()),
+            "lat": pa.array(np.tile(lat, k), pa.float64()),
+            "lon": pa.array(np.tile(lon, k), pa.float64()),
+            "way_id": pa.array(np.full(n * k, -1, dtype=np.int64)),
+            "minlat": pa.array(nan, pa.float64()),
+            "minlon": pa.array(nan, pa.float64()),
+            "maxlat": pa.array(nan, pa.float64()),
+            "maxlon": pa.array(nan, pa.float64()),
+        })
 
     def ways_side(b: pa.Table) -> pa.Table:
         out = {"cellkey": [], "role": [], "url": [], "lat": [], "lon": [],
@@ -149,28 +145,35 @@ def pages_way_join(pages_ds, ways_ds):
                 out["maxlon"].append(bb[3])
         return _join_table(out)
 
-    def per_cell(df: pd.DataFrame) -> pa.Table:
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        """Vectorized hash join within a cell bucket: pandas merge on the
+        exact cell id, then the bbox containment refinement.  A page's
+        ancestor cells are disjoint from each other and a way's compacted
+        cover cells are disjoint, so each (page, way) pair matches at most
+        one cell — no post-join dedup is needed."""
         pages = df[df["role"] == 0]
         ways = df[df["role"] == 1]
         if len(pages) == 0 or len(ways) == 0:
             return pa.table({"url": pa.array([], pa.string()),
                              "way_id": pa.array([], pa.int64())})
-        urls, wids = [], []
-        plat = pages["lat"].to_numpy()
-        plon = pages["lon"].to_numpy()
-        purl = pages["url"].to_numpy()
-        for _, w in ways.iterrows():
-            hit = ((plat >= w["minlat"]) & (plat <= w["maxlat"])
-                   & (plon >= w["minlon"]) & (plon <= w["maxlon"]))
-            for u in purl[hit]:
-                urls.append(u)
-                wids.append(int(w["way_id"]))
-        return pa.table({"url": pa.array(urls, pa.string()),
-                         "way_id": pa.array(wids, pa.int64())})
+        m = pages[["cellkey", "url", "lat", "lon"]].merge(
+            ways[["cellkey", "way_id", "minlat", "minlon", "maxlat", "maxlon"]],
+            on="cellkey")
+        hit = ((m["lat"] >= m["minlat"]) & (m["lat"] <= m["maxlat"])
+               & (m["lon"] >= m["minlon"]) & (m["lon"] <= m["maxlon"]))
+        m = m[hit]
+        return pa.table({"url": pa.array(m["url"].tolist(), pa.string()),
+                         "way_id": pa.array(m["way_id"].to_numpy().astype("int64"))})
 
-    p = pages_ds.map_batches(pages_side, batch_format="pyarrow")
-    w = ways_ds.map_batches(ways_side, batch_format="pyarrow")
-    return p.union(w).groupby("cellkey").map_groups(per_cell, batch_format="pandas")
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = (np.asarray(b["cellkey"]) % 64).astype(np.int64)
+        return b.append_column("bucket", pa.array(bucket))
+
+    p = pages_ds.map_batches(pages_side, batch_format="pyarrow").map_batches(
+        add_bucket, batch_format="pyarrow")
+    w = ways_ds.map_batches(ways_side, batch_format="pyarrow").map_batches(
+        add_bucket, batch_format="pyarrow")
+    return p.union(w).groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def _clamped_cover(bb) -> list[int]:
