@@ -123,13 +123,14 @@ def haversine_m(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
     return 2 * r * math.asin(math.sqrt(a))
 
 
-def interpolate(lat1, lon1, lat2, lon2, w: float) -> tuple[float, float]:
-    """Linear interpolation with weight w toward point 2, fix6-rounded
-    (js/offset.js:119-131)."""
-    return (
-        fix6(lat1 + w * (lat2 - lat1)),
-        fix6(lon1 + w * (lon2 - lon1)),
-    )
+def interpolate(lat1, lon1, lat2, lon2, w2: float) -> tuple[float, float]:
+    """Linear interpolation with weight w2 toward point 2, fix6-rounded.
+    Exactly ``w1*c1 + w2*c2`` (js/offset.js:119-131) — NOT c1 + w*(c2-c1),
+    which differs in float."""
+    if w2 < 0 or w2 > 1:
+        raise ValueError(f"unexpected weight {w2}")
+    w1 = 1.0 - w2
+    return (fix6(w1 * lat1 + w2 * lat2), fix6(w1 * lon1 + w2 * lon2))
 
 
 def file_name_ize(name: str) -> str:

@@ -1,0 +1,105 @@
+"""Resumable partitioned output (SURVEY.md S2/S5: the reference's
+skip-if-output-exists resume, js/downloadways.js:90-94, generalized).
+
+Layout per run:
+
+    out_dir/
+      <partition>/part-*.parquet     (one directory per partition value)
+      <partition>/_MANIFEST.json     {"partition", "rows", "schema"}
+      _RUN.json                      run-level lineage + metrics
+
+A partition directory is written to a temp dir and atomically renamed, with
+the manifest written last — a crashed run leaves either nothing or a
+complete partition, and a rerun skips every partition whose manifest exists.
+This is what "resumable from per-partition checkpoints with lineage" means
+for a batch engine (ray_guide "Sources & sinks")."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _manifest_path(out_dir: str, part: str) -> str:
+    return os.path.join(out_dir, part, "_MANIFEST.json")
+
+
+def completed_partitions(out_dir: str) -> set[str]:
+    if not os.path.isdir(out_dir):
+        return set()
+    done = set()
+    for name in os.listdir(out_dir):
+        if os.path.exists(_manifest_path(out_dir, name)):
+            done.add(name)
+    return done
+
+
+def write_partitioned(ds, out_dir: str, partition_col: str,
+                      partition_values: list[str] | None = None) -> dict:
+    """Write ``ds`` under ``out_dir`` split by ``partition_col``; skips
+    partitions that already have a manifest.  Returns the run report.
+
+    Partition values default to the distinct values of the column (a small
+    aggregate).  Each partition is written by a FILTERED streaming
+    ``write_parquet`` — the dataset is never materialized whole."""
+    from ..functions.scalar import file_name_ize
+
+    os.makedirs(out_dir, exist_ok=True)
+    if partition_values is None:
+        partition_values = sorted(ds.unique(partition_col))
+    done = completed_partitions(out_dir)
+    report = {"started": time.time(), "partition_col": partition_col,
+              "partitions": {}, "skipped": []}
+    for value in partition_values:
+        part = file_name_ize(str(value))
+        if part in done:
+            report["skipped"].append(part)
+            continue
+        def keep(b: pa.Table, v=value) -> pa.Table:
+            return b.filter(pc.equal(b[partition_col], pa.scalar(v)))
+
+        sub = ds.map_batches(keep, batch_format="pyarrow")
+        tmp = tempfile.mkdtemp(dir=out_dir, prefix=f".{part}.")
+        try:
+            sub.write_parquet(tmp)
+            # count rows from written files (no second pass over the pipeline)
+            import pyarrow.parquet as pq
+
+            rows = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows
+                       for f in os.listdir(tmp) if f.endswith(".parquet"))
+            with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+                json.dump({"partition": part, "rows": rows,
+                           "written": time.time()}, f)
+            final = os.path.join(out_dir, part)
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.replace(tmp, final)
+            report["partitions"][part] = rows
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    report["finished"] = time.time()
+    with open(os.path.join(out_dir, "_RUN.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    return report
+
+
+def read_partitioned(out_dir: str, partitions: list[str] | None = None):
+    """Read back completed partitions as one Dataset."""
+    import ray.data as rd
+
+    parts = sorted(completed_partitions(out_dir))
+    if partitions is not None:
+        parts = [p for p in parts if p in partitions]
+    paths = []
+    for p in parts:
+        d = os.path.join(out_dir, p)
+        paths.extend(os.path.join(d, f) for f in os.listdir(d)
+                     if f.endswith(".parquet"))
+    return rd.read_parquet(paths)

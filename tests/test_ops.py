@@ -1,0 +1,149 @@
+"""Unit/integration tests for the webtext ops, checkpointing, multimodal
+plumbing, offset tool, and similarity search."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_minhash_det():
+    from osm_intersections_ray.functions.hashing import h60, minhash_signature
+
+    s1 = minhash_signature(["a b c", "b c d"], 8)
+    s2 = minhash_signature(["b c d", "a b c"], 8)
+    assert s1 == s2
+    assert all(0 <= v < (1 << 60) for v in s1)
+    assert h60("0|a b c") in [None, h60("0|a b c")]  # deterministic
+
+
+def test_simhash_similarity():
+    from osm_intersections_ray.functions.hashing import hamming64, simhash64
+
+    a = simhash64("the quick brown fox jumps over the lazy dog".split())
+    b = simhash64("the quick brown fox jumps over the lazy cat".split())
+    c = simhash64("völlig anderes dokument mit anderen wörtern hier".split())
+    assert hamming64(a, b) < hamming64(a, c)
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    from osm_intersections_ray.state.checkpoint import (
+        completed_partitions,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "part": ["a"] * 5 + ["b"] * 3,
+        "x": list(range(8)),
+    }))
+    out = str(tmp_path / "out")
+    rep = write_partitioned(ds, out, "part")
+    assert rep["partitions"] == {"a": 5, "b": 3}
+    assert completed_partitions(out) == {"a", "b"}
+    # rerun skips everything
+    rep2 = write_partitioned(ds, out, "part")
+    assert rep2["partitions"] == {} and sorted(rep2["skipped"]) == ["a", "b"]
+    back = read_partitioned(out)
+    assert back.count() == 8
+
+
+def test_multimodal_plumbing(ray_session):
+    from osm_intersections_ray.stages.multimodal import (
+        AudioFrameSample,
+        ImageDecode,
+        fake_image_dataset,
+    )
+
+    ds = fake_image_dataset(20)
+    out = ds.map_batches(ImageDecode, batch_format="pyarrow", batch_size=8,
+                         concurrency=(1, 2)).take_all()
+    assert len(out) == 20
+    assert all(64 <= r["width"] <= 1024 and 0 <= r["mean_px"] < 256 for r in out)
+    # real formats refuse loudly
+    dec = ImageDecode()
+    with pytest.raises(NotImplementedError):
+        dec(pa.table({"image_id": pa.array([1], pa.int64()),
+                      "image": pa.array([b"\x89PNG..."], pa.binary())}))
+    aud = AudioFrameSample(every=10)
+    t = aud(pa.table({"audio_id": pa.array([1], pa.int64()),
+                      "audio": pa.array([b"FAKEAUD1" + (100).to_bytes(4, "little")],
+                                        pa.binary())}))
+    assert t["frame_idx"].to_pylist() == [list(range(0, 100, 10))]
+
+
+def test_offset_walker(ray_session, fixtures_dir):
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.offset import offset_queries
+
+    ways = rd.read_parquet(os.path.join(fixtures_dir, "ways.parquet"))
+    # Special Boulevard runs along lat 36.96 from lon -122.3100 to -122.3000;
+    # start at its first node and walk east
+    tbl = __import__("pyarrow.parquet", fromlist=["read_table"]).read_table(
+        os.path.join(fixtures_dir, "ways.parquet"))
+    import pyarrow.compute as pc
+
+    row = tbl.filter(pc.equal(tbl["name"], "Special Boulevard")).to_pylist()[0]
+    wid, first = row["way_id"], row["nodes"][0]
+    res = offset_queries(ways, [
+        {"way_id": wid, "node_id": first, "meters": 100.0},
+        {"way_id": wid, "node_id": first, "meters": 1e7},   # off the end -> null
+        {"way_id": wid, "node_id": row["nodes"][-1], "meters": -100.0},
+    ]).take_all()
+    assert res[0]["lat"] == pytest.approx(36.96, abs=1e-6)
+    assert res[0]["lon"] > -122.3100 and res[0]["lon"] < -122.3000
+    assert res[1]["lat"] is None
+    assert res[2]["lon"] < -122.3000
+
+
+def test_ann_recall(ray_session):
+    """LSH-bucketed ANN finds the true top-1 for most queries on clustered
+    data (approximate by design: same-bucket probing only)."""
+    import ray
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.similarity import (
+        ann_bucketed,
+        knn_brute,
+        load_queries,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((5, 32)) * 5
+    vecs = np.vstack([c + rng.standard_normal((40, 32)) * 0.05 for c in centers])
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    qref = ray.put(load_queries(tbl))
+    ds = rd.from_arrow(tbl)
+    brute = knn_brute(ds, qref)
+    approx = ann_bucketed(rd.from_arrow(tbl), qref)
+    b1 = {q: n for q, n, r in zip(brute["qid"], brute["nid"], brute["rk"]) if r == 1}
+    a1 = {q: n for q, n, r in zip(approx["qid"], approx["nid"], approx["rk"]) if r == 1}
+    hits = sum(1 for q in b1 if a1.get(q) == b1[q])
+    assert hits >= len(b1) * 0.6
+
+
+def test_text_kernels_roundtrip():
+    from osm_intersections_ray.stages.text import (
+        doc_stats_batch,
+        fingerprint_batch,
+        lang_id_batch,
+    )
+
+    b = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["the quick fox, and the dog!",
+                           "der schnelle fuchs und der hund"]})
+    st = doc_stats_batch(b)
+    assert st["n_tokens"].to_pylist() == [6, 6]
+    assert st["punct_cnt"].to_pylist() == [2, 0]
+    lid = lang_id_batch(b)
+    assert lid["lang_pred"].to_pylist() == ["en", "de"]
+    fp = fingerprint_batch(b)
+    assert len(fp["fp"][0].as_py()) == 32
