@@ -21,7 +21,17 @@ import ray
 import ray.data as rd
 
 from .sources.synthetic import ensure_fixtures
-from .stages import dedup, events, knn, pages, queries_spatial as qs, relational, similarity, text
+from .stages import (
+    dedup,
+    events,
+    filters,
+    knn,
+    pages,
+    queries_spatial as qs,
+    relational,
+    similarity,
+    text,
+)
 
 ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 
@@ -144,6 +154,14 @@ def queries() -> dict:
     q["top_parts"] = lambda sf: relational.top_parts(
         _tbl(sf, "part", ["p_partkey", "p_name", "p_retailprice"]))
 
+    def anti_join(sf):
+        orders = pq.read_table(os.path.join(sf, "orders.parquet"),
+                               columns=["o_custkey", "o_orderstatus"])
+        return filters.customers_without_orders(
+            _tbl(sf, "customer", ["c_custkey", "c_name"]), orders)
+
+    q["customers_without_orders"] = anti_join
+
     return q
 
 
@@ -177,6 +195,7 @@ def oracle_sql() -> dict:
         "pricing_summary": relational.pricing_summary_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "top_parts": relational.top_parts_sql(),
+        "customers_without_orders": filters.customers_without_orders_sql(),
         # intersections_full, ann_lsh: rows-only (non-SQL-expressible;
         # intersections_full is golden-tested against the reference oracle
         # in tests/test_golden_intersections.py)
