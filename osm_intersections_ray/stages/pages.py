@@ -145,6 +145,12 @@ def pages_way_join(pages_ds, ways_ds):
                 out["maxlon"].append(bb[3])
         return _join_table(out)
 
+    n_salt = 4  # hot-cell skew: split each cell's PAGES into n_salt
+    # sub-buckets and replicate the (tiny) ways rows into each — the salted
+    # replicate join from SURVEY section 4 / BASELINE.json ("salted
+    # repartition + two-phase groupby"); a dense urban cell's pages then
+    # spread over n_salt groups instead of one straggler.
+
     def per_bucket(df: pd.DataFrame) -> pa.Table:
         """Vectorized hash join within a cell bucket: pandas merge on the
         exact cell id, then the bbox containment refinement.  A page's
@@ -165,14 +171,23 @@ def pages_way_join(pages_ds, ways_ds):
         return pa.table({"url": pa.array(m["url"].tolist(), pa.string()),
                          "way_id": pa.array(m["way_id"].to_numpy().astype("int64"))})
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        bucket = (np.asarray(b["cellkey"]) % 64).astype(np.int64)
-        return b.append_column("bucket", pa.array(bucket))
+    def add_bucket_pages(b: pa.Table) -> pa.Table:
+        cell = np.asarray(b["cellkey"])
+        salt = np.arange(len(cell), dtype=np.int64) % n_salt
+        bucket = (cell % 64) * n_salt + salt
+        return b.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    def add_bucket_ways(b: pa.Table) -> pa.Table:
+        cell = np.asarray(b["cellkey"])
+        base = (cell % 64) * n_salt
+        reps = [b.append_column("bucket", pa.array((base + s).astype(np.int64)))
+                for s in range(n_salt)]
+        return pa.concat_tables(reps)
 
     p = pages_ds.map_batches(pages_side, batch_format="pyarrow").map_batches(
-        add_bucket, batch_format="pyarrow")
+        add_bucket_pages, batch_format="pyarrow")
     w = ways_ds.map_batches(ways_side, batch_format="pyarrow").map_batches(
-        add_bucket, batch_format="pyarrow")
+        add_bucket_ways, batch_format="pyarrow")
     return p.union(w).groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
