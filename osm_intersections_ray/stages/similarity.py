@@ -170,7 +170,13 @@ def ann_bucketed(ds, queries_ref, planes_seed: int = 424242):
         qsig = (q["mat"] @ planes.T > 0).astype(np.int64)
         qbits = (qsig * (1 << np.arange(N_PLANES))).sum(axis=1)
         bucket = int(df["bucket"].iloc[0])
-        sel = np.nonzero(qbits == bucket)[0]
+        # multi-probe: a query also probes buckets at Hamming distance <= 1
+        # from its own signature (recall vs fan-out tradeoff)
+        xor = qbits ^ bucket
+        ham = np.zeros(len(qbits), dtype=np.int64)
+        for b in range(N_PLANES):
+            ham += (xor >> b) & 1
+        sel = np.nonzero(ham <= 1)[0]
         if len(sel) == 0:
             return pa.table({"qid": pa.array([], pa.int64()),
                              "nid": pa.array([], pa.int64()),

@@ -1,0 +1,107 @@
+"""Property tests (hypothesis) for the exactness-critical kernels."""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osm_intersections_ray.functions import cells, scalar
+
+coord = st.floats(min_value=-179.99, max_value=179.99,
+                  allow_nan=False, allow_infinity=False)
+lat = st.floats(min_value=-89.99, max_value=89.99,
+                allow_nan=False, allow_infinity=False)
+
+
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+def test_fix6_is_floor_half(x):
+    assert scalar.fix6(x) == math.floor(x * 1e6 + 0.5) / 1e6
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=40))
+def test_clean_idempotent_after_first_pass(raw):
+    """clean() applied to an already-clean string without underscore+digit
+    is idempotent (sort+dedup stability)."""
+    once = scalar.clean_streets(raw)
+    if "_" not in once:
+        assert scalar.clean_streets(once) == once
+
+
+@given(st.lists(st.text(alphabet="abcXYZ 123", min_size=1, max_size=8),
+                min_size=1, max_size=6))
+def test_intersection_string_order_invariant(names):
+    import random
+
+    s1 = scalar.make_intersection_string(list(names))
+    shuffled = list(names)
+    random.Random(0).shuffle(shuffled)
+    assert scalar.make_intersection_string(shuffled) == s1
+
+
+@settings(max_examples=200)
+@given(lat, coord,
+       st.floats(min_value=0, max_value=0.2, allow_nan=False),
+       st.floats(min_value=0, max_value=0.2, allow_nan=False))
+def test_cover_cells_contains_bbox_corners(la0, lo0, dla, dlo):
+    """Every bbox corner's truncated cell is in the float-loop cover unless
+    the accumulation drop hit that max edge (then the int cover has it)."""
+    la1, lo1 = la0 + dla, lo0 + dlo
+    f = set(cells.cover_cells(la0, lo0, la1, lo1))
+    i = set(cells.cover_cells_int(la0, lo0, la1, lo1))
+    assert f <= i
+    corner = cells.pack_cell(math.floor(lo0 * 100), math.floor(la0 * 100))
+    assert corner in i
+
+
+@settings(max_examples=100)
+@given(lat, coord, st.integers(min_value=10, max_value=17))
+def test_tile_parent_contains_point(la, lo, res):
+    """Parent tiles contain the point up to 1 ulp of the division at tile
+    edges: floor((x+off)/span*n) can land a point one cell right of its
+    mathematical cell when (x+off)/span rounds up — the engine and its SQL
+    oracle share the identical formula, so the behavior is consistent."""
+    t = cells.tile_of(la, lo, res)
+    p = cells.tile_parent(t, res - 2)
+    minlat, minlon, maxlat, maxlon = cells.tile_bounds(p)
+    n = 1 << (res - 2)
+    eps_lat = 180.0 / n * 1e-9
+    eps_lon = 360.0 / n * 1e-9
+    assert minlat - eps_lat <= la <= maxlat + eps_lat
+    assert minlon - eps_lon <= lo <= maxlon + eps_lon
+
+
+@settings(max_examples=50)
+@given(st.lists(st.tuples(lat, coord), min_size=3, max_size=8))
+def test_compact_roundtrip(points):
+    las = [p[0] for p in points]
+    los = [p[1] for p in points]
+    la0, la1 = min(las), max(las)
+    lo0, lo1 = min(los), max(los)
+    cover = cells.cover_bbox_tiles(la0, lo0, la1, lo1, 10)
+    compacted = cells.compact_tiles(cover)
+    expanded = set()
+
+    def expand(c):
+        if cells.tile_res(c) == 10:
+            expanded.add(c)
+        else:
+            for ch in cells.tile_children(c):
+                expand(ch)
+
+    for c in compacted:
+        expand(c)
+    assert expanded == set(cover)
+
+
+@given(st.floats(-1e4, 1e4, allow_nan=False), st.floats(-1e4, 1e4, allow_nan=False))
+def test_round_half_away_matches_sql(a, b):
+    import numpy as np
+
+    from osm_intersections_ray.functions.scalar import round_half_away_np
+
+    x = np.array([a, b])
+    got = round_half_away_np(x)
+    for v, g in zip(x, got):
+        expect = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+        assert g == expect
