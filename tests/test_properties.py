@@ -71,13 +71,13 @@ def test_tile_parent_contains_point(la, lo, res):
     assert minlon - eps_lon <= lo <= maxlon + eps_lon
 
 
-@settings(max_examples=50)
-@given(st.lists(st.tuples(lat, coord), min_size=3, max_size=8))
-def test_compact_roundtrip(points):
-    las = [p[0] for p in points]
-    los = [p[1] for p in points]
-    la0, la1 = min(las), max(las)
-    lo0, lo1 = min(los), max(los)
+@settings(max_examples=50, deadline=None)
+@given(lat, coord,
+       st.floats(min_value=0, max_value=2.0, allow_nan=False),
+       st.floats(min_value=0, max_value=2.0, allow_nan=False))
+def test_compact_roundtrip(la0, lo0, dla, dlo):
+    la1 = min(89.99, la0 + dla)
+    lo1 = min(179.99, lo0 + dlo)
     cover = cells.cover_bbox_tiles(la0, lo0, la1, lo1, 10)
     compacted = cells.compact_tiles(cover)
     expanded = set()
