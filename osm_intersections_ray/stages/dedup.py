@@ -108,21 +108,30 @@ def _word_shingles_k(text: str) -> list[str]:
     return [" ".join(toks[i : i + SHINGLE_K]) for i in range(len(toks) - SHINGLE_K + 1)]
 
 
+_PERM_PREFIX = [hashlib.md5(f"{j}|".encode()) for j in range(NUM_PERM)]
+
+
 def minhash_bands_batch(b: pa.Table) -> pa.Table:
     """doc -> (band, bucket) rows.  Signature: min over shingles of
-    h60(f"{j}|{shingle}") per permutation j; bucket = md5("band:v0,v1")."""
+    h60(f"{j}|{shingle}") per permutation j; bucket = md5("band:v0,v1").
+    The per-permutation md5 prefix state is precomputed and ``copy()``-ed per
+    shingle (md5 is streaming, so prefix.copy()+update(s) == md5(prefix+s))."""
     ids = b["doc_id"].to_pylist()
     texts = b["text"].to_pylist()
     out_id, out_band, out_bucket = [], [], []
     empty = (1 << 60) - 1
+    from_bytes = int.from_bytes
     for i, t in zip(ids, texts):
         sh = set(_word_shingles_k(t))
         if not sh:
             continue
         sig = [empty] * NUM_PERM
         for s in sh:
+            enc = s.encode("utf-8")
             for j in range(NUM_PERM):
-                v = h60(f"{j}|{s}")
+                h = _PERM_PREFIX[j].copy()
+                h.update(enc)
+                v = from_bytes(h.digest()[:8], "big") >> 4
                 if v < sig[j]:
                     sig[j] = v
         for band in range(NUM_PERM // BAND_ROWS):
