@@ -81,11 +81,19 @@ _WORD_POOLS = {
 }
 
 
-def scale_from_sf_dir(sf_dir: str) -> tuple[str, float]:
+def scale_from_sf_dir(sf_dir: str) -> tuple[str, float, int]:
+    """Parse 'sf<scale>' or 'sf<scale>r<replicas>' from the directory name.
+    Replicas shift the whole two-county world east by 1 degree each (distinct
+    county names / way ids / node ids) — used for fair comparisons against
+    the reference's one-county-per-process execution model."""
     label = os.path.basename(os.path.normpath(sf_dir))
     if not label.startswith("sf"):
         raise ValueError(f"cannot parse scale from {sf_dir!r}")
-    return label, float(label[2:])
+    body = label[2:]
+    if "r" in body:
+        scale_s, _, reps_s = body.partition("r")
+        return label, float(scale_s), int(reps_s)
+    return label, float(body), 1
 
 
 def _grid_size(scale: float) -> int:
@@ -489,11 +497,80 @@ def build_pages(scale: float) -> pa.Table:
     )
 
 
+def replicate_world(tbl: pa.Table, replicas: int, kind: str) -> pa.Table:
+    """Shift-copy the two-county world east by 1 degree per extra replica.
+    Deterministic renames keep counties/ids/urls globally distinct."""
+    if replicas <= 1:
+        return tbl
+    import pyarrow.compute as pc
+
+    parts = [tbl]
+    for r in range(1, replicas):
+        t = tbl
+        shift = float(r) * 1.0
+        if kind == "ways":
+            cols = {}
+            for name in t.schema.names:
+                cols[name] = t[name]
+            cols["county"] = pa.array([f"{c} r{r}" for c in t["county"].to_pylist()])
+            cols["way_id"] = pc.add(t["way_id"], 10_000_000 * r)
+            cols["nodes"] = pa.array(
+                [[n + 100_000_000_000 * r for n in lst]
+                 for lst in t["nodes"].to_pylist()], pa.list_(pa.int64()))
+            for c in ("minlon", "maxlon"):
+                cols[c] = pc.add(t[c], shift)
+            cols["lons"] = pa.array(
+                [[x + shift for x in lst] for lst in t["lons"].to_pylist()],
+                pa.list_(pa.float64()))
+            t = pa.table(cols, schema=t.schema)
+        elif kind == "boundaries":
+            geoms = []
+            for g in t["geom_json"].to_pylist():
+                rings = json.loads(g)
+                geoms.append(json.dumps(
+                    [[[xy[0] + shift, xy[1]] for xy in ring] for ring in rings]))
+            t = pa.table({
+                "name": [f"{n} r{r}" for n in t["name"].to_pylist()],
+                "kind": t["kind"],
+                "file_order": pc.add(t["file_order"],
+                                     pa.scalar(1000 * r, pa.int32())),
+                "geom_json": geoms,
+            })
+        elif kind == "county_cities":
+            t = pa.table({
+                "county": [f"{c} r{r}" for c in t["county"].to_pylist()],
+                "cities": pa.array(
+                    [[f"{x} r{r}" for x in lst] for lst in t["cities"].to_pylist()],
+                    pa.list_(pa.string())),
+                "county_code": pc.add(t["county_code"],
+                                      pa.scalar(100 * r, pa.int32())),
+            })
+        elif kind == "pages":
+            import re as _re
+
+            htmls = []
+            for h in t["html"].to_pylist():
+                txt = h.decode("utf-8")
+                m = _re.search(r'content="([^;]+);([^"]+)"', txt)
+                lon = float(m.group(2)) + shift
+                txt = txt.replace(m.group(0), f'content="{m.group(1)};{lon!r}"')
+                htmls.append(txt.encode("utf-8"))
+            t = pa.table({
+                "url": [f"{u}?r={r}" for u in t["url"].to_pylist()],
+                "warc_ts": t["warc_ts"],
+                "html": pa.array(htmls, pa.binary()),
+                "text": t["text"],
+                "lang": t["lang"],
+            })
+        parts.append(t)
+    return pa.concat_tables(parts)
+
+
 def ensure_fixtures(sf_dir: str) -> str:
     """Generate (once, cached) the synthetic spatial tables for a scale
     factor; returns the fixture directory containing ways.parquet,
     boundaries.parquet, county_cities.parquet, pages.parquet."""
-    label, scale = scale_from_sf_dir(sf_dir)
+    label, scale, replicas = scale_from_sf_dir(sf_dir)
     out_dir = os.path.join(FIXTURE_ROOT, label)
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
@@ -501,11 +578,16 @@ def ensure_fixtures(sf_dir: str) -> str:
     os.makedirs(FIXTURE_ROOT, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=FIXTURE_ROOT, prefix=f".{label}.")
     try:
-        pq.write_table(build_ways(scale), os.path.join(tmp, "ways.parquet"),
+        ways = replicate_world(build_ways(scale), replicas, "ways")
+        # re-densify way_rank per county after replication (ranks are copies)
+        pq.write_table(ways, os.path.join(tmp, "ways.parquet"),
                        row_group_size=4096)
-        pq.write_table(build_boundaries(), os.path.join(tmp, "boundaries.parquet"))
-        pq.write_table(build_county_cities(), os.path.join(tmp, "county_cities.parquet"))
-        pq.write_table(build_pages(scale), os.path.join(tmp, "pages.parquet"),
+        pq.write_table(replicate_world(build_boundaries(), replicas, "boundaries"),
+                       os.path.join(tmp, "boundaries.parquet"))
+        pq.write_table(replicate_world(build_county_cities(), replicas, "county_cities"),
+                       os.path.join(tmp, "county_cities.parquet"))
+        pq.write_table(replicate_world(build_pages(scale), replicas, "pages"),
+                       os.path.join(tmp, "pages.parquet"),
                        row_group_size=8192)
         with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write("ok\n")

@@ -225,19 +225,22 @@ def suffixed(cands_ds, n_buckets: int):
             rows["node_id"].append(int(node))
 
         # fast path: (county, base) groups of size 1 (the vast majority) —
-        # no suffixing, vectorized emit
+        # no suffixing, emitted as one vectorized Arrow table
         sizes = df.groupby(["county", "base"], sort=False)["emit_rank"].transform("size")
         singles = df[sizes == 1]
+        fast_tbl = None
         if len(singles):
-            rows["county"].extend(singles["county"].tolist())
-            rows["pos"].extend(int(x) for x in singles["emit_rank"])
             bases = singles["base"].tolist()
-            rows["raw"].extend(bases)
-            rows["streets"].extend(clean_streets(s) for s in bases)
-            rows["lat"].extend(float(x) for x in singles["lat"])
-            rows["lon"].extend(float(x) for x in singles["lon"])
-            rows["way_ids"].extend([int(x) for x in w] for w in singles["way_ids"])
-            rows["node_id"].extend(int(x) for x in singles["node"])
+            fast_tbl = pa.table({
+                "county": pa.array(singles["county"].tolist(), pa.string()),
+                "pos": pa.array(singles["emit_rank"].to_numpy(), pa.int64()),
+                "raw": pa.array(bases, pa.string()),
+                "streets": pa.array([clean_streets(s) for s in bases], pa.string()),
+                "lat": pa.array(singles["lat"].to_numpy(), pa.float64()),
+                "lon": pa.array(singles["lon"].to_numpy(), pa.float64()),
+                "way_ids": pa.array(singles["way_ids"].tolist(), pa.list_(pa.int64())),
+                "node_id": pa.array(singles["node"].to_numpy(), pa.int64()),
+            }, schema=INT_SCHEMA)
 
         for (_, base), g in df[sizes > 1].groupby(["county", "base"], sort=False):
             g = g.sort_values("emit_rank", kind="stable")
@@ -252,7 +255,10 @@ def suffixed(cands_ds, n_buckets: int):
                 r = recs[k]
                 emit(r["county"], r["emit_rank"], f"{base}_{k + 1}",
                      r["lat"], r["lon"], r["way_ids"], r["node"])
-        return pa.table(rows, schema=INT_SCHEMA)
+        slow_tbl = pa.table(rows, schema=INT_SCHEMA)
+        if fast_tbl is None:
+            return slow_tbl
+        return pa.concat_tables([fast_tbl, slow_tbl])
 
     with_key = cands_ds.map_batches(add_key, batch_format="pyarrow")
     return with_key.groupby("skey").map_groups(per_bucket, batch_format="pandas")
@@ -321,12 +327,24 @@ class Coalescer:
 
     def __call__(self, df: pd.DataFrame) -> pa.Table:
         # fast path: singleton non-JUNCTION streets groups pass through
-        # untouched (the vast majority) — skip the per-group record path
+        # untouched (the vast majority) — emitted as one vectorized table
         sizes = df.groupby(["county", "streets"], sort=False)["pos"].transform("size")
         is_junc = df["streets"].str.contains(JUNCTION, regex=False)
         fast = df[(sizes == 1) & ~is_junc]
         slow = df[(sizes > 1) | is_junc]
-        out_rows = list(fast.to_dict("records"))
+        fast_tbl = None
+        if len(fast):
+            fast_tbl = pa.table({
+                "county": pa.array(fast["county"].tolist(), pa.string()),
+                "pos": pa.array(fast["pos"].to_numpy(), pa.int64()),
+                "raw": pa.array(fast["raw"].tolist(), pa.string()),
+                "streets": pa.array(fast["streets"].tolist(), pa.string()),
+                "lat": pa.array(fast["lat"].to_numpy(), pa.float64()),
+                "lon": pa.array(fast["lon"].to_numpy(), pa.float64()),
+                "way_ids": pa.array(fast["way_ids"].tolist(), pa.list_(pa.int64())),
+                "node_id": pa.array(fast["node_id"].to_numpy(), pa.int64()),
+            }, schema=INT_SCHEMA)
+        out_rows = []
         for (county, streets), g in slow.groupby(["county", "streets"], sort=False):
             g = g.sort_values("pos", kind="stable")
             recs = g.to_dict("records")
@@ -347,7 +365,10 @@ class Coalescer:
                          if dist_l1_m(m["lat"], m["lon"], base["lat"], base["lon"]) < 50]
                 out_rows.extend(self._close_group(county, close))
                 matches = matches[len(close):]
-        return _int_rows_table(out_rows)
+        slow_tbl = _int_rows_table(out_rows)
+        if fast_tbl is None:
+            return slow_tbl
+        return pa.concat_tables([fast_tbl, slow_tbl])
 
 
 def _int_rows_table(rows: list[dict]) -> pa.Table:
@@ -384,16 +405,23 @@ def remove_junctions(ds):
     """A6 (js/geo.js:778-799): drop JUNCTION tokens; keep rows with >=2 real
     street tokens.  Vectorized enough: pure string ops per row."""
 
+    import pyarrow.compute as pc
+
     def fn(b: pa.Table) -> pa.Table:
-        streets = b["streets"].to_pylist()
+        has = pc.match_substring(b["streets"], JUNCTION)
+        clean_part = b.filter(pc.invert(has))
+        junky = b.filter(has)
+        if junky.num_rows == 0:
+            return clean_part
         keep, new = [], []
-        for s in streets:
+        for s in junky["streets"].to_pylist():
             toks = [t for t in s.split("/") if t != JUNCTION]
             ok = len(toks) > 1
             keep.append(ok)
             new.append("/".join(toks) if ok else s)
-        b = b.set_column(b.schema.get_field_index("streets"), "streets",
-                         pa.array(new, pa.string()))
-        return b.filter(pa.array(keep))
+        junky = junky.set_column(junky.schema.get_field_index("streets"),
+                                 "streets", pa.array(new, pa.string()))
+        junky = junky.filter(pa.array(keep))
+        return pa.concat_tables([clean_part, junky])
 
     return ds.map_batches(fn, batch_format="pyarrow")
