@@ -113,7 +113,7 @@ def run_scaling_workload(num_cpus: int) -> dict:
     from osm_intersections_ray.sources.synthetic import ensure_fixtures
     from osm_intersections_ray.stages import dedup, pages
 
-    fx = ensure_fixtures("/root/testdata/sf0.1")  # generated once, cached
+    fx = ensure_fixtures("/root/testdata/sf0.1r4")  # generated once, cached
 
     def pages_ds():
         return rd.read_parquet(os.path.join(fx, "pages.parquet"),
@@ -149,10 +149,7 @@ def run_scaling_workload(num_cpus: int) -> dict:
 
         docs = pages_ds().map_batches(to_doc, batch_format="pyarrow")
         bands = docs.map_batches(dedup.minhash_bands_batch, batch_format="pyarrow")
-        from ray.data.aggregate import Count
-
-        return bands.groupby(["band", "bucket"]).aggregate(
-            Count(alias_name="n")).count()
+        return dedup.lsh_bucket_counts(bands).count()
 
     timed("pages_minhash_buckets", pages_minhash)
 

@@ -136,7 +136,8 @@ def minhash_bands_batch(b: pa.Table) -> pa.Table:
                     sig[j] = v
         for band in range(NUM_PERM // BAND_ROWS):
             vals = ",".join(str(sig[band * BAND_ROWS + r]) for r in range(BAND_ROWS))
-            bucket = hashlib.md5(f"{band}:{vals}".encode()).hexdigest()
+            h = hashlib.md5(f"{band}:{vals}".encode()).digest()
+            bucket = int.from_bytes(h[:8], "big") >> 4  # h60 of the band key
             out_id.append(i)
             out_band.append(band)
             out_bucket.append(bucket)
@@ -144,28 +145,58 @@ def minhash_bands_batch(b: pa.Table) -> pa.Table:
         {
             "doc_id": pa.array(out_id, pa.int64()),
             "band": pa.array(out_band, pa.int32()),
-            "bucket": pa.array(out_bucket, pa.string()),
+            "bucket": pa.array(out_bucket, pa.int64()),  # int key: cheap shuffle
         }
     )
 
 
+N_SHARDS = 64
+
+
+def _add_shard(b: pa.Table) -> pa.Table:
+    import numpy as np
+
+    shard = (np.asarray(b["bucket"]) % N_SHARDS).astype(np.int64)
+    return b.append_column("shard", pa.array(shard))
+
+
+def lsh_bucket_counts(bands_ds):
+    """(band, bucket) -> row count, via the sharded vectorized pattern:
+    Ray's sort-aggregate pays per-GROUP Python cost (~40us/group), which is
+    pathological at near-one-group-per-row cardinality; sharding by
+    bucket%N_SHARDS gives 64 groups whose counting runs as C-speed pandas."""
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["band", "bucket"], sort=False).size().reset_index(name="n")
+        return pa.table({"band": pa.array(g["band"].to_numpy(), pa.int32()),
+                         "bucket": pa.array(g["bucket"].to_numpy(), pa.int64()),
+                         "n": pa.array(g["n"].to_numpy(), pa.int64())})
+
+    sharded = bands_ds.map_batches(_add_shard, batch_format="pyarrow")
+    return sharded.groupby("shard").map_groups(per_shard, batch_format="pandas")
+
+
 def lsh_candidate_pairs(ds):
-    """(doc_a < doc_b) pairs sharing any LSH bucket — groupby(band,bucket)
-    then distinct pairs via a second groupby."""
+    """(doc_a < doc_b) pairs sharing any LSH bucket.  Per shard, duplicated
+    (band, bucket) groups self-merge (vectorized pandas hash join) into
+    ordered pairs; the final distinct-with-count aggregate runs over the
+    small candidate set only."""
 
     def pairs(df: pd.DataFrame) -> pa.Table:
-        ids = sorted(set(int(x) for x in df["doc_id"]))
-        a, bb = [], []
-        for x, y in itertools.combinations(ids, 2):
-            a.append(x)
-            bb.append(y)
-        return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(bb, pa.int64())})
+        dup = df[df.duplicated(["band", "bucket"], keep=False)]
+        if len(dup) == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        m = dup.merge(dup, on=["band", "bucket"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pa.table({"doc_a": pa.array(m["doc_id_x"].to_numpy(), pa.int64()),
+                         "doc_b": pa.array(m["doc_id_y"].to_numpy(), pa.int64())})
 
     bands = ds.map_batches(augment_near_batch, batch_format="pyarrow").map_batches(
         minhash_bands_batch, batch_format="pyarrow"
-    )
-    cand = bands.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
-    # distinct (a, b)
+    ).map_batches(_add_shard, batch_format="pyarrow")
+    cand = bands.groupby("shard").map_groups(pairs, batch_format="pandas")
+    # distinct (a, b) with shared-bucket counts — candidates are few
     from ray.data.aggregate import Count
 
     return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_buckets"))
@@ -191,7 +222,9 @@ sig AS (
          string_agg(v::VARCHAR, ',' ORDER BY j) AS vals
   FROM mh GROUP BY doc_id, j // {BAND_ROWS}
 ),
-buck AS (SELECT doc_id, band, md5(band::VARCHAR || ':' || vals) AS bucket FROM sig)
+buck AS (SELECT doc_id, band,
+               ('0x' || substr(md5(band::VARCHAR || ':' || vals), 1, 15))::BIGINT AS bucket
+         FROM sig)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_buckets
 FROM buck a JOIN buck b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY 1, 2
@@ -250,7 +283,9 @@ sig AS (
          string_agg(v::VARCHAR, ',' ORDER BY j) AS vals
   FROM mh GROUP BY doc_id, j // {BAND_ROWS}
 ),
-buck AS (SELECT doc_id, band, md5(band::VARCHAR || ':' || vals) AS bucket FROM sig),
+buck AS (SELECT doc_id, band,
+               ('0x' || substr(md5(band::VARCHAR || ':' || vals), 1, 15))::BIGINT AS bucket
+         FROM sig),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM buck a JOIN buck b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
