@@ -29,8 +29,8 @@ import pyarrow as pa
 
 from ..functions.hashing import h60, simhash64
 
-NUM_PERM = 16
-BAND_ROWS = 2  # 8 bands x 2 rows
+NUM_PERM = 32
+BAND_ROWS = 4  # 8 bands x 4 rows
 SHINGLE_K = 3
 JACCARD_PCT_MIN = 50
 

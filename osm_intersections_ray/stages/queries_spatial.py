@@ -231,6 +231,52 @@ SELECT klng, klat, count(*)::BIGINT AS n_ways FROM xy GROUP BY 1, 2
 """
 
 
+def block_gps_lookup(ways_ds):
+    """Block->GPS lookup table (blockGPS.json, FIXTURES.md section 7): the
+    reference stores lat/lon AS STRINGS; the engine derives a deterministic
+    blocks table from the named ways (street name, block number, '%.6f'
+    stringified first-vertex coordinate) and performs the lookup cast
+    in-pipeline back to float64 — preserving the string-typed source."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        names = b["name"].to_pylist()
+        refs = b["ref"].to_pylist()
+        tagged = b["tagged"].to_pylist()
+        ids = b["way_id"].to_pylist()
+        lats_l = b["lats"].to_pylist()
+        lons_l = b["lons"].to_pylist()
+        street, block, lat, lon = [], [], [], []
+        for i in range(b.num_rows):
+            if not tagged[i]:
+                continue
+            nm = get_way_name(names[i], refs[i])
+            if not nm:
+                continue
+            alat = f"{lats_l[i][0]:.6f}"   # the string-typed source columns
+            alon = f"{lons_l[i][0]:.6f}"
+            street.append(nm.upper())
+            block.append(str((ids[i] % 90 + 10) * 100))
+            lat.append(float(alat))        # cast-in-pipeline
+            lon.append(float(alon))
+        return pa.table({"street": pa.array(street, pa.string()),
+                         "block": pa.array(block, pa.string()),
+                         "lat": pa.array(lat, pa.float64()),
+                         "lon": pa.array(lon, pa.float64())})
+
+    return ways_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def block_gps_sql(ways_path: str) -> str:
+    return f"""
+{_named_cte(ways_path)}
+SELECT upper(nm) AS street,
+       ((way_id % 90 + 10) * 100)::VARCHAR AS block,
+       CAST(printf('%.6f', lats[1]) AS DOUBLE) AS lat,
+       CAST(printf('%.6f', lons[1]) AS DOUBLE) AS lon
+FROM named
+"""
+
+
 def geom_candidate_pairs(ways_ds):
     """J2 candidate structure: ordered (motorway way1, named way2) pairs with
     shared-cell multiplicity (integer-stepped covers)."""
