@@ -67,68 +67,67 @@ INT_SCHEMA = pa.schema(
 
 
 def explode_for_join(waydata_ds, ways_ds, n_buckets: int):
-    """Union of the two node-keyed exploded streams with a bucket key."""
+    """Union of the two node-keyed exploded streams with an int bucket key.
+
+    Fully vectorized (Arrow list offsets + np.repeat).  The bucket key is
+    ``node % n_buckets`` without the county — valid because OSM node ids are
+    globally unique (a node belongs to exactly one county), so per-node
+    groups inside a bucket never mix counties."""
+    from .common import explode_lists
 
     def explode_names(b: pa.Table) -> pa.Table:
-        counties = b["county"].to_pylist()
-        names = b["name"].to_pylist()
-        ranks = b["data_rank"].to_pylist()
-        out = {k: [] for k in
-               ("bkey", "county", "node", "role", "name", "rank", "lat", "lon",
-                "way_rank", "way_id", "highway")}
-        lats_l = b["lats"].to_pylist()
-        lons_l = b["lons"].to_pylist()
-        for i, lst in enumerate(b["nodes"].to_pylist()):
-            c = counties[i]
-            base_rank = ranks[i] << POS_BITS
-            for p, n in enumerate(lst):
-                out["bkey"].append(f"{c}{SEP}{n % n_buckets}")
-                out["county"].append(c)
-                out["node"].append(n)
-                out["role"].append(0)
-                out["name"].append(names[i])
-                out["rank"].append(base_rank | p)
-                out["lat"].append(lats_l[i][p])
-                out["lon"].append(lons_l[i][p])
-                out["way_rank"].append(-1)
-                out["way_id"].append(-1)
-                out["highway"].append(None)
-        return _exploded_table(out)
+        a = explode_lists(b, ["nodes", "lats", "lons"],
+                          ["county", "name", "data_rank"])
+        node = a["nodes"]
+        n = len(node)
+        rank = (a["data_rank"].astype(np.int64) << POS_BITS) | a["pos"]
+        return _exploded_table_np(
+            bkey=node % n_buckets, county=a["county"], node=node,
+            role=np.zeros(n, np.int8), name=a["name"], rank=rank,
+            lat=a["lats"], lon=a["lons"],
+            way_rank=np.full(n, -1, np.int32), way_id=np.full(n, -1, np.int64),
+            highway=np.full(n, None, object))
 
     def explode_ways(b: pa.Table) -> pa.Table:
-        counties = b["county"].to_pylist()
-        tagged = b["tagged"].to_pylist()
-        hwy = b["highway"].to_pylist()
-        ranks = b["way_rank"].to_pylist()
-        ids = b["way_id"].to_pylist()
-        out = {k: [] for k in
-               ("bkey", "county", "node", "role", "name", "rank", "lat", "lon",
-                "way_rank", "way_id", "highway")}
-        for i, lst in enumerate(b["nodes"].to_pylist()):
-            if not tagged[i]:
-                continue
-            c = counties[i]
-            seen = set()
-            for n in lst:
-                if n in seen:  # JS Set: a way joins a node's way-set once
-                    continue
-                seen.add(n)
-                out["bkey"].append(f"{c}{SEP}{n % n_buckets}")
-                out["county"].append(c)
-                out["node"].append(n)
-                out["role"].append(1)
-                out["name"].append(None)
-                out["rank"].append(0)
-                out["lat"].append(np.nan)
-                out["lon"].append(np.nan)
-                out["way_rank"].append(ranks[i])
-                out["way_id"].append(ids[i])
-                out["highway"].append(hwy[i])
-        return _exploded_table(out)
+        b = b.filter(b["tagged"].combine_chunks()
+                     if isinstance(b["tagged"], pa.ChunkedArray) else b["tagged"])
+        a = explode_lists(b, ["nodes"],
+                          ["county", "way_rank", "way_id", "highway"])
+        node = a["nodes"]
+        # JS Set semantics: a way joins a node's way-set once (closed loops)
+        keep = ~pd.DataFrame({"w": a["way_rank"], "n": node}).duplicated().to_numpy()
+        node = node[keep]
+        n = len(node)
+        return _exploded_table_np(
+            bkey=node % n_buckets, county=a["county"][keep], node=node,
+            role=np.ones(n, np.int8), name=np.full(n, None, object),
+            rank=np.zeros(n, np.int64),
+            lat=np.full(n, np.nan), lon=np.full(n, np.nan),
+            way_rank=a["way_rank"][keep].astype(np.int32),
+            way_id=a["way_id"][keep].astype(np.int64),
+            highway=a["highway"][keep])
 
     names_ds = waydata_ds.map_batches(explode_names, batch_format="pyarrow")
     ways_exp = ways_ds.map_batches(explode_ways, batch_format="pyarrow")
     return names_ds.union(ways_exp)
+
+
+def _exploded_table_np(**cols) -> pa.Table:
+    return pa.table(
+        {
+            "bkey": pa.array(cols["bkey"].astype(np.int64)),
+            "county": pa.array(cols["county"], pa.string()),
+            "node": pa.array(cols["node"].astype(np.int64)),
+            "role": pa.array(cols["role"]),
+            "name": pa.array(cols["name"], pa.string()),
+            "rank": pa.array(cols["rank"].astype(np.int64)),
+            "lat": pa.array(cols["lat"], pa.float64()),
+            "lon": pa.array(cols["lon"], pa.float64()),
+            "way_rank": pa.array(cols["way_rank"], pa.int32()),
+            "way_id": pa.array(cols["way_id"], pa.int64()),
+            "highway": pa.array(cols["highway"], pa.string()),
+        }
+    )
 
 
 def _exploded_table(out: dict) -> pa.Table:
