@@ -208,6 +208,64 @@ def _clamped_cover(bb) -> list[int]:
     return out
 
 
+def pages_way_join_native(pages_ds, ways_ds, num_partitions: int = 32):
+    """Alternate implementation on Ray Data's native hash join
+    (``Dataset.join``, Ray >= 2.46): same cell-keyed semantics, the engine's
+    salted/bucketed variant (:func:`pages_way_join`) remains the default —
+    native join has no hot-key salting.  Kept for comparison/regression."""
+
+    def pages_cells(b: pa.Table) -> pa.Table:
+        g = geotag_batch(b)
+        t17 = g["tile17"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix = (t17 >> 29) & ((1 << 29) - 1)
+        iy = t17 & ((1 << 29) - 1)
+        cells = []
+        for res in range(TILE_RES_MAX, TILE_RES_MIN - 1, -1):
+            s = TILE_RES_MAX - res
+            cells.append((np.int64(res) << 58) | ((ix >> s) << 29) | (iy >> s))
+        k = len(cells)
+        return pa.table({
+            "cellkey": pa.array(np.concatenate(cells), pa.int64()),
+            "url": pa.array(np.tile(np.asarray(g["url"].to_pylist(), dtype=object),
+                                    k).tolist(), pa.string()),
+            "plat": pa.array(np.tile(g["lat"].to_numpy(zero_copy_only=False), k)),
+            "plon": pa.array(np.tile(g["lon"].to_numpy(zero_copy_only=False), k)),
+        })
+
+    def ways_cells(b: pa.Table) -> pa.Table:
+        out = {"cellkey": [], "way_id": [], "minlat": [], "minlon": [],
+               "maxlat": [], "maxlon": []}
+        ids = b["way_id"].to_pylist()
+        for i in range(b.num_rows):
+            bb = (b["minlat"][i].as_py(), b["minlon"][i].as_py(),
+                  b["maxlat"][i].as_py(), b["maxlon"][i].as_py())
+            for c in _clamped_cover(bb):
+                out["cellkey"].append(c)
+                out["way_id"].append(ids[i])
+                out["minlat"].append(bb[0])
+                out["minlon"].append(bb[1])
+                out["maxlat"].append(bb[2])
+                out["maxlon"].append(bb[3])
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    p = pages_ds.map_batches(pages_cells, batch_format="pyarrow")
+    w = ways_ds.map_batches(ways_cells, batch_format="pyarrow")
+    joined = p.join(w, join_type="inner", num_partitions=num_partitions,
+                    on=("cellkey",))
+
+    def refine(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.and_(pc.greater_equal(b["plat"], b["minlat"]),
+                    pc.less_equal(b["plat"], b["maxlat"])),
+            pc.and_(pc.greater_equal(b["plon"], b["minlon"]),
+                    pc.less_equal(b["plon"], b["maxlon"])))
+        return b.filter(m).select(["url", "way_id"])
+
+    return joined.map_batches(refine, batch_format="pyarrow")
+
+
 def _join_table(out: dict) -> pa.Table:
     return pa.table(
         {

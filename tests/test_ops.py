@@ -147,3 +147,45 @@ def test_text_kernels_roundtrip():
     assert lid["lang_pred"].to_pylist() == ["en", "de"]
     fp = fingerprint_batch(b)
     assert len(fp["fp"][0].as_py()) == 32
+
+
+def test_pages_byte_identical_extraction(ray_session, fixtures_dir):
+    """input_hint invariant: byte-identical extracted text per url."""
+    import os
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.pages import Extractor
+
+    ds = rd.read_parquet(os.path.join(fixtures_dir, "pages.parquet"))
+    out = ds.map_batches(Extractor, batch_format="pyarrow", batch_size=256,
+                         concurrency=(1, 2)).take_all()
+    import pyarrow.parquet as pq
+
+    truth = dict(zip(*[pq.read_table(os.path.join(fixtures_dir, "pages.parquet"),
+                                     columns=["url", "text"])[c].to_pylist()
+                       for c in ("url", "text")]))
+    assert len(out) == len(truth)
+    for r in out:
+        assert r["text_extracted"] == truth[r["url"]]
+
+
+def test_native_join_matches_bucketed(ray_session, fixtures_dir):
+    """Ray's native Dataset.join variant produces the same (url, way_id)
+    set as the engine's salted/bucketed cell join."""
+    import os
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.pages import pages_way_join, pages_way_join_native
+
+    def p():
+        return rd.read_parquet(os.path.join(fixtures_dir, "pages.parquet"))
+
+    def w():
+        return rd.read_parquet(os.path.join(fixtures_dir, "ways.parquet"))
+
+    a = sorted((r["url"], r["way_id"]) for r in pages_way_join(p(), w()).take_all())
+    b = sorted((r["url"], r["way_id"])
+               for r in pages_way_join_native(p(), w(), num_partitions=4).take_all())
+    assert a == b and len(a) > 0
