@@ -122,6 +122,39 @@ def intersections_pipeline(fixture_dir: str, counties: list[str] | None = None,
     return tagged
 
 
+def geometric_only_pipeline(fixture_dir: str, counties: list[str] | None = None,
+                            cfg: PipelineConfig | None = None):
+    """The geoturf.js variant entry point (js/geoturf.js:1179-1197, SURVEY
+    section 3): geometric path only, older output schema (no wayIds/city) —
+    (county, lat, lon, streets:list<string>, node_id_kind)."""
+    cfg = cfg or PipelineConfig()
+    ways_ds = load_ways(fixture_dir, counties, cfg.num_blocks).materialize()
+    state_ref = ray.put(wd.compute_small_state(ways_ds))
+
+    def make_waydata(b: pa.Table) -> pa.Table:
+        return wd.MakeWayData(state_ref)(b)
+
+    waydata_ds = ways_ds.map_batches(make_waydata, batch_format="pyarrow").materialize()
+    mot_ref = ray.put(geom.motorway_cell_set(waydata_ds))
+    rows = nodep.remove_junctions(geom.geometric_intersections(waydata_ds, mot_ref))
+
+    def finish(b: pa.Table) -> pa.Table:
+        lat = fix6_np(b["lat"].to_numpy(zero_copy_only=False))
+        lon = fix6_np(b["lon"].to_numpy(zero_copy_only=False))
+        has = b["has_node"].to_pylist()
+        return pa.table({
+            "county": b["county"],
+            "lat": pa.array(lat, pa.float64()),
+            "lon": pa.array(lon, pa.float64()),
+            "streets": pa.array([s.split("/") for s in b["streets"].to_pylist()],
+                                pa.list_(pa.string())),
+            "node_id_kind": pa.array(["node" if h else "geom" for h in has],
+                                     pa.string()),
+        })
+
+    return rows.map_batches(finish, batch_format="pyarrow")
+
+
 def _finish(b: pa.Table, source: str, node_col: bool) -> pa.Table:
     """fix6 rounding + output projection (makeIntersectionGeoJson,
     js/geo.js:1240-1266)."""

@@ -90,6 +90,25 @@ def queries() -> dict:
 
     q["intersections_full"] = intersections_full
 
+    def intersections_geom_only(sf):  # geoturf.js variant — rows-only check
+        from .pipelines.intersections import geometric_only_pipeline
+
+        ds = geometric_only_pipeline(ensure_fixtures(sf))
+
+        def flatten(b):
+            import pyarrow as pa
+
+            return pa.table({
+                "county": b["county"], "lat": b["lat"], "lon": b["lon"],
+                "streets": pa.array(["/".join(s) for s in b["streets"].to_pylist()],
+                                    pa.string()),
+                "node_id_kind": b["node_id_kind"],
+            })
+
+        return ds.map_batches(flatten, batch_format="pyarrow")
+
+    q["intersections_geom_only"] = intersections_geom_only
+
     # --- pages graft (input_hint table)
     q["pages_extract"] = lambda sf: _pages(sf).map_batches(
         pages.Extractor, batch_format="pyarrow", concurrency=(1, 8), batch_size=4096)

@@ -74,3 +74,18 @@ def test_city_assignment(oracle_rows):
     for r in oracle_rows:
         if 37.19 < r["lat"] < 37.20 and -122.38 < r["lon"] < -122.21:
             assert r["city"] == "Alphaville"
+
+
+def test_geometric_only_variant(ray_session, fixtures_dir, oracle_rows):
+    """The geoturf-variant pipeline equals the geometric slice of the full
+    oracle output (same crossings, old schema)."""
+    from collections import Counter
+
+    from osm_intersections_ray.pipelines.intersections import geometric_only_pipeline
+
+    rows = geometric_only_pipeline(fixtures_dir).take_all()
+    got = Counter((r["county"], r["lat"], r["lon"], tuple(r["streets"]),
+                   r["node_id_kind"]) for r in rows)
+    want = Counter((r["county"], r["lat"], r["lon"], tuple(r["streets"]),
+                    r["node_id_kind"]) for r in oracle_rows if r["source"] == "geom")
+    assert got == want and sum(want.values()) > 0
