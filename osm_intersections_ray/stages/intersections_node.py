@@ -130,24 +130,6 @@ def _exploded_table_np(**cols) -> pa.Table:
     )
 
 
-def _exploded_table(out: dict) -> pa.Table:
-    return pa.table(
-        {
-            "bkey": pa.array(out["bkey"], pa.string()),
-            "county": pa.array(out["county"], pa.string()),
-            "node": pa.array(out["node"], pa.int64()),
-            "role": pa.array(out["role"], pa.int8()),
-            "name": pa.array(out["name"], pa.string()),
-            "rank": pa.array(out["rank"], pa.int64()),
-            "lat": pa.array(out["lat"], pa.float64()),
-            "lon": pa.array(out["lon"], pa.float64()),
-            "way_rank": pa.array(out["way_rank"], pa.int32()),
-            "way_id": pa.array(out["way_id"], pa.int64()),
-            "highway": pa.array(out["highway"], pa.string()),
-        }
-    )
-
-
 def eligible_nodes(exploded_ds):
     """Per-bucket vectorized J1+J5+J6: nodes touched by >=2 distinct wayData
     names, not all motorway_links, not all motorway(+links)."""
