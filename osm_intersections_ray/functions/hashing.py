@@ -32,18 +32,36 @@ def h60_bytes(b: bytes) -> int:
     return int(hashlib.md5(b).hexdigest()[:15], 16)
 
 
-def minhash_signature(shingles: set[str] | list[str], num_perm: int) -> list[int]:
-    """MinHash signature: perm j's hash of shingle s = h60(f"{j}|{s}").
+MIX_C = 6364136223846793005  # odd 63-bit mixing multiplier (Knuth MMIX LCG)
 
-    Seeded by prefixing the permutation index — mergeable, deterministic, and
-    exactly reproducible in SQL (min over unnested shingles).  Empty shingle
-    sets map to the max 60-bit value.
-    """
-    empty = (1 << 60) - 1
+
+def shingle_hash(shingle: str) -> int:
+    """Word-shingle hash: per-token h60 rolled with MIX_C mod 2^64 — the
+    scalar form of the vectorized kernel in ``stages/dedup.py`` (and its
+    DuckDB HUGEINT oracle)."""
+    mask = (1 << 64) - 1
+    toks = shingle.split()
+    acc = h60(toks[0]) if toks else 0
+    for t in toks[1:]:
+        acc = (acc * MIX_C + h60(t)) & mask
+    return acc
+
+
+def minhash_signature(shingles: set[str] | list[str], num_perm: int) -> list[int]:
+    """Scalar reference MinHash: shingle_hash per shingle, permutation j's
+    value is (A_j * h + B_j) mod 2^64 with A_j = (h60(f"minhash-a|{j}") << 1)
+    | 1 and B_j = h60(f"minhash-b|{j}") — the same scheme the vectorized
+    kernel in ``stages/dedup.py`` and its DuckDB oracle (HUGEINT % 2^64)
+    compute.  Empty shingle sets map to 2^64 - 1."""
+    mask = (1 << 64) - 1
+    empty = mask
+    a = [((h60(f"minhash-a|{j}") << 1) | 1) for j in range(num_perm)]
+    b = [h60(f"minhash-b|{j}") for j in range(num_perm)]
     sig = [empty] * num_perm
     for s in set(shingles):
+        h = shingle_hash(s)
         for j in range(num_perm):
-            v = h60(f"{j}|{s}")
+            v = (a[j] * h + b[j]) & mask
             if v < sig[j]:
                 sig[j] = v
     return sig

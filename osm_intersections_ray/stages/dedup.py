@@ -22,12 +22,12 @@ semantics inside ``map_batches``, and the only shuffle is the
 from __future__ import annotations
 
 import hashlib
-import itertools
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import h60, simhash64
+from ..functions.hashing import h60
 
 NUM_PERM = 32
 BAND_ROWS = 4  # 8 bands x 4 rows
@@ -101,51 +101,89 @@ FROM aug GROUP BY 1
 """
 
 
-def _word_shingles_k(text: str) -> list[str]:
-    toks = text.strip(" ").lower().split()
-    if len(toks) < SHINGLE_K:
-        return []
-    return [" ".join(toks[i : i + SHINGLE_K]) for i in range(len(toks) - SHINGLE_K + 1)]
+# Fully-vectorized MinHash: md5 appears ONCE per distinct *token* (h60);
+# everything downstream is 64-bit integer mixing that numpy computes with
+# native uint64 wraparound and the DuckDB oracle reproduces bit-for-bit with
+# HUGEINT arithmetic (% 2^64) over the same constants:
+#
+#   shingle hash  s = (h(t0)*C + h(t1))*C + h(t2)            (mod 2^64)
+#   perm value  v_j = A_j * s + B_j                          (mod 2^64)
+#   LSH bucket      = ((((band*C + v0)*C + v1)*C + v2)*C + v3  mod 2^64) >> 4
+#
+# C is an odd 63-bit mixing multiplier (Knuth MMIX LCG); A_j odd < 2^61.
+MIX_C = np.uint64(6364136223846793005)
+_PERM_A = np.array([(h60(f"minhash-a|{j}") << 1) | 1 for j in range(NUM_PERM)],
+                   dtype=np.uint64)
+_PERM_B = np.array([h60(f"minhash-b|{j}") for j in range(NUM_PERM)], dtype=np.uint64)
 
 
-_PERM_PREFIX = [hashlib.md5(f"{j}|".encode()) for j in range(NUM_PERM)]
+def _token_hashes(texts, cache: dict):
+    """Flat per-token h60 array over all docs + per-doc (start, n_tokens).
+    One md5 per token *distinct within the batch* (the cache persists across
+    calls when held by the caller)."""
+    hs: list = []
+    starts = np.empty(len(texts), dtype=np.int64)
+    lens = np.empty(len(texts), dtype=np.int64)
+    get = cache.get
+    for d, t in enumerate(texts):
+        toks = t.lower().split()  # split() drops ALL leading/trailing whitespace
+        starts[d] = len(hs)
+        lens[d] = len(toks)
+        for tok in toks:
+            h = get(tok)
+            if h is None:
+                h = h60(tok)
+                cache[tok] = h
+            hs.append(h)
+    return np.array(hs, dtype=np.uint64), starts, lens
+
+
+def _shingle_hashes_per_doc(texts) -> list[np.ndarray]:
+    """Per-doc word-SHINGLE_K-shingle hash arrays (with duplicates), via the
+    rolling integer mix.  Docs with < SHINGLE_K tokens get an empty array."""
+    cache: dict = {}
+    hs, starts, lens = _token_hashes(texts, cache)
+    out = []
+    for d in range(len(texts)):
+        L = int(lens[d])
+        if L < SHINGLE_K:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        seg = hs[starts[d] : starts[d] + L]
+        out.append((seg[:-2] * MIX_C + seg[1:-1]) * MIX_C + seg[2:])
+    return out
 
 
 def minhash_bands_batch(b: pa.Table) -> pa.Table:
-    """doc -> (band, bucket) rows.  Signature: min over shingles of
-    h60(f"{j}|{shingle}") per permutation j; bucket = md5("band:v0,v1").
-    The per-permutation md5 prefix state is precomputed and ``copy()``-ed per
-    shingle (md5 is streaming, so prefix.copy()+update(s) == md5(prefix+s))."""
-    ids = b["doc_id"].to_pylist()
+    """doc -> (band, bucket) rows; all-numpy except tokenization + the
+    per-distinct-token md5."""
+    ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
     texts = b["text"].to_pylist()
-    out_id, out_band, out_bucket = [], [], []
-    empty = (1 << 60) - 1
-    from_bytes = int.from_bytes
-    for i, t in zip(ids, texts):
-        sh = set(_word_shingles_k(t))
-        if not sh:
-            continue
-        sig = [empty] * NUM_PERM
-        for s in sh:
-            enc = s.encode("utf-8")
-            for j in range(NUM_PERM):
-                h = _PERM_PREFIX[j].copy()
-                h.update(enc)
-                v = from_bytes(h.digest()[:8], "big") >> 4
-                if v < sig[j]:
-                    sig[j] = v
-        for band in range(NUM_PERM // BAND_ROWS):
-            vals = ",".join(str(sig[band * BAND_ROWS + r]) for r in range(BAND_ROWS))
-            h = hashlib.md5(f"{band}:{vals}".encode()).digest()
-            bucket = int.from_bytes(h[:8], "big") >> 4  # h60 of the band key
-            out_id.append(i)
-            out_band.append(band)
-            out_bucket.append(bucket)
+    sh_per_doc = _shingle_hashes_per_doc(texts)
+    seg_lens = np.array([len(s) for s in sh_per_doc], dtype=np.int64)
+    kept = seg_lens > 0
+    kept_ids = ids[kept]
+    if len(kept_ids) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "band": pa.array([], pa.int32()),
+                         "bucket": pa.array([], pa.int64())})
+    flat = np.concatenate([s for s, k in zip(sh_per_doc, kept) if k])
+    fstarts = np.zeros(int(kept.sum()), dtype=np.int64)
+    np.cumsum(seg_lens[kept][:-1], out=fstarts[1:])
+    v = flat[:, None] * _PERM_A[None, :] + _PERM_B[None, :]  # uint64 wrap == mod 2^64
+    sig = np.minimum.reduceat(v, fstarts, axis=0)  # (ndocs, NUM_PERM)
+    n_bands = NUM_PERM // BAND_ROWS
+    s3 = sig.reshape(-1, n_bands, BAND_ROWS)
+    acc = np.arange(n_bands, dtype=np.uint64)[None, :] * MIX_C + s3[:, :, 0]
+    for r in range(1, BAND_ROWS):
+        acc = acc * MIX_C + s3[:, :, r]
+    bucket = (acc >> np.uint64(4)).astype(np.int64)  # 60-bit: int64-safe
+    ndocs = len(kept_ids)
     return pa.table(
         {
-            "doc_id": pa.array(out_id, pa.int64()),
-            "band": pa.array(out_band, pa.int32()),
-            "bucket": pa.array(out_bucket, pa.int64()),  # int key: cheap shuffle
+            "doc_id": pa.array(np.repeat(kept_ids, n_bands)),
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), ndocs)),
+            "bucket": pa.array(bucket.ravel()),  # int key: cheap shuffle
         }
     )
 
@@ -202,90 +240,135 @@ def lsh_candidate_pairs(ds):
     return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_buckets"))
 
 
-def lsh_pairs_sql(table: str = "documents") -> str:
-    return f"""
-WITH aug AS ({augment_near_sql(table)}),
-toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM aug),
+# Both sides tokenize identically: lowercase, strip ALL leading/trailing
+# whitespace (not just spaces — Python str.split() semantics), split on \s+.
+_TOKS_EXPR = "regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
+
+
+_M64 = "18446744073709551616"  # 2^64
+
+
+def _perms_values_sql() -> str:
+    return ", ".join(f"({j}, {int(_PERM_A[j])}, {int(_PERM_B[j])})"
+                     for j in range(NUM_PERM))
+
+
+def _h60_sql(expr: str) -> str:
+    # hex-string casts parse into BIGINT (60 bits fits); promote to HUGEINT
+    # for the overflow-free mixing arithmetic
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT::HUGEINT"
+
+
+def _buckets_cte(table: str) -> str:
+    """Shared WITH-body: augmented docs -> shingle hashes -> minhash bands ->
+    LSH buckets, mirroring the numpy kernel bit-for-bit (HUGEINT % 2^64 ==
+    uint64 wraparound; verified identical)."""
+    C, M = int(MIX_C), _M64
+    band_mix = f"band::HUGEINT * {C} + v0"
+    for r in range(1, BAND_ROWS):
+        band_mix = f"(({band_mix}) % {M}) * {C} + v{r}"
+    pivots = ",\n         ".join(
+        f"max(CASE WHEN j % {BAND_ROWS} = {r} THEN v END) AS v{r}"
+        for r in range(BAND_ROWS))
+    return f"""aug AS ({augment_near_sql(table)}),
+toks AS (SELECT doc_id, {_TOKS_EXPR} AS t FROM aug),
 sh AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  SELECT DISTINCT doc_id,
+         ((({_h60_sql('t[i]')} * {C} + {_h60_sql('t[i+1]')}) % {M}) * {C}
+            + {_h60_sql('t[i+2]')}) % {M} AS s
   FROM toks, UNNEST(generate_series(1, len(t) - {SHINGLE_K - 1})) AS u(i)
   WHERE len(t) >= {SHINGLE_K}
 ),
+perms(j, a, bc) AS (VALUES {_perms_values_sql()}),
 mh AS (
   SELECT doc_id, j,
-         min(('0x' || substr(md5(j::VARCHAR || '|' || s), 1, 15))::BIGINT) AS v
-  FROM sh, UNNEST(generate_series(0, {NUM_PERM - 1})) AS p(j)
+         min((a::HUGEINT * s + bc) % {M}) AS v
+  FROM sh, perms
   GROUP BY doc_id, j
 ),
-sig AS (
+sigw AS (
   SELECT doc_id, j // {BAND_ROWS} AS band,
-         string_agg(v::VARCHAR, ',' ORDER BY j) AS vals
+         {pivots}
   FROM mh GROUP BY doc_id, j // {BAND_ROWS}
 ),
-buck AS (SELECT doc_id, band,
-               ('0x' || substr(md5(band::VARCHAR || ':' || vals), 1, 15))::BIGINT AS bucket
-         FROM sig)
+buck AS (SELECT doc_id, band, (({band_mix}) % {M}) // 16 AS bucket FROM sigw)"""
+
+
+def lsh_pairs_sql(table: str = "documents") -> str:
+    return f"""
+WITH {_buckets_cte(table)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_buckets
 FROM buck a JOIN buck b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
 
 
+N_PAIR_SHARDS = 32
+
+
 def jaccard_verified_pairs(ds):
     """LSH candidates verified by true word-3-shingle Jaccard (integer
-    percent, floor).  The shingle sets of a candidate pair are recomputed
-    inside the verification join group (documents are never shuffled)."""
-    # collect candidates (small), broadcast doc texts for them
-    import ray
+    percent, floor) — fully distributed:
 
-    cand = lsh_candidate_pairs(ds).to_pandas()
-    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    need_set = set(int(x) for x in need)
+    1. candidate pairs explode to (doc_id, doc_a, doc_b) membership rows;
+    2. a hash join (``Dataset.join``) ships each candidate doc's text to its
+       pairs — documents NOT in any pair never move, and the driver never
+       holds texts;
+    3. pairs shard by pair-hash; each shard verifies vectorized (one shingle
+       set per distinct doc in the shard, numpy intersect per pair), so the
+       per-group Python dispatch cost lands on N_PAIR_SHARDS groups, not on
+       billions of pairs.
+    Only (doc_a, doc_b, jac_pct) rows leave the shards."""
 
-    def keep(b: pa.Table) -> pa.Table:
-        aug = augment_near_batch(b)
-        mask = [int(i) in need_set for i in aug["doc_id"].to_pylist()]
-        return aug.filter(pa.array(mask))
+    def member_rows(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        bb = np.asarray(b["doc_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, bb])),
+            "doc_a": pa.array(np.concatenate([a, a])),
+            "doc_b": pa.array(np.concatenate([bb, bb])),
+        })
 
-    texts_df = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
-    sh = {int(i): set(_word_shingles_k(t))
-          for i, t in zip(texts_df["doc_id"], texts_df["text"])}
-    rows = {"doc_a": [], "doc_b": [], "jac_pct": []}
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = sh.get(int(a), set()), sh.get(int(b), set())
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        pct = (100 * inter) // union if union else 0
-        if pct >= JACCARD_PCT_MIN:
-            rows["doc_a"].append(int(a))
-            rows["doc_b"].append(int(b))
-            rows["jac_pct"].append(pct)
-    return pd.DataFrame(rows).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    member = lsh_candidate_pairs(ds).map_batches(member_rows, batch_format="pyarrow")
+    texts = ds.map_batches(augment_near_batch, batch_format="pyarrow")
+    joined = member.join(texts, join_type="inner", num_partitions=16, on=("doc_id",))
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        sh = ((np.asarray(b["doc_a"].to_numpy(zero_copy_only=False)) * 1000003
+               + np.asarray(b["doc_b"].to_numpy(zero_copy_only=False)))
+              % N_PAIR_SHARDS).astype(np.int64)
+        return b.append_column("pshard", pa.array(sh))
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        uniq = df.drop_duplicates("doc_id")
+        sh_arrays = _shingle_hashes_per_doc(uniq["text"].tolist())
+        sets = {int(i): np.unique(a)
+                for i, a in zip(uniq["doc_id"], sh_arrays)}
+        pairs = df.drop_duplicates(["doc_a", "doc_b"])
+        out_a, out_b, out_p = [], [], []
+        for a, b2 in zip(pairs["doc_a"], pairs["doc_b"]):
+            sa = sets.get(int(a))
+            sb = sets.get(int(b2))
+            if sa is None or sb is None:  # text side missing: skip (can't verify)
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            pct = (100 * inter) // union if union else 0
+            if pct >= JACCARD_PCT_MIN:
+                out_a.append(int(a))
+                out_b.append(int(b2))
+                out_p.append(pct)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "jac_pct": pa.array(out_p, pa.int64())})
+
+    return (joined.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("pshard").map_groups(per_shard, batch_format="pandas"))
 
 
 def jaccard_pairs_sql(table: str = "documents") -> str:
     return f"""
-WITH aug AS ({augment_near_sql(table)}),
-toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM aug),
-sh AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-  FROM toks, UNNEST(generate_series(1, len(t) - {SHINGLE_K - 1})) AS u(i)
-  WHERE len(t) >= {SHINGLE_K}
-),
-mh AS (
-  SELECT doc_id, j,
-         min(('0x' || substr(md5(j::VARCHAR || '|' || s), 1, 15))::BIGINT) AS v
-  FROM sh, UNNEST(generate_series(0, {NUM_PERM - 1})) AS p(j)
-  GROUP BY doc_id, j
-),
-sig AS (
-  SELECT doc_id, j // {BAND_ROWS} AS band,
-         string_agg(v::VARCHAR, ',' ORDER BY j) AS vals
-  FROM mh GROUP BY doc_id, j // {BAND_ROWS}
-),
-buck AS (SELECT doc_id, band,
-               ('0x' || substr(md5(band::VARCHAR || ':' || vals), 1, 15))::BIGINT AS bucket
-         FROM sig),
+WITH {_buckets_cte(table)},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM buck a JOIN buck b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -307,9 +390,33 @@ WHERE (100 * coalesce(i.i, 0)) // (sa.n + sb.n - coalesce(i.i, 0)) >= {JACCARD_P
 
 
 def simhash_batch(b: pa.Table) -> pa.Table:
+    """Vectorized SimHash: one md5 (h60) per distinct token in the batch, then
+    numpy bit-count voting — identical values to the scalar simhash64 (same
+    per-token h60), so the SQL oracle is unchanged in semantics."""
     ids = b["doc_id"].to_pylist()
     texts = b["text"].to_pylist()
-    sigs = [simhash64(t.strip(" ").lower().split()) for t in texts]
+    cache: dict = {}
+    hs_list, starts = [], []
+    for t in texts:
+        starts.append(len(hs_list))
+        for tok in t.lower().split():
+            h = cache.get(tok)
+            if h is None:
+                h = h60(tok)
+                cache[tok] = h
+            hs_list.append(h)
+    ends = starts[1:] + [len(hs_list)]
+    sigs = np.zeros(len(ids), dtype=np.int64)
+    if hs_list:
+        hs = np.array(hs_list, dtype=np.uint64)
+        shifts = np.arange(60, dtype=np.uint64)
+        bits = (((hs[:, None] >> shifts[None, :]) & 1).astype(np.int16) * 2 - 1)
+        nonempty = [k for k in range(len(ids)) if ends[k] > starts[k]]
+        seg_starts = np.array([starts[k] for k in nonempty], dtype=np.int64)
+        counts = np.add.reduceat(bits.astype(np.int32), seg_starts, axis=0)
+        weights = (np.uint64(1) << shifts).astype(np.uint64)
+        vals = ((counts > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+        sigs[np.array(nonempty, dtype=np.int64)] = vals.astype(np.int64)
     return pa.table({"doc_id": pa.array(ids, pa.int64()),
                      "simhash": pa.array(sigs, pa.int64())})
 
@@ -317,16 +424,19 @@ def simhash_batch(b: pa.Table) -> pa.Table:
 def simhash_sql(table: str = "documents") -> str:
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
-  FROM {table}
+  SELECT doc_id, unnest({_TOKS_EXPR}) AS tok FROM {table}
 ),
-h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+      FROM toks WHERE tok <> ''),
 bits AS (
   SELECT doc_id, j,
          SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
   FROM h, UNNEST(generate_series(0, 59)) AS g(j)
   GROUP BY doc_id, j
-)
-SELECT doc_id, SUM(CASE WHEN c > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
-FROM bits GROUP BY doc_id
+),
+s AS (SELECT doc_id,
+             SUM(CASE WHEN c > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+      FROM bits GROUP BY doc_id)
+SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+FROM {table} d LEFT JOIN s ON s.doc_id = d.doc_id
 """

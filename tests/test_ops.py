@@ -14,8 +14,25 @@ def test_minhash_det():
     s1 = minhash_signature(["a b c", "b c d"], 8)
     s2 = minhash_signature(["b c d", "a b c"], 8)
     assert s1 == s2
-    assert all(0 <= v < (1 << 60) for v in s1)
+    assert all(0 <= v < (1 << 64) for v in s1)
     assert h60("0|a b c") in [None, h60("0|a b c")]  # deterministic
+
+    # the scalar reference must agree with the vectorized batch kernel
+    import pyarrow as pa
+
+    from osm_intersections_ray.stages.dedup import (
+        NUM_PERM, _PERM_A, _PERM_B, minhash_bands_batch, _shingle_hashes_per_doc,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    shingles = [" ".join(text.split()[i:i + 3]) for i in range(len(text.split()) - 2)]
+    sig_scalar = minhash_signature(shingles, NUM_PERM)
+    import numpy as np
+
+    sh = _shingle_hashes_per_doc([text])[0]
+    v = sh[:, None] * _PERM_A[None, :] + _PERM_B[None, :]
+    sig_vec = v.min(axis=0)
+    assert [int(x) for x in sig_vec] == sig_scalar
 
 
 def test_simhash_similarity():
