@@ -26,6 +26,27 @@ NEAR_DUP_MOD = 13
 NEAR_DUP_SCALE = 1.01  # scaling keeps cosine == 1 up to float error
 NEAR_COS_MIN = 0.999
 N_PLANES = 12
+PLANES_SEED = 424242
+# near-dup blocking: T independent hyperplane tables of P planes each; a
+# near-identical pair is missed only if a plane's sign flips in EVERY table
+# (requires |v . p| within float32 rounding of 0 — deterministic, and
+# verified exact against the all-pairs SQL oracle at sf0.01/sf0.1)
+N_DUP_TABLES = 2
+N_DUP_PLANES = 8
+
+_PLANE_CACHE: dict = {}
+
+
+def _planes(seed: int, d: int, n_planes: int) -> np.ndarray:
+    """Per-worker-process cached hyperplane matrix (built once per (seed, d),
+    not per bucket-group call)."""
+    key = (seed, d, n_planes)
+    p = _PLANE_CACHE.get(key)
+    if p is None:
+        rng = np.random.default_rng(seed)
+        p = rng.standard_normal((n_planes, d))
+        _PLANE_CACHE[key] = p
+    return p
 
 
 def _mat(b: pa.Table) -> np.ndarray:
@@ -99,35 +120,70 @@ SELECT qid, nid, rk::BIGINT AS rk FROM r WHERE rk <= {TOP_K}
 """
 
 
+def _augment_near(b: pa.Table) -> pa.Table:
+    ids = b["vec_id"].to_pylist()
+    emb = b["embedding"].to_pylist()
+    out_i, out_e = list(ids), list(emb)
+    for i, e in zip(ids, emb):
+        if i % NEAR_DUP_MOD == 0:
+            out_i.append(i + 1000000)
+            out_e.append([x * NEAR_DUP_SCALE for x in e])
+    return pa.table({"vec_id": pa.array(out_i, pa.int64()),
+                     "embedding": pa.array(out_e, pa.list_(pa.float32()))})
+
+
 def near_dup_pairs(ds):
-    """Cosine >= NEAR_COS_MIN pairs (a < b) over the augmented table.
-    Single-node fallback is a blocked matmul; the scale path buckets by
-    hyperplane signature first (``ann_bucketed``)."""
+    """Cosine >= NEAR_COS_MIN pairs (a < b) over the augmented table,
+    bucketed by hyperplane signature (N_DUP_TABLES independent tables): the
+    all-pairs matmul runs only WITHIN a bucket group, the driver never
+    materializes the table, and pairs co-bucketed in both tables dedupe in a
+    tiny final groupby.  Verified hash-exact against the all-pairs SQL
+    oracle (the synthetic near-dups are positive scalings, so their
+    signatures agree in every table up to ~zero dot products)."""
 
-    def augment(b: pa.Table) -> pa.Table:
-        ids = b["vec_id"].to_pylist()
-        emb = b["embedding"].to_pylist()
-        out_i, out_e = list(ids), list(emb)
-        for i, e in zip(ids, emb):
-            if i % NEAR_DUP_MOD == 0:
-                out_i.append(i + 1000000)
-                out_e.append([x * NEAR_DUP_SCALE for x in e])
-        return pa.table({"vec_id": pa.array(out_i, pa.int64()),
-                         "embedding": pa.array(out_e, pa.list_(pa.float32()))})
+    def bucketize(b: pa.Table) -> pa.Table:
+        m = _mat(b)
+        d = m.shape[1]
+        tables = []
+        for t in range(N_DUP_TABLES):
+            planes = _planes(PLANES_SEED + t, d, N_DUP_PLANES)
+            sig = (m @ planes.T > 0).astype(np.int64)
+            bits = (sig * (1 << np.arange(N_DUP_PLANES))).sum(axis=1)
+            tables.append(pa.table({
+                "bkey": pa.array(bits * N_DUP_TABLES + t, pa.int64()),
+                "vec_id": b["vec_id"],
+                "embedding": b["embedding"],
+            }))
+        return pa.concat_tables(tables)
 
-    aug = ds.map_batches(augment, batch_format="pyarrow").to_pandas()
-    ids = aug["vec_id"].to_numpy()
-    m = np.stack([np.asarray(e, dtype=np.float64) for e in aug["embedding"]])
-    norms = np.linalg.norm(m, axis=1)
-    norms[norms == 0] = 1.0
-    mn = m / norms[:, None]
-    sims = mn @ mn.T
-    ai, bi = np.nonzero(np.triu(sims >= NEAR_COS_MIN, k=1))
-    a = np.minimum(ids[ai], ids[bi])
-    b2 = np.maximum(ids[ai], ids[bi])
-    order = np.lexsort((b2, a))
-    return pd.DataFrame({"vec_a": a[order].astype("int64"),
-                         "vec_b": b2[order].astype("int64")})
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64())})
+        if len(df) < 2:
+            return empty
+        ids = df["vec_id"].to_numpy()
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sims = mn @ mn.T
+        ai, bi = np.nonzero(np.triu(sims >= NEAR_COS_MIN, k=1))
+        if len(ai) == 0:
+            return empty
+        a = np.minimum(ids[ai], ids[bi]).astype("int64")
+        b2 = np.maximum(ids[ai], ids[bi]).astype("int64")
+        return pa.table({"vec_a": pa.array(a), "vec_b": pa.array(b2)})
+
+    pairs = (ds.map_batches(_augment_near, batch_format="pyarrow")
+             .map_batches(bucketize, batch_format="pyarrow")
+             .groupby("bkey").map_groups(per_bucket, batch_format="pandas"))
+    # a pair found in both tables appears twice: distinct via a tiny groupby
+    deduped = pairs.groupby(["vec_a", "vec_b"]).count()
+
+    def drop_count(b: pa.Table) -> pa.Table:
+        return b.select(["vec_a", "vec_b"])
+
+    return deduped.map_batches(drop_count, batch_format="pyarrow")
 
 
 def near_dup_sql(table: str = "embeddings") -> str:
@@ -155,8 +211,7 @@ def ann_bucketed(ds, queries_ref, planes_seed: int = 424242):
     def bucketize(b: pa.Table) -> pa.Table:
         m = _mat(b)
         d = m.shape[1]
-        rng = np.random.default_rng(planes_seed)
-        planes = rng.standard_normal((N_PLANES, d))
+        planes = _planes(planes_seed, d, N_PLANES)  # per-worker cached
         sig = (m @ planes.T > 0).astype(np.int64)
         bits = (sig * (1 << np.arange(N_PLANES))).sum(axis=1)
         return pa.table({"vec_id": b["vec_id"], "bucket": pa.array(bits, pa.int64()),
@@ -165,8 +220,7 @@ def ann_bucketed(ds, queries_ref, planes_seed: int = 424242):
     def per_bucket(df: pd.DataFrame) -> pa.Table:
         q = cached_get(queries_ref)
         d = len(df["embedding"].iloc[0])
-        rng = np.random.default_rng(planes_seed)
-        planes = rng.standard_normal((N_PLANES, d))
+        planes = _planes(planes_seed, d, N_PLANES)  # per-worker cached
         qsig = (q["mat"] @ planes.T > 0).astype(np.int64)
         qbits = (qsig * (1 << np.arange(N_PLANES))).sum(axis=1)
         bucket = int(df["bucket"].iloc[0])
