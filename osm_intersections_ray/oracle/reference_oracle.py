@@ -381,6 +381,34 @@ class ReferenceOracle:
         return [n for n in s2 if n in other]
 
     # --- full pipeline -------------------------------------------------------
+    # --- findClosest (js/geo.js:1305-1361, commented reverse geocoder) ------
+    def find_closest(self, lat: float, lon: float) -> str:
+        """Sequential transliteration of findClosest over wayData, with the
+        reference's exact quirks: min1/min2 init 99999999999 (truthy), min2
+        updated only for names differing from the CURRENT min1Name, and the
+        final ``if (min2)`` JS truthiness (0 => first name alone; never
+        updated => '/undefined' via string concat)."""
+        min1 = 99999999999.0
+        min1_name = None
+        min2 = min1
+        min2_name = None  # JS undefined
+        for rec in self.way_data:
+            d = min(100000.0 * (abs(lat - vla) + abs(lon - vlo))
+                    for vla, vlo in zip(rec.lats, rec.lons))
+            if d < min1:
+                if rec.name != min1_name:
+                    min2_name = min1_name
+                    min2 = min1
+                min1_name = rec.name
+                min1 = d
+                continue
+            if d < min2 and rec.name != min1_name:
+                min2_name = rec.name
+                min2 = d
+        if min2:  # JS truthiness: 0.0 is falsy, the infinite init is truthy
+            return f"{min1_name}/{'undefined' if min2_name is None else min2_name}"
+        return str(min1_name)
+
     def run(self, city_polygons: list[tuple[str, list]] | None = None) -> list[dict]:
         """city_polygons: [(name, polygons)] in boundary-file order (cities of
         this county only).  Returns output feature rows (FIXTURES.md section 5)."""

@@ -66,6 +66,20 @@ def load_ways(fixture_dir: str, counties: list[str] | None = None,
     return ds
 
 
+def build_waydata(fixture_dir: str, counties: list[str] | None = None,
+                  cfg: PipelineConfig | None = None):
+    """The distributed wayData table alone (named + adopted + fake rows) —
+    the population findClosest (J11) and the geometric path iterate."""
+    cfg = cfg or PipelineConfig()
+    ways_ds = load_ways(fixture_dir, counties, cfg.num_blocks).materialize()
+    state_ref = ray.put(wd.compute_small_state(ways_ds))
+
+    def make_waydata(b: pa.Table) -> pa.Table:
+        return wd.MakeWayData(state_ref)(b)
+
+    return ways_ds.map_batches(make_waydata, batch_format="pyarrow")
+
+
 def intersections_pipeline(fixture_dir: str, counties: list[str] | None = None,
                            cfg: PipelineConfig | None = None):
     cfg = cfg or PipelineConfig()

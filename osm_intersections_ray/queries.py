@@ -63,6 +63,7 @@ def queries() -> dict:
     q["cell_population"] = lambda sf: qs.cell_population(_ways(sf))
     q["geom_candidate_pairs"] = lambda sf: qs.geom_candidate_pairs(_ways(sf))
     q["nearest_way"] = lambda sf: knn.nearest_way_queries(_ways(sf))
+    q["nearest_two"] = lambda sf: knn.nearest_two_queries(_ways(sf))
     q["block_gps"] = lambda sf: qs.block_gps_lookup(_ways(sf))
 
     # --- full reference-exact pipeline (oracle = pytest golden vs the
@@ -197,6 +198,7 @@ def oracle_sql() -> dict:
         "cell_population": qs.cell_population_sql(ways_path),
         "geom_candidate_pairs": qs.geom_candidate_pairs_sql(ways_path),
         "nearest_way": knn.nearest_way_sql(ways_path),
+        "nearest_two": knn.nearest_two_sql(ways_path),
         "block_gps": qs.block_gps_sql(ways_path),
         "pages_extract": pages.extract_sql(pages_tbl),
         "pages_geotag": pages.geotag_sql(pages_tbl),

@@ -1,115 +1,300 @@
 """Ring-expansion kNN nearest-way queries (J11, js/geo.js:1305-1361 —
-the reference's commented-but-stated-purpose reverse geocoder).
+the reference's commented-but-stated-purpose reverse geocoder), including the
+k=2-distinct-name ``findClosest`` semantics (js/geo.js:1319-1361):
 
-A stateful actor pool holds a per-region cell index of way vertices (built
-once per actor from a broadcast vertex table).  A query probes its own 0.01
-degree cell, then expands ring by ring (r=1, 2, ...) until the best candidate
-distance is <= the L1 lower bound of the next unexplored ring — with the
-reference's metric (L1 degrees x 100000, js/geo.js:661-666) the bound for
-ring r is r * DELTA * metersPerDegree.
+* per-way distance = min over its vertices of the L1 "Manhattan meters"
+  metric (``distGpsGeometry``, js/geo.js:1305-1312);
+* result = ``"min1Name/min2Name"`` — nearest way's name plus the nearest way
+  with a DIFFERENT name — with the reference's exact quirks: when no
+  distinct-named way exists, min2 stays truthy-infinite and the result is
+  ``"name/undefined"``; when the second-nearest distinct-named distance is
+  exactly 0, JS's falsy-0 check returns the first name alone.
 
-At cluster scale the vertex table shards by region (county/tile) and queries
-route to the owning actor; in this sandbox one broadcast index suffices and
-the routing is the county column.
+Index layout (region-sharded, built distributedly):
+
+* way vertices explode in ``map_batches`` (Arrow offsets + np.repeat), keyed
+  by 0.01-degree cell and 0.1-degree SUPERCELL;
+* a ``groupby(supercell)`` builds one payload (cell -> vertex arrays) per
+  supercell; the driver streams the payload rows and ``ray.put``s each — it
+  never materializes the whole vertex table, holding one supercell at a time;
+* query actors receive only the {supercell: ObjectRef} dict and fetch
+  (worker-cached) the supercells their probe rings actually touch — the
+  region-routing that replaces a single global broadcast index.
+
+A query probes its own cell, then expands ring by ring; ring r+1's L1 lower
+bound is r * 0.01 deg * metersPerDegree, and expansion stops only when the
+running answer is strictly below that bound (ties therefore resolve from
+fully-explored state).
 """
 
 from __future__ import annotations
 
 import math
+import pickle
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
-from ..functions.scalar import METERS_PER_DEGREE
+from ..functions.scalar import METERS_PER_DEGREE, get_way_name
+
+SUPER = 10  # 10 x 10 cells (0.1 deg) per supercell
+DELTA_M = 0.01 * METERS_PER_DEGREE
 
 
-def build_vertex_index(ways_ds) -> dict:
-    """cell -> (lats, lons, way_ids) numpy arrays, from named tagged ways."""
-    from ..functions.scalar import get_way_name
+def _sc_of(cx: int, cy: int) -> int:
+    # |cy // SUPER| <= 900 < 50000: the composite is collision-free
+    return (cx // SUPER) * 100000 + (cy // SUPER)
 
-    def explode(b: pa.Table) -> pa.Table:
-        names = b["name"].to_pylist()
-        refs = b["ref"].to_pylist()
-        tagged = b["tagged"].to_pylist()
-        ids = b["way_id"].to_pylist()
-        la, lo, wi = [], [], []
-        lats_l = b["lats"].to_pylist()
-        lons_l = b["lons"].to_pylist()
-        for i in range(b.num_rows):
-            if not tagged[i] or not get_way_name(names[i], refs[i]):
-                continue
-            la.extend(lats_l[i])
-            lo.extend(lons_l[i])
-            wi.extend([ids[i]] * len(lats_l[i]))
-        return pa.table({"lat": pa.array(la, pa.float64()),
-                         "lon": pa.array(lo, pa.float64()),
-                         "way_id": pa.array(wi, pa.int64())})
 
-    df = ways_ds.map_batches(explode, batch_format="pyarrow").to_pandas()
-    cells: dict = {}
-    kx = np.floor(df["lon"].to_numpy() * 100).astype(np.int64)
-    ky = np.floor(df["lat"].to_numpy() * 100).astype(np.int64)
-    for (x, y), idx in df.groupby([kx, ky], sort=False).indices.items():
-        cells[(int(x), int(y))] = (
-            df["lat"].to_numpy()[idx], df["lon"].to_numpy()[idx],
-            df["way_id"].to_numpy()[idx])
-    return cells
+def _explode_named_ways(b: pa.Table) -> pa.Table:
+    """ways -> one row per vertex of each named tagged way, carrying
+    (county, rank=way_rank, way_id, name)."""
+    from .common import explode_lists
+
+    names = b["name"].to_pylist()
+    refs = b["ref"].to_pylist()
+    tagged = b["tagged"].to_pylist()
+    nm = [get_way_name(names[i], refs[i]) if tagged[i] else "" for i in range(b.num_rows)]
+    mask = pa.array([bool(x) for x in nm])
+    sub = b.append_column("nm", pa.array(nm, pa.string())).filter(mask)
+    cols = explode_lists(sub, ["lats", "lons"], ["county", "way_rank", "way_id", "nm"])
+    return pa.table({
+        "lat": pa.array(cols["lats"], pa.float64()),
+        "lon": pa.array(cols["lons"], pa.float64()),
+        "county": pa.array(cols["county"], pa.string()),
+        "rank": pa.array(cols["way_rank"].astype(np.int64)),
+        "way_id": pa.array(cols["way_id"].astype(np.int64)),
+        "name": pa.array(cols["nm"], pa.string()),
+    })
+
+
+def _explode_waydata(b: pa.Table) -> pa.Table:
+    """wayData rows -> vertices (the reference-faithful population incl.
+    adopted/fake-named rows; rank = data_rank = wayData iteration order)."""
+    from .common import explode_lists
+
+    cols = explode_lists(b, ["lats", "lons"], ["county", "data_rank", "way_id", "name"])
+    return pa.table({
+        "lat": pa.array(cols["lats"], pa.float64()),
+        "lon": pa.array(cols["lons"], pa.float64()),
+        "county": pa.array(cols["county"], pa.string()),
+        "rank": pa.array(cols["data_rank"].astype(np.int64)),
+        "way_id": pa.array(cols["way_id"].astype(np.int64)),
+        "name": pa.array(cols["name"], pa.string()),
+    })
+
+
+def build_region_index_refs(vertices_ds) -> dict:
+    """Distributed index build: group vertices by supercell, build each
+    supercell's {cell: arrays} payload in the worker, stream payload rows to
+    the driver which ``ray.put``s one supercell at a time.  Returns
+    {"refs": {sc: ObjectRef}, "span": (min_cx, min_cy, max_cx, max_cy)}."""
+    import ray
+
+    def add_keys(b: pa.Table) -> pa.Table:
+        cx = np.floor(np.asarray(b["lon"].to_numpy(zero_copy_only=False)) * 100).astype(np.int64)
+        cy = np.floor(np.asarray(b["lat"].to_numpy(zero_copy_only=False)) * 100).astype(np.int64)
+        sc = (cx // SUPER) * 100000 + (cy // SUPER)
+        return (b.append_column("cx", pa.array(cx))
+                .append_column("cy", pa.array(cy))
+                .append_column("sc", pa.array(sc)))
+
+    def per_sc(df: pd.DataFrame) -> pa.Table:
+        counties, c_ids = np.unique(df["county"].to_numpy(), return_inverse=True)
+        names, n_ids = np.unique(df["name"].to_numpy(), return_inverse=True)
+        lat = df["lat"].to_numpy()
+        lon = df["lon"].to_numpy()
+        wid = df["way_id"].to_numpy().astype(np.int64)
+        rank = df["rank"].to_numpy().astype(np.int64)
+        cells = {}
+        for (cx, cy), idx in df.groupby(["cx", "cy"], sort=False).indices.items():
+            cells[(int(cx), int(cy))] = (lat[idx], lon[idx], wid[idx],
+                                         rank[idx], c_ids[idx], n_ids[idx])
+        payload = pickle.dumps({"cells": cells, "counties": list(counties),
+                                "names": list(names)})
+        return pa.table({"sc": pa.array([int(df["sc"].iloc[0])], pa.int64()),
+                         "cx_min": pa.array([int(df["cx"].min())], pa.int64()),
+                         "cy_min": pa.array([int(df["cy"].min())], pa.int64()),
+                         "cx_max": pa.array([int(df["cx"].max())], pa.int64()),
+                         "cy_max": pa.array([int(df["cy"].max())], pa.int64()),
+                         "payload": pa.array([payload], pa.binary())})
+
+    rows = (vertices_ds.map_batches(add_keys, batch_format="pyarrow")
+            .groupby("sc").map_groups(per_sc, batch_format="pandas"))
+    refs: dict = {}
+    span = [None, None, None, None]
+    for batch in rows.iter_batches(batch_format="pyarrow", batch_size=8):
+        for sc, x0, y0, x1, y1, payload in zip(
+                batch["sc"].to_pylist(), batch["cx_min"].to_pylist(),
+                batch["cy_min"].to_pylist(), batch["cx_max"].to_pylist(),
+                batch["cy_max"].to_pylist(), batch["payload"].to_pylist()):
+            refs[int(sc)] = ray.put(pickle.loads(payload))
+            span[0] = x0 if span[0] is None else min(span[0], x0)
+            span[1] = y0 if span[1] is None else min(span[1], y0)
+            span[2] = x1 if span[2] is None else max(span[2], x1)
+            span[3] = y1 if span[3] is None else max(span[3], y1)
+    return {"refs": refs, "span": tuple(span)}
+
+
+class _RegionIndex:
+    """Actor-side view: fetches supercell payloads lazily (worker-cached)."""
+
+    def __init__(self, index: dict):
+        from .common import cached_get
+
+        self._get = cached_get
+        self.refs = index["refs"]
+        self.span = index["span"]
+        self._payloads: dict = {}
+
+    def cell(self, cx: int, cy: int):
+        sc = _sc_of(cx, cy)
+        ref = self.refs.get(sc)
+        if ref is None:
+            return None
+        p = self._payloads.get(sc)
+        if p is None:
+            p = self._get(ref)
+            self._payloads[sc] = p
+        return p, p["cells"].get((cx, cy))
+
+    def max_rings(self, cx: int, cy: int) -> int:
+        x0, y0, x1, y1 = self.span
+        if x0 is None:
+            return 0
+        return max(abs(cx - x0), abs(cx - x1), abs(cy - y0), abs(cy - y1)) + 1
+
+
+def _ring_cells(cx: int, cy: int, r: int):
+    if r == 0:
+        return [(cx, cy)]
+    out = []
+    for dx in range(-r, r + 1):
+        out.append((cx + dx, cy - r))
+        out.append((cx + dx, cy + r))
+    for dy in range(-r + 1, r):
+        out.append((cx - r, cy + dy))
+        out.append((cx + r, cy + dy))
+    return out
 
 
 class NearestWay:
-    """Actor: per-batch ring-expansion nearest-vertex queries.  Tie-break on
+    """Actor: k=1 ring-expansion nearest-vertex queries.  Tie-break on
     (distance, way_id) ascending — matching the SQL oracle's ORDER BY."""
 
     def __init__(self, index_ref):
         from .common import cached_get
 
-        self.cells = cached_get(index_ref)
+        self.idx = _RegionIndex(cached_get(index_ref))
 
     def _query(self, qlat: float, qlon: float) -> int:
         cx = math.floor(qlon * 100)
         cy = math.floor(qlat * 100)
         best_d = math.inf
         best_w = -1
+        max_r = self.idx.max_rings(cx, cy)
         r = 0
         while True:
-            # ring r: cells at Chebyshev distance r from (cx, cy)
-            ring = []
-            if r == 0:
-                ring = [(cx, cy)]
-            else:
-                for dx in range(-r, r + 1):
-                    ring.append((cx + dx, cy - r))
-                    ring.append((cx + dx, cy + r))
-                for dy in range(-r + 1, r):
-                    ring.append((cx - r, cy + dy))
-                    ring.append((cx + r, cy + dy))
-            for key in ring:
-                hit = self.cells.get(key)
-                if hit is None:
+            for key in _ring_cells(cx, cy, r):
+                hit = self.idx.cell(*key)
+                if hit is None or hit[1] is None:
                     continue
-                la, lo, wi = hit
+                la, lo, wi = hit[1][0], hit[1][1], hit[1][2]
                 d = METERS_PER_DEGREE * (np.abs(la - qlat) + np.abs(lo - qlon))
                 j = np.lexsort((wi, d))[0]
                 if d[j] < best_d or (d[j] == best_d and wi[j] < best_w):
                     best_d = d[j]
                     best_w = int(wi[j])
             # lower bound for ring r+1: any point there is >= r*0.01 deg away
-            # in Chebyshev => L1 >= r*0.01
-            lb = (r) * 0.01 * METERS_PER_DEGREE
-            if best_w != -1 and best_d <= lb:
+            lb = r * DELTA_M
+            if best_w != -1 and best_d < lb:
                 break
             r += 1
-            if r > 2000:  # empty index guard
+            if r > max_r and best_w != -1:
+                break
+            if r > max_r + 2:  # empty index guard
                 break
         return best_w
 
     def __call__(self, b: pa.Table) -> pa.Table:
         ks = b["k"].to_pylist()
-        qlats = b["qlat"].to_pylist()
-        qlons = b["qlon"].to_pylist()
-        out = [self._query(la, lo) for la, lo in zip(qlats, qlons)]
+        out = [self._query(la, lo)
+               for la, lo in zip(b["qlat"].to_pylist(), b["qlon"].to_pylist())]
         return pa.table({"k": pa.array(ks, pa.int64()),
                          "way_id": pa.array(out, pa.int64())})
+
+
+class NearestTwo:
+    """Actor: findClosest (js/geo.js:1319-1361) — nearest way name plus
+    second-nearest DISTINCTLY-named way, with the reference's quirks
+    (``/undefined`` when no distinct name exists; bare name when the distinct
+    second's distance is falsy 0).  Iteration-order ties resolve by
+    (county, rank) ascending — the reference's wayData scan order."""
+
+    def __init__(self, index_ref):
+        from .common import cached_get
+
+        self.idx = _RegionIndex(cached_get(index_ref))
+
+    def _query(self, qlat: float, qlon: float) -> str:
+        cx = math.floor(qlon * 100)
+        cy = math.floor(qlat * 100)
+        best: dict = {}  # (county, rank) -> [d, name]
+        max_r = self.idx.max_rings(cx, cy)
+        r = 0
+        while True:
+            for key in _ring_cells(cx, cy, r):
+                hit = self.idx.cell(*key)
+                if hit is None or hit[1] is None:
+                    continue
+                payload, arrs = hit
+                la, lo, _wi, rank, c_ids, n_ids = arrs
+                d = METERS_PER_DEGREE * (np.abs(la - qlat) + np.abs(lo - qlon))
+                counties = payload["counties"]
+                names = payload["names"]
+                for i in range(len(d)):
+                    k2 = (counties[c_ids[i]], int(rank[i]))
+                    cur = best.get(k2)
+                    di = float(d[i])
+                    if cur is None:
+                        best[k2] = [di, names[n_ids[i]]]
+                    elif di < cur[0]:
+                        cur[0] = di
+            lb = r * DELTA_M
+            done = False
+            if best:
+                items = sorted(best.items(), key=lambda kv: (kv[1][0], kv[0]))
+                d1, nm1 = items[0][1]
+                second = next((it for it in items if it[1][1] != nm1), None)
+                if second is not None and second[1][0] < lb:
+                    done = True
+                if r > max_r:  # world exhausted
+                    done = True
+            elif r > max_r + 2:
+                return "undefined/undefined"  # empty index (JS string concat)
+            if done:
+                if second is None:
+                    return f"{nm1}/undefined"  # min2 stays truthy-infinite
+                if second[1][0] == 0.0:
+                    return nm1  # JS falsy-0 min2 quirk
+                return f"{nm1}/{second[1][1]}"
+            r += 1
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ks = b["k"].to_pylist()
+        out = [self._query(la, lo)
+               for la, lo in zip(b["qlat"].to_pylist(), b["qlon"].to_pylist())]
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "closest": pa.array(out, pa.string())})
+
+
+def _probe_points(n_queries: int) -> pa.Table:
+    return pa.table({
+        "k": pa.array(list(range(n_queries)), pa.int64()),
+        "qlat": pa.array([36.92 + k * 0.02 for k in range(n_queries)], pa.float64()),
+        "qlon": pa.array([-122.39 + k * 0.04 for k in range(n_queries)], pa.float64()),
+    })
 
 
 def nearest_way_queries(ways_ds, n_queries: int = 20):
@@ -118,15 +303,39 @@ def nearest_way_queries(ways_ds, n_queries: int = 20):
     import ray
     import ray.data as rd
 
-    idx_ref = ray.put(build_vertex_index(ways_ds))
-    pts = pa.table({
-        "k": pa.array(list(range(n_queries)), pa.int64()),
-        "qlat": pa.array([36.92 + k * 0.02 for k in range(n_queries)], pa.float64()),
-        "qlon": pa.array([-122.39 + k * 0.04 for k in range(n_queries)], pa.float64()),
-    })
-    ds = rd.from_arrow(pts)
+    vertices = ways_ds.map_batches(_explode_named_ways, batch_format="pyarrow")
+    idx_ref = ray.put(build_region_index_refs(vertices))
+    ds = rd.from_arrow(_probe_points(n_queries))
     return ds.map_batches(NearestWay, batch_format="pyarrow",
                           concurrency=(1, 2), fn_constructor_args=(idx_ref,))
+
+
+def nearest_two_queries(ways_ds, n_queries: int = 20):
+    """findClosest over the named tagged ways (the SQL-oracle-able
+    population; the reference-faithful full-wayData population is exercised
+    by :func:`nearest_two_from_waydata` + the golden pytest)."""
+    import ray
+    import ray.data as rd
+
+    vertices = ways_ds.map_batches(_explode_named_ways, batch_format="pyarrow")
+    idx_ref = ray.put(build_region_index_refs(vertices))
+    ds = rd.from_arrow(_probe_points(n_queries))
+    return ds.map_batches(NearestTwo, batch_format="pyarrow",
+                          concurrency=(1, 2), fn_constructor_args=(idx_ref,))
+
+
+def nearest_two_from_waydata(waydata_ds, probes: pa.Table):
+    """findClosest over the full wayData population (adopted + fake-named
+    rows included) — the reference-faithful form, golden-tested against the
+    single-process oracle's sequential findClosest."""
+    import ray
+    import ray.data as rd
+
+    vertices = waydata_ds.map_batches(_explode_waydata, batch_format="pyarrow")
+    idx_ref = ray.put(build_region_index_refs(vertices))
+    return rd.from_arrow(probes).map_batches(
+        NearestTwo, batch_format="pyarrow", concurrency=(1, 2),
+        fn_constructor_args=(idx_ref,))
 
 
 def nearest_way_sql(ways_path: str, n_queries: int = 20) -> str:
@@ -147,4 +356,38 @@ r AS (SELECT k, way_id,
              row_number() OVER (PARTITION BY k ORDER BY dist, way_id) AS rn
       FROM d)
 SELECT k, way_id FROM r WHERE rn = 1
+"""
+
+
+def nearest_two_sql(ways_path: str, n_queries: int = 20) -> str:
+    """Window-function oracle for findClosest over named tagged ways:
+    per-(query, way) min vertex distance, rank 1 = min1, rank 1 among
+    distinct-named = min2; the /undefined and falsy-0 quirks in the CASE."""
+    from .queries_spatial import NM_SQL
+
+    return f"""
+WITH pts AS (
+  SELECT k, 36.92 + k * 0.02 AS qlat, -122.39 + k * 0.04 AS qlon
+  FROM UNNEST(generate_series(0, {n_queries - 1})) t(k)
+),
+raw AS (SELECT *, {NM_SQL} AS nm FROM read_parquet('{ways_path}') WHERE tagged),
+named AS (SELECT county, way_rank, nm, lats, lons FROM raw WHERE nm <> ''),
+v AS (SELECT county, way_rank, nm, unnest(lats) AS vlat, unnest(lons) AS vlon
+      FROM named),
+wd AS (SELECT p.k, v.county, v.way_rank, v.nm,
+              min({METERS_PER_DEGREE} * (abs(v.vlat - p.qlat) + abs(v.vlon - p.qlon))) AS d
+       FROM pts p, v GROUP BY 1, 2, 3, 4),
+r1 AS (SELECT k, nm, d,
+              row_number() OVER (PARTITION BY k ORDER BY d, county, way_rank) AS rn
+       FROM wd),
+m1 AS (SELECT k, nm AS nm1, d AS d1 FROM r1 WHERE rn = 1),
+r2 AS (SELECT w.k, w.nm, w.d,
+              row_number() OVER (PARTITION BY w.k ORDER BY w.d, w.county, w.way_rank) AS rn
+       FROM wd w JOIN m1 ON m1.k = w.k AND w.nm <> m1.nm1),
+m2 AS (SELECT k, nm AS nm2, d AS d2 FROM r2 WHERE rn = 1)
+SELECT m1.k,
+       CASE WHEN m2.k IS NULL THEN m1.nm1 || '/undefined'
+            WHEN m2.d2 = 0 THEN m1.nm1
+            ELSE m1.nm1 || '/' || m2.nm2 END AS closest
+FROM m1 LEFT JOIN m2 ON m2.k = m1.k
 """

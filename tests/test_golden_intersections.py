@@ -89,3 +89,39 @@ def test_geometric_only_variant(ray_session, fixtures_dir, oracle_rows):
     want = Counter((r["county"], r["lat"], r["lon"], tuple(r["streets"]),
                     r["node_id_kind"]) for r in oracle_rows if r["source"] == "geom")
     assert got == want and sum(want.values()) > 0
+
+
+def test_find_closest_matches_oracle(ray_session, fixtures_dir):
+    """nearest-two reverse geocoder (J11/O4): the engine's ring-expansion
+    NearestTwo over the full wayData population must equal the sequential
+    findClosest transliteration (js/geo.js:1319-1361) probe-for-probe —
+    mirroring the reference's 12 commented acceptance probes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_intersections_ray.oracle.reference_oracle import ReferenceOracle
+    from osm_intersections_ray.pipelines.intersections import build_waydata
+    from osm_intersections_ray.stages.knn import nearest_two_from_waydata
+
+    county = "Alpha County"
+    ways = pq.read_table(fixtures_dir + "/ways.parquet")
+    import pyarrow.compute as pc
+
+    orc = ReferenceOracle(ways.filter(pc.equal(ways["county"], county)))
+    orc.init_way_data()
+
+    # 12 probe points across the synthetic world (incl. off-grid and
+    # far-from-road points, like the reference's commented tp1..tp12)
+    pts = [(36.91 + 0.037 * k, -122.41 + 0.051 * k) for k in range(10)]
+    pts += [(37.0005, -122.2005), (36.95, -121.9)]  # near-vertex + far east
+    probes = pa.table({
+        "k": pa.array(range(len(pts)), pa.int64()),
+        "qlat": pa.array([p[0] for p in pts], pa.float64()),
+        "qlon": pa.array([p[1] for p in pts], pa.float64()),
+    })
+
+    waydata_ds = build_waydata(fixtures_dir, [county])
+    got = {r["k"]: r["closest"]
+           for r in nearest_two_from_waydata(waydata_ds, probes).take_all()}
+    for k, (la, lo) in enumerate(pts):
+        assert got[k] == orc.find_closest(la, lo), (k, la, lo, got[k])
