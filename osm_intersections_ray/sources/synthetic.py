@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-FIXTURE_ROOT = "/tmp/osmray_fixtures_v2"
+FIXTURE_ROOT = "/tmp/osmray_fixtures_v3"
 # v2: parquet written with small row groups so block-split reads parallelize
 
 WORLD = {
@@ -303,6 +303,21 @@ def _specials(b: _WayBuilder, county: str = "Alpha County"):
     # L9: orphan link touching nothing named
     b.add(county, [nid(), nid()], [36.9700, 36.9705], [-122.3900, -122.3895],
           tags={"highway": "motorway_link"})
+    # L2: REF-ONLY link (ref tag, no name tag) from an I 80 node — the
+    # reference keys adoption on tags.name alone (js/geo.js:447), so this
+    # link is adopted even though getWayName is nonempty: pass 1 emits a
+    # wayData row named "CA 13", adoption emits a SECOND row named "I 80"
+    # alone (js/geo.js:533), and findDeadEnds sees getWayName(adopted, ref)
+    # = "I 80;CA 13" (mutated tags).
+    l2a = nid()
+    b.add(county, [i80[2], l2a], [pts[2][0], 36.9832], [pts[2][1], -122.3610],
+          tags={"ref": "CA 13", "highway": "motorway_link"})
+    # a named street at the link's far end makes the TWO-row semantics
+    # output-observable: node names there are {"CA 13", "I 80", "Ramp End
+    # Road"} (the un-fixed single-row form would see "I 80;CA 13" instead)
+    ren = nid()
+    b.add(county, [ren, l2a], [36.9832, 36.9832], [-122.3650, -122.3610],
+          tags={"name": "Ramp End Road", "highway": "residential"})
 
     # --- S8: 12 same-named crossings far apart => suffix cap (_2.._9, >=10 overwrite)
     tl = [nid() for _ in range(14)]

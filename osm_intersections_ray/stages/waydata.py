@@ -60,13 +60,18 @@ class SmallState:
     """Driver-computed small-side state, broadcast into the bulk stages."""
 
     # (county, way_rank) -> (adopted_name, adoption_seq)  [J7 result]
+    # The reference MUTATES way.tags.name (js/geo.js:518) and pushes an
+    # ADDITIONAL wayData row with the adopted name ALONE (js/geo.js:533) —
+    # a ref-only link keeps its pass-1 row named getWayName(name, ref) AND
+    # gains the adopted row; downstream consumers of the mutated tags
+    # (findDeadEnds, J5/J6) see getWayName(adopted, ref).
     renames: dict
     # (county, way_rank) -> fake_name                      [J8 result]
     fake_names: dict
     # county -> {node_id -> set(names)}                    [T4 result]
     dead_ends: dict
-    # county -> {dead_node -> list[frozenset(nodes)]} ways containing the dead
-    # node whose (propagated) name is in the node's dead-end set — the
+    # county -> {dead_node -> list[frozenset(nodes)]} wayData ROWS containing
+    # the dead node whose row-name is in the node's dead-end set — the
     # existence index behind onSameWay/findNeighbor (js/geo.js:359-387)
     neighbor_index: dict
 
@@ -75,27 +80,51 @@ def _live_name(row_name, row_ref, rename) -> str:
     return get_way_name(rename if rename is not None else row_name, row_ref)
 
 
+def emitted_names(name, ref, highway, rename, fake) -> list[str]:
+    """The wayData row names a way contributes (js/geo.js:413-593): its
+    pass-1 getWayName row if nonempty, plus the adopted-name row if J7
+    renamed it, else its fake-name row."""
+    out = []
+    nm1 = get_way_name(name, ref)
+    if nm1:
+        out.append(nm1)
+    if rename is not None:
+        out.append(rename[0])
+    elif not nm1 and fake is not None:
+        out.append(fake)
+    return out
+
+
 def compute_small_state(ways_ds) -> SmallState:
     """Distributed filter -> driver fixpoint.  See module docstring."""
     import pandas  # noqa: F401
 
-    # 1. unnamed tagged ways (links, circles, service stubs) — small
-    def keep_unnamed(b: pa.Table) -> pa.Table:
+    # 1. closure seed nodes, one distributed pass: (a) ALL nodes of
+    #    getWayName-unnamed tagged ways (fake-naming donors/consumers), and
+    #    (b) endpoint nodes of raw-name-less motorway_links (adoption sites
+    #    — the reference keys adoption on tags.name alone, js/geo.js:447,
+    #    so a ref-only link IS an adoption candidate).
+    def seed_nodes(b: pa.Table) -> pa.Table:
         name = b["name"].to_pylist()
         ref = b["ref"].to_pylist()
+        hwy = b["highway"].to_pylist()
         tagged = np.asarray(b["tagged"])
-        mask = [bool(tagged[i]) and not get_way_name(name[i], ref[i]) for i in range(b.num_rows)]
-        return b.filter(pa.array(mask))
+        out = []
+        for i, lst in enumerate(b["nodes"].to_pylist()):
+            if not tagged[i]:
+                continue
+            if not get_way_name(name[i], ref[i]):
+                out.extend(int(n) for n in lst)
+            elif hwy[i] == MOTORWAY_LINK and not name[i]:
+                out.append(int(lst[0]))
+                out.append(int(lst[-1]))
+        return pa.table({"node": pa.array(sorted(set(out)), pa.int64())})
 
-    unnamed = ways_ds.map_batches(keep_unnamed, batch_format="pyarrow").to_pandas()
-    unnamed_nodes = set()
-    for lst in unnamed["nodes"]:
-        unnamed_nodes.update(int(n) for n in lst)
+    seeds = ways_ds.map_batches(seed_nodes, batch_format="pyarrow").to_pandas()
+    nodeset = set(int(n) for n in seeds["node"])
 
-    # 2. tagged ways touching any unnamed-way node (propagation candidates +
-    #    fake-name donors) — filtered distributedly, small result
-    nodeset = unnamed_nodes
-
+    # 2. tagged ways touching any seed node (adoption candidates, fake-name
+    #    donors, and the links/unnamed ways themselves) — small closure
     def keep_touching(b: pa.Table) -> pa.Table:
         tagged = np.asarray(b["tagged"])
         mask = []
@@ -109,12 +138,15 @@ def compute_small_state(ways_ds) -> SmallState:
     fake_names: dict = {}
     for county, cdf in touching.groupby("county", sort=False):
         cdf = cdf.sort_values("way_rank")
-        # node -> ways (insertion order = way order), restricted closure
+        # node -> ways (insertion order = way order), restricted closure;
+        # complete for adoption lookups: every way touching a link endpoint
+        # is in the closure by construction
         node_ways: dict = {}
         recs = cdf.to_dict("records")
         for r in recs:
             for n in r["nodes"]:
                 node_ways.setdefault(n, []).append(r)
+        # live tags.name (the field the reference mutates), NOT getWayName
         live = {r["way_rank"]: r["name"] for r in recs}
 
         links = [r for r in recs
@@ -124,6 +156,8 @@ def compute_small_state(ways_ds) -> SmallState:
         while pending:
             still = []
             for r in pending:
+                # wayNameFirst ?? wayNameLast: the full first-node scan wins
+                # over any last-node match (js/geo.js:477-507)
                 adopted = None
                 for endpoint in (r["nodes"][0], r["nodes"][-1]):
                     for cand in node_ways.get(endpoint, []):
@@ -145,16 +179,18 @@ def compute_small_state(ways_ds) -> SmallState:
                 break
             pending = still
 
-        # node -> names from named (incl. propagated) ways in the closure
+        # node -> names: pass-1 getWayName of named ways PLUS the adopted
+        # name alone at adopted links' nodes (note_nodes runs twice for a
+        # ref-only adopted link, js/geo.js:430-437 + :524-531)
         node_names: dict = {}
         for r in recs:
-            nm = get_way_name(live[r["way_rank"]], r["ref"])
-            if not nm:
-                continue
-            for n in r["nodes"]:
-                node_names.setdefault(n, set()).add(nm)
+            nm1 = get_way_name(r["name"], r["ref"])
+            rn = renames.get((county, int(r["way_rank"])))
+            for nm in ([nm1] if nm1 else []) + ([rn[0]] if rn is not None else []):
+                for n in r["nodes"]:
+                    node_names.setdefault(n, set()).add(nm)
         for r in recs:
-            if get_way_name(live[r["way_rank"]], r["ref"]):
+            if rename_aware_name(r, renames, county):
                 continue
             seed = {MOTORWAY_LINK} if r["highway"] == MOTORWAY_LINK else {JUNCTION}
             for n in r["nodes"]:
@@ -162,8 +198,14 @@ def compute_small_state(ways_ds) -> SmallState:
             fake_names[(county, int(r["way_rank"]))] = "/".join(sorted(seed))
 
     dead_ends = compute_dead_ends(ways_ds, renames)
-    neighbor_index = compute_neighbor_index(ways_ds, renames, dead_ends)
+    neighbor_index = compute_neighbor_index(ways_ds, renames, fake_names, dead_ends)
     return SmallState(renames, fake_names, dead_ends, neighbor_index)
+
+
+def rename_aware_name(rec: dict, renames: dict, county: str) -> str:
+    """getWayName over the MUTATED tags: name = adopted if renamed else raw."""
+    rn = renames.get((county, int(rec["way_rank"])))
+    return get_way_name(rn[0] if rn is not None else rec["name"], rec["ref"])
 
 
 def compute_dead_ends(ways_ds, renames: dict) -> dict:
@@ -208,10 +250,13 @@ def compute_dead_ends(ways_ds, renames: dict) -> dict:
     return out
 
 
-def compute_neighbor_index(ways_ds, renames: dict, dead_ends: dict) -> dict:
-    """For each dead-end node, the node-sets of ways containing it whose name
-    is one of the names dead-ending there — the only ways ``onSameWay``
-    (js/geo.js:359-372) can ever return true through.  Small: O(#dead ends)."""
+def compute_neighbor_index(ways_ds, renames: dict, fake_names: dict,
+                           dead_ends: dict) -> dict:
+    """For each dead-end node, the node-sets of wayData ROWS containing it
+    whose row-name is one of the names dead-ending there — the only rows
+    ``onSameWay`` (js/geo.js:359-372, iterating wayData) can ever return
+    true through.  A renamed link contributes BOTH its pass-1 name and its
+    adopted-row name.  Small: O(#dead ends)."""
 
     def collect(b: pa.Table) -> pa.Table:
         c_out, n_out, ns_out = [], [], []
@@ -226,13 +271,14 @@ def compute_neighbor_index(ways_ds, renames: dict, dead_ends: dict) -> dict:
             cd = dead_ends.get(counties[i])
             if not cd:
                 continue
-            rn = renames.get((counties[i], ranks[i]))
-            nm = _live_name(names[i] if rn is None else rn[0], refs[i], None)
-            if not nm:
+            key = (counties[i], ranks[i])
+            row_names = emitted_names(names[i], refs[i], None,
+                                      renames.get(key), fake_names.get(key))
+            if not row_names:
                 continue
             for n in lst:
                 s = cd.get(n)
-                if s and nm in s:
+                if s and any(nm in s for nm in row_names):
                     c_out.append(counties[i])
                     n_out.append(n)
                     ns_out.append(list(lst))
@@ -273,23 +319,7 @@ class MakeWayData:
         lats = b["lats"].to_pylist()
         lons = b["lons"].to_pylist()
         bounds = [b[c].to_pylist() for c in ("minlat", "minlon", "maxlat", "maxlon")]
-        for i in range(b.num_rows):
-            if not tagged[i]:
-                continue
-            key = (counties[i], ranks[i])
-            rn = self.renames.get(key)
-            if rn is not None:
-                name = get_way_name(rn[0], refs[i])
-                rank = RANK_PROPAGATED + rn[1]
-            else:
-                name = get_way_name(names[i], refs[i])
-                if name:
-                    rank = ranks[i]
-                else:
-                    name = self.fake_names.get(key)
-                    if name is None:
-                        continue  # untagged handled above; tagged-unnamed must be in fake_names
-                    rank = RANK_FAKE + ranks[i]
+        def emit(i, name, rank):
             cols["county"].append(counties[i])
             cols["data_rank"].append(rank)
             cols["way_id"].append(way_ids[i])
@@ -303,4 +333,22 @@ class MakeWayData:
             cols["nodes"].append(nodes[i])
             cols["lats"].append(lats[i])
             cols["lons"].append(lons[i])
+
+        for i in range(b.num_rows):
+            if not tagged[i]:
+                continue
+            key = (counties[i], ranks[i])
+            rn = self.renames.get(key)
+            nm1 = get_way_name(names[i], refs[i])
+            # pass-1 row: every way with a nonempty getWayName (js/geo.js:413-441)
+            if nm1:
+                emit(i, nm1, ranks[i])
+            # adopted row: the ADDITIONAL wayData push with the adopted name
+            # ALONE (js/geo.js:533) — kept alongside any pass-1 row
+            if rn is not None:
+                emit(i, rn[0], RANK_PROPAGATED + rn[1])
+            elif not nm1:
+                fake = self.fake_names.get(key)
+                if fake is not None:
+                    emit(i, fake, RANK_FAKE + ranks[i])
         return pa.table(cols, schema=WAYDATA_SCHEMA)
