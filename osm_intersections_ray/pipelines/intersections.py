@@ -140,7 +140,12 @@ def geometric_only_pipeline(fixture_dir: str, counties: list[str] | None = None,
                             cfg: PipelineConfig | None = None):
     """The geoturf.js variant entry point (js/geoturf.js:1179-1197, SURVEY
     section 3): geometric path only, older output schema (no wayIds/city) —
-    (county, lat, lon, streets:list<string>, node_id_kind)."""
+    (county, lat, lon, streets:list<string>, node_id, node_id_kind).
+
+    geoturf's makeIntersectionGeoJson (js/geoturf.js:1151-1168) emits RAW
+    unrounded coordinates (no fix6 — that is the geo.js writer) and carries
+    nodeId; the union-typed nodeId encodes as nullable node_id +
+    node_id_kind per SURVEY section 1.4."""
     cfg = cfg or PipelineConfig()
     ways_ds = load_ways(fixture_dir, counties, cfg.num_blocks).materialize()
     state_ref = ray.put(wd.compute_small_state(ways_ds))
@@ -153,15 +158,16 @@ def geometric_only_pipeline(fixture_dir: str, counties: list[str] | None = None,
     rows = nodep.remove_junctions(geom.geometric_intersections(waydata_ds, mot_ref))
 
     def finish(b: pa.Table) -> pa.Table:
-        lat = fix6_np(b["lat"].to_numpy(zero_copy_only=False))
-        lon = fix6_np(b["lon"].to_numpy(zero_copy_only=False))
         has = b["has_node"].to_pylist()
+        nid = b["node_id"].to_pylist()
         return pa.table({
             "county": b["county"],
-            "lat": pa.array(lat, pa.float64()),
-            "lon": pa.array(lon, pa.float64()),
+            "lat": b["lat"],  # RAW coordinates: geoturf has no fix6
+            "lon": b["lon"],
             "streets": pa.array([s.split("/") for s in b["streets"].to_pylist()],
                                 pa.list_(pa.string())),
+            "node_id": pa.array([int(n) if h else None for h, n in zip(has, nid)],
+                                pa.int64()),
             "node_id_kind": pa.array(["node" if h else "geom" for h in has],
                                      pa.string()),
         })

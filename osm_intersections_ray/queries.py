@@ -103,7 +103,7 @@ def queries() -> dict:
                 "county": b["county"], "lat": b["lat"], "lon": b["lon"],
                 "streets": pa.array(["/".join(s) for s in b["streets"].to_pylist()],
                                     pa.string()),
-                "node_id_kind": b["node_id_kind"],
+                "node_id": b["node_id"], "node_id_kind": b["node_id_kind"],
             })
 
         return ds.map_batches(flatten, batch_format="pyarrow")

@@ -50,8 +50,11 @@ class Extractor:
 
 
 def extract_sql(table: str = "pages") -> str:
+    # non-greedy + dotall, exactly like the engine's '(?s)<article>(.*?)</article>'
+    # (greedy '(.*)' would span first-open to last-close on multi-article html,
+    # and RE2 '.' excludes newlines without the (?s) flag)
     return (f"SELECT url, regexp_extract(decode(html), "
-            f"'<article>(.*)</article>', 1) AS text_extracted FROM {table}")
+            f"'(?s)<article>(.*?)</article>', 1) AS text_extracted FROM {table}")
 
 
 def geotag_batch(b: pa.Table) -> pa.Table:

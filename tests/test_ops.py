@@ -206,3 +206,29 @@ def test_native_join_matches_bucketed(ray_session, fixtures_dir):
     b = sorted((r["url"], r["way_id"])
                for r in pages_way_join_native(p(), w(), num_partitions=4).take_all())
     assert a == b and len(a) > 0
+
+
+def test_extract_regex_edge_cases():
+    """Engine Extractor and the DuckDB oracle regex must agree on
+    multi-article html (non-greedy) and newline-containing bodies (dotall)."""
+    import duckdb
+    import pyarrow as pa
+
+    from osm_intersections_ray.stages.pages import Extractor, extract_sql
+
+    htmls = [
+        b"<article>first</article><article>second</article>",
+        b"<article>line one\nline two</article>",
+        b"no article here",
+        b"<article></article>",
+    ]
+    b = pa.table({"url": pa.array([f"u{i}" for i in range(len(htmls))]),
+                  "html": pa.array(htmls, pa.binary())})
+    eng = Extractor()(b).to_pandas().sort_values("url").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("pages_tbl", b)
+    orc = (con.sql(extract_sql("pages_tbl")).df()
+           .sort_values("url").reset_index(drop=True))
+    assert eng["text_extracted"].tolist() == orc["text_extracted"].tolist()
+    assert eng["text_extracted"][0] == "first"          # non-greedy
+    assert eng["text_extracted"][1] == "line one\nline two"  # dotall
