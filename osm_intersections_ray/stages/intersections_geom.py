@@ -82,40 +82,33 @@ def explode_cells(waydata_ds, mot_cells_ref):
             self.mot = cached_get(mot_cells_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            out = {k: [] for k in ("gkey", "county", "cell", "data_rank", "way_id",
-                                   "name", "highway", "nodes", "lats", "lons")}
-            cs = b["county"].to_pylist()
+            """Row replication via Arrow ``take`` (C gather, list columns
+            included) — only the cover computation itself is per-way Python
+            (it IS the reference's float-accumulation semantics)."""
+            import numpy as np
+
+            minlat = b["minlat"].to_numpy(zero_copy_only=False)
+            minlon = b["minlon"].to_numpy(zero_copy_only=False)
+            maxlat = b["maxlat"].to_numpy(zero_copy_only=False)
+            maxlon = b["maxlon"].to_numpy(zero_copy_only=False)
+            counties = b["county"].to_pylist()
+            idx: list[int] = []
+            cells_out: list[int] = []
+            gkeys: list[str] = []
             for i in range(b.num_rows):
-                c = cs[i]
-                covers = cover_cells(
-                    b["minlat"][i].as_py(), b["minlon"][i].as_py(),
-                    b["maxlat"][i].as_py(), b["maxlon"][i].as_py(),
-                )
-                hits = [cell for cell in covers if (c, cell) in self.mot]
+                c = counties[i]
+                hits = [cell for cell in
+                        cover_cells(minlat[i], minlon[i], maxlat[i], maxlon[i])
+                        if (c, cell) in self.mot]
                 if not hits:
                     continue
-                row = {k: b[k][i].as_py() for k in
-                       ("data_rank", "way_id", "name", "highway", "nodes", "lats", "lons")}
-                for cell in hits:
-                    out["gkey"].append(f"{c}{SEP}{cell}")
-                    out["county"].append(c)
-                    out["cell"].append(cell)
-                    for k, v in row.items():
-                        out[k].append(v)
-            return pa.table(
-                {
-                    "gkey": pa.array(out["gkey"], pa.string()),
-                    "county": pa.array(out["county"], pa.string()),
-                    "cell": pa.array(out["cell"], pa.int64()),
-                    "data_rank": pa.array(out["data_rank"], pa.int64()),
-                    "way_id": pa.array(out["way_id"], pa.int64()),
-                    "name": pa.array(out["name"], pa.string()),
-                    "highway": pa.array(out["highway"], pa.string()),
-                    "nodes": pa.array(out["nodes"], pa.list_(pa.int64())),
-                    "lats": pa.array(out["lats"], pa.list_(pa.float64())),
-                    "lons": pa.array(out["lons"], pa.list_(pa.float64())),
-                }
-            )
+                idx.extend([i] * len(hits))
+                cells_out.extend(hits)
+                gkeys.extend(f"{c}{SEP}{cell}" for cell in hits)
+            sub = b.select(["county", "data_rank", "way_id", "name", "highway",
+                            "nodes", "lats", "lons"]).take(pa.array(idx, pa.int64()))
+            return (sub.add_column(0, "gkey", pa.array(gkeys, pa.string()))
+                    .add_column(2, "cell", pa.array(cells_out, pa.int64())))
 
     def explode(b: pa.Table) -> pa.Table:
         return Explode()(b)

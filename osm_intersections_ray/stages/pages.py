@@ -129,24 +129,23 @@ def pages_way_join(pages_ds, ways_ds):
         })
 
     def ways_side(b: pa.Table) -> pa.Table:
-        out = {"cellkey": [], "role": [], "url": [], "lat": [], "lon": [],
-               "way_id": [], "minlat": [], "minlon": [], "maxlat": [], "maxlon": []}
-        ids = b["way_id"].to_pylist()
-        for i in range(b.num_rows):
-            bb = (b["minlat"][i].as_py(), b["minlon"][i].as_py(),
-                  b["maxlat"][i].as_py(), b["maxlon"][i].as_py())
-            for c in _clamped_cover(bb):
-                out["cellkey"].append(c)
-                out["role"].append(1)
-                out["url"].append("")
-                out["lat"].append(np.nan)
-                out["lon"].append(np.nan)
-                out["way_id"].append(ids[i])
-                out["minlat"].append(bb[0])
-                out["minlon"].append(bb[1])
-                out["maxlat"].append(bb[2])
-                out["maxlon"].append(bb[3])
-        return _join_table(out)
+        idx, cells = _cover_explode_index(b)
+        n = len(idx)
+        sub = b.select(["way_id", "minlat", "minlon", "maxlat", "maxlon"]).take(
+            pa.array(idx, pa.int64()))
+        nan = np.full(n, np.nan)
+        return pa.table({
+            "cellkey": pa.array(cells, pa.int64()),
+            "role": pa.array(np.ones(n, dtype=np.int8)),
+            "url": pa.array([""] * n, pa.string()),
+            "lat": pa.array(nan, pa.float64()),
+            "lon": pa.array(nan, pa.float64()),
+            "way_id": sub["way_id"],
+            "minlat": sub["minlat"],
+            "minlon": sub["minlon"],
+            "maxlat": sub["maxlat"],
+            "maxlon": sub["maxlon"],
+        })
 
     n_salt = 4  # hot-cell skew: split each cell's PAGES into n_salt
     # sub-buckets and replicate the (tiny) ways rows into each — the salted
@@ -194,6 +193,23 @@ def pages_way_join(pages_ds, ways_ds):
     return p.union(w).groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def _cover_explode_index(b: pa.Table):
+    """(row index array, flat cell list) for the per-way clamped covers —
+    the replication itself is then an Arrow ``take`` gather, not per-row
+    ``.as_py()``."""
+    minlat = b["minlat"].to_numpy(zero_copy_only=False)
+    minlon = b["minlon"].to_numpy(zero_copy_only=False)
+    maxlat = b["maxlat"].to_numpy(zero_copy_only=False)
+    maxlon = b["maxlon"].to_numpy(zero_copy_only=False)
+    idx: list[int] = []
+    cells: list[int] = []
+    for i in range(b.num_rows):
+        cov = _clamped_cover((minlat[i], minlon[i], maxlat[i], maxlon[i]))
+        idx.extend([i] * len(cov))
+        cells.extend(cov)
+    return idx, cells
+
+
 def _clamped_cover(bb) -> list[int]:
     """Compacted cover of a bbox at res TILE_RES_MAX, with any cell compacted
     coarser than TILE_RES_MIN re-expanded to TILE_RES_MIN children (pages
@@ -236,20 +252,10 @@ def pages_way_join_native(pages_ds, ways_ds, num_partitions: int = 32):
         })
 
     def ways_cells(b: pa.Table) -> pa.Table:
-        out = {"cellkey": [], "way_id": [], "minlat": [], "minlon": [],
-               "maxlat": [], "maxlon": []}
-        ids = b["way_id"].to_pylist()
-        for i in range(b.num_rows):
-            bb = (b["minlat"][i].as_py(), b["minlon"][i].as_py(),
-                  b["maxlat"][i].as_py(), b["maxlon"][i].as_py())
-            for c in _clamped_cover(bb):
-                out["cellkey"].append(c)
-                out["way_id"].append(ids[i])
-                out["minlat"].append(bb[0])
-                out["minlon"].append(bb[1])
-                out["maxlat"].append(bb[2])
-                out["maxlon"].append(bb[3])
-        return pa.table({k: pa.array(v) for k, v in out.items()})
+        idx, cells = _cover_explode_index(b)
+        sub = b.select(["way_id", "minlat", "minlon", "maxlat", "maxlon"]).take(
+            pa.array(idx, pa.int64()))
+        return sub.add_column(0, "cellkey", pa.array(cells, pa.int64()))
 
     p = pages_ds.map_batches(pages_cells, batch_format="pyarrow")
     w = ways_ds.map_batches(ways_cells, batch_format="pyarrow")
