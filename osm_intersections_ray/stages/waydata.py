@@ -96,14 +96,24 @@ def emitted_names(name, ref, highway, rename, fake) -> list[str]:
 
 
 def compute_small_state(ways_ds) -> SmallState:
-    """Distributed filter -> driver fixpoint.  See module docstring."""
-    import pandas  # noqa: F401
+    """Distributed filter -> driver fixpoint, in THREE passes over the
+    (materialized, small-side) ways table instead of five:
 
-    # 1. closure seed nodes, one distributed pass: (a) ALL nodes of
-    #    getWayName-unnamed tagged ways (fake-naming donors/consumers), and
-    #    (b) endpoint nodes of raw-name-less motorway_links (adoption sites
-    #    — the reference keys adoption on tags.name alone, js/geo.js:447,
-    #    so a ref-only link IS an adoption candidate).
+    A. seed-node collect;
+    B. one fused scan emitting closure rows (role=t) AND dead-end endpoint
+       rows (role=e / role=el for raw-name-less links whose mutated name is
+       only known post-fixpoint) — the driver then runs the fixpoint and
+       folds the parity count in C-speed pandas (endpoint rows are 2 per
+       named way: tiny next to the pages side);
+    C. the neighbor-index collect (needs dead_ends).
+    """
+    import pandas as pd
+
+    # A. closure seed nodes: (a) ALL nodes of getWayName-unnamed tagged ways
+    #    (fake-naming donors/consumers), and (b) endpoint nodes of
+    #    raw-name-less motorway_links (adoption sites — the reference keys
+    #    adoption on tags.name alone, js/geo.js:447, so a ref-only link IS
+    #    an adoption candidate).
     def seed_nodes(b: pa.Table) -> pa.Table:
         name = b["name"].to_pylist()
         ref = b["ref"].to_pylist()
@@ -123,16 +133,60 @@ def compute_small_state(ways_ds) -> SmallState:
     seeds = ways_ds.map_batches(seed_nodes, batch_format="pyarrow").to_pandas()
     nodeset = set(int(n) for n in seeds["node"])
 
-    # 2. tagged ways touching any seed node (adoption candidates, fake-name
-    #    donors, and the links/unnamed ways themselves) — small closure
-    def keep_touching(b: pa.Table) -> pa.Table:
+    # B. fused scan: closure rows + endpoint-parity rows
+    def fused(b: pa.Table) -> pa.Table:
         tagged = np.asarray(b["tagged"])
-        mask = []
-        for i, lst in enumerate(b["nodes"].to_pylist()):
-            mask.append(bool(tagged[i]) and any(n in nodeset for n in lst))
-        return b.filter(pa.array(mask))
+        name = b["name"].to_pylist()
+        ref = b["ref"].to_pylist()
+        hwy = b["highway"].to_pylist()
+        ranks = b["way_rank"].to_pylist()
+        counties = b["county"].to_pylist()
+        nodes = b["nodes"].to_pylist()
+        rows = {"role": [], "county": [], "way_rank": [], "name": [],
+                "ref": [], "highway": [], "nodes": [], "node": []}
 
-    touching = ways_ds.map_batches(keep_touching, batch_format="pyarrow").to_pandas()
+        def add(role, i, nm=None, node=-1, with_nodes=False):
+            rows["role"].append(role)
+            rows["county"].append(counties[i])
+            rows["way_rank"].append(ranks[i])
+            rows["name"].append(name[i] if role == 0 else nm)
+            rows["ref"].append(ref[i])
+            rows["highway"].append(hwy[i])
+            rows["nodes"].append(nodes[i] if with_nodes else [])
+            rows["node"].append(node)
+
+        for i in range(b.num_rows):
+            if not tagged[i]:
+                continue
+            lst = nodes[i]
+            if any(n in nodeset for n in lst):
+                add(0, i, with_nodes=True)  # closure row
+            is_unnamed_link = hwy[i] == MOTORWAY_LINK and not name[i]
+            if len(lst) < 2:
+                continue
+            if is_unnamed_link:
+                for n in (lst[0], lst[-1]):  # name resolved post-fixpoint
+                    add(2, i, node=int(n))
+            else:
+                nm = get_way_name(name[i], ref[i])
+                if nm:
+                    for n in (lst[0], lst[-1]):
+                        add(1, i, nm=nm, node=int(n))
+        return pa.table({
+            "role": pa.array(rows["role"], pa.int8()),
+            "county": pa.array(rows["county"], pa.string()),
+            "way_rank": pa.array(rows["way_rank"], pa.int32()),
+            "name": pa.array(rows["name"], pa.string()),
+            "ref": pa.array(rows["ref"], pa.string()),
+            "highway": pa.array(rows["highway"], pa.string()),
+            "nodes": pa.array(rows["nodes"], pa.list_(pa.int64())),
+            "node": pa.array(rows["node"], pa.int64()),
+        })
+
+    fused_df = ways_ds.map_batches(fused, batch_format="pyarrow").to_pandas()
+    touching = fused_df[fused_df["role"] == 0]
+    e_rows = fused_df[fused_df["role"] == 1]
+    el_rows = fused_df[fused_df["role"] == 2]
 
     renames: dict = {}
     fake_names: dict = {}
@@ -197,7 +251,24 @@ def compute_small_state(ways_ds) -> SmallState:
                 seed |= node_names.get(n, set())
             fake_names[(county, int(r["way_rank"]))] = "/".join(sorted(seed))
 
-    dead_ends = compute_dead_ends(ways_ds, renames)
+    # dead-end parity (toggleValueSet, js/geo.js:599-651) folded on the
+    # driver: e-rows carry their getWayName already; el-rows (raw-name-less
+    # links) resolve through the mutated tags, getWayName(adopted, ref)
+    parts = [e_rows[["county", "node", "name"]]]
+    if len(el_rows):
+        nm = [get_way_name((renames.get((c, int(w))) or (None,))[0], rf)
+              for c, w, rf in zip(el_rows["county"], el_rows["way_rank"],
+                                  el_rows["ref"])]
+        eldf = pd.DataFrame({"county": el_rows["county"].to_numpy(),
+                             "node": el_rows["node"].to_numpy(), "name": nm})
+        parts.append(eldf[eldf["name"].astype(bool)])
+    allrows = pd.concat(parts, ignore_index=True)
+    cnt = allrows.groupby(["county", "node", "name"], sort=False).size()
+    odd = cnt[cnt % 2 == 1].reset_index()
+    dead_ends: dict = {}
+    for county, node, name in zip(odd["county"], odd["node"], odd["name"]):
+        dead_ends.setdefault(county, {}).setdefault(int(node), set()).add(name)
+
     neighbor_index = compute_neighbor_index(ways_ds, renames, fake_names, dead_ends)
     return SmallState(renames, fake_names, dead_ends, neighbor_index)
 
@@ -206,48 +277,6 @@ def rename_aware_name(rec: dict, renames: dict, county: str) -> str:
     """getWayName over the MUTATED tags: name = adopted if renamed else raw."""
     rn = renames.get((county, int(rec["way_rank"])))
     return get_way_name(rn[0] if rn is not None else rec["name"], rec["ref"])
-
-
-def compute_dead_ends(ways_ds, renames: dict) -> dict:
-    """Odd-parity endpoint counts -> county -> {node -> set(names)}.
-
-    Distributed: emit (county,node,name) per endpoint occurrence, group+count,
-    keep odd (toggleValueSet parity, js/geo.js:599-651); the odd rows are a
-    small per-county dimension, collected for broadcast."""
-
-    def endpoints(b: pa.Table) -> pa.Table:
-        county, node, name = [], [], []
-        names = b["name"].to_pylist()
-        refs = b["ref"].to_pylist()
-        ranks = b["way_rank"].to_pylist()
-        counties = b["county"].to_pylist()
-        tagged = b["tagged"].to_pylist()
-        for i, lst in enumerate(b["nodes"].to_pylist()):
-            if not tagged[i] or len(lst) < 2:
-                continue
-            rn = renames.get((counties[i], ranks[i]))
-            nm = _live_name(names[i] if rn is None else rn[0], refs[i], None)
-            if not nm:
-                continue
-            for n in (lst[0], lst[-1]):
-                county.append(counties[i])
-                node.append(n)
-                name.append(nm)
-        return pa.table({"county": county,
-                         "node": pa.array(node, pa.int64()),
-                         "name": name})
-
-    counted = (
-        ways_ds.map_batches(endpoints, batch_format="pyarrow")
-        .groupby(["county", "node", "name"])
-        .count()
-        .to_pandas()
-    )
-    odd = counted[counted["count()"] % 2 == 1]
-    out: dict = {}
-    for county, node, name in zip(odd["county"], odd["node"], odd["name"]):
-        out.setdefault(county, {}).setdefault(int(node), set()).add(name)
-    return out
 
 
 def compute_neighbor_index(ways_ds, renames: dict, fake_names: dict,
