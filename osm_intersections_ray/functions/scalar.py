@@ -161,3 +161,18 @@ def check_highway_types(h1: str | None, h2: str | None, has_common_node: bool) -
     if n_link > 0 and n_mot > 0:
         return False
     return True
+
+
+def js_num_str(v: float) -> str:
+    """JS Number-to-string for finite doubles: shortest round-trip (Python
+    repr matches), except integer-valued doubles print without '.0'
+    (String(37.0) === '37' in JS)."""
+    if v == int(v) and abs(v) < 1e21:
+        return str(int(v))
+    return repr(v)
+
+
+def gmap_url(lat: float, lon: float) -> str:
+    """The offset tool's output formatter (js/offset.js:133-137):
+    three leading spaces, '<lat>,<lon>', two trailing spaces."""
+    return f"   {js_num_str(lat)},{js_num_str(lon)}  "

@@ -115,10 +115,16 @@ class OffsetWalker:
             r = self.offset_gps(w, n, m)
             lats.append(None if r is None else r[0])
             lons.append(None if r is None else r[1])
+        from ..functions.scalar import gmap_url
+
+        urls = [None if la is None else gmap_url(la, lo)
+                for la, lo in zip(lats, lons)]
         return pa.table({
             "way_id": b["way_id"], "node_id": b["node_id"], "meters": b["meters"],
             "lat": pa.array(lats, pa.float64()),
             "lon": pa.array(lons, pa.float64()),
+            # gmapUrl output formatter (js/offset.js:133-137)
+            "gmap_url": pa.array(urls, pa.string()),
         })
 
 

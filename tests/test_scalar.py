@@ -122,3 +122,12 @@ def test_point_in_ring():
     assert point_in_ring(0, 1, ring)  # boundary counts inside
     m = points_in_ring_np(np.array([1.0, 3.0]), np.array([1.0, 1.0]), ring)
     assert m.tolist() == [True, False]
+
+
+def test_gmap_url():
+    """gmapUrl formatter (js/offset.js:133-137): JS template spacing and JS
+    Number stringification (integer-valued doubles lose the '.0')."""
+    from osm_intersections_ray.functions.scalar import gmap_url
+
+    assert gmap_url(37.864215, -122.267801) == "   37.864215,-122.267801  "
+    assert gmap_url(37.0, -122.0) == "   37,-122  "
