@@ -159,7 +159,11 @@ def run_scaling_workload(num_cpus: int) -> dict:
             return pa.table({"doc_id": pa.array(ids),
                              "text": b["text"]})
 
-        docs = pages_ds().map_batches(to_doc, batch_format="pyarrow")
+        # prune at the read: the dedup leg needs text only, never html
+        docs = rd.read_parquet(os.path.join(fx, "pages.parquet"),
+                               columns=["text"],
+                               override_num_blocks=4 * num_cpus
+                               ).map_batches(to_doc, batch_format="pyarrow")
         bands = docs.map_batches(dedup.minhash_bands_batch, batch_format="pyarrow")
         return dedup.lsh_bucket_counts(bands).count()
 

@@ -119,7 +119,7 @@ def stage_reference():
     os.makedirs(os.path.join(STAGE, "data"))
     os.makedirs(os.path.join(STAGE, "input"))
     os.makedirs(os.path.join(STAGE, "output"))
-    for f in ("geo.js", "gpsBins.js"):
+    for f in ("geo.js", "geoturf.js", "gpsBins.js"):
         shutil.copy(os.path.join(REF, "js", f), os.path.join(STAGE, "js", f))
     turf_dir = os.path.join(STAGE, "node_modules", "@turf", "turf")
     os.makedirs(turf_dir)
@@ -201,6 +201,25 @@ def run_reference(fname: str) -> list[dict]:
     return rows
 
 
+def run_reference_geoturf(fname: str) -> list[dict]:
+    """The geoturf.js VARIANT (geometric-only, raw coords, old schema)."""
+    out = os.path.join(STAGE, "output", "out_turf.json")
+    subprocess.run(["node", "js/geoturf.js", f"input/{fname}", out],
+                   cwd=STAGE, check=True, capture_output=True, text=True)
+    gj = json.load(open(out))
+    rows = []
+    for feat in gj["features"]:
+        p = feat["properties"]
+        lon, lat = feat["geometry"]["coordinates"]
+        nid = p["nodeId"]
+        rows.append({
+            "lat": lat, "lon": lon, "streets": p["streets"],
+            "node_id": None if nid == "Geom" else int(nid),
+            "node_id_kind": "geom" if nid == "Geom" else "node",
+        })
+    return rows
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from collections import Counter
@@ -234,6 +253,41 @@ def main():
         for k, v in list(missing.items())[:5]:
             lines.append(f"    * missing x{v}: {k}")
         for k, v in list(extra.items())[:5]:
+            lines.append(f"    * extra x{v}: {k}")
+
+        # geoturf.js VARIANT: geometric-only, RAW coordinates, old schema —
+        # compared against the oracle's raw geometric rows (the engine's
+        # geometric_only_pipeline is golden-tested against the same rows)
+        import pyarrow.compute as pc
+
+        from osm_intersections_ray.oracle.reference_oracle import (
+            GEOM_SENTINEL, ReferenceOracle,
+        )
+
+        tref = run_reference_geoturf(fname)
+        orc = ReferenceOracle(ways.filter(pc.equal(ways["county"], county)))
+        orc.init_way_data()
+        tmine = []
+        for i in orc.find_intersections_geometric():
+            is_geom = i.node_id == GEOM_SENTINEL
+            tmine.append({"lat": i.lat, "lon": i.lon,
+                          "streets": i.streets.split("/"),
+                          "node_id": None if is_geom else int(i.node_id),
+                          "node_id_kind": "geom" if is_geom else "node"})
+
+        def tkey(r):
+            return (r["lat"], r["lon"], tuple(r["streets"]), r["node_id"],
+                    r["node_id_kind"])
+
+        trk = Counter(tkey(r) for r in tref)
+        tmk = Counter(tkey(r) for r in tmine)
+        tstatus = "MATCH" if trk == tmk else "MISMATCH"
+        ok = ok and tstatus == "MATCH"
+        lines.append(f"* {county} (geoturf variant): reference rows={len(tref)} "
+                     f"oracle rows={len(tmine)} -> **{tstatus}**")
+        for k, v in list((trk - tmk).items())[:5]:
+            lines.append(f"    * missing x{v}: {k}")
+        for k, v in list((tmk - trk).items())[:5]:
             lines.append(f"    * extra x{v}: {k}")
     report = "\n".join(lines) + "\n"
     print(report)
