@@ -30,9 +30,11 @@ BENCH_QUERIES = [
     "pages_extract",        # byte-identical html -> text (input_hint invariant)
     "pages_way_join",       # pages x road tiles spatial join (north star)
     "geom_candidate_pairs",
+    "nearest_two",          # findClosest reverse geocoder (region-sharded kNN)
     "minhash_lsh_pairs",
     "simhash",
     "knn_cosine",
+    "embedding_near_dup",   # bucketed near-dup (round-2 scale path)
     "events_hourly",
     "sessions",
     "pricing_summary",
