@@ -329,7 +329,17 @@ def jaccard_verified_pairs(ds):
             "doc_b": pa.array(np.concatenate([bb, bb])),
         })
 
-    member = lsh_candidate_pairs(ds).map_batches(member_rows, batch_format="pyarrow")
+    # candidates are the small derived set: pin them (streaming them twice
+    # into the join schema probe isn't worth it, and an EMPTY lazy dataset
+    # has no schema for Dataset.join to hash on)
+    cand = lsh_candidate_pairs(ds).materialize()
+    if cand.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                       "doc_b": pa.array([], pa.int64()),
+                                       "jac_pct": pa.array([], pa.int64())}))
+    member = cand.map_batches(member_rows, batch_format="pyarrow")
     texts = ds.map_batches(augment_near_batch, batch_format="pyarrow")
     joined = member.join(texts, join_type="inner", num_partitions=16, on=("doc_id",))
 

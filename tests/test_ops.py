@@ -232,3 +232,19 @@ def test_extract_regex_edge_cases():
     assert eng["text_extracted"].tolist() == orc["text_extracted"].tolist()
     assert eng["text_extracted"][0] == "first"          # non-greedy
     assert eng["text_extracted"][1] == "line one\nline two"  # dotall
+
+
+def test_jaccard_no_candidates(ray_session):
+    """Distributed Jaccard verification short-circuits cleanly when LSH
+    yields zero candidate pairs (empty lazy datasets have no join schema)."""
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import dedup
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([f"unique doc {i} words {i*7} {i*13} {i*17}"
+                          for i in range(5)]),
+    })
+    out = dedup.jaccard_verified_pairs(rd.from_arrow(tbl))
+    assert out.count() == 0
