@@ -134,14 +134,12 @@ def run_scaling_workload(num_cpus: int) -> dict:
     rows: dict[str, int] = {}
 
     def timed(name, fn):
-        # best-of-2 against host noise (+/-20% run-to-run on this VM)
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            n = fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        per_q[name] = round(best, 3)
+        # single run per worker invocation: the --scaling driver interleaves
+        # two full draws per CPU level and takes each level's best, which
+        # damps host noise better than back-to-back repeats in one process
+        t0 = time.time()
+        n = fn()
+        per_q[name] = round(time.time() - t0, 3)
         rows[name] = int(n)
 
     # The scaling pair IS the north-star workload (BASELINE.json metric:
@@ -195,15 +193,22 @@ def main():
         # tasks) shows this sandbox VM delivers ~8-10 real cores behind its
         # 32 oversubscribed vCPUs (2->8 cpus: 3.5x; 4->16: 1.15x), so any
         # level above ~8 measures host oversubscription, not the engine.
+        # Host contention drifts on the scale of minutes, so the two levels
+        # run INTERLEAVED (lo, hi, lo, hi) and each level takes its best
+        # draw — a level pair measured in the same weather.
         lo, hi = 2, 8
         run(hi)  # warm fixture generation + page cache (untimed)
-        r_lo = run(lo)
-        r_hi = run(hi)
+        draws = []
+        for ncpu in (lo, hi, lo, hi):
+            draws.append((ncpu, run(ncpu)))
+        r_lo = min((r for n, r in draws if n == lo), key=lambda r: r["value"])
+        r_hi = min((r for n, r in draws if n == hi), key=lambda r: r["value"])
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         print(json.dumps({
             "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, same input)",
             "num_cpus_lo": lo, "num_cpus_hi": hi,
             "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+            "all_draws": [{"num_cpus": n, "sec": r["value"]} for n, r in draws],
             "scaling_efficiency": round(eff, 3),
             "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
             "sf": r_lo["sf"],
