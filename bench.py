@@ -197,7 +197,13 @@ def main():
         # run INTERLEAVED (lo, hi, lo, hi) and each level takes its best
         # draw — a level pair measured in the same weather.
         lo, hi = 2, 8
-        run(hi)  # warm fixture generation + page cache (untimed)
+        # warm fixture generation + page cache (untimed) — skipped when the
+        # fixture already exists (its parquet is then OS-cache-warm from
+        # generation or a prior draw; every draw below is best-per-level
+        # anyway, so a cold first draw cannot become the headline)
+        from osm_intersections_ray.sources.synthetic import FIXTURE_ROOT
+        if not os.path.exists(os.path.join(FIXTURE_ROOT, "sf0.1r4", "_SUCCESS")):
+            run(hi)
         draws = []
         for ncpu in (lo, hi, lo, hi):
             draws.append((ncpu, run(ncpu)))
