@@ -154,6 +154,28 @@ def _shingle_hashes_per_doc(texts) -> list[np.ndarray]:
     return out
 
 
+_CHUNK_OCC = 1 << 17  # ~128k shingle occurrences per inner chunk: the
+# (occ, NUM_PERM) uint64 mix matrix stays ~32 MB (cache/bandwidth friendly)
+# regardless of how large a block Ray hands the kernel — without this, a
+# 50k-doc block makes ~800 MB temporaries and the kernel goes memory-bound.
+# The mix buffer is allocated ONCE per worker process and reused via
+# out= kernels: freshly-touched pages are catastrophically slow on
+# ballooned-memory hypervisors (measured ~17 MB/s first-touch on this
+# sandbox vs GB/s warm), so allocation churn IS the hot path there.
+_V_BUF = None
+
+
+def _mix_chunk(flat: np.ndarray) -> np.ndarray:
+    global _V_BUF
+    n = len(flat)
+    if _V_BUF is None or _V_BUF.shape[0] < n:
+        _V_BUF = np.empty((max(n, _CHUNK_OCC), NUM_PERM), dtype=np.uint64)
+    v = _V_BUF[:n]
+    np.multiply(flat[:, None], _PERM_A[None, :], out=v)
+    np.add(v, _PERM_B[None, :], out=v)
+    return v
+
+
 def minhash_bands_batch(b: pa.Table) -> pa.Table:
     """doc -> (band, bucket) rows; all-numpy except tokenization + the
     per-distinct-token md5."""
@@ -167,11 +189,23 @@ def minhash_bands_batch(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "band": pa.array([], pa.int32()),
                          "bucket": pa.array([], pa.int64())})
-    flat = np.concatenate([s for s, k in zip(sh_per_doc, kept) if k])
-    fstarts = np.zeros(int(kept.sum()), dtype=np.int64)
-    np.cumsum(seg_lens[kept][:-1], out=fstarts[1:])
-    v = flat[:, None] * _PERM_A[None, :] + _PERM_B[None, :]  # uint64 wrap == mod 2^64
-    sig = np.minimum.reduceat(v, fstarts, axis=0)  # (ndocs, NUM_PERM)
+    kept_arrays = [s for s, k in zip(sh_per_doc, kept) if k]
+    kept_lens = seg_lens[kept]
+    sig_parts = []
+    i = 0
+    n_kept = len(kept_arrays)
+    while i < n_kept:
+        j, occ = i, 0
+        while j < n_kept and (occ == 0 or occ + kept_lens[j] <= _CHUNK_OCC):
+            occ += int(kept_lens[j])
+            j += 1
+        flat = np.concatenate(kept_arrays[i:j])
+        fstarts = np.zeros(j - i, dtype=np.int64)
+        np.cumsum(kept_lens[i:j][:-1], out=fstarts[1:])
+        v = _mix_chunk(flat)  # (A_j*h+B_j) uint64 wrap, reused buffer
+        sig_parts.append(np.minimum.reduceat(v, fstarts, axis=0))
+        i = j
+    sig = np.concatenate(sig_parts, axis=0)  # (ndocs, NUM_PERM)
     n_bands = NUM_PERM // BAND_ROWS
     s3 = sig.reshape(-1, n_bands, BAND_ROWS)
     acc = np.arange(n_bands, dtype=np.uint64)[None, :] * MIX_C + s3[:, :, 0]
