@@ -120,7 +120,11 @@ def run_scaling_workload(num_cpus: int) -> dict:
     from osm_intersections_ray.sources.synthetic import ensure_fixtures
     from osm_intersections_ray.stages import dedup, pages
 
-    fx = ensure_fixtures("/root/testdata/sf0.1r4")  # generated once, cached
+    # r16 (1.6M pages, 125k ways): large enough that per-stage fixed costs
+    # (shuffle setup, scheduling) are amortized and both legs measure
+    # COMPUTE scaling — at r4 the join leg was scheduler-dominated (1.3x
+    # from 2->8 cpus) once the MinHash kernel got ~25x faster.
+    fx = ensure_fixtures("/root/testdata/sf0.1r16")  # generated once, cached
 
     def pages_ds():
         return rd.read_parquet(os.path.join(fx, "pages.parquet"),
@@ -207,7 +211,7 @@ def main():
         # generation or a prior draw; every draw below is best-per-level
         # anyway, so a cold first draw cannot become the headline)
         from osm_intersections_ray.sources.synthetic import FIXTURE_ROOT
-        if not os.path.exists(os.path.join(FIXTURE_ROOT, "sf0.1r4", "_SUCCESS")):
+        if not os.path.exists(os.path.join(FIXTURE_ROOT, "sf0.1r16", "_SUCCESS")):
             run(hi)
         draws = []
         for ncpu in (lo, hi, lo, hi):
