@@ -236,7 +236,14 @@ def lsh_bucket_counts(bands_ds):
     """(band, bucket) -> row count, via the sharded vectorized pattern:
     Ray's sort-aggregate pays per-GROUP Python cost (~40us/group), which is
     pathological at near-one-group-per-row cardinality; sharding by
-    bucket%N_SHARDS gives 64 groups whose counting runs as C-speed pandas."""
+    bucket%N_SHARDS gives 64 groups whose counting runs as C-speed pandas.
+
+    The band rows (24 B/row — a small fraction of the input text) are
+    PINNED before the shuffle: feeding a map stage directly into an
+    AllToAll sort measures ~2x slower end-to-end on this Ray version than
+    materialize-then-sort (the sort's input buffering throttles the
+    upstream), and the pin also lets a resumed run skip the scan."""
+    bands_ds = bands_ds.materialize()
 
     def per_shard(df: pd.DataFrame) -> pa.Table:
         g = df.groupby(["band", "bucket"], sort=False).size().reset_index(name="n")
@@ -266,7 +273,7 @@ def lsh_candidate_pairs(ds):
 
     bands = ds.map_batches(augment_near_batch, batch_format="pyarrow").map_batches(
         minhash_bands_batch, batch_format="pyarrow"
-    ).map_batches(_add_shard, batch_format="pyarrow")
+    ).map_batches(_add_shard, batch_format="pyarrow").materialize()  # see lsh_bucket_counts
     cand = bands.groupby("shard").map_groups(pairs, batch_format="pandas")
     # distinct (a, b) with shared-bucket counts — candidates are few
     from ray.data.aggregate import Count

@@ -97,7 +97,31 @@ FROM g
 
 def pages_way_join(pages_ds, ways_ds):
     """Cell-keyed hash join of geotagged pages against way-bbox tile covers,
-    refined by exact bbox containment.  Returns (url, way_id)."""
+    refined by exact bbox containment.  Returns (url, way_id).
+
+    Shuffle-volume design: way bboxes are the SMALL side and never enter
+    the shuffle — they broadcast once (``ray.put`` of 4 float arrays keyed
+    by sorted way_id) and the per-bucket refinement gathers them by
+    ``searchsorted``.  A shuffled page row is (bucket, cellkey, url, lat,
+    lon, way_id=-1); a way row is (bucket, cellkey, way_id) with nulls —
+    ~30% less shuffle bandwidth than shipping padded bbox columns on every
+    page row."""
+    import ray
+
+    from .common import cached_get
+
+    def bbox_rows(b: pa.Table) -> pa.Table:
+        return b.select(["way_id", "minlat", "minlon", "maxlat", "maxlon"])
+
+    bb = ways_ds.map_batches(bbox_rows, batch_format="pyarrow").to_pandas()
+    order = np.argsort(bb["way_id"].to_numpy(), kind="stable")
+    bb_ref = ray.put({
+        "ids": bb["way_id"].to_numpy()[order].astype(np.int64),
+        "minlat": bb["minlat"].to_numpy()[order],
+        "minlon": bb["minlon"].to_numpy()[order],
+        "maxlat": bb["maxlat"].to_numpy()[order],
+        "maxlon": bb["maxlon"].to_numpy()[order],
+    })
 
     def pages_side(b: pa.Table) -> pa.Table:
         """Vectorized: the res-14..17 ancestor chain via int bit ops."""
@@ -113,38 +137,29 @@ def pages_way_join(pages_ds, ways_ds):
             s = TILE_RES_MAX - res
             cells.append((np.int64(res) << 58) | ((ix >> s) << 29) | (iy >> s))
         k = len(cells)
-        nan = np.full(n * k, np.nan)
+        idx = np.tile(np.arange(n, dtype=np.int64), k)
+        url = g["url"].combine_chunks()
+        if isinstance(url, pa.ChunkedArray):
+            url = url.chunk(0) if url.num_chunks else pa.array([], pa.string())
         return pa.table({
             "cellkey": pa.array(np.concatenate(cells), pa.int64()),
-            "role": pa.array(np.zeros(n * k, dtype=np.int8)),
-            "url": pa.array(np.tile(np.asarray(g["url"].to_pylist(), dtype=object), k).tolist(),
-                            pa.string()),
+            "url": url.take(pa.array(idx)),  # Arrow gather, no Python strings
             "lat": pa.array(np.tile(lat, k), pa.float64()),
             "lon": pa.array(np.tile(lon, k), pa.float64()),
             "way_id": pa.array(np.full(n * k, -1, dtype=np.int64)),
-            "minlat": pa.array(nan, pa.float64()),
-            "minlon": pa.array(nan, pa.float64()),
-            "maxlat": pa.array(nan, pa.float64()),
-            "maxlon": pa.array(nan, pa.float64()),
         })
 
     def ways_side(b: pa.Table) -> pa.Table:
         idx, cells = _cover_explode_index(b)
         n = len(idx)
-        sub = b.select(["way_id", "minlat", "minlon", "maxlat", "maxlon"]).take(
-            pa.array(idx, pa.int64()))
+        sub = b.select(["way_id"]).take(pa.array(idx, pa.int64()))
         nan = np.full(n, np.nan)
         return pa.table({
             "cellkey": pa.array(cells, pa.int64()),
-            "role": pa.array(np.ones(n, dtype=np.int8)),
-            "url": pa.array([""] * n, pa.string()),
+            "url": pa.array([None] * n, pa.string()),
             "lat": pa.array(nan, pa.float64()),
             "lon": pa.array(nan, pa.float64()),
             "way_id": sub["way_id"],
-            "minlat": sub["minlat"],
-            "minlon": sub["minlon"],
-            "maxlat": sub["maxlat"],
-            "maxlon": sub["maxlon"],
         })
 
     n_salt = 4  # hot-cell skew: split each cell's PAGES into n_salt
@@ -155,20 +170,27 @@ def pages_way_join(pages_ds, ways_ds):
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:
         """Vectorized hash join within a cell bucket: pandas merge on the
-        exact cell id, then the bbox containment refinement.  A page's
-        ancestor cells are disjoint from each other and a way's compacted
-        cover cells are disjoint, so each (page, way) pair matches at most
-        one cell — no post-join dedup is needed."""
-        pages = df[df["role"] == 0]
-        ways = df[df["role"] == 1]
+        exact cell id, then bbox refinement against the BROADCAST bbox
+        arrays (searchsorted gather).  A page's ancestor cells are disjoint
+        and a way's compacted cover cells are disjoint, so each (page, way)
+        pair matches at most one cell — no post-join dedup is needed."""
+        empty = pa.table({"url": pa.array([], pa.string()),
+                          "way_id": pa.array([], pa.int64())})
+        wmask = df["way_id"] >= 0
+        ways = df[wmask]
+        pages = df[~wmask]
         if len(pages) == 0 or len(ways) == 0:
-            return pa.table({"url": pa.array([], pa.string()),
-                             "way_id": pa.array([], pa.int64())})
+            return empty
         m = pages[["cellkey", "url", "lat", "lon"]].merge(
-            ways[["cellkey", "way_id", "minlat", "minlon", "maxlat", "maxlon"]],
-            on="cellkey")
-        hit = ((m["lat"] >= m["minlat"]) & (m["lat"] <= m["maxlat"])
-               & (m["lon"] >= m["minlon"]) & (m["lon"] <= m["maxlon"]))
+            ways[["cellkey", "way_id"]], on="cellkey")
+        if len(m) == 0:
+            return empty
+        bbd = cached_get(bb_ref)
+        pos = np.searchsorted(bbd["ids"], m["way_id"].to_numpy())
+        hit = ((m["lat"].to_numpy() >= bbd["minlat"][pos])
+               & (m["lat"].to_numpy() <= bbd["maxlat"][pos])
+               & (m["lon"].to_numpy() >= bbd["minlon"][pos])
+               & (m["lon"].to_numpy() <= bbd["maxlon"][pos]))
         m = m[hit]
         return pa.table({"url": pa.array(m["url"].tolist(), pa.string()),
                          "way_id": pa.array(m["way_id"].to_numpy().astype("int64"))})
