@@ -135,6 +135,10 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text"]))
     q["simhash"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         dedup.simhash_batch, batch_format="pyarrow")
+    q["near_dedup_survivors"] = lambda sf: dedup.near_dedup_survivors(
+        _tbl(sf, "documents", ["doc_id", "text"]))
+    q["bpe_token_count"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
+        text.bpe_token_count_batch, batch_format="pyarrow")
 
     # --- similarity search over embeddings
     def knn_cosine(sf):
@@ -211,6 +215,8 @@ def oracle_sql() -> dict:
         "minhash_lsh_pairs": dedup.lsh_pairs_sql(),
         "near_dup_jaccard": dedup.jaccard_pairs_sql(),
         "simhash": dedup.simhash_sql(),
+        "near_dedup_survivors": dedup.near_dedup_survivors_sql(),
+        "bpe_token_count": text.bpe_token_count_sql(),
         "knn_cosine": similarity.knn_sql(),
         "embedding_near_dup": similarity.near_dup_sql(),
         "events_hourly": events.hourly_window_sql(),

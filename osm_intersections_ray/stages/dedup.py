@@ -491,3 +491,53 @@ s AS (SELECT doc_id,
 SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
 FROM {table} d LEFT JOIN s ON s.doc_id = d.doc_id
 """
+
+
+def near_dedup_survivors(ds):
+    """End-to-end near-dedup: documents of the augmented table that survive
+    MinHash-LSH + Jaccard dedup — for each verified near-dup pair the
+    LARGER doc_id drops (keep-first-by-id policy).  The dropped-id set is a
+    tiny derived table, broadcast into a streaming filter over the docs;
+    the documents themselves never shuffle."""
+    import ray
+
+    from .common import cached_get
+
+    pairs = jaccard_verified_pairs(ds)
+    drop = set()
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        drop.update(int(x) for x in batch["doc_b"].to_pylist())
+    drop_ref = ray.put(drop)
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = cached_get(drop_ref)
+        aug = augment_near_batch(b)
+        mask = [int(i) not in d for i in aug["doc_id"].to_pylist()]
+        return aug.filter(pa.array(mask)).select(["doc_id"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def near_dedup_survivors_sql(table: str = "documents") -> str:
+    return f"""
+WITH {_buckets_cte(table)},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buck a JOIN buck b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p JOIN sh a ON a.doc_id = p.doc_a JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT p.doc_b
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  WHERE (100 * coalesce(i.i, 0)) // (sa.n + sb.n - coalesce(i.i, 0)) >= {JACCARD_PCT_MIN}
+)
+SELECT doc_id FROM aug WHERE doc_id NOT IN (SELECT doc_b FROM verified)
+"""

@@ -172,3 +172,41 @@ def fingerprint_batch(b: pa.Table) -> pa.Table:
 
 def fingerprint_sql(table: str = "documents") -> str:
     return f"SELECT doc_id, md5(lower(trim(text))) AS fp FROM {table}"
+
+
+# BPE-ish subword-boundary token counting: alnum runs OR single
+# non-alnum-non-space marks — the pattern string is interpreted identically
+# by Python re and DuckDB's RE2 (explicit ASCII classes, no \w/\s).
+BPE_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]"
+_BPE_RE = None
+
+
+def bpe_token_count_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, n_ws_tokens, n_bpe_tokens): whitespace tokens vs BPE-ish
+    regex tokens per document — the token-budget estimator of a
+    training-data pipeline, vectorized via pandas' C regex counter."""
+    import pandas as pd
+
+    global _BPE_RE
+    if _BPE_RE is None:
+        import re
+
+        _BPE_RE = re.compile(BPE_PATTERN)
+    ser = b["text"].to_pandas()
+    n_bpe = ser.str.count(BPE_PATTERN).fillna(0).astype("int64")
+    n_ws = ser.str.split().str.len().fillna(0).astype("int64")
+    return pa.table({
+        "doc_id": b["doc_id"],
+        "n_ws_tokens": pa.array(n_ws.to_numpy()),
+        "n_bpe_tokens": pa.array(n_bpe.to_numpy()),
+    })
+
+
+def bpe_token_count_sql(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       len(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'))::BIGINT
+         - CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') = '' THEN 1 ELSE 0 END AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT AS n_bpe_tokens
+FROM {table}
+"""
