@@ -173,7 +173,8 @@ def run_scaling_workload(num_cpus: int) -> dict:
                                columns=["text"],
                                override_num_blocks=4 * num_cpus
                                ).map_batches(to_doc, batch_format="pyarrow")
-        bands = docs.map_batches(dedup.minhash_bands_batch, batch_format="pyarrow")
+        bands = docs.map_batches(dedup.minhash_bands_batch, batch_format="pyarrow",
+                                 batch_size=8192)
         return dedup.lsh_bucket_counts(bands).count()
 
     timed("pages_minhash_buckets", pages_minhash)

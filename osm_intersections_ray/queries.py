@@ -134,7 +134,7 @@ def queries() -> dict:
     q["near_dup_jaccard"] = lambda sf: dedup.jaccard_verified_pairs(
         _tbl(sf, "documents", ["doc_id", "text"]))
     q["simhash"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
-        dedup.simhash_batch, batch_format="pyarrow")
+        dedup.simhash_batch, batch_format="pyarrow", batch_size=8192)
     q["near_dedup_survivors"] = lambda sf: dedup.near_dedup_survivors(
         _tbl(sf, "documents", ["doc_id", "text"]))
     q["bpe_token_count"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(

@@ -272,7 +272,7 @@ def lsh_candidate_pairs(ds):
                          "doc_b": pa.array(m["doc_id_y"].to_numpy(), pa.int64())})
 
     bands = ds.map_batches(augment_near_batch, batch_format="pyarrow").map_batches(
-        minhash_bands_batch, batch_format="pyarrow"
+        minhash_bands_batch, batch_format="pyarrow", batch_size=8192
     ).map_batches(_add_shard, batch_format="pyarrow").materialize()  # see lsh_bucket_counts
     cand = bands.groupby("shard").map_groups(pairs, batch_format="pandas")
     # distinct (a, b) with shared-bucket counts — candidates are few
