@@ -164,12 +164,40 @@ def check_highway_types(h1: str | None, h2: str | None, has_common_node: bool) -
 
 
 def js_num_str(v: float) -> str:
-    """JS Number-to-string for finite doubles: shortest round-trip (Python
-    repr matches), except integer-valued doubles print without '.0'
-    (String(37.0) === '37' in JS)."""
-    if v == int(v) and abs(v) < 1e21:
-        return str(int(v))
-    return repr(v)
+    """JS Number-to-string (ECMA-262 Number::toString, base 10): shortest
+    round-trip digits (Python repr supplies those), re-notated per the JS
+    rules — integer-valued doubles < 1e21 print without '.0'; fixed notation
+    for 1e-6 <= |v| < 1e21; exponential outside with unpadded exponent and
+    explicit '+' ('1.5e-7', '1.2e+21' — where Python repr says '1.5e-07')."""
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    if v == 0:
+        return "0"  # also maps -0.0 -> '0', as JS does
+    neg = v < 0
+    # shortest round-trip digits d1..dk (dk != 0) and scale n such that
+    # value = 0.d1..dk * 10^n — ECMA-262's (k, n) decomposition
+    s = repr(abs(v))
+    mant, _, exp = s.partition("e")
+    ip, _, fp = mant.partition(".")
+    alldig = ip + fp
+    stripped = alldig.lstrip("0")
+    n = len(ip) - (len(alldig) - len(stripped)) + (int(exp) if exp else 0)
+    digits = stripped.rstrip("0")
+    k = len(digits)
+    if k <= n <= 21:
+        out = digits + "0" * (n - k)
+    elif 0 < n <= 21:
+        out = digits[:n] + "." + digits[n:]
+    elif -6 < n <= 0:
+        out = "0." + "0" * (-n) + digits
+    else:
+        m = digits[0] + ("." + digits[1:] if k > 1 else "")
+        out = f"{m}e{'+' if n - 1 >= 0 else '-'}{abs(n - 1)}"
+    return ("-" if neg else "") + out
 
 
 def gmap_url(lat: float, lon: float) -> str:

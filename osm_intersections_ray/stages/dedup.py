@@ -255,11 +255,26 @@ def lsh_bucket_counts(bands_ds):
     return sharded.groupby("shard").map_groups(per_shard, batch_format="pandas")
 
 
-def lsh_candidate_pairs(ds):
+# Stage-checkpoint keys carry every parameter that feeds the band values —
+# a kernel change in a later round invalidates old /tmp checkpoints by key.
+_BANDS_CKPT_VERSION = 1
+
+
+def _bands_ckpt_key(source_key: str) -> str:
+    return (f"bands-v{_BANDS_CKPT_VERSION}-p{NUM_PERM}r{BAND_ROWS}"
+            f"k{SHINGLE_K}m{NEAR_DUP_MOD}|{source_key}")
+
+
+def lsh_candidate_pairs(ds, ckpt_key: str | None = None):
     """(doc_a < doc_b) pairs sharing any LSH bucket.  Per shard, duplicated
     (band, bucket) groups self-merge (vectorized pandas hash join) into
     ordered pairs; the final distinct-with-count aggregate runs over the
-    small candidate set only."""
+    small candidate set only.
+
+    ``ckpt_key`` (a stable identifier for the input, e.g. its sf_dir)
+    persists the band rows through ``state.checkpoint.cached_dataset`` so
+    the tokenize+MinHash scan runs ONCE per input even when several dedup
+    consumers (pairs, Jaccard verify, survivor filter) share the chain."""
 
     def pairs(df: pd.DataFrame) -> pa.Table:
         dup = df[df.duplicated(["band", "bucket"], keep=False)]
@@ -271,9 +286,17 @@ def lsh_candidate_pairs(ds):
         return pa.table({"doc_a": pa.array(m["doc_id_x"].to_numpy(), pa.int64()),
                          "doc_b": pa.array(m["doc_id_y"].to_numpy(), pa.int64())})
 
-    bands = ds.map_batches(augment_near_batch, batch_format="pyarrow").map_batches(
-        minhash_bands_batch, batch_format="pyarrow", batch_size=8192
-    ).map_batches(_add_shard, batch_format="pyarrow").materialize()  # see lsh_bucket_counts
+    def make_bands():
+        return ds.map_batches(augment_near_batch, batch_format="pyarrow").map_batches(
+            minhash_bands_batch, batch_format="pyarrow", batch_size=8192
+        ).map_batches(_add_shard, batch_format="pyarrow")
+
+    if ckpt_key is not None:
+        from ..state.checkpoint import cached_dataset
+
+        bands = cached_dataset(_bands_ckpt_key(ckpt_key), make_bands)
+    else:
+        bands = make_bands().materialize()  # see lsh_bucket_counts
     cand = bands.groupby("shard").map_groups(pairs, batch_format="pandas")
     # distinct (a, b) with shared-bucket counts — candidates are few
     from ray.data.aggregate import Count
@@ -347,7 +370,20 @@ GROUP BY 1, 2
 N_PAIR_SHARDS = 32
 
 
-def jaccard_verified_pairs(ds):
+def jaccard_verified_pairs(ds, ckpt_key: str | None = None):
+    """Checkpointed wrapper over :func:`_jaccard_verified_pairs`: with a
+    ``ckpt_key`` the verified pairs persist once per input, so the survivor
+    filter (and any rerun) reads them back instead of re-verifying."""
+    if ckpt_key is not None:
+        from ..state.checkpoint import cached_dataset
+
+        return cached_dataset(
+            f"jacpairs-v{_BANDS_CKPT_VERSION}-j{JACCARD_PCT_MIN}|{ckpt_key}",
+            lambda: _jaccard_verified_pairs(ds, ckpt_key=ckpt_key))
+    return _jaccard_verified_pairs(ds)
+
+
+def _jaccard_verified_pairs(ds, ckpt_key: str | None = None):
     """LSH candidates verified by true word-3-shingle Jaccard (integer
     percent, floor) — fully distributed:
 
@@ -373,7 +409,7 @@ def jaccard_verified_pairs(ds):
     # candidates are the small derived set: pin them (streaming them twice
     # into the join schema probe isn't worth it, and an EMPTY lazy dataset
     # has no schema for Dataset.join to hash on)
-    cand = lsh_candidate_pairs(ds).materialize()
+    cand = lsh_candidate_pairs(ds, ckpt_key=ckpt_key).materialize()
     if cand.count() == 0:
         import ray.data as rd
 
@@ -493,29 +529,37 @@ FROM {table} d LEFT JOIN s ON s.doc_id = d.doc_id
 """
 
 
-def near_dedup_survivors(ds):
+def near_dedup_survivors(ds, ckpt_key: str | None = None):
     """End-to-end near-dedup: documents of the augmented table that survive
     MinHash-LSH + Jaccard dedup — for each verified near-dup pair the
-    LARGER doc_id drops (keep-first-by-id policy).  The dropped-id set is a
-    tiny derived table, broadcast into a streaming filter over the docs;
-    the documents themselves never shuffle."""
-    import ray
+    LARGER doc_id drops (keep-first-by-id policy).
 
-    from .common import cached_get
+    Distributed anti-join: the dropped ids (verified ``doc_b`` rows) hash-
+    join against the augmented doc ids (``Dataset.join`` left_outer, then a
+    null filter).  No process ever holds the full drop set — at realistic
+    100-TB dup rates (30-50% of the corpus) a driver-side Python set would
+    be billions of int64s.  Only (doc_id) keys shuffle, never text."""
+    pairs = jaccard_verified_pairs(ds, ckpt_key=ckpt_key)
 
-    pairs = jaccard_verified_pairs(ds)
-    drop = set()
-    for batch in pairs.iter_batches(batch_format="pyarrow"):
-        drop.update(int(x) for x in batch["doc_b"].to_pylist())
-    drop_ref = ray.put(drop)
+    def drop_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({"doc_id": b["doc_b"],
+                         "dropped": pa.array(np.ones(n, dtype=np.int8))})
+
+    drop = pairs.map_batches(drop_rows, batch_format="pyarrow")
+    aug = ds.map_batches(augment_near_batch, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    joined = aug.join(drop, join_type="left_outer", num_partitions=16,
+                      on=("doc_id",))
 
     def keep(b: pa.Table) -> pa.Table:
-        d = cached_get(drop_ref)
-        aug = augment_near_batch(b)
-        mask = [int(i) not in d for i in aug["doc_id"].to_pylist()]
-        return aug.filter(pa.array(mask)).select(["doc_id"])
+        import pyarrow.compute as pc
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+        # a doc dropped by SEVERAL pairs matches several drop rows; all of
+        # them are filtered out here, and each survivor appears exactly once
+        return b.filter(pc.is_null(b["dropped"])).select(["doc_id"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")
 
 
 def near_dedup_survivors_sql(table: str = "documents") -> str:

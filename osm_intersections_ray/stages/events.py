@@ -24,8 +24,16 @@ from ..functions.scalar import round_half_away_np
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 
+# Pinned partial schema: pandas infers object/float dtypes on empty batches
+# and Ray would log a spurious "RefBundle with a different schema" warning.
+_HOURLY_PARTIAL_SCHEMA = pa.schema([
+    ("event_type", pa.string()), ("hour", pa.timestamp("us")),
+    ("n", pa.int64()), ("sum_cents", pa.int64()),
+])
+
+
 def hourly_window(ds):
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
         ts = b["ts"].to_pandas()
@@ -35,7 +43,8 @@ def hourly_window(ds):
                            "hour": hour, "cents": cents})
         g = df.groupby(["event_type", "hour"], sort=False).agg(
             n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_HOURLY_PARTIAL_SCHEMA)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(["event_type", "hour"]).aggregate(

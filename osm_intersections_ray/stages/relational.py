@@ -11,6 +11,15 @@ import pyarrow as pa
 
 from ..functions.scalar import round_half_away_np
 
+# Partial-aggregate outputs carry a PINNED schema: pandas infers object/float
+# dtypes on empty or degenerate batches, and Ray then logs a benign-but-noisy
+# "RefBundle with a different schema" warning that would mask real drift.
+_PRICING_PARTIAL_SCHEMA = pa.schema([
+    ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+    ("n", pa.int64()), ("sum_qty", pa.int64()),
+    ("sum_price_cents", pa.int64()), ("sum_disc_cents", pa.int64()),
+])
+
 
 def pricing_summary(ds):
     """TPC-H Q1-shaped: per (returnflag, linestatus): row count, sum qty,
@@ -38,7 +47,8 @@ def pricing_summary(ds):
             n=("n", "sum"), sum_qty=("qty", "sum"),
             sum_price_cents=("price_cents", "sum"),
             sum_disc_cents=("disc_cents", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_PRICING_PARTIAL_SCHEMA)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -59,24 +69,32 @@ FROM {table} GROUP BY 1, 2
 """
 
 
+_REVENUE_PARTIAL_SCHEMA = pa.schema([
+    ("n_name", pa.string()), ("n_orders", pa.int64()),
+    ("revenue_cents", pa.int64()),
+])
+
+
 def revenue_by_nation(orders_ds, customer_tbl: pa.Table, nation_tbl: pa.Table):
     """Broadcast join: orders x customer x nation (both dims tiny) -> revenue
-    cents per nation.  The dims ship once via closure capture; orders stream."""
-    cust = dict(zip(customer_tbl["c_custkey"].to_pylist(),
-                    customer_tbl["c_nationkey"].to_pylist()))
-    nation = dict(zip(nation_tbl["n_nationkey"].to_pylist(),
-                      nation_tbl["n_name"].to_pylist()))
-    from ray.data.aggregate import Count, Sum
+    cents per nation.  The dims ship once via closure capture (pandas Series
+    for vectorized `.map` lookups); orders stream."""
+    cust = pd.Series(customer_tbl["c_nationkey"].to_numpy(zero_copy_only=False),
+                     index=customer_tbl["c_custkey"].to_numpy(zero_copy_only=False))
+    nation = pd.Series(nation_tbl["n_name"].to_pylist(),
+                       index=nation_tbl["n_nationkey"].to_numpy(zero_copy_only=False))
+    from ray.data.aggregate import Sum
 
     def join(b: pa.Table) -> pa.Table:
-        keys = b["o_custkey"].to_pylist()
+        keys = pd.Series(b["o_custkey"].to_numpy(zero_copy_only=False))
         price = b["o_totalprice"].to_numpy(zero_copy_only=False)
         cents = round_half_away_np(price * 100)
-        names = [nation[cust[k]] for k in keys]
-        df = pd.DataFrame({"n_name": names, "cents": cents})
+        names = keys.map(cust).map(nation)  # two C-speed hash gathers
+        df = pd.DataFrame({"n_name": names.to_numpy(), "cents": cents})
         g = df.groupby("n_name", sort=False).agg(
             n_orders=("cents", "size"), revenue_cents=("cents", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_REVENUE_PARTIAL_SCHEMA)
 
     partials = orders_ds.map_batches(join, batch_format="pyarrow")
     return partials.groupby("n_name").aggregate(

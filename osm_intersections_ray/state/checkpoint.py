@@ -109,6 +109,59 @@ def write_partitioned(ds, out_dir: str, partition_col: str,
     return report
 
 
+CKPT_ROOT = "/tmp/osm_ray_ckpt"
+
+
+def cached_dataset(key: str, make_ds, root: str = CKPT_ROOT):
+    """Compute-once dataset checkpoint for intermediate stages shared by
+    several pipelines (e.g. the MinHash band rows feeding candidate pairs,
+    Jaccard verification AND survivor filtering — at scale re-running
+    tokenization+MinHash per consumer doubles the dominant cost).
+
+    First caller executes ``make_ds()`` and writes it to parquet under
+    ``root/key`` (temp dir + manifest + atomic rename — same crash contract
+    as :func:`write_partitioned`); every caller returns a ``read_parquet``
+    Dataset over the checkpoint, so downstream lineage re-execution re-reads
+    parquet instead of re-deriving the stage."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ..functions.scalar import file_name_ize
+
+    key = file_name_ize(key)
+    final = os.path.join(root, key)
+
+    def _read():
+        paths = [os.path.join(final, f) for f in os.listdir(final)
+                 if f.endswith(".parquet")]
+        return rd.read_parquet(paths)
+
+    if os.path.exists(os.path.join(final, "_MANIFEST.json")):
+        return _read()
+    os.makedirs(root, exist_ok=True)
+    clean_stale_temp_dirs(root)
+    tmp = tempfile.mkdtemp(dir=root, prefix=f".{key}.")
+    try:
+        out_ds = make_ds()
+        out_ds.write_parquet(tmp)
+        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        if not files:  # empty dataset wrote no files: nothing to cache
+            shutil.rmtree(tmp, ignore_errors=True)
+            return out_ds
+        rows = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows
+                   for f in files)
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump({"key": key, "rows": rows, "written": time.time()}, f)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return _read()
+
+
 def read_partitioned(out_dir: str, partitions: list[str] | None = None):
     """Read back completed partitions as one Dataset."""
     import ray.data as rd

@@ -107,7 +107,8 @@ def test_geometric_only_variant(ray_session, fixtures_dir):
                    r["node_id"], r["node_id_kind"]) for r in rows)
     assert got == want and sum(want.values()) > 0
     # raw coordinates: at least one row must carry more precision than fix6
-    assert any(abs(k[1] * 1e6 - round(k[1] * 1e6)) > 1e-9 for k in got) or True
+    # (the geoturf variant skips the fix6 rounding, geoturf.js:1151-1168)
+    assert any(abs(k[1] * 1e6 - round(k[1] * 1e6)) > 1e-9 for k in got)
 
 
 def test_find_closest_matches_oracle(ray_session, fixtures_dir):
