@@ -95,20 +95,38 @@ FROM g
 """
 
 
-def pages_way_join(pages_ds, ways_ds):
+# Above this many ways the per-worker broadcast bbox dict (4 float64 + 1
+# int64 array ~ 40 B/way -> ~40 GB at planet-scale 10^9 ways) stops being
+# "small side"; the join then routes to the native variant that carries
+# bboxes through the shuffle instead of broadcasting them.
+BROADCAST_WAYS_MAX = 2_000_000
+
+
+def pages_way_join(pages_ds, ways_ds, broadcast_ways_max: int = BROADCAST_WAYS_MAX):
     """Cell-keyed hash join of geotagged pages against way-bbox tile covers,
     refined by exact bbox containment.  Returns (url, way_id).
 
-    Shuffle-volume design: way bboxes are the SMALL side and never enter
-    the shuffle — they broadcast once (``ray.put`` of 4 float arrays keyed
-    by sorted way_id) and the per-bucket refinement gathers them by
-    ``searchsorted``.  A shuffled page row is (bucket, cellkey, url, lat,
-    lon, way_id=-1); a way row is (bucket, cellkey, way_id) with nulls —
-    ~30% less shuffle bandwidth than shipping padded bbox columns on every
-    page row."""
+    Strategy is picked by ways cardinality (``ways_ds.count()`` — metadata
+    only for a plain parquet read):
+
+    * ways <= ``broadcast_ways_max`` (the declared-small regime): bboxes
+      never enter the shuffle — they broadcast once (``ray.put`` of 4 float
+      arrays keyed by sorted way_id) and the per-bucket refinement gathers
+      them by ``searchsorted``.  A shuffled page row is (bucket, cellkey,
+      url, lat, lon, way_id=-1); a way row is (bucket, cellkey, way_id) with
+      nulls — ~30% less shuffle bandwidth than shipping padded bbox columns
+      on every page row.
+    * ways > ``broadcast_ways_max``: route to
+      :func:`pages_way_join_native` — bboxes ride the shuffle, no driver
+      collect, no per-worker O(ways) structure.  Both variants produce the
+      identical (url, way_id) set (``test_native_join_matches_bucketed``).
+    """
     import ray
 
     from .common import cached_get
+
+    if ways_ds.count() > broadcast_ways_max:
+        return pages_way_join_native(pages_ds, ways_ds)
 
     def bbox_rows(b: pa.Table) -> pa.Table:
         return b.select(["way_id", "minlat", "minlon", "maxlat", "maxlon"])
@@ -216,9 +234,74 @@ def pages_way_join(pages_ds, ways_ds):
 
 
 def _cover_explode_index(b: pa.Table):
-    """(row index array, flat cell list) for the per-way clamped covers —
-    the replication itself is then an Arrow ``take`` gather, not per-row
-    ``.as_py()``."""
+    """(row index array, flat cell array) for the per-way clamped covers,
+    fully vectorized.
+
+    Closed form of the clamped compacted cover: a bbox covers an axis-aligned
+    rectangle of res-17 tiles, and compacting a tile-rectangle (then
+    re-expanding anything coarser than res 14) yields exactly the cells at
+    res r in [14, 17] whose res-17 block lies INSIDE the rectangle and
+    (r == 14 or the parent's block does NOT lie inside) — maximal-compaction
+    by induction on the quartet-merge rule.
+    ``tests/test_ops.py::test_cover_explode_vectorized_parity`` asserts
+    per-way set-equality with the recursive :func:`_cover_explode_index_ref`
+    on random bboxes.
+    Per-way cell sets are unchanged (disjoint covers), only emission order
+    differs — the downstream cell-keyed join is order-free."""
+    minlat = np.asarray(b["minlat"].to_numpy(zero_copy_only=False), np.float64)
+    minlon = np.asarray(b["minlon"].to_numpy(zero_copy_only=False), np.float64)
+    maxlat = np.asarray(b["maxlat"].to_numpy(zero_copy_only=False), np.float64)
+    maxlon = np.asarray(b["maxlon"].to_numpy(zero_copy_only=False), np.float64)
+    nw = len(minlat)
+    if nw == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    n17 = 1 << TILE_RES_MAX
+    # res-17 tile rectangle of each bbox — bit-identical floor/clamp math to
+    # cover_bbox_tiles (min bounds clamp at 0, max bounds clamp at n-1)
+    x0 = np.maximum(0, np.floor((minlon + 180.0) / 360.0 * n17).astype(np.int64))
+    x1 = np.minimum(n17 - 1, np.floor((maxlon + 180.0) / 360.0 * n17).astype(np.int64))
+    y0 = np.maximum(0, np.floor((minlat + 90.0) / 180.0 * n17).astype(np.int64))
+    y1 = np.minimum(n17 - 1, np.floor((maxlat + 90.0) / 180.0 * n17).astype(np.int64))
+
+    def inner(s: int):
+        """Index range [a, b] of res-(17-s) cells whose block fits inside."""
+        ax = (x0 + (1 << s) - 1) >> s
+        bx = ((x1 + 1) >> s) - 1
+        ay = (y0 + (1 << s) - 1) >> s
+        by = ((y1 + 1) >> s) - 1
+        return ax, bx, ay, by
+
+    idx_parts, cell_parts = [], []
+    for res in range(TILE_RES_MIN, TILE_RES_MAX + 1):
+        s = TILE_RES_MAX - res
+        ax, bx, ay, by = inner(s)
+        nx = np.maximum(0, bx - ax + 1)
+        ny = np.maximum(0, by - ay + 1)
+        tot = nx * ny
+        total = int(tot.sum())
+        if total == 0:
+            continue
+        widx = np.repeat(np.arange(nw, dtype=np.int64), tot)
+        off = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(tot) - tot, tot)
+        X = ax[widx] + off // ny[widx]
+        Y = ay[widx] + off % ny[widx]
+        if res > TILE_RES_MIN:
+            pax, pbx, pay, pby = inner(s + 1)
+            par_in = ((X >> 1 >= pax[widx]) & (X >> 1 <= pbx[widx])
+                      & (Y >> 1 >= pay[widx]) & (Y >> 1 <= pby[widx]))
+            keep = ~par_in
+            widx, X, Y = widx[keep], X[keep], Y[keep]
+        idx_parts.append(widx)
+        cell_parts.append((np.int64(res) << 58) | (X << 29) | Y)
+    if not idx_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(idx_parts), np.concatenate(cell_parts)
+
+
+def _cover_explode_index_ref(b: pa.Table):
+    """Recursive-compaction reference implementation (test parity anchor for
+    the vectorized :func:`_cover_explode_index`)."""
     minlat = b["minlat"].to_numpy(zero_copy_only=False)
     minlon = b["minlon"].to_numpy(zero_copy_only=False)
     maxlat = b["maxlat"].to_numpy(zero_copy_only=False)
@@ -249,14 +332,20 @@ def _clamped_cover(bb) -> list[int]:
     return out
 
 
-def pages_way_join_native(pages_ds, ways_ds, num_partitions: int = 32):
-    """Alternate implementation on Ray Data's native hash join
-    (``Dataset.join``, Ray >= 2.46): same cell-keyed semantics, the engine's
-    salted/bucketed variant (:func:`pages_way_join`) remains the default —
-    native join has no hot-key salting.  Kept for comparison/regression."""
+def pages_way_join_native(pages_ds, ways_ds, num_partitions: int = 32,
+                          n_salt: int = 4):
+    """Scale-path implementation on Ray Data's native hash join
+    (``Dataset.join``, Ray >= 2.46): same cell-keyed semantics as
+    :func:`pages_way_join` (which routes here above the broadcast-bbox
+    cardinality crossover), with bboxes carried THROUGH the shuffle — no
+    driver collect, no per-worker O(ways) broadcast.  Hot-cell skew is
+    salted the same way as the bucketed variant: the join key is
+    (cellkey, salt); pages spread over ``n_salt`` sub-keys, way cover rows
+    (the tiny side of each cell) replicate into every sub-key."""
 
     def pages_cells(b: pa.Table) -> pa.Table:
         g = geotag_batch(b)
+        n = g.num_rows
         t17 = g["tile17"].to_numpy(zero_copy_only=False).astype(np.int64)
         ix = (t17 >> 29) & ((1 << 29) - 1)
         iy = t17 & ((1 << 29) - 1)
@@ -265,10 +354,12 @@ def pages_way_join_native(pages_ds, ways_ds, num_partitions: int = 32):
             s = TILE_RES_MAX - res
             cells.append((np.int64(res) << 58) | ((ix >> s) << 29) | (iy >> s))
         k = len(cells)
+        idx = np.tile(np.arange(n, dtype=np.int64), k)
+        salt = np.arange(n * k, dtype=np.int64) % n_salt
         return pa.table({
             "cellkey": pa.array(np.concatenate(cells), pa.int64()),
-            "url": pa.array(np.tile(np.asarray(g["url"].to_pylist(), dtype=object),
-                                    k).tolist(), pa.string()),
+            "salt": pa.array(salt),
+            "url": g["url"].combine_chunks().take(pa.array(idx)),
             "plat": pa.array(np.tile(g["lat"].to_numpy(zero_copy_only=False), k)),
             "plon": pa.array(np.tile(g["lon"].to_numpy(zero_copy_only=False), k)),
         })
@@ -277,12 +368,15 @@ def pages_way_join_native(pages_ds, ways_ds, num_partitions: int = 32):
         idx, cells = _cover_explode_index(b)
         sub = b.select(["way_id", "minlat", "minlon", "maxlat", "maxlon"]).take(
             pa.array(idx, pa.int64()))
-        return sub.add_column(0, "cellkey", pa.array(cells, pa.int64()))
+        one = sub.add_column(0, "cellkey", pa.array(cells, pa.int64()))
+        return pa.concat_tables(
+            one.add_column(1, "salt", pa.array(np.full(len(cells), s, np.int64)))
+            for s in range(n_salt))
 
     p = pages_ds.map_batches(pages_cells, batch_format="pyarrow")
     w = ways_ds.map_batches(ways_cells, batch_format="pyarrow")
     joined = p.join(w, join_type="inner", num_partitions=num_partitions,
-                    on=("cellkey",))
+                    on=("cellkey", "salt"))
 
     def refine(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -248,3 +248,51 @@ def test_jaccard_no_candidates(ray_session):
     })
     out = dedup.jaccard_verified_pairs(rd.from_arrow(tbl))
     assert out.count() == 0
+
+
+def test_cover_explode_vectorized_parity():
+    """The closed-form vectorized cover (`_cover_explode_index`) yields the
+    same per-way CELL SET as the recursive compaction reference
+    (`_cover_explode_index_ref`) on random and edge-case bboxes — including
+    sub-tile slivers, antimeridian-adjacent clamps, and bounds landing
+    exactly on res-14 block edges."""
+    import numpy as np
+
+    from osm_intersections_ray.stages.pages import (
+        _cover_explode_index, _cover_explode_index_ref)
+
+    rng = np.random.default_rng(7)
+    lat0 = rng.uniform(-89.9, 89.5, 60)
+    lon0 = rng.uniform(-179.9, 179.5, 60)
+    rows = [(a, o, a + dl, o + dn)
+            for a, o, dl, dn in zip(lat0, lon0,
+                                    rng.uniform(0, 0.3, 60),
+                                    rng.uniform(0, 0.3, 60))]
+    # edge cases: degenerate point bbox, bounds on exact res-14 tile edges,
+    # high-latitude clamp, bbox entirely past the pole clamp
+    rows += [
+        (37.0, -122.0, 37.0, -122.0),
+        (-90.0 + 180.0 / (1 << 14) * 3, -180.0 + 360.0 / (1 << 14) * 5,
+         -90.0 + 180.0 / (1 << 14) * 7, -180.0 + 360.0 / (1 << 14) * 9),
+        (89.9, 179.9, 95.0, 185.0),
+        (91.0, 181.0, 95.0, 185.0),
+    ]
+    import pyarrow as pa
+
+    b = pa.table({
+        "minlat": pa.array([r[0] for r in rows], pa.float64()),
+        "minlon": pa.array([r[1] for r in rows], pa.float64()),
+        "maxlat": pa.array([r[2] for r in rows], pa.float64()),
+        "maxlon": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    vi, vc = _cover_explode_index(b)
+    ri, rc = _cover_explode_index_ref(b)
+    vec = {}
+    for i, c in zip(vi.tolist(), vc.tolist()):
+        vec.setdefault(i, set()).add(c)
+    ref = {}
+    for i, c in zip(ri, rc):
+        ref.setdefault(i, set()).add(c)
+    assert vec == ref
+    # and within a way the cover cells are distinct (no double emission)
+    assert len(vi) == sum(len(s) for s in vec.values())
