@@ -26,6 +26,7 @@ way1 (each way1's pairs are independent), noted in PipelineConfig.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ..functions.cells import cover_cells
@@ -50,22 +51,44 @@ GEOM_SCHEMA = pa.schema(
 
 def motorway_cell_set(waydata_ds) -> set:
     """Distinct (county, cell) covers of motorway ways — the broadcast
-    prefilter for the explode (small: motorways are sparse)."""
+    prefilter for the explode (small: motorways are sparse).
+
+    Vectorized with the INTEGER rectangle cover (floor(min*100) ..
+    ceil(max*100) inclusive, :func:`..functions.cells.cover_cells_int`),
+    which is a superset of the reference's float-accumulation cover (the
+    float loop's ``_k`` keys are the same nominal integers; drift can only
+    DROP the final row/column, never step outside the rectangle).  A
+    superset prefilter is output-identical: a pair row needs the motorway's
+    own exploded row at the cell, and :func:`explode_cells` still computes
+    each way's cells with the exact float loop — extra prefilter cells that
+    no motorway float-cover contains admit only non-motorway rows, which
+    the pair kernel (way1 must be motorway) never emits."""
+    import pyarrow.compute as pc
+
+    from ..functions.cells import _LAT_OFF, _LNG_OFF
 
     def cells(b: pa.Table) -> pa.Table:
-        county, cell = [], []
-        hw = b["highway"].to_pylist()
-        cs = b["county"].to_pylist()
-        for i in range(b.num_rows):
-            if hw[i] != MOTORWAY:
-                continue
-            for c in cover_cells(
-                b["minlat"][i].as_py(), b["minlon"][i].as_py(),
-                b["maxlat"][i].as_py(), b["maxlon"][i].as_py(),
-            ):
-                county.append(cs[i])
-                cell.append(c)
-        return pa.table({"county": county, "cell": pa.array(cell, pa.int64())})
+        sub = b.filter(pc.equal(b["highway"], MOTORWAY))
+        n = sub.num_rows
+        if n == 0:
+            return pa.table({"county": pa.array([], pa.string()),
+                             "cell": pa.array([], pa.int64())})
+        la0 = np.floor(sub["minlat"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        la1 = np.ceil(sub["maxlat"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        lo0 = np.floor(sub["minlon"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        lo1 = np.ceil(sub["maxlon"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        nla = la1 - la0 + 1
+        tot = (lo1 - lo0 + 1) * nla
+        total = int(tot.sum())
+        widx = np.repeat(np.arange(n, dtype=np.int64), tot)
+        off = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(tot) - tot, tot)
+        klng = lo0[widx] + off // nla[widx]
+        klat = la0[widx] + off % nla[widx]
+        cell = (klng + _LNG_OFF) * 100000 + (klat + _LAT_OFF)
+        t = pa.table({"county": sub["county"].combine_chunks().take(pa.array(widx)),
+                      "cell": pa.array(cell, pa.int64())})
+        # per-batch dedupe before the driver collect (overlapping bboxes)
+        return t.group_by(["county", "cell"]).aggregate([])
 
     df = waydata_ds.map_batches(cells, batch_format="pyarrow").to_pandas()
     return set(zip(df["county"], df["cell"].astype(int)))

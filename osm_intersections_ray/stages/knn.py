@@ -148,15 +148,18 @@ class _RegionIndex:
         self.span = index["span"]
         self._payloads: dict = {}
 
-    def cell(self, cx: int, cy: int):
-        sc = _sc_of(cx, cy)
-        ref = self.refs.get(sc)
-        if ref is None:
-            return None
+    def payload(self, sc: int):
         p = self._payloads.get(sc)
         if p is None:
-            p = self._get(ref)
+            p = self._get(self.refs[sc])
             self._payloads[sc] = p
+        return p
+
+    def cell(self, cx: int, cy: int):
+        sc = _sc_of(cx, cy)
+        if sc not in self.refs:
+            return None
+        p = self.payload(sc)
         return p, p["cells"].get((cx, cy))
 
     def max_rings(self, cx: int, cy: int) -> int:
@@ -225,17 +228,72 @@ class NearestWay:
                          "way_id": pa.array(out, pa.int64())})
 
 
+# Ring radius past which NearestTwo abandons the cell-by-cell walk and
+# scans every remaining supercell wholesale (the sparse / one-name-region
+# degenerate case would otherwise probe O(span^2) mostly-empty cells).
+_EXHAUST_RINGS = 2 * SUPER
+
+
 class NearestTwo:
     """Actor: findClosest (js/geo.js:1319-1361) — nearest way name plus
     second-nearest DISTINCTLY-named way, with the reference's quirks
     (``/undefined`` when no distinct name exists; bare name when the distinct
     second's distance is falsy 0).  Iteration-order ties resolve by
-    (county, rank) ascending — the reference's wayData scan order."""
+    (county, rank) ascending — the reference's wayData scan order.
+
+    The reference semantics are an exact FULL SCAN of wayData (min over all
+    vertices per row); the ring expansion here is pure pruning with an L1
+    lower-bound stop, so processing a superset of cells can never change the
+    answer.  Two consequences exploited below: the per-cell update is
+    vectorized (``np.minimum.reduceat`` over (county, rank) segments), and
+    past ``_EXHAUST_RINGS`` the walk falls back to visiting every remaining
+    supercell payload wholesale and answering from complete state."""
 
     def __init__(self, index_ref):
         from .common import cached_get
 
         self.idx = _RegionIndex(cached_get(index_ref))
+
+    @staticmethod
+    def _update_best(best: dict, payload, arrs, qlat: float, qlon: float):
+        """Fold one cell's vertex arrays into best: per-(county, rank) min
+        distance, one segment reduction instead of a per-vertex loop."""
+        la, lo, _wi, rank, c_ids, n_ids = arrs
+        d = METERS_PER_DEGREE * (np.abs(la - qlat) + np.abs(lo - qlon))
+        # (county_id, rank) composite: county ids are per-supercell-unique
+        # indices (tiny); rank is the per-county wayData row number.
+        comp = (c_ids.astype(np.int64) << 32) | rank.astype(np.int64)
+        order = np.argsort(comp, kind="stable")
+        comp_s = comp[order]
+        starts = np.flatnonzero(np.r_[True, comp_s[1:] != comp_s[:-1]])
+        dmin = np.minimum.reduceat(d[order], starts)
+        rep = order[starts]  # (county, rank, name) constant per composite
+        counties = payload["counties"]
+        names = payload["names"]
+        for j in range(len(rep)):
+            i0 = rep[j]
+            k2 = (counties[c_ids[i0]], int(rank[i0]))
+            di = float(dmin[j])
+            cur = best.get(k2)
+            if cur is None:
+                best[k2] = [di, names[n_ids[i0]]]
+            elif di < cur[0]:
+                cur[0] = di
+
+    def _exhaust(self, best: dict, qlat: float, qlon: float):
+        """Fold EVERY cell of every supercell into best (complete state)."""
+        for sc in self.idx.refs:
+            payload = self.idx.payload(sc)
+            for arrs in payload["cells"].values():
+                self._update_best(best, payload, arrs, qlat, qlon)
+
+    @staticmethod
+    def _answer(nm1: str, second) -> str:
+        if second is None:
+            return f"{nm1}/undefined"  # min2 stays truthy-infinite
+        if second[1][0] == 0.0:
+            return nm1  # JS falsy-0 min2 quirk
+        return f"{nm1}/{second[1][1]}"
 
     def _query(self, qlat: float, qlon: float) -> str:
         cx = math.floor(qlon * 100)
@@ -249,20 +307,10 @@ class NearestTwo:
                 if hit is None or hit[1] is None:
                     continue
                 payload, arrs = hit
-                la, lo, _wi, rank, c_ids, n_ids = arrs
-                d = METERS_PER_DEGREE * (np.abs(la - qlat) + np.abs(lo - qlon))
-                counties = payload["counties"]
-                names = payload["names"]
-                for i in range(len(d)):
-                    k2 = (counties[c_ids[i]], int(rank[i]))
-                    cur = best.get(k2)
-                    di = float(d[i])
-                    if cur is None:
-                        best[k2] = [di, names[n_ids[i]]]
-                    elif di < cur[0]:
-                        cur[0] = di
+                self._update_best(best, payload, arrs, qlat, qlon)
             lb = r * DELTA_M
             done = False
+            second = None
             if best:
                 items = sorted(best.items(), key=lambda kv: (kv[1][0], kv[0]))
                 d1, nm1 = items[0][1]
@@ -274,12 +322,16 @@ class NearestTwo:
             elif r > max_r + 2:
                 return "undefined/undefined"  # empty index (JS string concat)
             if done:
-                if second is None:
-                    return f"{nm1}/undefined"  # min2 stays truthy-infinite
-                if second[1][0] == 0.0:
-                    return nm1  # JS falsy-0 min2 quirk
-                return f"{nm1}/{second[1][1]}"
+                return self._answer(nm1, second)
             r += 1
+            if r > _EXHAUST_RINGS and r <= max_r:
+                self._exhaust(best, qlat, qlon)
+                if not best:
+                    return "undefined/undefined"
+                items = sorted(best.items(), key=lambda kv: (kv[1][0], kv[0]))
+                d1, nm1 = items[0][1]
+                second = next((it for it in items if it[1][1] != nm1), None)
+                return self._answer(nm1, second)
 
     def __call__(self, b: pa.Table) -> pa.Table:
         ks = b["k"].to_pylist()
