@@ -26,6 +26,7 @@ from .stages import (
     events,
     filters,
     knn,
+    multimodal,
     pages,
     queries_spatial as qs,
     relational,
@@ -161,6 +162,20 @@ def queries() -> dict:
 
     q["ann_lsh"] = ann_lsh
 
+    # --- multimodal: REAL pure-Python decodes (netpbm raster, RIFF/WAVE
+    # PCM16) over deterministic doc_id-keyed payloads; the actor-pool decode
+    # stage reads the actual bytes, the oracle predicts them in closed form
+    q["image_decode_ppm"] = lambda sf: (
+        _tbl(sf, "documents", ["doc_id"])
+        .map_batches(multimodal.ppm_media_batch, batch_format="pyarrow", batch_size=512)
+        .map_batches(multimodal.PPMDecode, batch_format="pyarrow",
+                     batch_size=256, concurrency=(1, 8)))
+    q["audio_decode_wav"] = lambda sf: (
+        _tbl(sf, "documents", ["doc_id"])
+        .map_batches(multimodal.wav_media_batch, batch_format="pyarrow", batch_size=512)
+        .map_batches(multimodal.WavDecode, batch_format="pyarrow",
+                     batch_size=256, concurrency=(1, 8)))
+
     # --- events (stream-shaped)
     q["events_hourly"] = lambda sf: events.hourly_window(
         _tbl(sf, "events", ["event_type", "ts", "value"]))
@@ -221,6 +236,8 @@ def oracle_sql() -> dict:
         "simhash": dedup.simhash_sql(),
         "near_dedup_survivors": dedup.near_dedup_survivors_sql(),
         "bpe_token_count": text.bpe_token_count_sql(),
+        "image_decode_ppm": multimodal.image_decode_sql(),
+        "audio_decode_wav": multimodal.audio_decode_sql(),
         "knn_cosine": similarity.knn_sql(),
         "embedding_near_dup": similarity.near_dup_sql(),
         "events_hourly": events.hourly_window_sql(),

@@ -102,6 +102,236 @@ class AudioFrameSample:
         })
 
 
+# --- real pure-Python decode paths (no codec wheels needed) ----------------
+#
+# The container has no compressed-codec libraries, but two REAL formats are
+# decodable with stdlib + numpy alone: binary PPM/PGM (netpbm P6/P5 —
+# uncompressed raster behind a text header) and RIFF/WAVE PCM (chunked
+# binary).  These replace the plumbing-only stubs above as the engine's
+# actual decode kernels; the FAKEIMG1 path stays as the stand-in shape for
+# compressed formats.
+
+
+def encode_ppm(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Binary netpbm encode: P6 (rgb) when pixels has 3 channels, P5 (gray)
+    when flat.  ``pixels`` is uint8, length width*height*channels."""
+    channels = 3 if pixels.size == width * height * 3 else 1
+    magic = b"P6" if channels == 3 else b"P5"
+    return magic + b"\n%d %d\n255\n" % (width, height) + pixels.astype(np.uint8).tobytes()
+
+
+def _ppm_header(blob: bytes):
+    """Parse a netpbm header: magic, then 3 whitespace-separated ints with
+    ``#`` comments allowed between tokens (the real spec).  Returns
+    (channels, width, height, maxval, data_offset)."""
+    if blob[:2] == b"P6":
+        channels = 3
+    elif blob[:2] == b"P5":
+        channels = 1
+    else:
+        raise ValueError(f"not a binary netpbm payload: {blob[:2]!r}")
+    vals = []
+    i = 2
+    n = len(blob)
+    while len(vals) < 3:
+        while i < n and blob[i : i + 1].isspace():
+            i += 1
+        if i < n and blob[i : i + 1] == b"#":  # comment to end-of-line
+            while i < n and blob[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not blob[j : j + 1].isspace():
+            j += 1
+        vals.append(int(blob[i:j]))
+        i = j
+    i += 1  # exactly ONE whitespace byte after maxval precedes the raster
+    return channels, vals[0], vals[1], vals[2], i
+
+
+def decode_ppm(blob: bytes):
+    """(width, height, channels, sum_px) from a binary PPM/PGM payload —
+    the pixel sum reads the actual raster via numpy."""
+    channels, w, h, maxval, off = _ppm_header(blob)
+    npx = w * h * channels
+    px = np.frombuffer(blob, np.uint8, count=npx, offset=off)
+    return w, h, channels, int(px.sum(dtype=np.int64))
+
+
+class PPMDecode:
+    """Actor-pool stage: REAL netpbm decode, binary image ->
+    (width, height, channels, sum_px, mean_px).  Small batch_size: a batch x
+    concurrency of raw rasters must fit the worker heap."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        w, h, c, s = [], [], [], []
+        for blob in b["image"].to_pylist():
+            fw, fh, fc, fs = decode_ppm(blob)
+            w.append(fw)
+            h.append(fh)
+            c.append(fc)
+            s.append(fs)
+        wn = np.asarray(w, np.int64)
+        hn = np.asarray(h, np.int64)
+        cn = np.asarray(c, np.int64)
+        sn = np.asarray(s, np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "width": pa.array(wn),
+            "height": pa.array(hn),
+            "channels": pa.array(cn),
+            "sum_px": pa.array(sn),
+            "mean_px": pa.array(sn / (wn * hn * cn), pa.float64()),
+        })
+
+
+def encode_wav_pcm16(rate: int, channels: int, samples: np.ndarray) -> bytes:
+    """Minimal RIFF/WAVE PCM16 encoder; ``samples`` is int16, interleaved,
+    length n_frames*channels."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", 4) + b"INFO"  # exercise chunk walk
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(blob: bytes):
+    """(sample_rate, n_channels, n_frames, sum_abs) from a RIFF/WAVE PCM16
+    payload — walks the chunk list (fmt may be followed by LIST/fact/...)
+    rather than assuming fixed offsets."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    rate = channels = bits = None
+    frames = 0
+    sum_abs = 0
+    n = len(blob)
+    while i + 8 <= n:
+        cid = blob[i : i + 4]
+        (sz,) = struct.unpack("<I", blob[i + 4 : i + 8])
+        body = i + 8
+        if cid == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", blob[body : body + 16])
+        elif cid == b"data":
+            if bits != 16:
+                raise NotImplementedError("only PCM16 data decodes here")
+            s = np.frombuffer(blob, "<i2", count=sz // 2, offset=body)
+            frames = sz // 2 // channels
+            sum_abs = int(np.abs(s.astype(np.int64)).sum())
+        i = body + sz + (sz & 1)  # chunks are word-aligned
+    return rate, channels, frames, sum_abs
+
+
+class WavDecode:
+    """Actor-pool stage: REAL RIFF/WAVE PCM16 decode, binary audio ->
+    (sample_rate, n_channels, n_frames, sum_abs, n_sampled) where n_sampled
+    counts every ``every``-th frame (the frame-sample op on real frames)."""
+
+    def __init__(self, every: int = 100):
+        self.every = every
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        r, c, f, s = [], [], [], []
+        for blob in b["audio"].to_pylist():
+            fr, fc, ff, fs = decode_wav(blob)
+            r.append(fr)
+            c.append(fc)
+            f.append(ff)
+            s.append(fs)
+        fn = np.asarray(f, np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "sample_rate": pa.array(r, pa.int64()),
+            "n_channels": pa.array(c, pa.int64()),
+            "n_frames": pa.array(fn),
+            "sum_abs": pa.array(s, pa.int64()),
+            "n_sampled": pa.array((fn + self.every - 1) // self.every),
+        })
+
+
+# Deterministic media synthesis keyed on doc_id (no external data; the
+# closed-form parameters below are mirrored by the SQL oracles, so the REAL
+# decoders above are verified end-to-end: bytes -> header walk -> raster /
+# PCM sum must reproduce the formulas).
+
+_WAV_EVERY = 100
+_PPM_SERIES_MAX = (8 + 23) * (8 + 15) * 3 - 1   # max npix - 1 per the formulas
+_WAV_SERIES_MAX = (256 + 511) * 2 - 1           # max samples - 1
+
+
+def ppm_media_batch(b: pa.Table) -> pa.Table:
+    """doc_id -> real binary PPM payload (P6, raster pixel[i] =
+    (seed + i) % 256).  A fixture synthesizer, not a hot-path operator."""
+    blobs = []
+    for d in b["doc_id"].to_pylist():
+        w = 8 + d % 24
+        h = 8 + (d // 7) % 16
+        seed = (d * 2654435761) % 256
+        px = ((seed + np.arange(w * h * 3, dtype=np.int64)) % 256).astype(np.uint8)
+        blobs.append(encode_ppm(w, h, px))
+    return pa.table({"doc_id": b["doc_id"], "image": pa.array(blobs, pa.binary())})
+
+
+def wav_media_batch(b: pa.Table) -> pa.Table:
+    """doc_id -> real RIFF/WAVE PCM16 payload (sample[j] =
+    (seed + 31*j) % 4096 - 2048, interleaved)."""
+    blobs = []
+    for d in b["doc_id"].to_pylist():
+        rate = 8000 + (d % 4) * 4000
+        channels = 1 + d % 2
+        n_frames = 256 + d % 512
+        seed = (d * 48271) % 4096
+        j = np.arange(n_frames * channels, dtype=np.int64)
+        samples = ((seed + 31 * j) % 4096 - 2048).astype(np.int16)
+        blobs.append(encode_wav_pcm16(rate, channels, samples))
+    return pa.table({"doc_id": b["doc_id"], "audio": pa.array(blobs, pa.binary())})
+
+
+def image_decode_sql(table: str = "documents") -> str:
+    """Oracle for the PPM decode pipeline: predicts the decoded metadata and
+    raster sum from doc_id alone (the generator's closed form)."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 24 AS width,
+         8 + (doc_id // 7) % 16 AS height,
+         (doc_id * 2654435761) % 256 AS seed
+  FROM {table}
+)
+SELECT d.doc_id, d.width, d.height, CAST(3 AS BIGINT) AS channels,
+       CAST(SUM((d.seed + s.i) % 256) AS BIGINT) AS sum_px,
+       CAST(SUM((d.seed + s.i) % 256) AS BIGINT)
+         / CAST(d.width * d.height * 3 AS DOUBLE) AS mean_px
+FROM dims d JOIN generate_series(0, {_PPM_SERIES_MAX}) s(i)
+     ON s.i < d.width * d.height * 3
+GROUP BY d.doc_id, d.width, d.height
+"""
+
+
+def audio_decode_sql(table: str = "documents") -> str:
+    """Oracle for the WAV decode pipeline."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         8000 + (doc_id % 4) * 4000 AS sample_rate,
+         1 + doc_id % 2 AS n_channels,
+         256 + doc_id % 512 AS n_frames,
+         (doc_id * 48271) % 4096 AS seed
+  FROM {table}
+)
+SELECT d.doc_id, d.sample_rate, d.n_channels, d.n_frames,
+       CAST(SUM(ABS((d.seed + s.j * 31) % 4096 - 2048)) AS BIGINT) AS sum_abs,
+       (d.n_frames + {_WAV_EVERY - 1}) // {_WAV_EVERY} AS n_sampled
+FROM dims d JOIN generate_series(0, {_WAV_SERIES_MAX}) s(j)
+     ON s.j < d.n_frames * d.n_channels
+GROUP BY d.doc_id, d.sample_rate, d.n_channels, d.n_frames
+"""
+
+
 def fake_image_dataset(n: int, seed: int = 7):
     """Small deterministic image table for the plumbing tests."""
     import ray.data as rd

@@ -296,3 +296,60 @@ def test_cover_explode_vectorized_parity():
     assert vec == ref
     # and within a way the cover cells are distinct (no double emission)
     assert len(vi) == sum(len(s) for s in vec.values())
+
+
+def test_real_ppm_wav_decode():
+    """The pure-Python netpbm and RIFF/WAVE decoders handle the real specs:
+    header comments and arbitrary whitespace (PPM), P5 single-channel,
+    chunk-list walking past extra/odd-sized chunks (WAV)."""
+    import numpy as np
+    import struct
+
+    from osm_intersections_ray.stages.multimodal import (
+        decode_ppm, decode_wav, encode_ppm, encode_wav_pcm16)
+
+    # round-trip P6
+    px = (np.arange(4 * 2 * 3) % 256).astype(np.uint8)
+    w, h, c, s = decode_ppm(encode_ppm(4, 2, px))
+    assert (w, h, c, s) == (4, 2, 3, int(px.sum()))
+    # P5 grayscale
+    g = np.full(6, 9, np.uint8)
+    assert decode_ppm(encode_ppm(3, 2, g)) == (3, 2, 1, 54)
+    # hand-written header: comments between tokens, multi-space/CR whitespace
+    raster = bytes(range(2 * 1 * 3))
+    blob = b"P6 # inline comment\n# full line\n 2\t1 # dims\n255\n" + raster
+    assert decode_ppm(blob) == (2, 1, 3, sum(raster))
+    # WAV: encoder inserts a LIST chunk before data; add an odd-sized chunk
+    # too (word-aligned padding) by splicing
+    samples = np.array([100, -100, 2000, -2000], np.int16)
+    blob = encode_wav_pcm16(16000, 2, samples)
+    rate, ch, frames, sabs = decode_wav(blob)
+    assert (rate, ch, frames, sabs) == (16000, 2, 2, 4200)
+    # splice an odd-length junk chunk right after WAVE; decoder must skip it
+    junk = b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = blob[:12] + junk + blob[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav(spliced) == (16000, 2, 2, 4200)
+
+
+def test_media_decode_matches_generator():
+    """End-to-end: synthesize deterministic media from doc_ids, decode with
+    the REAL decoders, check the closed-form invariants the SQL oracle uses."""
+    from osm_intersections_ray.stages.multimodal import (
+        PPMDecode, WavDecode, ppm_media_batch, wav_media_batch)
+
+    ids = pa.table({"doc_id": pa.array([0, 1, 7, 123, 4567], pa.int64())})
+    img = PPMDecode()(ppm_media_batch(ids))
+    for r in img.to_pylist():
+        d = r["doc_id"]
+        assert r["width"] == 8 + d % 24 and r["height"] == 8 + (d // 7) % 16
+        npx = r["width"] * r["height"] * 3
+        seed = (d * 2654435761) % 256
+        assert r["sum_px"] == int(((seed + np.arange(npx)) % 256).sum())
+    aud = WavDecode()(wav_media_batch(ids))
+    for r in aud.to_pylist():
+        d = r["doc_id"]
+        assert r["sample_rate"] == 8000 + (d % 4) * 4000
+        assert r["n_channels"] == 1 + d % 2
+        assert r["n_frames"] == 256 + d % 512
+        assert r["n_sampled"] == (r["n_frames"] + 99) // 100
