@@ -139,7 +139,10 @@ def near_dup_pairs(ds):
     materializes the table, and pairs co-bucketed in both tables dedupe in a
     tiny final groupby.  Verified hash-exact against the all-pairs SQL
     oracle (the synthetic near-dups are positive scalings, so their
-    signatures agree in every table up to ~zero dot products)."""
+    signatures agree in every table up to ~zero dot products — the
+    completeness of the blocking on the fixtures is pinned by
+    ``tests/test_invariants.py::test_near_dup_blocking_complete``, which
+    fails if a qualifying pair ever lands un-co-bucketed)."""
 
     def bucketize(b: pa.Table) -> pa.Table:
         m = _mat(b)

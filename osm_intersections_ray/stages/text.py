@@ -10,6 +10,13 @@ the correctness hash.
 
 Canonical normalization: ``lower(trim(text))`` (SQL) == ``text.strip(' ').lower()``
 (Python); tokens = split on runs of whitespace.
+
+Tokenizer parity caveat: Python ``str.split()`` splits on ALL Unicode
+whitespace while the RE2 ``\\s+`` in the SQL oracles matches only ASCII
+``[\\t\\n\\f\\r ]``, and NULL text yields 0 (fillna) here vs NULL in SQL.
+The fixtures carry neither divergent whitespace nor NULLs — the invariant is
+pinned by ``tests/test_invariants.py::test_fixture_ascii_whitespace_invariant``,
+which names the normalization to apply if it ever breaks.
 """
 
 from __future__ import annotations
