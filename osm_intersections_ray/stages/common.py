@@ -39,6 +39,28 @@ def cached_get(ref):
     return _BROADCAST_CACHE[key]
 
 
+def drop_empty_blocks(mat_ds):
+    """Strip zero-row blocks from a MATERIALIZED dataset.
+
+    Ray's sort/aggregate exchanges emit empty blocks with NO schema for
+    empty output partitions (the bench-log "RefBundle with a different
+    schema ... new schema: ." warning).  Feeding such a dataset into
+    ``Dataset.join`` can place a schema-less table into a hash partition,
+    and pyarrow's Acero join then fails with "No match or multiple matches
+    for key field reference".  Block refs stay in the object store — nothing
+    is collected to the driver."""
+    import ray.data as rd
+
+    refs = []
+    for bundle in mat_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs:
+        return mat_ds
+    return rd.from_arrow_refs(refs)
+
+
 def rank64(data_rank: int, pos: int) -> int:
     return (int(data_rank) << POS_BITS) | int(pos)
 

@@ -28,6 +28,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import h60
+from .text import ascii_tokens
 
 NUM_PERM = 32
 BAND_ROWS = 4  # 8 bands x 4 rows
@@ -126,7 +127,7 @@ def _token_hashes(texts, cache: dict):
     lens = np.empty(len(texts), dtype=np.int64)
     get = cache.get
     for d, t in enumerate(texts):
-        toks = t.lower().split()  # split() drops ALL leading/trailing whitespace
+        toks = ascii_tokens(t)  # SAME split class as the SQL oracles (text.py)
         starts[d] = len(hs)
         lens[d] = len(toks)
         for tok in toks:
@@ -304,8 +305,10 @@ def lsh_candidate_pairs(ds, ckpt_key: str | None = None):
     return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_buckets"))
 
 
-# Both sides tokenize identically: lowercase, strip ALL leading/trailing
-# whitespace (not just spaces — Python str.split() semantics), split on \s+.
+# Both sides tokenize identically for ANY input: the engine splits on the
+# explicit RE2 '\s' class (text.ascii_tokens), the SQL strips that class from
+# the ends then splits on it — equal even for embedded \v / Unicode
+# whitespace, which both sides keep inside tokens (see text.py header).
 _TOKS_EXPR = "regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
 
 
@@ -406,10 +409,13 @@ def _jaccard_verified_pairs(ds, ckpt_key: str | None = None):
             "doc_b": pa.array(np.concatenate([bb, bb])),
         })
 
+    from .common import drop_empty_blocks
+
     # candidates are the small derived set: pin them (streaming them twice
     # into the join schema probe isn't worth it, and an EMPTY lazy dataset
-    # has no schema for Dataset.join to hash on)
-    cand = lsh_candidate_pairs(ds, ckpt_key=ckpt_key).materialize()
+    # has no schema for Dataset.join to hash on); strip the aggregate's
+    # schema-less empty blocks before they can poison the hash join
+    cand = drop_empty_blocks(lsh_candidate_pairs(ds, ckpt_key=ckpt_key).materialize())
     if cand.count() == 0:
         import ray.data as rd
 
@@ -486,7 +492,7 @@ def simhash_batch(b: pa.Table) -> pa.Table:
     hs_list, starts = [], []
     for t in texts:
         starts.append(len(hs_list))
-        for tok in t.lower().split():
+        for tok in ascii_tokens(t):
             h = cache.get(tok)
             if h is None:
                 h = h60(tok)
@@ -539,7 +545,13 @@ def near_dedup_survivors(ds, ckpt_key: str | None = None):
     null filter).  No process ever holds the full drop set — at realistic
     100-TB dup rates (30-50% of the corpus) a driver-side Python set would
     be billions of int64s.  Only (doc_id) keys shuffle, never text."""
-    pairs = jaccard_verified_pairs(ds, ckpt_key=ckpt_key)
+    from .common import drop_empty_blocks
+
+    pairs = drop_empty_blocks(jaccard_verified_pairs(ds, ckpt_key=ckpt_key).materialize())
+    aug = ds.map_batches(augment_near_batch, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    if pairs.count() == 0:  # nothing verified: everything survives
+        return aug
 
     def drop_rows(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -547,8 +559,6 @@ def near_dedup_survivors(ds, ckpt_key: str | None = None):
                          "dropped": pa.array(np.ones(n, dtype=np.int8))})
 
     drop = pairs.map_batches(drop_rows, batch_format="pyarrow")
-    aug = ds.map_batches(augment_near_batch, batch_format="pyarrow").map_batches(
-        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
     joined = aug.join(drop, join_type="left_outer", num_partitions=16,
                       on=("doc_id",))
 

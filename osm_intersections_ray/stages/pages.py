@@ -7,13 +7,14 @@ pages<->ways spatial join.
   against the ``text`` column and by the DuckDB regexp oracle).
 * **Geotag**: compiled-regex parse of the geo.position meta tag ->
   (lat, lon) + res-17 quadkey tile.  Vectorized over the batch.
-* **Tile join (J12)**: pages emit their res-14..17 ancestor-tile chain; ways
-  emit compacted mixed-resolution covers of their bboxes (H3-compact
-  analogue); a ``groupby(cell)`` meets them and a bbox containment test
-  refines — the cover is a superset of the bbox, so the join result equals
-  exact bbox containment (the SQL oracle).  Only (cell, url/way_id, coords)
-  rows shuffle — never html.  Hot-cell skew: the pages side of a cell can be
-  salted into sub-groups because each page row joins independently.
+* **Tile join (J12)**: pages probe their res-14..17 ancestor-tile chain
+  against compacted mixed-resolution covers of the way bboxes (H3-compact
+  analogue); a bbox containment test refines — the cover is a superset of
+  the bbox, so the join result equals exact bbox containment (the SQL
+  oracle).  Below the ways-cardinality crossover this is a map-side
+  BROADCAST join (cover index ray.put once, searchsorted lookup per batch,
+  zero shuffle); above it, a salted native hash join where only
+  (cell, url/way_id, coords, bbox) rows shuffle — never html.
 """
 
 from __future__ import annotations
@@ -21,7 +22,6 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..functions.cells import compacted_cover, tile_of, tile_parent, tile_res
@@ -103,24 +103,30 @@ BROADCAST_WAYS_MAX = 2_000_000
 
 
 def pages_way_join(pages_ds, ways_ds, broadcast_ways_max: int = BROADCAST_WAYS_MAX):
-    """Cell-keyed hash join of geotagged pages against way-bbox tile covers,
+    """Cell-keyed join of geotagged pages against way-bbox tile covers,
     refined by exact bbox containment.  Returns (url, way_id).
 
     Strategy is picked by ways cardinality (``ways_ds.count()`` — metadata
     only for a plain parquet read):
 
-    * ways <= ``broadcast_ways_max`` (the declared-small regime): bboxes
-      never enter the shuffle — they broadcast once (``ray.put`` of 4 float
-      arrays keyed by sorted way_id) and the per-bucket refinement gathers
-      them by ``searchsorted``.  A shuffled page row is (bucket, cellkey,
-      url, lat, lon, way_id=-1); a way row is (bucket, cellkey, way_id) with
-      nulls — ~30% less shuffle bandwidth than shipping padded bbox columns
-      on every page row.
+    * ways <= ``broadcast_ways_max`` (the declared-small regime): a TRUE
+      map-side broadcast join — the (cellkey -> way, bbox) cover index is
+      built distributedly (vectorized :func:`_cover_explode_index`),
+      collected once (~24 B/cover row), sorted, ``ray.put`` once, and every
+      pages task does searchsorted lookup + bbox refine inside
+      ``map_batches``.  NO all-to-all: the join is embarrassingly parallel
+      over pages, which is what the N->4N scaling criterion measures (the
+      previous union+groupby formulation spent its time in a 4x-replicated
+      page-row sort that was bandwidth-, not compute-, bound).
     * ways > ``broadcast_ways_max``: route to
-      :func:`pages_way_join_native` — bboxes ride the shuffle, no driver
-      collect, no per-worker O(ways) structure.  Both variants produce the
-      identical (url, way_id) set (``test_native_join_matches_bucketed``).
-    """
+      :func:`pages_way_join_native` — bboxes ride a salted hash-join
+      shuffle, no driver collect, no per-worker O(ways) structure.  Both
+      variants produce the identical (url, way_id) set
+      (``test_native_join_matches_broadcast``).
+
+    A page's ancestor cells are distinct resolutions of one point and a
+    way's compacted cover cells are disjoint regions, so each (page, way)
+    pair matches in at most one cell — no post-join dedup is needed."""
     import ray
 
     from .common import cached_get
@@ -128,109 +134,65 @@ def pages_way_join(pages_ds, ways_ds, broadcast_ways_max: int = BROADCAST_WAYS_M
     if ways_ds.count() > broadcast_ways_max:
         return pages_way_join_native(pages_ds, ways_ds)
 
-    def bbox_rows(b: pa.Table) -> pa.Table:
-        return b.select(["way_id", "minlat", "minlon", "maxlat", "maxlon"])
+    def cover_rows(b: pa.Table) -> pa.Table:
+        idx, cells = _cover_explode_index(b)
+        sub = b.select(["way_id", "minlat", "minlon", "maxlat", "maxlon"]).take(
+            pa.array(idx, pa.int64()))
+        return sub.add_column(0, "cellkey", pa.array(cells, pa.int64()))
 
-    bb = ways_ds.map_batches(bbox_rows, batch_format="pyarrow").to_pandas()
-    order = np.argsort(bb["way_id"].to_numpy(), kind="stable")
-    bb_ref = ray.put({
-        "ids": bb["way_id"].to_numpy()[order].astype(np.int64),
-        "minlat": bb["minlat"].to_numpy()[order],
-        "minlon": bb["minlon"].to_numpy()[order],
-        "maxlat": bb["maxlat"].to_numpy()[order],
-        "maxlon": bb["maxlon"].to_numpy()[order],
+    cov = ways_ds.map_batches(cover_rows, batch_format="pyarrow").to_pandas()
+    order = np.argsort(cov["cellkey"].to_numpy(), kind="stable")
+    idx_ref = ray.put({
+        "cells": cov["cellkey"].to_numpy()[order],
+        "way_id": cov["way_id"].to_numpy()[order].astype(np.int64),
+        "minlat": cov["minlat"].to_numpy()[order],
+        "minlon": cov["minlon"].to_numpy()[order],
+        "maxlat": cov["maxlat"].to_numpy()[order],
+        "maxlon": cov["maxlon"].to_numpy()[order],
     })
 
-    def pages_side(b: pa.Table) -> pa.Table:
-        """Vectorized: the res-14..17 ancestor chain via int bit ops."""
+    def lookup(b: pa.Table) -> pa.Table:
+        """Map-side join: ancestor-chain cell keys -> searchsorted ranges in
+        the broadcast cover index -> vectorized bbox containment."""
+        ix = cached_get(idx_ref)
         g = geotag_batch(b)
         n = g.num_rows
         lat = g["lat"].to_numpy(zero_copy_only=False)
         lon = g["lon"].to_numpy(zero_copy_only=False)
         t17 = g["tile17"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ix = (t17 >> 29) & ((1 << 29) - 1)
-        iy = t17 & ((1 << 29) - 1)
-        cells = []
+        tx = (t17 >> 29) & ((1 << 29) - 1)
+        ty = t17 & ((1 << 29) - 1)
+        keys = []
         for res in range(TILE_RES_MAX, TILE_RES_MIN - 1, -1):
             s = TILE_RES_MAX - res
-            cells.append((np.int64(res) << 58) | ((ix >> s) << 29) | (iy >> s))
-        k = len(cells)
-        idx = np.tile(np.arange(n, dtype=np.int64), k)
+            keys.append((np.int64(res) << 58) | ((tx >> s) << 29) | (ty >> s))
+        k = len(keys)
+        all_keys = np.concatenate(keys)
+        pidx = np.tile(np.arange(n, dtype=np.int64), k)
+        lo = np.searchsorted(ix["cells"], all_keys, side="left")
+        hi = np.searchsorted(ix["cells"], all_keys, side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "way_id": pa.array([], pa.int64())})
+        expand = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        pos = np.repeat(lo, cnt) + expand          # cover-index row
+        pg = np.repeat(pidx, cnt)                  # page row
+        plat = lat[pg]
+        plon = lon[pg]
+        hit = ((plat >= ix["minlat"][pos]) & (plat <= ix["maxlat"][pos])
+               & (plon >= ix["minlon"][pos]) & (plon <= ix["maxlon"][pos]))
         url = g["url"].combine_chunks()
         if isinstance(url, pa.ChunkedArray):
             url = url.chunk(0) if url.num_chunks else pa.array([], pa.string())
         return pa.table({
-            "cellkey": pa.array(np.concatenate(cells), pa.int64()),
-            "url": url.take(pa.array(idx)),  # Arrow gather, no Python strings
-            "lat": pa.array(np.tile(lat, k), pa.float64()),
-            "lon": pa.array(np.tile(lon, k), pa.float64()),
-            "way_id": pa.array(np.full(n * k, -1, dtype=np.int64)),
+            "url": url.take(pa.array(pg[hit])),    # Arrow gather, no Python strings
+            "way_id": pa.array(ix["way_id"][pos[hit]]),
         })
 
-    def ways_side(b: pa.Table) -> pa.Table:
-        idx, cells = _cover_explode_index(b)
-        n = len(idx)
-        sub = b.select(["way_id"]).take(pa.array(idx, pa.int64()))
-        nan = np.full(n, np.nan)
-        return pa.table({
-            "cellkey": pa.array(cells, pa.int64()),
-            "url": pa.array([None] * n, pa.string()),
-            "lat": pa.array(nan, pa.float64()),
-            "lon": pa.array(nan, pa.float64()),
-            "way_id": sub["way_id"],
-        })
-
-    n_salt = 4  # hot-cell skew: split each cell's PAGES into n_salt
-    # sub-buckets and replicate the (tiny) ways rows into each — the salted
-    # replicate join from SURVEY section 4 / BASELINE.json ("salted
-    # repartition + two-phase groupby"); a dense urban cell's pages then
-    # spread over n_salt groups instead of one straggler.
-
-    def per_bucket(df: pd.DataFrame) -> pa.Table:
-        """Vectorized hash join within a cell bucket: pandas merge on the
-        exact cell id, then bbox refinement against the BROADCAST bbox
-        arrays (searchsorted gather).  A page's ancestor cells are disjoint
-        and a way's compacted cover cells are disjoint, so each (page, way)
-        pair matches at most one cell — no post-join dedup is needed."""
-        empty = pa.table({"url": pa.array([], pa.string()),
-                          "way_id": pa.array([], pa.int64())})
-        wmask = df["way_id"] >= 0
-        ways = df[wmask]
-        pages = df[~wmask]
-        if len(pages) == 0 or len(ways) == 0:
-            return empty
-        m = pages[["cellkey", "url", "lat", "lon"]].merge(
-            ways[["cellkey", "way_id"]], on="cellkey")
-        if len(m) == 0:
-            return empty
-        bbd = cached_get(bb_ref)
-        pos = np.searchsorted(bbd["ids"], m["way_id"].to_numpy())
-        hit = ((m["lat"].to_numpy() >= bbd["minlat"][pos])
-               & (m["lat"].to_numpy() <= bbd["maxlat"][pos])
-               & (m["lon"].to_numpy() >= bbd["minlon"][pos])
-               & (m["lon"].to_numpy() <= bbd["maxlon"][pos]))
-        m = m[hit]
-        return pa.table({"url": pa.array(m["url"].tolist(), pa.string()),
-                         "way_id": pa.array(m["way_id"].to_numpy().astype("int64"))})
-
-    def add_bucket_pages(b: pa.Table) -> pa.Table:
-        cell = np.asarray(b["cellkey"])
-        salt = np.arange(len(cell), dtype=np.int64) % n_salt
-        bucket = (cell % 64) * n_salt + salt
-        return b.append_column("bucket", pa.array(bucket.astype(np.int64)))
-
-    def add_bucket_ways(b: pa.Table) -> pa.Table:
-        cell = np.asarray(b["cellkey"])
-        base = (cell % 64) * n_salt
-        reps = [b.append_column("bucket", pa.array((base + s).astype(np.int64)))
-                for s in range(n_salt)]
-        return pa.concat_tables(reps)
-
-    p = pages_ds.map_batches(pages_side, batch_format="pyarrow").map_batches(
-        add_bucket_pages, batch_format="pyarrow")
-    w = ways_ds.map_batches(ways_side, batch_format="pyarrow").map_batches(
-        add_bucket_ways, batch_format="pyarrow")
-    return p.union(w).groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return pages_ds.map_batches(lookup, batch_format="pyarrow")
 
 
 def _cover_explode_index(b: pa.Table):

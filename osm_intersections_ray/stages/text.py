@@ -8,20 +8,21 @@ constant lists below, so engine and oracle cannot drift).  All aggregate
 outputs are integers (counts, cents) — float accumulation order never enters
 the correctness hash.
 
-Canonical normalization: ``lower(trim(text))`` (SQL) == ``text.strip(' ').lower()``
-(Python); tokens = split on runs of whitespace.
-
-Tokenizer parity caveat: Python ``str.split()`` splits on ALL Unicode
-whitespace while the RE2 ``\\s+`` in the SQL oracles matches only ASCII
-``[\\t\\n\\f\\r ]``, and NULL text yields 0 (fillna) here vs NULL in SQL.
-The fixtures carry neither divergent whitespace nor NULLs — the invariant is
-pinned by ``tests/test_invariants.py::test_fixture_ascii_whitespace_invariant``,
-which names the normalization to apply if it ever breaks.
+Canonical normalization: lowercase, then tokenize on runs of the RE2 ``\\s``
+class — measured on this DuckDB build to be exactly ``[\\t\\n\\f\\r ]`` (no
+``\\v``, no Unicode whitespace) — dropping empty tokens.  The engine splits
+on that SAME explicit class (:data:`_WS_SPLIT`), so engine == oracle for ANY
+input text: leading/trailing/run whitespace, empty and all-whitespace docs,
+embedded ``\\v``/NBSP (which BOTH sides keep inside tokens).  Verified by
+``tests/test_edge_probe.py`` over an adversarial table.  Sole remaining
+caveat: NULL text yields 0 counts here (fillna) vs NULL in SQL; the fixtures
+carry no NULLs (``tests/test_invariants.py``).
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pyarrow as pa
 
@@ -40,8 +41,21 @@ def _norm(text: str) -> str:
     return text.strip(" ").lower()
 
 
+# RE2 '\s' as DuckDB interprets it (probed: tab/nl/ff/cr/space only).  Using
+# the explicit class on the engine side — NOT str.split(), which also splits
+# on \v and Unicode whitespace — is what makes the oracles exact on any input.
+_WS_SPLIT = re.compile(r"[\t\n\f\r ]+")
+
+# SQL token-array expression matching _tokens() exactly (shared by the
+# doc-stats / lang-id / quality oracles).
+TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+
 def _tokens(text: str) -> list[str]:
-    return _norm(text).split()
+    return [t for t in _WS_SPLIT.split(text.lower()) if t]
+
+
+ascii_tokens = _tokens  # public name for the dedup kernels (shared tokenizer)
 
 
 def doc_stats_batch(b: pa.Table) -> pa.Table:
@@ -70,14 +84,14 @@ def doc_stats_sql(table: str = "documents") -> str:
     stops = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
     return f"""
 WITH toks AS (
-  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  SELECT doc_id, text, {TOKS_SQL} AS t
   FROM {table}
 )
 SELECT doc_id,
        len(t)::BIGINT AS n_tokens,
        (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS punct_cnt,
        len(list_filter(t, x -> x IN ({stops})))::BIGINT AS stop_cnt,
-       list_aggregate(list_transform(t, x -> length(x)), 'sum')::BIGINT AS tok_chars
+       coalesce(list_aggregate(list_transform(t, x -> length(x)), 'sum'), 0)::BIGINT AS tok_chars
 FROM toks
 """
 
@@ -113,7 +127,7 @@ def lang_id_sql(table: str = "documents") -> str:
     case = "\n         ".join(cases)
     return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM {table}
+  SELECT doc_id, {TOKS_SQL} AS t FROM {table}
 ), sc AS (
   SELECT doc_id,
        {scores}
@@ -153,7 +167,7 @@ def quality_score_sql(table: str = "documents") -> str:
     stops = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
     return f"""
 WITH toks AS (
-  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM {table}
+  SELECT doc_id, text, {TOKS_SQL} AS t FROM {table}
 ), f AS (
   SELECT doc_id,
          len(t) AS n,
@@ -201,7 +215,8 @@ def bpe_token_count_batch(b: pa.Table) -> pa.Table:
         _BPE_RE = re.compile(BPE_PATTERN)
     ser = b["text"].to_pandas()
     n_bpe = ser.str.count(BPE_PATTERN).fillna(0).astype("int64")
-    n_ws = ser.str.split().str.len().fillna(0).astype("int64")
+    # one match per maximal non-ASCII-whitespace run == the SQL split count
+    n_ws = ser.str.count(r"[^\t\n\f\r ]+").fillna(0).astype("int64")
     return pa.table({
         "doc_id": b["doc_id"],
         "n_ws_tokens": pa.array(n_ws.to_numpy()),

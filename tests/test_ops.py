@@ -187,9 +187,9 @@ def test_pages_byte_identical_extraction(ray_session, fixtures_dir):
         assert r["text_extracted"] == truth[r["url"]]
 
 
-def test_native_join_matches_bucketed(ray_session, fixtures_dir):
+def test_native_join_matches_broadcast(ray_session, fixtures_dir):
     """Ray's native Dataset.join variant produces the same (url, way_id)
-    set as the engine's salted/bucketed cell join."""
+    set as the engine's map-side broadcast cell join."""
     import os
 
     import ray.data as rd
