@@ -66,12 +66,21 @@ def knn_brute(ds, queries_ref):
     from .common import cached_get
 
     def local_topk(b: pa.Table) -> pa.Table:
-        q = cached_get(queries_ref)  # {"ids": (nq,), "mat": (nq, d) normalized}
+        q = cached_get(queries_ref)  # {"ids", "mat" (normalized), "zero" mask}
         m = _mat(b)
         norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
+        zero_db = norms == 0
+        norms[zero_db] = 1.0
         mn = m / norms[:, None]
         sims = q["mat"] @ mn.T  # (nq, batch)
+        # DuckDB's list_cosine_similarity returns -1.0 when either side is a
+        # zero vector (probed on this build); rank degenerate vectors last,
+        # identically to the oracle
+        if zero_db.any():
+            sims[:, zero_db] = -1.0
+        qz = q.get("zero")
+        if qz is not None and qz.any():
+            sims[qz, :] = -1.0
         ids = np.asarray(b["vec_id"].to_numpy(zero_copy_only=False))
         out_q, out_n, out_c = [], [], []
         k = min(TOP_K + 1, sims.shape[1])
@@ -103,17 +112,24 @@ def load_queries(embeddings_tbl: pa.Table) -> dict:
     sub = embeddings_tbl.filter(mask)
     m = _mat(sub)
     norms = np.linalg.norm(m, axis=1)
-    norms[norms == 0] = 1.0
+    zero = norms == 0
+    norms[zero] = 1.0
     return {"ids": np.asarray(sub["vec_id"].to_numpy(zero_copy_only=False)),
-            "mat": m / norms[:, None]}
+            "mat": m / norms[:, None], "zero": zero}
 
 
 def knn_sql(table: str = "embeddings") -> str:
+    # embeddings cast to DOUBLE before the similarity: DuckDB computes FLOAT
+    # lists in float32, where tiny norms underflow to NaN (and NaN compares
+    # greater than everything) — the engine's float64 arithmetic is the
+    # contract, and the cast makes oracle == engine bit-for-bit
     return f"""
-WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM {table} WHERE vec_id < {N_QUERIES}),
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM {table}),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM ed WHERE vec_id < {N_QUERIES}),
 s AS (
   SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qe, e.embedding) AS c
-  FROM q, {table} e WHERE e.vec_id != q.qid
+  FROM q, ed e WHERE e.vec_id != q.qid
 ),
 r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rk FROM s)
 SELECT qid, nid, rk::BIGINT AS rk FROM r WHERE rk <= {TOP_K}
@@ -190,12 +206,15 @@ def near_dup_pairs(ds):
 
 
 def near_dup_sql(table: str = "embeddings") -> str:
+    # the augment stays float32-quantized (matching engine storage), then
+    # everything casts to DOUBLE for the similarity — see knn_sql
     return f"""
 WITH aug AS (
-  SELECT vec_id, embedding FROM {table}
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM {table}
   UNION ALL
   SELECT vec_id + 1000000,
-         list_transform(embedding, x -> CAST(x * {NEAR_DUP_SCALE} AS FLOAT))
+         list_transform(embedding, x -> CAST(CAST(x * {NEAR_DUP_SCALE} AS FLOAT) AS DOUBLE))
   FROM {table} WHERE vec_id % {NEAR_DUP_MOD} = 0
 )
 SELECT least(a.vec_id, b.vec_id)::BIGINT AS vec_a,
