@@ -58,8 +58,25 @@ def extract_sql(table: str = "pages") -> str:
 
 
 def geotag_batch(b: pa.Table) -> pa.Table:
+    """Pages whose geo.position tag is absent or does not parse to two
+    FINITE doubles are DROPPED (they cannot be placed on a tile) — the SQL
+    mirrors this with TRY_CAST + isfinite."""
+    import pandas as pd
+
     ser = b["html"].cast(pa.string()).to_pandas()
     ext = ser.str.extract(_GEO_RE.pattern)
+    # to_numeric only builds the validity MASK; the kept values re-parse via
+    # numpy's strtod (astype), whose last-ulp rounding matches DuckDB's cast
+    # (pandas' to_numeric parser can differ in the final bit)
+    lat_m = pd.to_numeric(ext[0], errors="coerce").to_numpy(dtype=np.float64)
+    lon_m = pd.to_numeric(ext[1], errors="coerce").to_numpy(dtype=np.float64)
+    keep = np.isfinite(lat_m) & np.isfinite(lon_m)
+    url = b["url"].combine_chunks()
+    if isinstance(url, pa.ChunkedArray):
+        url = url.chunk(0) if url.num_chunks else pa.array([], pa.string())
+    if not keep.all():
+        sel = pa.array(np.nonzero(keep)[0].astype(np.int64))
+        url, ext = url.take(sel), ext[keep]
     lat = ext[0].astype(np.float64).to_numpy()
     lon = ext[1].astype(np.float64).to_numpy()
     n = 1 << TILE_RES_MAX
@@ -68,7 +85,7 @@ def geotag_batch(b: pa.Table) -> pa.Table:
     tile = (np.int64(TILE_RES_MAX) << 58) | (ix << 29) | iy
     return pa.table(
         {
-            "url": b["url"],
+            "url": url,
             "lat": pa.array(lat, pa.float64()),
             "lon": pa.array(lon, pa.float64()),
             "tile17": pa.array(tile, pa.int64()),
@@ -79,13 +96,16 @@ def geotag_batch(b: pa.Table) -> pa.Table:
 def geotag_sql(table: str = "pages") -> str:
     n = 1 << TILE_RES_MAX
     return f"""
-WITH g AS (
+WITH g0 AS (
   SELECT url,
-         CAST(regexp_extract(decode(html),
+         TRY_CAST(regexp_extract(decode(html),
               '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
-         CAST(regexp_extract(decode(html),
+         TRY_CAST(regexp_extract(decode(html),
               '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
   FROM {table}
+), g AS (
+  SELECT * FROM g0
+  WHERE lat IS NOT NULL AND lon IS NOT NULL AND isfinite(lat) AND isfinite(lon)
 )
 SELECT url, lat, lon,
        ({TILE_RES_MAX}::BIGINT << 58)
@@ -373,13 +393,16 @@ def _join_table(out: dict) -> pa.Table:
 def pages_way_join_sql(pages_table: str, ways_path: str) -> str:
     """Oracle: exact bbox containment (the cover join + refinement equals it)."""
     return f"""
-WITH g AS (
+WITH g0 AS (
   SELECT url,
-         CAST(regexp_extract(decode(html),
+         TRY_CAST(regexp_extract(decode(html),
               '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
-         CAST(regexp_extract(decode(html),
+         TRY_CAST(regexp_extract(decode(html),
               '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
   FROM {pages_table}
+), g AS (
+  SELECT * FROM g0
+  WHERE lat IS NOT NULL AND lon IS NOT NULL AND isfinite(lat) AND isfinite(lon)
 )
 SELECT g.url, w.way_id
 FROM g JOIN read_parquet('{ways_path}') w

@@ -161,3 +161,109 @@ def edge_emb_dir(tmp_path_factory):
 @pytest.mark.parametrize("name", ["knn_cosine", "embedding_near_dup"])
 def test_edge_embeddings_vs_oracle(ray_session, edge_emb_dir, name):
     _compare(ray_session, edge_emb_dir, "embeddings", name)
+
+
+# ---------------------------------------------------------------- pages edge
+
+def _geo(lat: str, lon: str) -> str:
+    return f'<meta name="geo.position" content="{lat};{lon}">'
+
+
+EDGE_PAGES = [
+    # (url, html)
+    ("p0", f"<html>{_geo('1.005', '2.005')}<article>body zero</article></html>"),
+    ("p1", "<html><article>no geotag at all</article></html>"),
+    ("p2", f"<html>{_geo('abc', '12')}<article>unparseable lat</article></html>"),
+    ("p3", f"<html>{_geo('nan', '5')}<article>nan lat</article></html>"),
+    ("p4", f"<html>{_geo('inf', '5')}<article>inf lat</article></html>"),
+    ("p5", f"<html>{_geo('90', '180')}<article>north-east pole corner</article></html>"),
+    ("p6", f"<html>{_geo('-90', '-180')}<article>south-west corner</article></html>"),
+    ("p7", f"<html>{_geo(' 1.005 ', ' 2.005')}<article>spaces in tag</article></html>"),
+    ("p8", f"<html>{_geo('1.0', '2.0')}<article>exact bbox corner</article></html>"),
+    ("p9", f"<html>{_geo('1.005', '2.005')}<p>no article element</p></html>"),
+    ("p10", f"<html>{_geo('1.005', '2.005')}<article>first</article>"
+            "<article>second</article></html>"),
+    ("p11", f"<html>{_geo('1.005', '2.005')}<article>line one\nline two\n</article></html>"),
+    ("p12", ""),  # empty html
+    ("p13", f"<html>{_geo('50.0', '50.0')}<article>far from every way</article></html>"),
+]
+
+EDGE_WAYS = [
+    # (way_id, minlat, minlon, maxlat, maxlon)
+    (1, 1.0, 2.0, 1.01, 2.01),       # contains p0/p7/p8/p10/p11 (p8 on corner)
+    (2, 1.005, 2.005, 1.005, 2.005),  # DEGENERATE point bbox == p0's point
+    (3, -90.0, -180.0, -89.99, -179.99),  # world corner, contains p6
+    (4, 89.99, 179.99, 90.0, 180.0),  # opposite corner, contains p5
+    (5, 30.0, 30.0, 31.0, 31.0),      # matches nothing
+]
+
+
+@pytest.fixture(scope="module")
+def edge_pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_pages")
+    pq.write_table(pa.table({
+        "url": pa.array([u for u, _ in EDGE_PAGES], pa.string()),
+        "html": pa.array([h.encode() for _, h in EDGE_PAGES], pa.binary()),
+    }), str(d / "pages.parquet"))
+    pq.write_table(pa.table({
+        "way_id": pa.array([w[0] for w in EDGE_WAYS], pa.int64()),
+        "minlat": pa.array([w[1] for w in EDGE_WAYS], pa.float64()),
+        "minlon": pa.array([w[2] for w in EDGE_WAYS], pa.float64()),
+        "maxlat": pa.array([w[3] for w in EDGE_WAYS], pa.float64()),
+        "maxlon": pa.array([w[4] for w in EDGE_WAYS], pa.float64()),
+    }), str(d / "ways.parquet"))
+    return str(d)
+
+
+def _pages_compare(edge_pages_dir, eng_df, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    orc = con.sql(sql).df()
+    e, o = _canon(eng_df), _canon(orc)
+    assert len(e) == len(o), f"rows {len(e)} vs {len(o)}\n{e}\n{o}"
+    for c in e.columns:
+        if np.issubdtype(e[c].dtype, np.floating):
+            assert np.allclose(e[c], o[c], rtol=0, atol=0, equal_nan=True), c
+        else:
+            assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+                f"col {c}\n{e}\n{o}"
+
+
+def test_edge_pages_extract_geotag(ray_session, edge_pages_dir):
+    """Byte-identical extraction + drop-unparseable geotag semantics on
+    adversarial html: no tag, non-numeric/nan/inf coords, multi-article,
+    empty page, world-corner coordinates."""
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages
+
+    tbl = f"read_parquet('{edge_pages_dir}/pages.parquet')"
+    ds = rd.read_parquet(f"{edge_pages_dir}/pages.parquet")
+    _pages_compare(edge_pages_dir,
+                   ds.map_batches(pages.Extractor, batch_format="pyarrow",
+                                  concurrency=(1, 2)).to_pandas(),
+                   pages.extract_sql(tbl))
+    geo = ds.map_batches(pages.geotag_batch, batch_format="pyarrow").to_pandas()
+    assert set(geo["url"]) == {"p0", "p5", "p6", "p7", "p8", "p9", "p10", "p11", "p13"}
+    _pages_compare(edge_pages_dir, geo, pages.geotag_sql(tbl))
+
+
+def test_edge_pages_way_join(ray_session, edge_pages_dir):
+    """Both join variants equal exact inclusive bbox containment on edge
+    geometry: degenerate point bbox, page exactly on a bbox corner, world
+    corners, unmatched pages/ways."""
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages
+
+    tbl = f"read_parquet('{edge_pages_dir}/pages.parquet')"
+    wpath = f"{edge_pages_dir}/ways.parquet"
+    p = rd.read_parquet(f"{edge_pages_dir}/pages.parquet")
+    w = rd.read_parquet(wpath)
+    sql = pages.pages_way_join_sql(tbl, wpath)
+    _pages_compare(edge_pages_dir,
+                   pages.pages_way_join(p, w).to_pandas(), sql)
+    _pages_compare(edge_pages_dir,
+                   pages.pages_way_join_native(p, w, num_partitions=4).to_pandas(),
+                   sql)
