@@ -162,6 +162,13 @@ def queries() -> dict:
 
     q["ann_lsh"] = ann_lsh
 
+    def ann_ivf(sf):  # IVF-flat inverted lists — approximate, no SQL oracle
+        emb = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        qref = ray.put(similarity.load_queries(emb))
+        return similarity.ann_ivf(_tbl(sf, "embeddings", ["vec_id", "embedding"]), qref)
+
+    q["ann_ivf"] = ann_ivf
+
     # --- multimodal: REAL pure-Python decodes (netpbm raster, RIFF/WAVE
     # PCM16) over deterministic doc_id-keyed payloads; the actor-pool decode
     # stage reads the actual bytes, the oracle predicts them in closed form

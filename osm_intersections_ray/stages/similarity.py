@@ -224,6 +224,139 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_COS_MIN}
 """
 
 
+# ---- IVF-flat ANN (the second scale path, alongside the LSH buckets) ----
+IVF_K = 16        # centroid count (sandbox scale; ~sqrt(n) per shard at size)
+IVF_NPROBE = 4    # centroids probed per query
+IVF_ITERS = 2     # Lloyd refinement passes (deterministic, fixed)
+
+
+def ivf_centroids(ds) -> np.ndarray:
+    """Deterministic distributed k-means over cosine space: init = the
+    normalized vectors with vec_id < IVF_K, then IVF_ITERS Lloyd steps.
+    Each step is one streaming pass — per-batch PARTIAL per-centroid vector
+    sums explode to (cid, dim, s, n) rows and a tiny ``groupby`` reduces
+    K*d rows, so the shuffle never carries embeddings.  The K x d result is
+    driver-held (it is the broadcast model, like the hyperplane matrices)."""
+    import ray
+
+    from .common import cached_get
+
+    init_tbl = (ds.filter(expr=f"vec_id < {IVF_K}")
+                .take_all())  # K rows only
+    init_tbl = sorted(init_tbl, key=lambda r: r["vec_id"])
+    cent = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in init_tbl])
+    norms = np.linalg.norm(cent, axis=1)
+    norms[norms == 0] = 1.0
+    cent = cent / norms[:, None]
+
+    for _ in range(IVF_ITERS):
+        cent_ref = ray.put(cent)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = cached_get(cent_ref)
+            m = _mat(b)
+            nm = np.linalg.norm(m, axis=1)
+            nm[nm == 0] = 1.0
+            mn = m / nm[:, None]
+            cid = np.argmax(mn @ c.T, axis=1)
+            k, d = c.shape
+            sums = np.zeros((k, d))
+            np.add.at(sums, cid, mn)
+            cnt = np.bincount(cid, minlength=k).astype(np.int64)
+            dims = np.tile(np.arange(d, dtype=np.int64), k)
+            return pa.table({
+                "cid": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+                "dim": pa.array(dims),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(cnt, d)),
+            })
+
+        from ray.data.aggregate import Sum
+
+        red = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["cid", "dim"])
+               .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+               .to_pandas())
+        new = cent.copy()
+        k, d = cent.shape
+        sums = np.zeros((k, d))
+        cnts = np.zeros(k, dtype=np.int64)
+        sums[red["cid"].to_numpy(), red["dim"].to_numpy()] = red["s"].to_numpy()
+        # n is replicated across the d dim-rows of a centroid; read it once
+        first_dim = red[red["dim"] == 0]
+        cnts[first_dim["cid"].to_numpy()] = first_dim["n"].to_numpy()
+        nz = cnts > 0
+        mean = sums[nz] / cnts[nz, None]
+        mnorm = np.linalg.norm(mean, axis=1)
+        mnorm[mnorm == 0] = 1.0
+        new[nz] = mean / mnorm[:, None]
+        cent = new  # empty centroids keep their previous position
+    return cent
+
+
+def ann_ivf(ds, queries_ref):
+    """IVF-flat approximate kNN: vectors partition by nearest centroid
+    (``groupby(cid)`` inverted lists), each query probes its IVF_NPROBE
+    nearest centroids' lists only.  Same contract as :func:`ann_bucketed`
+    (approximate — recall pytest vs knn_brute, rows-only driver check).
+    At scale the inverted lists are the partitioning: a probe touches
+    NPROBE/K of the corpus instead of all of it."""
+    import ray
+
+    from .common import cached_get
+
+    cent = ivf_centroids(ds)
+    cent_ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = cached_get(cent_ref)
+        m = _mat(b)
+        nm = np.linalg.norm(m, axis=1)
+        nm[nm == 0] = 1.0
+        cid = np.argmax((m / nm[:, None]) @ c.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": b["vec_id"], "cid": pa.array(cid),
+                         "embedding": b["embedding"]})
+
+    def per_list(df: pd.DataFrame) -> pa.Table:
+        q = cached_get(queries_ref)
+        c = cached_get(cent_ref)
+        qprobe = np.argsort(-(q["mat"] @ c.T), axis=1)[:, :IVF_NPROBE]
+        cid = int(df["cid"].iloc[0])
+        sel = np.nonzero((qprobe == cid).any(axis=1))[0]
+        if len(sel) == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "nid": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        ids = df["vec_id"].to_numpy()
+        sims = q["mat"][sel] @ mn.T
+        out_q, out_n, out_c = [], [], []
+        for row_i, qi in enumerate(sel):
+            row = sims[row_i]
+            for j in np.argsort(-row)[: TOP_K + 1]:
+                if ids[j] == q["ids"][qi]:
+                    continue
+                out_q.append(int(q["ids"][qi]))
+                out_n.append(int(ids[j]))
+                out_c.append(float(row[j]))
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "nid": pa.array(out_n, pa.int64()),
+                         "cos": pa.array(out_c, pa.float64())})
+
+    lists = ds.map_batches(assign, batch_format="pyarrow")
+    local = lists.groupby("cid").map_groups(per_list, batch_format="pandas").to_pandas()
+    if len(local) == 0:
+        return pd.DataFrame({"qid": [], "nid": [], "rk": []}).astype("int64")
+    local = local.sort_values(["qid", "cos", "nid"],
+                              ascending=[True, False, True], kind="stable")
+    local["rk"] = local.groupby("qid").cumcount() + 1
+    return local[local["rk"] <= TOP_K][["qid", "nid", "rk"]].reset_index(drop=True).astype("int64")
+
+
 def ann_bucketed(ds, queries_ref, planes_seed: int = 424242):
     """Approximate kNN: random-hyperplane signature buckets (groupby), query
     probes its own bucket only.  No SQL oracle (approximate by design); a

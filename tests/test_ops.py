@@ -147,6 +147,35 @@ def test_ann_recall(ray_session):
     assert hits >= len(b1) * 0.6
 
 
+def test_ann_ivf_recall(ray_session):
+    """IVF-flat ANN (k-means inverted lists, nprobe probing) finds the true
+    top-1 for most queries on clustered data."""
+    import ray
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.similarity import (
+        ann_ivf,
+        knn_brute,
+        load_queries,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((5, 32)) * 5
+    vecs = np.vstack([c + rng.standard_normal((40, 32)) * 0.05 for c in centers])
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    qref = ray.put(load_queries(tbl))
+    brute = knn_brute(rd.from_arrow(tbl), qref)
+    approx = ann_ivf(rd.from_arrow(tbl), qref)
+    b1 = {q: n for q, n, r in zip(brute["qid"], brute["nid"], brute["rk"]) if r == 1}
+    a1 = {q: n for q, n, r in zip(approx["qid"], approx["nid"], approx["rk"]) if r == 1}
+    hits = sum(1 for q in b1 if a1.get(q) == b1[q])
+    assert hits >= len(b1) * 0.6
+
+
 def test_text_kernels_roundtrip():
     from osm_intersections_ray.stages.text import (
         doc_stats_batch,
