@@ -182,6 +182,13 @@ def queries() -> dict:
         .map_batches(multimodal.wav_media_batch, batch_format="pyarrow", batch_size=512)
         .map_batches(multimodal.WavDecode, batch_format="pyarrow",
                      batch_size=256, concurrency=(1, 8)))
+    q["image_resize_ppm"] = lambda sf: (
+        _tbl(sf, "documents", ["doc_id"])
+        .map_batches(multimodal.ppm_media_batch, batch_format="pyarrow", batch_size=512)
+        .map_batches(multimodal.PPMResize, batch_format="pyarrow",
+                     batch_size=256, concurrency=(1, 8))
+        .map_batches(lambda b: b.select(["doc_id", "width", "height", "sum_px"]),
+                     batch_format="pyarrow"))
 
     # --- events (stream-shaped)
     q["events_hourly"] = lambda sf: events.hourly_window(
@@ -245,6 +252,7 @@ def oracle_sql() -> dict:
         "bpe_token_count": text.bpe_token_count_sql(),
         "image_decode_ppm": multimodal.image_decode_sql(),
         "audio_decode_wav": multimodal.audio_decode_sql(),
+        "image_resize_ppm": multimodal.image_resize_sql(),
         "knn_cosine": similarity.knn_sql(),
         "embedding_near_dup": similarity.near_dup_sql(),
         "events_hourly": events.hourly_window_sql(),

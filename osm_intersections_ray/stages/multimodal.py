@@ -185,6 +185,44 @@ class PPMDecode:
         })
 
 
+def resize_ppm(blob: bytes, tw: int, th: int) -> bytes:
+    """REAL nearest-neighbor resize of a binary netpbm payload, pure numpy:
+    target pixel (ty, tx) samples source (ty*h//th, tx*w//tw) — integer
+    math, so the SQL oracle reproduces the resized raster in closed form."""
+    channels, w, h, _maxval, off = _ppm_header(blob)
+    px = np.frombuffer(blob, np.uint8, count=w * h * channels, offset=off)
+    px = px.reshape(h, w, channels)
+    sy = (np.arange(th, dtype=np.int64) * h) // th
+    sx = (np.arange(tw, dtype=np.int64) * w) // tw
+    out = px[sy[:, None], sx[None, :], :]
+    return encode_ppm(tw, th, out.ravel())
+
+
+class PPMResize:
+    """Actor-pool stage: REAL netpbm nearest-neighbor resize.  Emits the
+    re-encoded binary plus (width, height, sum_px) of the RESIZED raster —
+    the sum is recomputed from the output bytes (decode(resize(x)) round
+    trip), which is what the SQL oracle checks."""
+
+    def __init__(self, target: tuple[int, int] = (16, 16)):
+        self.tw, self.th = target
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        blobs, sums = [], []
+        for blob in b["image"].to_pylist():
+            out = resize_ppm(blob, self.tw, self.th)
+            blobs.append(out)
+            sums.append(decode_ppm(out)[3])
+        n = b.num_rows
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "image": pa.array(blobs, pa.binary()),
+            "width": pa.array(np.full(n, self.tw, np.int64)),
+            "height": pa.array(np.full(n, self.th, np.int64)),
+            "sum_px": pa.array(np.asarray(sums, np.int64)),
+        })
+
+
 def encode_wav_pcm16(rate: int, channels: int, samples: np.ndarray) -> bytes:
     """Minimal RIFF/WAVE PCM16 encoder; ``samples`` is int16, interleaved,
     length n_frames*channels."""
@@ -198,16 +236,15 @@ def encode_wav_pcm16(rate: int, channels: int, samples: np.ndarray) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(blob: bytes):
-    """(sample_rate, n_channels, n_frames, sum_abs) from a RIFF/WAVE PCM16
-    payload — walks the chunk list (fmt may be followed by LIST/fact/...)
-    rather than assuming fixed offsets."""
+def _wav_pcm(blob: bytes):
+    """(sample_rate, n_channels, n_frames, samples int16 ndarray) from a
+    RIFF/WAVE PCM16 payload — walks the chunk list (fmt may be followed by
+    LIST/fact/...) rather than assuming fixed offsets."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     i = 12
     rate = channels = bits = None
-    frames = 0
-    sum_abs = 0
+    samples = np.empty(0, np.int16)
     n = len(blob)
     while i + 8 <= n:
         cid = blob[i : i + 4]
@@ -219,29 +256,38 @@ def decode_wav(blob: bytes):
         elif cid == b"data":
             if bits != 16:
                 raise NotImplementedError("only PCM16 data decodes here")
-            s = np.frombuffer(blob, "<i2", count=sz // 2, offset=body)
-            frames = sz // 2 // channels
-            sum_abs = int(np.abs(s.astype(np.int64)).sum())
+            samples = np.frombuffer(blob, "<i2", count=sz // 2, offset=body)
         i = body + sz + (sz & 1)  # chunks are word-aligned
-    return rate, channels, frames, sum_abs
+    return rate, channels, len(samples) // channels, samples
+
+
+def decode_wav(blob: bytes):
+    """(sample_rate, n_channels, n_frames, sum_abs) from a RIFF/WAVE PCM16
+    payload."""
+    rate, channels, frames, samples = _wav_pcm(blob)
+    return rate, channels, frames, int(np.abs(samples.astype(np.int64)).sum())
 
 
 class WavDecode:
     """Actor-pool stage: REAL RIFF/WAVE PCM16 decode, binary audio ->
-    (sample_rate, n_channels, n_frames, sum_abs, n_sampled) where n_sampled
-    counts every ``every``-th frame (the frame-sample op on real frames)."""
+    (sample_rate, n_channels, n_frames, sum_abs, n_sampled,
+    sum_abs_sampled).  Frame-sampling is REAL: the PCM reshapes to
+    (frames, channels) and every ``every``-th frame's abs values are summed
+    from the actual bytes."""
 
     def __init__(self, every: int = 100):
         self.every = every
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        r, c, f, s = [], [], [], []
+        r, c, f, s, ss = [], [], [], [], []
         for blob in b["audio"].to_pylist():
-            fr, fc, ff, fs = decode_wav(blob)
+            fr, fc, ff, samples = _wav_pcm(blob)
             r.append(fr)
             c.append(fc)
             f.append(ff)
-            s.append(fs)
+            a = np.abs(samples.astype(np.int64))
+            s.append(int(a.sum()))
+            ss.append(int(a.reshape(ff, fc)[:: self.every].sum()))
         fn = np.asarray(f, np.int64)
         return pa.table({
             "doc_id": b["doc_id"],
@@ -250,6 +296,7 @@ class WavDecode:
             "n_frames": pa.array(fn),
             "sum_abs": pa.array(s, pa.int64()),
             "n_sampled": pa.array((fn + self.every - 1) // self.every),
+            "sum_abs_sampled": pa.array(ss, pa.int64()),
         })
 
 
@@ -325,10 +372,40 @@ WITH dims AS (
 )
 SELECT d.doc_id, d.sample_rate, d.n_channels, d.n_frames,
        CAST(SUM(ABS((d.seed + s.j * 31) % 4096 - 2048)) AS BIGINT) AS sum_abs,
-       (d.n_frames + {_WAV_EVERY - 1}) // {_WAV_EVERY} AS n_sampled
+       (d.n_frames + {_WAV_EVERY - 1}) // {_WAV_EVERY} AS n_sampled,
+       CAST(SUM(CASE WHEN (s.j // d.n_channels) % {_WAV_EVERY} = 0
+                     THEN ABS((d.seed + s.j * 31) % 4096 - 2048) ELSE 0 END)
+            AS BIGINT) AS sum_abs_sampled
 FROM dims d JOIN generate_series(0, {_WAV_SERIES_MAX}) s(j)
      ON s.j < d.n_frames * d.n_channels
 GROUP BY d.doc_id, d.sample_rate, d.n_channels, d.n_frames
+"""
+
+
+RESIZE_TW = 16
+RESIZE_TH = 16
+
+
+def image_resize_sql(table: str = "documents") -> str:
+    """Oracle for the REAL netpbm resize: target pixel (ty, tx, c) samples
+    source index ((ty*h//th)*w + (tx*w//tw))*3 + c of the generator raster
+    pixel[i] = (seed + i) % 256 — integer math on both sides, exact."""
+    tw, th = RESIZE_TW, RESIZE_TH
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 24 AS width,
+         8 + (doc_id // 7) % 16 AS height,
+         (doc_id * 2654435761) % 256 AS seed
+  FROM {table}
+)
+SELECT d.doc_id, CAST({tw} AS BIGINT) AS width, CAST({th} AS BIGINT) AS height,
+       CAST(SUM((d.seed
+                 + ((((s.i // 3) // {tw}) * d.height // {th}) * d.width
+                    + (((s.i // 3) % {tw}) * d.width // {tw})) * 3
+                 + s.i % 3) % 256) AS BIGINT) AS sum_px
+FROM dims d CROSS JOIN generate_series(0, {tw * th * 3 - 1}) s(i)
+GROUP BY d.doc_id
 """
 
 

@@ -35,7 +35,7 @@ DOC_QUERIES = [
     "doc_stats", "lang_id", "quality_score", "fingerprint",
     "exact_dedup", "simhash", "bpe_token_count",
     "minhash_lsh_pairs", "near_dup_jaccard", "near_dedup_survivors",
-    "image_decode_ppm", "audio_decode_wav",
+    "image_decode_ppm", "audio_decode_wav", "image_resize_ppm",
 ]
 
 
