@@ -98,6 +98,37 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def _compute_probe(num_cpus: int, n_tasks: int = 24, size: int = 1800) -> float:
+    """Deliverable-parallel-compute calibration: wall-clock of ``n_tasks``
+    independent single-threaded numpy matmul tasks at this Ray cpu level.
+
+    The sandbox VM's effective core count DRIFTS on the scale of minutes
+    (identical legs measure 2-4x apart); the probe measures what the host
+    actually delivers in the same weather as the adjacent workload run, so
+    the scaling report can separate ENGINE efficiency from host capacity.
+    Tasks are ~1 s of verified single-threaded matmul each (this numpy build
+    does not multithread BLAS: wall-clock is identical under
+    OPENBLAS_NUM_THREADS=1), large enough that scheduling overhead is
+    noise."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def burn() -> float:
+        import numpy as _np
+
+        a = _np.ones((size, size))
+        s = 0.0
+        for _ in range(3):
+            s += float((a @ a)[0, 0])
+        return s
+
+    # warm one task (worker startup excluded from the measurement)
+    ray.get(burn.remote())
+    t0 = time.time()
+    ray.get([burn.remote() for _ in range(n_tasks)])
+    return time.time() - t0
+
+
 def run_scaling_workload(num_cpus: int) -> dict:
     """Compute-dominant headline workload for the two-parallelism-level
     protocol: the spatial + pages pipelines over a 4x-scale synthetic world
@@ -181,9 +212,10 @@ def run_scaling_workload(num_cpus: int) -> dict:
 
     _ = intersections_pipeline  # (plain bench covers it; see note above)
     total = sum(per_q.values())
+    probe = round(_compute_probe(num_cpus), 3)  # same-weather calibration
     ray.shutdown()
     return {"value": round(total, 3), "queries": per_q, "rows": rows,
-            "num_cpus": num_cpus, "sf": fx}
+            "num_cpus": num_cpus, "sf": fx, "probe_sec": probe}
 
 
 def main():
@@ -220,15 +252,25 @@ def main():
         r_lo = min((r for n, r in draws if n == lo), key=lambda r: r["value"])
         r_hi = min((r for n, r in draws if n == hi), key=lambda r: r["value"])
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-        print(json.dumps({
+        out = {
             "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, same input)",
             "num_cpus_lo": lo, "num_cpus_hi": hi,
             "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
-            "all_draws": [{"num_cpus": n, "sec": r["value"]} for n, r in draws],
+            "all_draws": [{"num_cpus": n, "sec": r["value"],
+                           "probe_sec": r.get("probe_sec")} for n, r in draws],
             "scaling_efficiency": round(eff, 3),
             "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
             "sf": r_lo["sf"],
-        }))
+        }
+        # Probe-normalized efficiency: engine speedup over the speedup the
+        # HOST actually delivered to pure compute in the same weather (the
+        # VM's effective core count drifts 2-4x on the scale of minutes).
+        if r_lo.get("probe_sec") and r_hi.get("probe_sec"):
+            host = r_lo["probe_sec"] / r_hi["probe_sec"]
+            out["probe_speedup"] = round(host, 3)
+            out["eff_vs_host_delivered"] = round(
+                (r_lo["value"] / r_hi["value"]) / host, 3)
+        print(json.dumps(out))
         return
     print(json.dumps(run_bench(sf_dir, num_cpus)))
 
