@@ -195,6 +195,8 @@ def queries() -> dict:
         _tbl(sf, "events", ["event_type", "ts", "value"]))
     q["sessions"] = lambda sf: events.sessionize(
         _tbl(sf, "events", ["user_id", "event_id", "ts"]))
+    q["events_sliding"] = lambda sf: events.sliding_window(
+        _tbl(sf, "events", ["event_type", "ts", "value"]))
 
     # --- relational building blocks
     q["pricing_summary"] = lambda sf: relational.pricing_summary(
@@ -257,6 +259,7 @@ def oracle_sql() -> dict:
         "embedding_near_dup": similarity.near_dup_sql(),
         "events_hourly": events.hourly_window_sql(),
         "sessions": events.sessionize_sql(),
+        "events_sliding": events.sliding_window_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "top_parts": relational.top_parts_sql(),

@@ -61,6 +61,58 @@ FROM {table} GROUP BY 1, 2
 """
 
 
+SLIDE_US = 15 * 60 * 1_000_000          # 15-minute slide
+WIN_SLIDES = 4                           # 1-hour window = 4 slides
+_SLIDING_PARTIAL_SCHEMA = pa.schema([
+    ("event_type", pa.string()), ("wstart", pa.timestamp("us")),
+    ("n", pa.int64()), ("sum_cents", pa.int64()),
+])
+
+
+def sliding_window(ds):
+    """Sliding 1-hour window, 15-minute slide: every event lands in exactly
+    WIN_SLIDES windows (wstart = slide-aligned floor minus i slides).  Same
+    partial-combine shape as :func:`hourly_window` — the per-batch partial
+    emits one row per (event_type, wstart) so the shuffle moves
+    O(batches x types x windows), never events."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].to_pandas().astype("int64").to_numpy()
+        cents = round_half_away_np(b["value"].to_numpy(zero_copy_only=False) * 100)
+        base = (ts_us // SLIDE_US) * SLIDE_US
+        et = b["event_type"].to_pandas()
+        frames = []
+        for i in range(WIN_SLIDES):
+            frames.append(pd.DataFrame({
+                "event_type": et, "wstart_us": base - i * SLIDE_US,
+                "cents": cents}))
+        df = pd.concat(frames, ignore_index=True)
+        g = df.groupby(["event_type", "wstart_us"], sort=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
+        g["wstart"] = g.pop("wstart_us").to_numpy().astype("datetime64[us]")
+        return pa.Table.from_pandas(
+            g[["event_type", "wstart", "n", "sum_cents"]],
+            preserve_index=False, schema=_SLIDING_PARTIAL_SCHEMA)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["event_type", "wstart"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents")
+    )
+
+
+def sliding_window_sql(table: str = "events") -> str:
+    return f"""
+SELECT event_type,
+       make_timestamp((epoch_us(ts) // {SLIDE_US}) * {SLIDE_US}
+                      - s.i * {SLIDE_US}) AS wstart,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM {table} CROSS JOIN generate_series(0, {WIN_SLIDES - 1}) s(i)
+GROUP BY 1, 2
+"""
+
+
 N_USER_SHARDS = 64
 
 

@@ -123,7 +123,7 @@ def edge_events_dir(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", ["events_hourly", "sessions"])
+@pytest.mark.parametrize("name", ["events_hourly", "sessions", "events_sliding"])
 def test_edge_events_vs_oracle(ray_session, edge_events_dir, name):
     _compare(ray_session, edge_events_dir, "events", name)
 
