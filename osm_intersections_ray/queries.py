@@ -197,6 +197,8 @@ def queries() -> dict:
         _tbl(sf, "events", ["user_id", "event_id", "ts"]))
     q["events_sliding"] = lambda sf: events.sliding_window(
         _tbl(sf, "events", ["event_type", "ts", "value"]))
+    q["asof_prev_purchase"] = lambda sf: events.asof_prev_purchase(
+        _tbl(sf, "events", ["user_id", "event_id", "ts", "event_type"]))
 
     # --- relational building blocks
     q["pricing_summary"] = lambda sf: relational.pricing_summary(
@@ -213,6 +215,8 @@ def queries() -> dict:
     q["revenue_by_nation"] = rev_nation
     q["top_parts"] = lambda sf: relational.top_parts(
         _tbl(sf, "part", ["p_partkey", "p_name", "p_retailprice"]))
+    q["top_parts_per_brand"] = lambda sf: relational.top_parts_per_brand(
+        _tbl(sf, "part", ["p_partkey", "p_name", "p_brand", "p_retailprice"]))
 
     def anti_join(sf):
         orders = pq.read_table(os.path.join(sf, "orders.parquet"),
@@ -260,9 +264,11 @@ def oracle_sql() -> dict:
         "events_hourly": events.hourly_window_sql(),
         "sessions": events.sessionize_sql(),
         "events_sliding": events.sliding_window_sql(),
+        "asof_prev_purchase": events.asof_prev_purchase_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "top_parts": relational.top_parts_sql(),
+        "top_parts_per_brand": relational.top_parts_per_brand_sql(),
         "customers_without_orders": filters.customers_without_orders_sql(),
         # intersections_full, ann_lsh: rows-only (non-SQL-expressible;
         # intersections_full is golden-tested against the reference oracle

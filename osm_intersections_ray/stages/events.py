@@ -159,6 +159,53 @@ def sessionize(ds):
             .groupby("ushard").map_groups(per_shard, batch_format="pandas"))
 
 
+ASOF_TYPE = "purchase"
+
+
+def asof_prev_purchase(ds):
+    """AS-OF join (self, backward): attach to every event the timestamp of
+    the latest STRICTLY-PRIOR '{ASOF_TYPE}' event by the same user, ordered
+    by (ts, event_id); -1 (microseconds sentinel) when none exists.
+
+    Same partitioning as sessionize: shard on ``user_id % N_USER_SHARDS``,
+    sort once per shard, then two C-speed grouped scans (shift + ffill) —
+    the canonical backward as-of without a range join.  The partitioning
+    assumption: one user's events fit one shard group (true by construction
+    of the shard key)."""
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        shard = (np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
+                 % N_USER_SHARDS).astype(np.int64)
+        return b.append_column("ushard", pa.array(shard))
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts_us = df["ts"].astype("int64")
+        pts = ts_us.where(df["event_type"].to_numpy() == ASOF_TYPE)
+        prev = pts.groupby(df["user_id"], sort=False).shift(1)
+        prev = prev.groupby(df["user_id"], sort=False).ffill()
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+            "prev_purchase_us": pa.array(
+                prev.fillna(-1).to_numpy().astype(np.int64)),
+        })
+
+    return (ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("ushard").map_groups(per_shard, batch_format="pandas"))
+
+
+def asof_prev_purchase_sql(table: str = "events") -> str:
+    return f"""
+SELECT event_id,
+       coalesce(epoch_us(
+         last_value(CASE WHEN event_type = '{ASOF_TYPE}' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), -1)
+         AS prev_purchase_us
+FROM {table}
+"""
+
+
 def sessionize_sql(table: str = "events") -> str:
     return f"""
 WITH o AS (

@@ -140,3 +140,47 @@ SELECT p_partkey, p_name,
        CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
 FROM part ORDER BY price_cents DESC, p_partkey ASC LIMIT {k}
 """
+
+
+def top_parts_per_brand(ds, k: int = 3):
+    """GROUPED top-k (k per brand) without a global sort: each batch emits
+    its local top-k per brand (so the shuffle carries at most
+    k x brands x batches rows), then a tiny ``groupby(brand)`` takes the
+    final top-k per group.  Tie-break p_partkey asc; rank column included."""
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["price_cents"] = round_half_away_np(df["p_retailprice"].to_numpy() * 100)
+        df = df.sort_values(["p_brand", "price_cents", "p_partkey"],
+                            ascending=[True, False, True], kind="stable")
+        df = df.groupby("p_brand", sort=False).head(k)
+        return pa.Table.from_pandas(
+            df[["p_brand", "p_partkey", "p_name", "price_cents"]],
+            preserve_index=False)
+
+    def final_topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["price_cents", "p_partkey"],
+                          ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(
+            g[["p_brand", "p_partkey", "p_name", "price_cents", "rk"]],
+            preserve_index=False)
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow")
+            .groupby("p_brand").map_groups(final_topk, batch_format="pandas"))
+
+
+def top_parts_per_brand_sql(k: int = 3) -> str:
+    return f"""
+WITH r AS (
+  SELECT p_brand, p_partkey, p_name,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY CAST(round(p_retailprice * 100) AS BIGINT) DESC,
+                                     p_partkey ASC) AS rk
+  FROM part
+)
+SELECT p_brand, p_partkey, p_name, price_cents, rk::BIGINT AS rk
+FROM r WHERE rk <= {k}
+"""

@@ -98,32 +98,38 @@ def edge_events_dir(tmp_path_factory):
     H = 3_600_000_000  # 1h in us
     GAP = 30 * 60 * 1_000_000
     base = 1_700_000_000_000_000  # ~2023, far from any epoch edge
-    # (user, ts_us offset, value)
+    # (user, ts_us offset, event_type, value)
     rows = [
-        (1, 0, 0.125),                 # single-event user; half-cent up
-        (2, 0, -0.125),                # negative half-cent
-        (2, GAP, 1.0),                 # gap EXACTLY threshold: same session
-        (2, 2 * GAP + 1, 2.675),       # gap threshold+1us: NEW session
-        (3, H - 1, 0.005),             # just before an hour boundary
-        (3, H, -0.005),                # exactly on the boundary
-        (3, H, 99.994999),             # duplicate ts, distinct event_id
-        (4, 5, 0.0),
-        (4, 5 + GAP + GAP, 1e6),       # far gap: second session
+        (1, 0, "a", 0.125),                 # single-event user; half-cent up
+        (2, 0, "b", -0.125),                # negative half-cent
+        (2, GAP, "a", 1.0),                 # gap EXACTLY threshold: same session
+        (2, GAP + 1000, "purchase", 0.5),   # as-of anchor mid-session
+        (2, 2 * GAP + 1, "b", 2.675),       # gap threshold+1us: NEW session;
+        #                                     prev purchase crosses the session cut
+        (3, H - 1, "a", 0.005),             # just before an hour boundary
+        (3, H, "a", -0.005),                # exactly on the boundary
+        (3, H, "purchase", 1.0),            # SAME ts, higher event_id: the two
+        #                                     ts==H events must NOT see it (strict
+        #                                     (ts, event_id) ordering)
+        (3, H, "b", 99.994999),             # duplicate ts, after the purchase
+        (3, H + 10, "a", 2.0),              # sees the ts==H purchase
+        (4, 5, "a", 0.0),                   # user with no purchase: -1 sentinel
+        (4, 5 + GAP + GAP, "a", 1e6),       # far gap: second session
     ]
     tbl = pa.table({
         "event_id": pa.array(range(len(rows)), pa.int64()),
-        "ts": pa.array([base + off for _, off, _ in rows], pa.timestamp("us")),
-        "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
-        "event_type": pa.array(["a", "b", "a", "b", "a", "a", "b", "a", "a"],
-                               pa.string()),
-        "value": pa.array([v for _, _, v in rows], pa.float64()),
+        "ts": pa.array([base + off for _, off, _, _ in rows], pa.timestamp("us")),
+        "user_id": pa.array([u for u, _, _, _ in rows], pa.int64()),
+        "event_type": pa.array([t for _, _, t, _ in rows], pa.string()),
+        "value": pa.array([v for _, _, _, v in rows], pa.float64()),
         "props": pa.array(["{}"] * len(rows), pa.string()),
     })
     pq.write_table(tbl, str(d / "events.parquet"))
     return str(d)
 
 
-@pytest.mark.parametrize("name", ["events_hourly", "sessions", "events_sliding"])
+@pytest.mark.parametrize("name", ["events_hourly", "sessions", "events_sliding",
+                                  "asof_prev_purchase"])
 def test_edge_events_vs_oracle(ray_session, edge_events_dir, name):
     _compare(ray_session, edge_events_dir, "events", name)
 
