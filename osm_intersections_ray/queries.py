@@ -144,6 +144,10 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
     q["bpe_token_count"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.bpe_token_count_batch, batch_format="pyarrow")
+    q["sample_docs"] = lambda sf: _tbl(sf, "documents", ["doc_id"]).map_batches(
+        text.sample_docs_batch, batch_format="pyarrow")
+    q["token_quantiles"] = lambda sf: text.token_quantiles(
+        _tbl(sf, "documents", ["text", "lang"]))
 
     # --- similarity search over embeddings
     def knn_cosine(sf):
@@ -256,6 +260,8 @@ def oracle_sql() -> dict:
         "simhash": dedup.simhash_sql(),
         "near_dedup_survivors": dedup.near_dedup_survivors_sql(),
         "bpe_token_count": text.bpe_token_count_sql(),
+        "sample_docs": text.sample_docs_sql(),
+        "token_quantiles": text.token_quantiles_sql(),
         "image_decode_ppm": multimodal.image_decode_sql(),
         "audio_decode_wav": multimodal.audio_decode_sql(),
         "image_resize_ppm": multimodal.image_resize_sql(),

@@ -224,6 +224,84 @@ def bpe_token_count_batch(b: pa.Table) -> pa.Table:
     })
 
 
+SAMPLE_PCT = 20  # deterministic Bernoulli-by-hash sampling rate
+
+
+def sample_docs_batch(b: pa.Table) -> pa.Table:
+    """Deterministic corpus sampling: keep doc iff
+    h60(md5(str(doc_id))) % 100 < SAMPLE_PCT.  Hash-based (not RNG-based) so
+    the sample is reproducible across runs, partitionings and engines — the
+    property a training-data pipeline needs for resumable subset builds."""
+    import numpy as np
+
+    from ..functions.hashing import h60
+
+    ids = b["doc_id"].to_pylist()
+    keep = np.array([h60(str(i)) % 100 < SAMPLE_PCT for i in ids], dtype=bool)
+    sel = pa.array(np.nonzero(keep)[0].astype(np.int64))
+    return b.take(sel)
+
+
+def sample_docs_sql(table: str = "documents") -> str:
+    return (f"SELECT doc_id FROM {table} WHERE "
+            f"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+            f"% 100 < {SAMPLE_PCT}")
+
+
+QUANTILES_PCT = (50, 90, 99)  # percentile_disc fractions, as integer percents
+
+
+def token_quantiles(ds):
+    """EXACT per-language token-count quantiles at scale, via distributed
+    histograms: token counts are low-cardinality integers, so the per-batch
+    partial is a (lang, n_tokens) -> count histogram, the shuffle reduces
+    histograms (tiny), and the final per-lang quantile reads the merged
+    counts — no sort of the corpus, no approximation.  Selection rule is
+    percentile_disc: smallest value whose cumulative count*100 >= pct*N
+    (pure integer math, so engine == oracle exactly)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        n_tok = [len(_tokens(t)) for t in texts]
+        df = pd.DataFrame({"lang": b["lang"].to_pandas(), "n": n_tok})
+        g = df.groupby(["lang", "n"], sort=False).size().reset_index(name="cnt")
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                         "cnt": pa.array(g["cnt"].to_numpy(), pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "n"]).aggregate(Sum("cnt", alias_name="cnt")))
+
+    def per_lang(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values("n", kind="stable")
+        vals = df["n"].to_numpy()
+        cum = np.cumsum(df["cnt"].to_numpy())
+        total = int(cum[-1])
+        out = {"lang": pa.array([df["lang"].iloc[0]], pa.string())}
+        for pct in QUANTILES_PCT:
+            idx = int(np.searchsorted(cum * 100, pct * total, side="left"))
+            out[f"p{pct}"] = pa.array([int(vals[idx])], pa.int64())
+        return pa.table(out)
+
+    return hist.groupby("lang").map_groups(per_lang, batch_format="pandas")
+
+
+def token_quantiles_sql(table: str = "documents") -> str:
+    cols = ",\n       ".join(
+        f"percentile_disc({pct / 100}) WITHIN GROUP (ORDER BY n)::BIGINT AS p{pct}"
+        for pct in QUANTILES_PCT)
+    return f"""
+WITH t AS (SELECT lang, len({TOKS_SQL}) AS n FROM {table})
+SELECT lang,
+       {cols}
+FROM t GROUP BY lang
+"""
+
+
 def bpe_token_count_sql(table: str = "documents") -> str:
     return f"""
 SELECT doc_id,

@@ -29,6 +29,12 @@ EDGE_TEXTS = [
     "the quick brown fox jumps over the lazy dog again and again and again",
     "punctuation!!! ??? ;;; ::: ,,, ... --- === +++ *** @@@ ###",
     "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    # padding rows so ids 16 and 18 exist: the deterministic sampler keeps
+    # h60(md5(id)) % 100 < 20, which matches NO id below 16 — without these
+    # the sample is empty and an empty Ray dataset cannot carry schema
+    "pad ten", "pad eleven", "pad twelve", "pad thirteen", "pad fourteen",
+    "pad fifteen", "sampled row sixteen here", "pad seventeen",
+    "sampled row eighteen here",
 ]
 
 DOC_QUERIES = [
@@ -36,6 +42,7 @@ DOC_QUERIES = [
     "exact_dedup", "simhash", "bpe_token_count",
     "minhash_lsh_pairs", "near_dup_jaccard", "near_dedup_survivors",
     "image_decode_ppm", "audio_decode_wav", "image_resize_ppm",
+    "sample_docs", "token_quantiles",
 ]
 
 
