@@ -81,18 +81,20 @@ def sliding_window(ds):
         ts_us = b["ts"].to_pandas().astype("int64").to_numpy()
         cents = round_half_away_np(b["value"].to_numpy(zero_copy_only=False) * 100)
         base = (ts_us // SLIDE_US) * SLIDE_US
-        et = b["event_type"].to_pandas()
-        frames = []
-        for i in range(WIN_SLIDES):
-            frames.append(pd.DataFrame({
-                "event_type": et, "wstart_us": base - i * SLIDE_US,
-                "cents": cents}))
-        df = pd.concat(frames, ignore_index=True)
-        g = df.groupby(["event_type", "wstart_us"], sort=False).agg(
+        # aggregate EVENTS once per (type, slide-aligned base), THEN expand
+        # the already-small histogram into its WIN_SLIDES shifted copies —
+        # duplicate (type, wstart) rows across copies are fine, the global
+        # groupby sums partials anyway
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "base": base, "cents": cents})
+        g = df.groupby(["event_type", "base"], sort=False).agg(
             n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
-        g["wstart"] = g.pop("wstart_us").to_numpy().astype("datetime64[us]")
+        frames = [g.assign(wstart_us=g["base"] - i * SLIDE_US)
+                  for i in range(WIN_SLIDES)]
+        out = pd.concat(frames, ignore_index=True)
+        out["wstart"] = out.pop("wstart_us").to_numpy().astype("datetime64[us]")
         return pa.Table.from_pandas(
-            g[["event_type", "wstart", "n", "sum_cents"]],
+            out[["event_type", "wstart", "n", "sum_cents"]],
             preserve_index=False, schema=_SLIDING_PARTIAL_SCHEMA)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")

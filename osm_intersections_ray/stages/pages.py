@@ -115,11 +115,14 @@ FROM g
 """
 
 
-# Above this many ways the per-worker broadcast bbox dict (4 float64 + 1
-# int64 array ~ 40 B/way -> ~40 GB at planet-scale 10^9 ways) stops being
-# "small side"; the join then routes to the native variant that carries
-# bboxes through the shuffle instead of broadcasting them.
-BROADCAST_WAYS_MAX = 2_000_000
+# Broadcast-regime bounds.  The per-worker broadcast is the exploded COVER
+# index: 6 x 8-byte columns = 48 B per cover row, and a way bbox compacts to
+# ~4-8 cells, so ways are pre-screened at ~250k (metadata-only count) and the
+# actual built index is double-checked in cover ROWS before ray.put — above
+# either bound the join routes to the native variant that carries bboxes
+# through the shuffle instead of broadcasting (~100 MB worst-case broadcast).
+BROADCAST_WAYS_MAX = 250_000
+BROADCAST_COVER_ROWS_MAX = 2_000_000
 
 
 def pages_way_join(pages_ds, ways_ds, broadcast_ways_max: int = BROADCAST_WAYS_MAX):
@@ -132,12 +135,13 @@ def pages_way_join(pages_ds, ways_ds, broadcast_ways_max: int = BROADCAST_WAYS_M
     * ways <= ``broadcast_ways_max`` (the declared-small regime): a TRUE
       map-side broadcast join — the (cellkey -> way, bbox) cover index is
       built distributedly (vectorized :func:`_cover_explode_index`),
-      collected once (~24 B/cover row), sorted, ``ray.put`` once, and every
-      pages task does searchsorted lookup + bbox refine inside
-      ``map_batches``.  NO all-to-all: the join is embarrassingly parallel
-      over pages, which is what the N->4N scaling criterion measures (the
-      previous union+groupby formulation spent its time in a 4x-replicated
-      page-row sort that was bandwidth-, not compute-, bound).
+      collected once (48 B/cover row, double-checked against
+      ``BROADCAST_COVER_ROWS_MAX`` before broadcasting), sorted, ``ray.put``
+      once, and every pages task does searchsorted lookup + bbox refine
+      inside ``map_batches``.  NO all-to-all: the join is embarrassingly
+      parallel over pages, which is what the N->4N scaling criterion
+      measures (the previous union+groupby formulation spent its time in a
+      4x-replicated page-row sort that was bandwidth-, not compute-, bound).
     * ways > ``broadcast_ways_max``: route to
       :func:`pages_way_join_native` — bboxes ride a salted hash-join
       shuffle, no driver collect, no per-worker O(ways) structure.  Both
@@ -161,6 +165,11 @@ def pages_way_join(pages_ds, ways_ds, broadcast_ways_max: int = BROADCAST_WAYS_M
         return sub.add_column(0, "cellkey", pa.array(cells, pa.int64()))
 
     cov = ways_ds.map_batches(cover_rows, batch_format="pyarrow").to_pandas()
+    if len(cov) > BROADCAST_COVER_ROWS_MAX:
+        # pathological bboxes exploded past the broadcast budget: fall back
+        # (the collect was wasted but bounded; at real scale the ways-count
+        # pre-screen routes to the native variant before ever getting here)
+        return pages_way_join_native(pages_ds, ways_ds)
     order = np.argsort(cov["cellkey"].to_numpy(), kind="stable")
     idx_ref = ray.put({
         "cells": cov["cellkey"].to_numpy()[order],

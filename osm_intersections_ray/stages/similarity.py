@@ -86,7 +86,11 @@ def knn_brute(ds, queries_ref):
         k = min(TOP_K + 1, sims.shape[1])
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            top = np.argpartition(-row, k - 1)[:k] if k < len(row) else np.arange(len(row))
+            # tie-break LOCALLY exactly like the oracle (cos desc, nid asc):
+            # argpartition keeps an ARBITRARY subset of tied rows, which
+            # drops low-nid ties before the global merge whenever > k rows
+            # tie inside one batch (e.g. duplicate or zero vectors)
+            top = np.lexsort((ids, -row))[:k]
             for j in top:
                 if ids[j] == q["ids"][qi]:
                     continue
@@ -335,9 +339,10 @@ def ann_ivf(ds, queries_ref):
         ids = df["vec_id"].to_numpy()
         sims = q["mat"][sel] @ mn.T
         out_q, out_n, out_c = [], [], []
+        ids_np = np.asarray(ids)
         for row_i, qi in enumerate(sel):
             row = sims[row_i]
-            for j in np.argsort(-row)[: TOP_K + 1]:
+            for j in np.lexsort((ids_np, -row))[: TOP_K + 1]:  # tie: nid asc
                 if ids[j] == q["ids"][qi]:
                     continue
                 out_q.append(int(q["ids"][qi]))
@@ -399,7 +404,7 @@ def ann_bucketed(ds, queries_ref, planes_seed: int = 424242):
         out_q, out_n, out_c = [], [], []
         for row_i, qi in enumerate(sel):
             row = sims[row_i]
-            for j in np.argsort(-row)[: TOP_K + 1]:
+            for j in np.lexsort((ids, -row))[: TOP_K + 1]:  # tie: nid asc
                 if ids[j] == q["ids"][qi]:
                     continue
                 out_q.append(int(q["ids"][qi]))

@@ -147,6 +147,44 @@ def test_ann_recall(ray_session):
     assert hits >= len(b1) * 0.6
 
 
+def test_knn_local_tie_break(ray_session):
+    """More than TOP_K+1 tied similarities inside ONE batch must keep the
+    lowest nids (oracle order: cos desc, nid asc) — argpartition-style local
+    top-k drops an arbitrary tied subset.  Repro: zero query + many zero DB
+    vectors in a single 40-row block."""
+    import duckdb
+    import ray
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.similarity import knn_brute, load_queries
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((40, 8))
+    vecs[0] = 0.0                    # qid 0 is a zero QUERY vector
+    vecs[20:30] = 0.0                # ten tied zero DB vectors
+    tbl = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    qref = ray.put(load_queries(tbl))
+    out = knn_brute(rd.from_arrow(tbl), qref)   # from_arrow = ONE block
+    import tempfile, os
+    import pyarrow.parquet as pq_
+
+    from osm_intersections_ray.stages.similarity import knn_sql
+
+    d = tempfile.mkdtemp()
+    pq_.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')")
+    orc = con.sql(knn_sql()).df()
+    e = out.sort_values(["qid", "rk"]).reset_index(drop=True)
+    o = orc.sort_values(["qid", "rk"]).reset_index(drop=True)
+    assert (e["nid"].to_numpy() == o["nid"].to_numpy()).all()
+
+
 def test_ann_ivf_recall(ray_session):
     """IVF-flat ANN (k-means inverted lists, nprobe probing) finds the true
     top-1 for most queries on clustered data."""
