@@ -66,6 +66,7 @@ def queries() -> dict:
     q["nearest_way"] = lambda sf: knn.nearest_way_queries(_ways(sf))
     q["nearest_two"] = lambda sf: knn.nearest_two_queries(_ways(sf))
     q["block_gps"] = lambda sf: qs.block_gps_lookup(_ways(sf))
+    q["vectorize_raster"] = lambda sf: qs.vectorize_raster(_ways(sf))
 
     # --- full reference-exact pipeline (oracle = pytest golden vs the
     # single-process reference oracle; driver gets a rows-only check)
@@ -117,6 +118,7 @@ def queries() -> dict:
     q["pages_geotag"] = lambda sf: _pages(sf).map_batches(
         pages.geotag_batch, batch_format="pyarrow", batch_size=4096)
     q["pages_way_join"] = lambda sf: pages.pages_way_join(_pages(sf), _ways(sf))
+    q["host_section_stats"] = lambda sf: pages.host_section_stats(_pages(sf))
 
     # --- text analysis over documents
     q["doc_stats"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
@@ -147,6 +149,10 @@ def queries() -> dict:
     q["sample_docs"] = lambda sf: _tbl(sf, "documents", ["doc_id"]).map_batches(
         text.sample_docs_batch, batch_format="pyarrow")
     q["token_quantiles"] = lambda sf: text.token_quantiles(
+        _tbl(sf, "documents", ["text", "lang"]))
+    q["top_terms_per_lang"] = lambda sf: text.top_terms_per_lang(
+        _tbl(sf, "documents", ["text", "lang"]))
+    q["distinct_tokens_per_lang"] = lambda sf: text.distinct_tokens_per_lang(
         _tbl(sf, "documents", ["text", "lang"]))
 
     # --- similarity search over embeddings
@@ -203,6 +209,8 @@ def queries() -> dict:
         _tbl(sf, "events", ["event_type", "ts", "value"]))
     q["asof_prev_purchase"] = lambda sf: events.asof_prev_purchase(
         _tbl(sf, "events", ["user_id", "event_id", "ts", "event_type"]))
+    q["user_event_gaps"] = lambda sf: events.user_event_gaps(
+        _tbl(sf, "events", ["user_id", "event_id", "ts"]))
 
     # --- relational building blocks
     q["pricing_summary"] = lambda sf: relational.pricing_summary(
@@ -247,9 +255,11 @@ def oracle_sql() -> dict:
         "nearest_way": knn.nearest_way_sql(ways_path),
         "nearest_two": knn.nearest_two_sql(ways_path),
         "block_gps": qs.block_gps_sql(ways_path),
+        "vectorize_raster": qs.vectorize_raster_sql(ways_path),
         "pages_extract": pages.extract_sql(pages_tbl),
         "pages_geotag": pages.geotag_sql(pages_tbl),
         "pages_way_join": pages.pages_way_join_sql(pages_tbl, ways_path),
+        "host_section_stats": pages.host_section_stats_sql(pages_tbl),
         "doc_stats": text.doc_stats_sql(),
         "lang_id": text.lang_id_sql(),
         "quality_score": text.quality_score_sql(),
@@ -262,6 +272,8 @@ def oracle_sql() -> dict:
         "bpe_token_count": text.bpe_token_count_sql(),
         "sample_docs": text.sample_docs_sql(),
         "token_quantiles": text.token_quantiles_sql(),
+        "top_terms_per_lang": text.top_terms_per_lang_sql(),
+        "distinct_tokens_per_lang": text.distinct_tokens_per_lang_sql(),
         "image_decode_ppm": multimodal.image_decode_sql(),
         "audio_decode_wav": multimodal.audio_decode_sql(),
         "image_resize_ppm": multimodal.image_resize_sql(),
@@ -271,6 +283,7 @@ def oracle_sql() -> dict:
         "sessions": events.sessionize_sql(),
         "events_sliding": events.sliding_window_sql(),
         "asof_prev_purchase": events.asof_prev_purchase_sql(),
+        "user_event_gaps": events.user_event_gaps_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "top_parts": relational.top_parts_sql(),

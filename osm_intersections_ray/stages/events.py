@@ -130,7 +130,11 @@ def sessionize(ds):
     def add_shard(b: pa.Table) -> pa.Table:
         shard = (np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
                  % N_USER_SHARDS).astype(np.int64)
-        return b.append_column("ushard", pa.array(shard))
+        # strip parquet-borne pandas metadata: Ray's schema dedup cannot
+        # hash a schema whose metadata holds a dict, and mixed
+        # (with/without-metadata) blocks defeat block coalescing
+        return (b.replace_schema_metadata(None)
+                .append_column("ushard", pa.array(shard)))
 
     def per_shard(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
@@ -161,6 +165,71 @@ def sessionize(ds):
             .groupby("ushard").map_groups(per_shard, batch_format="pandas"))
 
 
+def user_event_gaps(ds):
+    """Per-user lag-window gap statistics: order each user's events by
+    (ts, event_id), gap_i = ts_i - lag(ts)_i, and reduce to one row per user
+    (n_events, n_gaps, max/sum gap in integer microseconds; -1 max for
+    single-event users).  The classic window-function (lag) shape, expressed
+    as the engine's sharded sort: shuffle key is ``user_id % N_USER_SHARDS``
+    so Ray never pays per-GROUP Python at user cardinality; within a shard
+    one stable sort + one vectorized diff covers every user."""
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        shard = (np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
+                 % N_USER_SHARDS).astype(np.int64)
+        # strip parquet-borne pandas metadata: Ray's schema dedup cannot
+        # hash a schema whose metadata holds a dict, and mixed
+        # (with/without-metadata) blocks defeat block coalescing
+        return (b.replace_schema_metadata(None)
+                .append_column("ushard", pa.array(shard)))
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        ts_us = df["ts"].astype("int64").to_numpy()
+        n = len(df)
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = -1
+        same_user = uid[1:] == uid[:-1]
+        gap[1:] = np.where(same_user, ts_us[1:] - ts_us[:-1], -1)
+        has_gap = gap >= 0
+        out = pd.DataFrame({
+            "user_id": uid,
+            "gap": np.where(has_gap, gap, 0),
+            "is_gap": has_gap.astype(np.int64),
+            "mx": gap,  # -1 sentinel ranks below any real gap
+        })
+        agg = out.groupby("user_id", sort=False).agg(
+            n_events=("gap", "size"), n_gaps=("is_gap", "sum"),
+            max_gap_us=("mx", "max"), sum_gap_us=("gap", "sum")).reset_index()
+        return pa.table({
+            "user_id": pa.array(agg["user_id"].to_numpy(), pa.int64()),
+            "n_events": pa.array(agg["n_events"].to_numpy(), pa.int64()),
+            "n_gaps": pa.array(agg["n_gaps"].to_numpy(), pa.int64()),
+            "max_gap_us": pa.array(agg["max_gap_us"].to_numpy(), pa.int64()),
+            "sum_gap_us": pa.array(agg["sum_gap_us"].to_numpy(), pa.int64()),
+        })
+
+    return (ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("ushard").map_groups(per_shard, batch_format="pandas"))
+
+
+def user_event_gaps_sql(table: str = "events") -> str:
+    return f"""
+WITH o AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap
+  FROM {table}
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       count(gap)::BIGINT AS n_gaps,
+       coalesce(max(gap), -1)::BIGINT AS max_gap_us,
+       coalesce(sum(gap), 0)::BIGINT AS sum_gap_us
+FROM o GROUP BY 1
+"""
+
+
 ASOF_TYPE = "purchase"
 
 
@@ -178,7 +247,11 @@ def asof_prev_purchase(ds):
     def add_shard(b: pa.Table) -> pa.Table:
         shard = (np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
                  % N_USER_SHARDS).astype(np.int64)
-        return b.append_column("ushard", pa.array(shard))
+        # strip parquet-borne pandas metadata: Ray's schema dedup cannot
+        # hash a schema whose metadata holds a dict, and mixed
+        # (with/without-metadata) blocks defeat block coalescing
+        return (b.replace_schema_metadata(None)
+                .append_column("ushard", pa.array(shard)))
 
     def per_shard(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")

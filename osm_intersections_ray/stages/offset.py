@@ -148,4 +148,4 @@ def _collect(ways_ds) -> pa.Table:
     import pyarrow as pa
 
     dfs = ways_ds.to_pandas()
-    return pa.Table.from_pandas(dfs, preserve_index=False)
+    return pa.Table.from_pandas(dfs, preserve_index=False).replace_schema_metadata(None)

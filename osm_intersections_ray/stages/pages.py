@@ -418,3 +418,63 @@ FROM g JOIN read_parquet('{ways_path}') w
   ON g.lat BETWEEN w.minlat AND w.maxlat
  AND g.lon BETWEEN w.minlon AND w.maxlon
 """
+
+
+_URL_PARTS_RE = r"^https?://([^/]+)/([^/]+)"
+_HOST_PARTIAL_SCHEMA = pa.schema([
+    ("host", pa.string()), ("section", pa.string()),
+    ("n_pages", pa.int64()), ("sum_chars", pa.int64()),
+    ("min_ts_us", pa.int64()), ("max_ts_us", pa.int64()),
+])
+
+
+def host_section_stats(pages_ds):
+    """Crawl-manifest aggregation: parse (host, first path segment) out of
+    every url and reduce to per-(host, section) page counts, total extracted
+    chars and the warc_ts coverage window — the per-domain accounting pass a
+    Common-Crawl-style pipeline runs before sampling.  Per-batch partial
+    combine (pandas C regex extract + groupby) so the shuffle moves one row
+    per (host, section) per batch; urls that don't parse are dropped on both
+    sides (engine dropna == oracle regexp-miss filter)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        url = b["url"].to_pandas()
+        parts = url.str.extract(_URL_PARTS_RE)
+        df = pd.DataFrame({
+            "host": parts[0], "section": parts[1],
+            "chars": b["text"].to_pandas().str.len().fillna(0).astype("int64"),
+            "ts": b["warc_ts"].to_pandas().astype("int64"),
+        }).dropna(subset=["host", "section"])
+        g = df.groupby(["host", "section"], sort=False).agg(
+            n_pages=("ts", "size"), sum_chars=("chars", "sum"),
+            min_ts_us=("ts", "min"), max_ts_us=("ts", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_HOST_PARTIAL_SCHEMA)
+
+    partials = pages_ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["host", "section"]).aggregate(
+        Sum("n_pages", alias_name="n_pages"),
+        Sum("sum_chars", alias_name="sum_chars"),
+        Min("min_ts_us", alias_name="min_ts_us"),
+        Max("max_ts_us", alias_name="max_ts_us"),
+    )
+
+
+def host_section_stats_sql(table: str = "pages") -> str:
+    return f"""
+WITH p AS (
+  SELECT regexp_extract(url, '{_URL_PARTS_RE}', 1) AS host,
+         regexp_extract(url, '{_URL_PARTS_RE}', 2) AS section,
+         length(text) AS chars, epoch_us(warc_ts) AS ts_us
+  FROM {table}
+)
+SELECT host, section, count(*)::BIGINT AS n_pages,
+       sum(chars)::BIGINT AS sum_chars,
+       min(ts_us)::BIGINT AS min_ts_us, max(ts_us)::BIGINT AS max_ts_us
+FROM p
+WHERE coalesce(host, '') <> '' AND coalesce(section, '') <> ''
+GROUP BY 1, 2
+"""

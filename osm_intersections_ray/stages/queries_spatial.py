@@ -341,3 +341,232 @@ FROM cov a JOIN cov b ON a.klng = b.klng AND a.klat = b.klat AND a.way_id != b.w
 WHERE a.highway = 'motorway'
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# raster -> vector (north rule: "raster<->vector"): the occupied-cell raster
+# (the same 0.01-degree bbox cover that feeds cell_population) vectorized
+# into connected components (4-neighborhood), each reported as a labeled
+# region with cell count and bounding rectangle.
+
+RASTER_STRIPE_W = 32          # cells per lon-stripe (the CC shuffle key)
+_KOFF_X, _KOFF_Y = 20_000, 10_000   # klng in [-18000,18000], klat in [-9000,9000]
+_KMUL = 50_000                # encoded key = (x+OFFX)*KMUL + (y+OFFY), > 0
+
+
+def _cell_key(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """int64 encoding of a cell, ordered lexicographically by (klng, klat)."""
+    return (x.astype(np.int64) + _KOFF_X) * _KMUL + (y.astype(np.int64) + _KOFF_Y)
+
+
+def vectorize_raster(ways_ds):
+    """Vectorize the occupied-cell raster into 4-connected components.
+
+    Raster side: tagged-way bbox covers explode to cells and dedup through a
+    ``groupby`` — the raster is bounded by the GRID (648M cells for the whole
+    planet at 0.01 deg), not by the input, so everything downstream of the
+    dedup is small no matter how many ways feed it (that bound is why the
+    intermediate ``materialize()`` is safe).
+
+    Vector side — the textbook distributed connected-components split:
+
+    1. stripe the grid on ``klng // RASTER_STRIPE_W`` and label each stripe
+       INDEPENDENTLY with a fully vectorized min-label propagation
+       (searchsorted neighbor edges + ``np.minimum.at`` + pointer jumping,
+       O(log diameter) rounds);
+    2. only BOUNDARY COLUMNS (2 of every RASTER_STRIPE_W columns) leave the
+       stripes: the driver unions local roots across stripe seams with a
+       dict union-find over O(boundary) entries;
+    3. the root remap broadcasts back (``ray.put``) and a partial-combine
+       ``groupby`` reduces per-component stats.
+
+    Component label = lexicographically smallest (klng, klat) member cell.
+    Output: (comp_klng, comp_klat, n_cells, min_klng, max_klng, min_klat,
+    max_klat), exactly matching the recursive-CTE closure oracle."""
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def explode_dedup(b: pa.Table) -> pa.Table:
+        tagged = b["tagged"].to_pylist()
+        klngs, klats = [], []
+        for i in range(b.num_rows):
+            if not tagged[i]:
+                continue
+            lo0 = math.floor(b["minlon"][i].as_py() * 100)
+            lo1 = math.ceil(b["maxlon"][i].as_py() * 100)
+            la0 = math.floor(b["minlat"][i].as_py() * 100)
+            la1 = math.ceil(b["maxlat"][i].as_py() * 100)
+            for x in range(lo0, lo1 + 1):
+                for y in range(la0, la1 + 1):
+                    klngs.append(x)
+                    klats.append(y)
+        x = np.asarray(klngs, dtype=np.int64)
+        y = np.asarray(klats, dtype=np.int64)
+        _, idx = np.unique(_cell_key(x, y), return_index=True)  # batch combiner
+        return pa.table({"klng": pa.array(x[idx]), "klat": pa.array(y[idx])})
+
+    cells = (ways_ds.map_batches(explode_dedup, batch_format="pyarrow")
+             .groupby(["klng", "klat"]).aggregate(Count(alias_name="c"))
+             .drop_columns(["c"]))
+
+    def add_stripe(b: pa.Table) -> pa.Table:
+        stripe = (b["klng"].to_numpy(zero_copy_only=False)
+                  // RASTER_STRIPE_W).astype(np.int64)
+        return b.replace_schema_metadata(None).append_column(
+            "stripe", pa.array(stripe))
+
+    def local_cc(df: pd.DataFrame) -> pa.Table:
+        x = df["klng"].to_numpy(np.int64)
+        y = df["klat"].to_numpy(np.int64)
+        key = _cell_key(x, y)
+        order = np.argsort(key)
+        x, y, key = x[order], y[order], key[order]
+        n = len(key)
+        # neighbor edges inside the stripe: (x+1,y) stays in-stripe only off
+        # the seam, but a missed seam edge is exactly what step 2 re-adds
+        es, ed = [], []
+        for nk in (_cell_key(x + 1, y), _cell_key(x, y + 1)):
+            pos = np.searchsorted(key, nk)
+            ok = pos < n
+            ok[ok] &= key[pos[ok]] == nk[ok]
+            es.append(np.nonzero(ok)[0])
+            ed.append(pos[ok])
+        es = np.concatenate(es)
+        ed = np.concatenate(ed)
+        lab = np.arange(n, dtype=np.int64)
+        while True:  # min-label propagation + pointer jumping
+            l2 = lab.copy()
+            np.minimum.at(l2, ed, lab[es])
+            np.minimum.at(l2, es, lab[ed])
+            l2 = l2[l2]
+            if np.array_equal(l2, lab):
+                break
+            lab = l2
+        return pa.table({"klng": pa.array(x), "klat": pa.array(y),
+                         "root": pa.array(key[lab])})
+
+    labeled = (cells.map_batches(add_stripe, batch_format="pyarrow")
+               .groupby("stripe").map_groups(local_cc, batch_format="pandas")
+               .materialize())  # grid-bounded; read twice below
+
+    def boundary_only(b: pa.Table) -> pa.Table:
+        x = b["klng"].to_numpy(zero_copy_only=False)
+        m = np.isin(x % RASTER_STRIPE_W, (0, RASTER_STRIPE_W - 1))
+        return b.filter(pa.array(m))
+
+    bnd = labeled.map_batches(boundary_only, batch_format="pyarrow").to_pandas()
+
+    # driver-side seam union-find over O(boundary cells) roots
+    parent: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            hi, lo = max(ra, rb), min(ra, rb)
+            parent[hi] = lo
+
+    bx = bnd["klng"].to_numpy(np.int64)
+    by = bnd["klat"].to_numpy(np.int64)
+    br = bnd["root"].to_numpy(np.int64)
+    is_right = bx % RASTER_STRIPE_W == 0  # leftmost column of its stripe
+    right = {int(k): int(r) for k, r in
+             zip(_cell_key(bx[is_right], by[is_right]), br[is_right])}
+    seam = bx % RASTER_STRIPE_W == RASTER_STRIPE_W - 1
+    for k, r in zip(_cell_key(bx[seam] + 1, by[seam]), br[seam]):
+        nb = right.get(int(k))
+        if nb is not None:
+            union(int(r), nb)
+    remap = {a: find(a) for a in parent}
+    remap_ref = ray.put(remap)
+
+    def relabel_partial(b: pa.Table) -> pa.Table:
+        from .common import cached_get
+
+        rm = cached_get(remap_ref)
+        root = pd.Series(b["root"].to_numpy(zero_copy_only=False))
+        comp = root.map(rm).fillna(root).astype(np.int64)
+        df = pd.DataFrame({"comp": comp,
+                           "x": b["klng"].to_numpy(zero_copy_only=False),
+                           "y": b["klat"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("comp", sort=False).agg(
+            n_cells=("x", "size"), min_klng=("x", "min"), max_klng=("x", "max"),
+            min_klat=("y", "min"), max_klat=("y", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_RASTER_PARTIAL_SCHEMA)
+
+    agg = labeled.map_batches(relabel_partial, batch_format="pyarrow").groupby(
+        "comp").aggregate(
+        Sum("n_cells", alias_name="n_cells"),
+        Min("min_klng", alias_name="min_klng"),
+        Max("max_klng", alias_name="max_klng"),
+        Min("min_klat", alias_name="min_klat"),
+        Max("max_klat", alias_name="max_klat"))
+
+    def decode(b: pa.Table) -> pa.Table:
+        comp = b["comp"].to_numpy(zero_copy_only=False)
+        out = pa.table({
+            "comp_klng": pa.array(comp // _KMUL - _KOFF_X),
+            "comp_klat": pa.array(comp % _KMUL - _KOFF_Y),
+            "n_cells": b["n_cells"], "min_klng": b["min_klng"],
+            "max_klng": b["max_klng"], "min_klat": b["min_klat"],
+            "max_klat": b["max_klat"],
+        })
+        return out
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+_RASTER_PARTIAL_SCHEMA = pa.schema([
+    ("comp", pa.int64()), ("n_cells", pa.int64()),
+    ("min_klng", pa.int64()), ("max_klng", pa.int64()),
+    ("min_klat", pa.int64()), ("max_klat", pa.int64()),
+])
+
+
+def vectorize_raster_sql(ways_path: str) -> str:
+    """Transitive-closure oracle: reach(node, r) enumerates every cell
+    reachable from every cell (the UNION dedups per recursion level), label
+    = min reachable key — exact, viable at gate scale."""
+    key = (f"(klng + {_KOFF_X}) * {_KMUL} + (klat + {_KOFF_Y})")
+    return f"""
+WITH RECURSIVE
+w AS (SELECT minlat, minlon, maxlat, maxlon
+      FROM read_parquet('{ways_path}') WHERE tagged),
+x AS (SELECT minlat, maxlat,
+             unnest(generate_series(CAST(floor(minlon * 100) AS BIGINT),
+                                    CAST(ceil(maxlon * 100) AS BIGINT))) AS klng
+      FROM w),
+xy AS (SELECT klng,
+              unnest(generate_series(CAST(floor(minlat * 100) AS BIGINT),
+                                     CAST(ceil(maxlat * 100) AS BIGINT))) AS klat
+       FROM x),
+cells AS (SELECT DISTINCT klng, klat FROM xy),
+k AS (SELECT klng, klat, {key} AS key FROM cells),
+e AS (
+  SELECT a.key AS src, b.key AS dst FROM k a
+  JOIN k b ON b.klng = a.klng + 1 AND b.klat = a.klat
+  UNION ALL
+  SELECT a.key, b.key FROM k a
+  JOIN k b ON b.klng = a.klng AND b.klat = a.klat + 1
+),
+eu AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+reach(node, r) AS (
+  SELECT key, key FROM k
+  UNION
+  SELECT eu.dst, reach.r FROM reach JOIN eu ON reach.node = eu.src
+),
+lbl AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+cl AS (SELECT k.klng, k.klat, lbl.comp FROM k JOIN lbl ON k.key = lbl.node)
+SELECT comp // {_KMUL} - {_KOFF_X} AS comp_klng,
+       comp % {_KMUL} - {_KOFF_Y} AS comp_klat,
+       count(*)::BIGINT AS n_cells,
+       min(klng)::BIGINT AS min_klng, max(klng)::BIGINT AS max_klng,
+       min(klat)::BIGINT AS min_klat, max(klat)::BIGINT AS max_klat
+FROM cl GROUP BY 1, 2
+"""

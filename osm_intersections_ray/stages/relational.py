@@ -126,7 +126,8 @@ def top_parts(ds, k: int = 10):
         df = df.sort_values(["price_cents", "p_partkey"],
                             ascending=[False, True], kind="stable").head(k)
         return pa.Table.from_pandas(
-            df[["p_partkey", "p_name", "price_cents"]], preserve_index=False)
+            df[["p_partkey", "p_name", "price_cents"]],
+            preserve_index=False).replace_schema_metadata(None)
 
     parts = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     parts = parts.sort_values(["price_cents", "p_partkey"],
@@ -156,7 +157,7 @@ def top_parts_per_brand(ds, k: int = 3):
         df = df.groupby("p_brand", sort=False).head(k)
         return pa.Table.from_pandas(
             df[["p_brand", "p_partkey", "p_name", "price_cents"]],
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     def final_topk(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["price_cents", "p_partkey"],
@@ -165,7 +166,7 @@ def top_parts_per_brand(ds, k: int = 3):
         g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return pa.Table.from_pandas(
             g[["p_brand", "p_partkey", "p_name", "price_cents", "rk"]],
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     return (ds.map_batches(local_topk, batch_format="pyarrow")
             .groupby("p_brand").map_groups(final_topk, batch_format="pandas"))

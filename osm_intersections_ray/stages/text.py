@@ -310,3 +310,113 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT AS n_bpe_tokens
 FROM {table}
 """
+
+
+TOP_TERMS_K = 15  # terms kept per language
+
+
+def top_terms_per_lang(ds):
+    """Corpus-level term frequencies with per-language top-k — the
+    high-cardinality aggregation shape (vocabulary-sized keyspace) of a
+    training-data pipeline, kept shuffle-lean in three tiers:
+
+    1. per-batch PARTIAL counts (pandas C regex findall + explode +
+       groupby) — the exchange moves one row per distinct (lang, token)
+       per batch, never per occurrence;
+    2. a global ``groupby((lang, token)).sum`` — the only wide step, over
+       already-combined rows;
+    3. per-block local top-k (each block emits <= K rows per lang present)
+       then a tiny per-lang final merge — no global sort of the vocabulary.
+
+    Ties break by token ascending (rank = (n DESC, token ASC)), matching
+    the SQL row_number() oracle exactly."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    counts_schema = pa.schema([("lang", pa.string()), ("token", pa.string()),
+                               ("n", pa.int64())])
+    out_schema = counts_schema.append(pa.field("rk", pa.int64()))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ser = b["text"].to_pandas().fillna("")
+        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        df = (pd.DataFrame({"lang": b["lang"].to_pandas(), "token": toks})
+              .explode("token").dropna(subset=["token"]))
+        g = df.groupby(["lang", "token"], sort=False).size().reset_index(name="n")
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "token": pa.array(g["token"], pa.string()),
+                         "n": pa.array(g["n"].to_numpy(), pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["lang", "token"]).aggregate(Sum("n", alias_name="n")))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(["n", "token"], ascending=[False, True],
+                            kind="stable")
+        df = df.groupby("lang", sort=False).head(TOP_TERMS_K)
+        return pa.Table.from_pandas(df[["lang", "token", "n"]],
+                                    preserve_index=False, schema=counts_schema)
+
+    def final_topk(g: "pd.DataFrame") -> pa.Table:
+        g = g.sort_values(["n", "token"], ascending=[False, True],
+                          kind="stable").head(TOP_TERMS_K).reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(g[["lang", "token", "n", "rk"]],
+                                    preserve_index=False, schema=out_schema)
+
+    return (counts.map_batches(local_topk, batch_format="pyarrow")
+            .groupby("lang").map_groups(final_topk, batch_format="pandas"))
+
+
+def top_terms_per_lang_sql(table: str = "documents") -> str:
+    return f"""
+WITH t AS (SELECT lang, unnest({TOKS_SQL}) AS token FROM {table}),
+c AS (SELECT lang, token, count(*)::BIGINT AS n FROM t GROUP BY 1, 2),
+r AS (SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, token ASC) AS rk
+      FROM c)
+SELECT lang, token, n, rk::BIGINT AS rk FROM r WHERE rk <= {TOP_TERMS_K}
+"""
+
+
+def distinct_tokens_per_lang(ds):
+    """EXACT distributed count-distinct: vocabulary size per language.
+    Tier 1 dedups (lang, token) inside each batch (the combiner), tier 2 is
+    the canonical dedup shuffle (``groupby`` on the pair — one row per
+    distinct key survives), tier 3 counts survivors per lang with another
+    partial-combine.  No sketch, no driver-side set."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    pair_schema = pa.schema([("lang", pa.string()), ("token", pa.string())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ser = b["text"].to_pandas().fillna("")
+        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        df = (pd.DataFrame({"lang": b["lang"].to_pandas(), "token": toks})
+              .explode("token").dropna(subset=["token"])
+              .drop_duplicates(["lang", "token"]))
+        return pa.Table.from_pandas(df[["lang", "token"]],
+                                    preserve_index=False, schema=pair_schema)
+
+    pairs = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["lang", "token"]).aggregate(Count(alias_name="c")))
+
+    def count_per_lang(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("lang", sort=False).size().reset_index(name="k")
+        return pa.table({"lang": pa.array(df["lang"], pa.string()),
+                         "k": pa.array(df["k"].to_numpy(), pa.int64())})
+
+    return (pairs.map_batches(count_per_lang, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("k", alias_name="n_distinct_tokens")))
+
+
+def distinct_tokens_per_lang_sql(table: str = "documents") -> str:
+    return f"""
+WITH t AS (SELECT lang, unnest({TOKS_SQL}) AS token FROM {table})
+SELECT lang, count(DISTINCT token)::BIGINT AS n_distinct_tokens
+FROM t GROUP BY 1
+"""

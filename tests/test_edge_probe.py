@@ -280,3 +280,112 @@ def test_edge_pages_way_join(ray_session, edge_pages_dir):
     _pages_compare(edge_pages_dir,
                    pages.pages_way_join_native(p, w, num_partitions=4).to_pandas(),
                    sql)
+
+
+# ------------------------------------------------------- new-op edge probes
+
+
+def test_edge_user_event_gaps(ray_session, edge_events_dir):
+    """lag-window gaps on hostile orderings: single-event user (-1 sentinel),
+    duplicate timestamps (gap 0, broken by event_id), gaps exactly at / just
+    over the session threshold (irrelevant here — gaps are raw)."""
+    _compare(ray_session, edge_events_dir, "events", "user_event_gaps")
+
+
+@pytest.mark.parametrize("name", ["top_terms_per_lang", "distinct_tokens_per_lang"])
+def test_edge_doc_terms(ray_session, edge_dir, name):
+    """term aggregation on empty / all-whitespace / unicode / tie-heavy docs
+    (the 'again and again' rows force count ties broken by token order)."""
+    _compare(ray_session, edge_dir, "documents", name)
+
+
+def test_edge_host_section_stats(ray_session, tmp_path_factory):
+    """url parsing on hostile shapes: no path, bare slash, query-only path,
+    http vs https, port in host, empty text, non-http scheme (dropped)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages
+
+    d = tmp_path_factory.mktemp("edge_hosts")
+    rows = [
+        ("https://a.example/en/x", "hello world"),
+        ("https://a.example/en/y", ""),                 # empty text
+        ("https://a.example/de/z", "drei wörter hier"),  # unicode chars
+        ("http://a.example/en/q", "http not https"),
+        ("https://b.example:8080/en/p", "port stays in host"),
+        ("https://c.example", "no path at all"),         # dropped (no section)
+        ("https://c.example/", "bare slash"),            # dropped (empty section)
+        ("ftp://d.example/en/f", "wrong scheme"),        # dropped
+        ("https://e.example/only", "single segment"),    # kept: section='only'
+    ]
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    tbl = pa.table({
+        "url": pa.array([u for u, _ in rows], pa.string()),
+        "warc_ts": pa.array([base + np.timedelta64(i, "h")
+                             for i in range(len(rows))], pa.timestamp("us")),
+        "html": pa.array([b""] * len(rows), pa.binary()),
+        "text": pa.array([t for _, t in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, str(d / "pages.parquet"))
+    eng = pages.host_section_stats(
+        rd.read_parquet(str(d / "pages.parquet"))).to_pandas()
+    sql = pages.host_section_stats_sql(f"read_parquet('{d}/pages.parquet')")
+    con = duckdb.connect()
+    orc = con.sql(sql).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    assert set(eng["host"]) == {"a.example", "b.example:8080", "e.example"}
+
+
+def test_edge_vectorize_raster(ray_session, tmp_path_factory):
+    """connected components on hostile geometry: a component crossing THREE
+    stripe seams, isolated single cells, diagonal-only contact (must stay
+    separate under 4-connectivity), overlapping bboxes forming an L, an
+    untagged way (excluded), negative coordinates."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import queries_spatial as qs
+
+    d = tmp_path_factory.mktemp("edge_raster")
+    # (minlat, minlon, maxlat, maxlon, tagged) — lon*100 = cell column klng;
+    # stripe seams sit at klng % 32 == 0
+    rows = [
+        (0.10, -0.05, 0.10, 0.70, True),    # klng -5..70: crosses seams 0/32/64
+        (0.25, 0.25, 0.25, 0.25, True),     # isolated cell-ish block
+        (0.27, 0.27, 0.27, 0.27, True),     # diagonal-ish neighbor of above
+        (2.00, 2.00, 2.50, 2.00, True),     # vertical bar, single stripe
+        (2.25, 1.75, 2.25, 2.25, True),     # horizontal bar crossing it: L/plus
+        (-1.50, -1.27, -1.45, -1.20, True),  # negative lat/lon block
+        (5.00, 5.00, 9.00, 9.00, False),    # untagged: excluded entirely
+        (0.10, 0.31, 0.10, 0.33, True),     # overlaps row 0's band (seam 32)
+    ]
+    pq.write_table(pa.table({
+        "way_id": pa.array(range(len(rows)), pa.int64()),
+        "minlat": pa.array([r[0] for r in rows], pa.float64()),
+        "minlon": pa.array([r[1] for r in rows], pa.float64()),
+        "maxlat": pa.array([r[2] for r in rows], pa.float64()),
+        "maxlon": pa.array([r[3] for r in rows], pa.float64()),
+        "tagged": pa.array([r[4] for r in rows], pa.bool_()),
+    }), str(d / "ways.parquet"))
+    eng = qs.vectorize_raster(
+        rd.read_parquet(str(d / "ways.parquet"), override_num_blocks=4)).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(qs.vectorize_raster_sql(str(d / "ways.parquet"))).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o), f"rows {len(e)} vs {len(o)}\n{e}\n{o}"
+    assert list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+            f"col {c}\n{e}\n{o}"
+    # structural facts: the long way is ONE component spanning >= 3 stripes
+    spans = (eng["max_klng"] - eng["min_klng"]).to_numpy()
+    assert (spans >= 64).sum() == 1
+    # untagged way's 5..9-degree block contributed nothing
+    assert not ((eng["min_klng"] >= 490) & (eng["min_klat"] >= 490)).any()
