@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "events_hourly",
     "sessions",
     "pricing_summary",
+    "vectorize_raster",     # raster -> vector connected components
+    "top_terms_per_lang",   # vocabulary-scale partial-combine aggregation
 ]
 
 

@@ -154,6 +154,12 @@ def queries() -> dict:
         _tbl(sf, "documents", ["text", "lang"]))
     q["distinct_tokens_per_lang"] = lambda sf: text.distinct_tokens_per_lang(
         _tbl(sf, "documents", ["text", "lang"]))
+    q["redact_pii"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
+        text.redact_pii_batch, batch_format="pyarrow")
+    q["doc_sentences"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
+        text.doc_sentences_batch, batch_format="pyarrow")
+    q["quality_filtered_docs"] = lambda sf: text.quality_filtered_docs(
+        _tbl(sf, "documents", ["doc_id", "text", "lang"]))
 
     # --- similarity search over embeddings
     def knn_cosine(sf):
@@ -274,6 +280,9 @@ def oracle_sql() -> dict:
         "token_quantiles": text.token_quantiles_sql(),
         "top_terms_per_lang": text.top_terms_per_lang_sql(),
         "distinct_tokens_per_lang": text.distinct_tokens_per_lang_sql(),
+        "redact_pii": text.redact_pii_sql(),
+        "doc_sentences": text.doc_sentences_sql(),
+        "quality_filtered_docs": text.quality_filtered_docs_sql(),
         "image_decode_ppm": multimodal.image_decode_sql(),
         "audio_decode_wav": multimodal.audio_decode_sql(),
         "image_resize_ppm": multimodal.image_resize_sql(),

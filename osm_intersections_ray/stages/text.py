@@ -420,3 +420,155 @@ WITH t AS (SELECT lang, unnest({TOKS_SQL}) AS token FROM {table})
 SELECT lang, count(DISTINCT token)::BIGINT AS n_distinct_tokens
 FROM t GROUP BY 1
 """
+
+
+# PII-redaction patterns: explicit ASCII classes + explicit repetition (no
+# {m,n} braces, no \w/\d) so Python re and DuckDB RE2 interpret the string
+# identically; verified char-exact on hostile inputs in the edge probes.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+LONGNUM_PATTERN = r"[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"  # 7+ digit runs
+
+
+def redact_pii_batch(b: pa.Table) -> pa.Table:
+    """Training-data scrub pass: replace emails with '[EMAIL]', then 7+-digit
+    runs with '[NUM]' (counted AFTER email removal so an address's digits are
+    never double-counted).  Stateless vectorized batch — pandas C regex."""
+    import pandas as pd
+
+    ser = b["text"].to_pandas()
+    n_emails = ser.str.count(EMAIL_PATTERN).fillna(0).astype("int64")
+    e = ser.str.replace(EMAIL_PATTERN, "[EMAIL]", regex=True)
+    n_longnums = e.str.count(LONGNUM_PATTERN).fillna(0).astype("int64")
+    clean = e.str.replace(LONGNUM_PATTERN, "[NUM]", regex=True)
+    return pa.table({
+        "doc_id": b["doc_id"],
+        "clean_text": pa.array(clean.fillna("").to_numpy(), pa.string()),
+        "n_emails": pa.array(n_emails.to_numpy()),
+        "n_longnums": pa.array(n_longnums.to_numpy()),
+    })
+
+
+def redact_pii_sql(table: str = "documents") -> str:
+    em, nm = EMAIL_PATTERN, LONGNUM_PATTERN
+    return f"""
+WITH e AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{em}', '[EMAIL]', 'g') AS et
+  FROM {table}
+)
+SELECT doc_id,
+       regexp_replace(et, '{nm}', '[NUM]', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{em}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(et, '{nm}'))::BIGINT AS n_longnums
+FROM e
+"""
+
+
+def doc_sentences_batch(b: pa.Table) -> pa.Table:
+    """flat_map explode: one row per '. '-delimited chunk with its 1-based
+    index (empty chunks kept — string_split semantics).  NULL text emits no
+    rows on either side."""
+    import pandas as pd
+
+    ser = b["text"].to_pandas()
+    df = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+                       "sentence": ser.str.split(". ", regex=False)})
+    df = df.dropna(subset=["sentence"]).explode("sentence")
+    idx = df.groupby("doc_id", sort=False).cumcount() + 1
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+        "sent_idx": pa.array(idx.to_numpy(), pa.int64()),
+        "sentence": pa.array(df["sentence"].to_numpy(), pa.string()),
+    })
+
+
+def doc_sentences_sql(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id, u.i::BIGINT AS sent_idx, u.s AS sentence
+FROM {table},
+LATERAL (SELECT unnest(string_split(text, '. ')) AS s,
+                unnest(generate_series(1, len(string_split(text, '. ')))) AS i) u
+WHERE text IS NOT NULL
+"""
+
+
+QUALITY_FILTER_PCT = 50  # keep docs at or above the per-lang median quality
+
+
+def quality_filtered_docs(ds):
+    """Quality-threshold corpus filter — the canonical two-stage dependent
+    pipeline of a training-data build:
+
+    1. per-lang quality THRESHOLD via the same exact distributed-histogram
+       quantile as :func:`token_quantiles` (quality is an int in [0,100], so
+       the histogram is tiny); the per-lang table collapses to a handful of
+       rows on the driver;
+    2. broadcast the thresholds and stream-filter the corpus
+       (quality >= p50(lang)), emitting (doc_id, lang, quality).
+
+    Two streaming passes over the docs, no full materialization; the
+    selection rule is percentile_disc so the SQL oracle is bit-exact."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        q = quality_score_batch(b)["quality"]
+        df = pd.DataFrame({"lang": b["lang"].to_pandas(),
+                           "q": q.to_numpy(zero_copy_only=False)})
+        g = df.groupby(["lang", "q"], sort=False).size().reset_index(name="cnt")
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "q": pa.array(g["q"].to_numpy(), pa.int64()),
+                         "cnt": pa.array(g["cnt"].to_numpy(), pa.int64())})
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["lang", "q"]).aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())  # <= n_langs x 101 rows by construction
+    thr: dict[str, int] = {}
+    for lang, g in hist.groupby("lang", sort=False):
+        g = g.sort_values("q", kind="stable")
+        cum = np.cumsum(g["cnt"].to_numpy())
+        total = int(cum[-1])
+        idx = int(np.searchsorted(cum * 100, QUALITY_FILTER_PCT * total,
+                                  side="left"))
+        thr[str(lang)] = int(g["q"].to_numpy()[idx])
+
+    import ray
+
+    thr_ref = ray.put(thr)
+
+    def keep(b: pa.Table) -> pa.Table:
+        from ..stages.common import cached_get
+
+        t = cached_get(thr_ref)
+        q = quality_score_batch(b)["quality"].to_numpy(zero_copy_only=False)
+        lang = b["lang"].to_pandas()
+        cut = lang.map(t).to_numpy()
+        m = q >= cut
+        return pa.table({
+            "doc_id": b["doc_id"].filter(pa.array(m)),
+            "lang": b["lang"].filter(pa.array(m)),
+            "quality": pa.array(q[m], pa.int64()),
+        })
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def quality_filtered_docs_sql(table: str = "documents") -> str:
+    inner = quality_score_sql(table).strip()
+    return f"""
+WITH q AS (
+  SELECT s.doc_id, s.quality, d.lang
+  FROM ({inner}) s JOIN {table} d USING (doc_id)
+),
+thr AS (
+  SELECT lang,
+         percentile_disc({QUALITY_FILTER_PCT / 100}) WITHIN GROUP
+           (ORDER BY quality) AS cut
+  FROM q GROUP BY lang
+)
+SELECT q.doc_id, q.lang, q.quality
+FROM q JOIN thr USING (lang)
+WHERE q.quality >= thr.cut
+"""

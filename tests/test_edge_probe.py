@@ -35,6 +35,12 @@ EDGE_TEXTS = [
     "pad ten", "pad eleven", "pad twelve", "pad thirteen", "pad fourteen",
     "pad fifteen", "sampled row sixteen here", "pad seventeen",
     "sampled row eighteen here",
+    # PII / sentence-split hostiles (appended so the sampler ids above hold)
+    "mail a.b-c%x@ex-ample.co.uk or call 12345678 now; short 123456 stays",
+    "two addrs x@y.io z@w.co.uk and digits 99999999999999999999 in one doc",
+    "Sentence one. Sentence two. Trailing dot. ",
+    ". leading split. double..  dots... and ellipsis .. end.",
+    "email@at.end.of.doc@not-an-email 4155551234567 j@k.lm",
 ]
 
 DOC_QUERIES = [
@@ -43,6 +49,7 @@ DOC_QUERIES = [
     "minhash_lsh_pairs", "near_dup_jaccard", "near_dedup_survivors",
     "image_decode_ppm", "audio_decode_wav", "image_resize_ppm",
     "sample_docs", "token_quantiles",
+    "redact_pii", "doc_sentences", "quality_filtered_docs",
 ]
 
 
