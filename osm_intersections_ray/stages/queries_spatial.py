@@ -387,21 +387,20 @@ def vectorize_raster(ways_ds):
     from ray.data.aggregate import Count, Max, Min, Sum
 
     def explode_dedup(b: pa.Table) -> pa.Table:
-        tagged = b["tagged"].to_pylist()
-        klngs, klats = [], []
-        for i in range(b.num_rows):
-            if not tagged[i]:
-                continue
-            lo0 = math.floor(b["minlon"][i].as_py() * 100)
-            lo1 = math.ceil(b["maxlon"][i].as_py() * 100)
-            la0 = math.floor(b["minlat"][i].as_py() * 100)
-            la1 = math.ceil(b["maxlat"][i].as_py() * 100)
-            for x in range(lo0, lo1 + 1):
-                for y in range(la0, la1 + 1):
-                    klngs.append(x)
-                    klats.append(y)
-        x = np.asarray(klngs, dtype=np.int64)
-        y = np.asarray(klats, dtype=np.int64)
+        tagged = b["tagged"].to_numpy(zero_copy_only=False).astype(bool)
+        # integer rectangle cover, fully vectorized (np.floor/ceil on float64
+        # == math.floor/ceil row-wise — same IEEE operation)
+        lo0 = np.floor(b["minlon"].to_numpy(zero_copy_only=False)[tagged] * 100).astype(np.int64)
+        lo1 = np.ceil(b["maxlon"].to_numpy(zero_copy_only=False)[tagged] * 100).astype(np.int64)
+        la0 = np.floor(b["minlat"].to_numpy(zero_copy_only=False)[tagged] * 100).astype(np.int64)
+        la1 = np.ceil(b["maxlat"].to_numpy(zero_copy_only=False)[tagged] * 100).astype(np.int64)
+        ny = la1 - la0 + 1
+        counts = (lo1 - lo0 + 1) * ny
+        w = np.repeat(np.arange(len(counts)), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        off = np.arange(int(counts.sum())) - starts[w]
+        x = lo0[w] + off // ny[w]
+        y = la0[w] + off % ny[w]
         _, idx = np.unique(_cell_key(x, y), return_index=True)  # batch combiner
         return pa.table({"klng": pa.array(x[idx]), "klat": pa.array(y[idx])})
 
