@@ -144,6 +144,8 @@ def queries() -> dict:
         dedup.simhash_batch, batch_format="pyarrow", batch_size=8192)
     q["near_dedup_survivors"] = lambda sf: dedup.near_dedup_survivors(
         _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
+    q["dup_clusters"] = lambda sf: dedup.dup_clusters(
+        _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
     q["bpe_token_count"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.bpe_token_count_batch, batch_format="pyarrow")
     q["sample_docs"] = lambda sf: _tbl(sf, "documents", ["doc_id"]).map_batches(
@@ -275,6 +277,7 @@ def oracle_sql() -> dict:
         "near_dup_jaccard": dedup.jaccard_pairs_sql(),
         "simhash": dedup.simhash_sql(),
         "near_dedup_survivors": dedup.near_dedup_survivors_sql(),
+        "dup_clusters": dedup.dup_clusters_sql(),
         "bpe_token_count": text.bpe_token_count_sql(),
         "sample_docs": text.sample_docs_sql(),
         "token_quantiles": text.token_quantiles_sql(),

@@ -595,3 +595,132 @@ verified AS (
 )
 SELECT doc_id FROM aug WHERE doc_id NOT IN (SELECT doc_b FROM verified)
 """
+
+
+def hash_min_components(edges_ds, node_col: str = "u", nbr_col: str = "v"):
+    """Distributed connected components over an undirected edge Dataset:
+    "hash-min" label propagation (Rastogi et al., Finding Connected
+    Components in Map-Reduce).  Returns one (node, cluster_id) row per
+    distinct node, cluster_id = the minimum node id in its component.
+
+    Each round is one hash join (edges x current labels, keyed on node) plus
+    a (node) groupby-min; labels and edges never leave the object store, and
+    the driver sees ONE int64 aggregate per round.  Labels only ever
+    decrease, so ``sum(label)`` is strictly decreasing until the fixpoint —
+    equality of consecutive sums is an EXACT convergence test, not a
+    heuristic.  Rounds = O(component diameter); near-dup graphs are small
+    cliques/chains (2-4 rounds).  For adversarial long-chain graphs swap in
+    the large-star/small-star O(log n) variant — same join/groupby
+    primitives, more rounds fused per pass."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from .common import drop_empty_blocks
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        u = np.asarray(b[node_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        v = np.asarray(b[nbr_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({"node": pa.array(np.concatenate([u, v])),
+                         "nbr": pa.array(np.concatenate([v, u]))})
+
+    def _relabel(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "label": b["min(lbl)"]})
+
+    edges = drop_empty_blocks(
+        edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize())
+    if edges.count() == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "label": pa.array([], pa.int64())}))
+
+    def self_loops(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "lbl": b["node"]})
+
+    # round 1: label(u) = min(u, neighbors(u))
+    labels = drop_empty_blocks(
+        edges.map_batches(
+            lambda b: pa.table({"node": b["node"], "lbl": b["nbr"]}),
+            batch_format="pyarrow")
+        .union(edges.map_batches(self_loops, batch_format="pyarrow"))
+        .groupby("node").aggregate(Min("lbl"))
+        .map_batches(_relabel, batch_format="pyarrow")
+        .materialize())
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+
+    for _ in range(64):  # diameter bound; exact convergence test below
+        msgs = (edges.join(labels, join_type="inner", num_partitions=8,
+                           on=("node",))
+                .map_batches(lambda b: pa.table({"node": b["nbr"],
+                                                 "lbl": b["label"]}),
+                             batch_format="pyarrow"))
+        labels = drop_empty_blocks(
+            msgs.union(labels.map_batches(
+                lambda b: pa.table({"node": b["node"], "lbl": b["label"]}),
+                batch_format="pyarrow"))
+            .groupby("node").aggregate(Min("lbl"))
+            .map_batches(_relabel, batch_format="pyarrow")
+            .materialize())
+        new_sum = labels.aggregate(Sum("label"))["sum(label)"]
+        if new_sum == prev_sum:  # min-monotone: equal sum <=> no label moved
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def dup_clusters(ds, ckpt_key: str | None = None):
+    """Near-duplicate CLUSTER assignment: connected components over the
+    verified near-dup pair graph.  Every doc that appears in at least one
+    verified pair gets ``cluster_id`` = the smallest doc_id in its
+    component — the canonical-representative form a training-data pipeline
+    feeds into per-cluster sampling / keep-one policies (survivor lists
+    alone lose the grouping).
+
+    Reuses the checkpointed verified pairs (one tokenize+MinHash per input
+    across the jaccard / survivors / clusters chain) and the distributed
+    hash-min component kernel above; only (doc_id, doc_id) edges and
+    (doc_id, label) rows ever shuffle."""
+    from .common import drop_empty_blocks
+
+    pairs = drop_empty_blocks(
+        jaccard_verified_pairs(ds, ckpt_key=ckpt_key).materialize())
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["node"], "cluster_id": b["label"]})
+
+    return hash_min_components(pairs, node_col="doc_a", nbr_col="doc_b").map_batches(
+        rename, batch_format="pyarrow")
+
+
+def dup_clusters_sql(table: str = "documents") -> str:
+    """Oracle: recursive transitive closure over the symmetric verified-pair
+    edge set, then min reachable id per node."""
+    return f"""
+WITH RECURSIVE {_buckets_cte(table)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buck a JOIN buck b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM cand p JOIN sh a ON a.doc_id = p.doc_a JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT p.doc_a, p.doc_b
+  FROM cand p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  WHERE (100 * coalesce(i.i, 0)) // (sa.n + sb.n - coalesce(i.i, 0)) >= {JACCARD_PCT_MIN}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT node AS doc_id, MIN(r)::BIGINT AS cluster_id FROM reach GROUP BY node
+"""

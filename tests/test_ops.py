@@ -420,3 +420,44 @@ def test_media_decode_matches_generator():
         assert r["n_channels"] == 1 + d % 2
         assert r["n_frames"] == 256 + d % 512
         assert r["n_sampled"] == (r["n_frames"] + 99) // 100
+
+
+def test_hash_min_components(ray_session):
+    """Distributed CC kernel: long chain (multi-round convergence), clique,
+    disjoint pair, and an edge list whose orientations disagree with the
+    min direction."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.dedup import hash_min_components
+
+    # chain 10-11-...-17 (diameter 7, forces >2 rounds), clique {1,2,3},
+    # pair {100, 5}, reversed orientation edge (40, 30)
+    chain = [(i, i + 1) for i in range(10, 17)]
+    edges = chain + [(1, 2), (2, 3), (1, 3), (100, 5), (40, 30)]
+    tbl = pa.table({"u": pa.array([e[0] for e in edges], pa.int64()),
+                    "v": pa.array([e[1] for e in edges], pa.int64())})
+    out = hash_min_components(rd.from_arrow(tbl)).to_pandas()
+    got = dict(zip(out["node"], out["label"]))
+    # brute-force union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    want = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+    assert got == want
+
+
+def test_hash_min_components_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.dedup import hash_min_components
+
+    tbl = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    assert hash_min_components(rd.from_arrow(tbl)).count() == 0
