@@ -42,11 +42,12 @@ def _ways(sf_dir: str):
     return rd.read_parquet(os.path.join(fx, "ways.parquet"), override_num_blocks=16)
 
 
-def _pages(sf_dir: str):
+def _pages(sf_dir: str, columns=None):
     # pages is the big side: force enough input blocks that every stage can
     # fan out (a single parquet file would otherwise read as one block)
     fx = ensure_fixtures(sf_dir)
-    return rd.read_parquet(os.path.join(fx, "pages.parquet"), override_num_blocks=32)
+    return rd.read_parquet(os.path.join(fx, "pages.parquet"),
+                           columns=columns, override_num_blocks=32)
 
 
 def _tbl(sf_dir: str, name: str, columns=None):
@@ -118,7 +119,10 @@ def queries() -> dict:
     q["pages_geotag"] = lambda sf: _pages(sf).map_batches(
         pages.geotag_batch, batch_format="pyarrow", batch_size=4096)
     q["pages_way_join"] = lambda sf: pages.pages_way_join(_pages(sf), _ways(sf))
-    q["host_section_stats"] = lambda sf: pages.host_section_stats(_pages(sf))
+    q["host_section_stats"] = lambda sf: pages.host_section_stats(
+        _pages(sf, columns=["url", "text", "warc_ts"]))
+    q["url_canonical_dedup"] = lambda sf: pages.url_canonical_dedup(
+        _pages(sf, columns=["url", "warc_ts"]))
 
     # --- text analysis over documents
     q["doc_stats"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
@@ -268,6 +272,7 @@ def oracle_sql() -> dict:
         "pages_geotag": pages.geotag_sql(pages_tbl),
         "pages_way_join": pages.pages_way_join_sql(pages_tbl, ways_path),
         "host_section_stats": pages.host_section_stats_sql(pages_tbl),
+        "url_canonical_dedup": pages.url_canonical_dedup_sql(pages_tbl),
         "doc_stats": text.doc_stats_sql(),
         "lang_id": text.lang_id_sql(),
         "quality_score": text.quality_score_sql(),

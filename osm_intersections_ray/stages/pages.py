@@ -478,3 +478,141 @@ FROM p
 WHERE coalesce(host, '') <> '' AND coalesce(section, '') <> ''
 GROUP BY 1, 2
 """
+
+
+# --- URL canonicalization + canonical-url dedup ----------------------------
+# The fixture urls are already clean, so (like the dedup family's augmented
+# documents) the query runs over a deterministic messy-twin augmentation
+# derived IDENTICALLY in the engine and in SQL: ~19% of clean urls (md5
+# first hex digit in 0-2) gain a twin with uppercased scheme+host, explicit
+# default port, trailing slashes and a fragment, stamped one hour later.
+# Charsets are deliberately ASCII-restricted so Python and DuckDB case
+# folding cannot diverge on exotic unicode.
+_AUG_URL_RE = r"^https://([a-z0-9.-]+)(/[A-Za-z0-9/._-]*)$"
+_CANON_RE = r"^([A-Za-z]+)://([A-Za-z0-9.:_-]*)([^?#]*)(\?[^#]*)?"
+_URL_CANON_PARTIAL_SCHEMA = pa.schema([
+    ("canon", pa.string()), ("n", pa.int64()), ("key", pa.string()),
+])
+
+
+def url_canonical_dedup(pages_ds):
+    """Canonical-URL dedup — the crawl-frontier normalization every web-scale
+    pipeline runs before content dedup: lowercase scheme+host, strip the
+    scheme's default port, collapse trailing slashes ('' -> '/'), drop the
+    fragment, keep the query.  Emits one row per canonical url with the
+    duplicate count and the first-seen (warc_ts, url) representative.
+
+    Distributed shape: per-batch partial combine (pandas C-regex parse +
+    groupby) so the shuffle moves one row per canonical per batch; the
+    first-seen representative rides the shuffle as a zero-padded
+    ``ts|url`` string whose ``Min`` IS argmin-by-(ts, url) — no custom
+    aggregate, no driver-side state.  Urls that don't parse as http(s) are
+    dropped on both sides."""
+    import hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        url = b["url"].to_pandas()
+        ts = b["warc_ts"].to_pandas().astype("int64")
+
+        # deterministic messy twins
+        parts = url.str.extract(_AUG_URL_RE)
+        cand = parts[0].notna()
+        if cand.any():
+            keep = pd.Series(
+                [hashlib.md5(u.encode()).hexdigest()[0] in "012"
+                 for u in url[cand]], index=url[cand].index)
+            cand &= keep
+        twin_url = ("HTTPS://" + parts[0][cand].str.upper() + ":443"
+                    + parts[1][cand] + "///#dup")
+        url = pd.concat([url, twin_url], ignore_index=True)
+        ts = pd.concat([ts, ts[cand] + 3_600_000_000], ignore_index=True)
+
+        # canonicalize
+        g = url.str.extract(_CANON_RE)
+        scheme = g[0].str.lower()
+        ok = scheme.isin(["http", "https"])
+        scheme, host = scheme[ok], g[1][ok].str.lower()
+        path, query = g[2][ok], g[3][ok].fillna("")
+        url, ts = url[ok], ts[ok]
+        host = host.mask((scheme == "http") & host.str.endswith(":80"),
+                         host.str[:-3])
+        host = host.mask((scheme == "https") & host.str.endswith(":443"),
+                         host.str[:-4])
+        path = path.str.replace(r"/+$", "", regex=True)
+        path = path.mask(path == "", "/")
+        df = pd.DataFrame({
+            "canon": scheme + "://" + host + path + query,
+            "key": ts.astype(str).str.zfill(20) + "|" + url,
+        })
+        g2 = df.groupby("canon", sort=False).agg(
+            n=("key", "size"), key=("key", "min")).reset_index()
+        return pa.Table.from_pandas(g2[["canon", "n", "key"]],
+                                    preserve_index=False,
+                                    schema=_URL_CANON_PARTIAL_SCHEMA)
+
+    agg = (pages_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("canon").aggregate(Sum("n", alias_name="n_urls"),
+                                       Min("key", alias_name="key")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = b["key"]
+        return pa.table({
+            "canonical_url": b["canon"],
+            "n_urls": pc.cast(b["n_urls"], pa.int64()),
+            "first_ts_us": pc.cast(pc.utf8_slice_codeunits(key, 0, 20), pa.int64()),
+            "first_url": pc.utf8_slice_codeunits(key, 21, 2**30),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def url_canonical_dedup_sql(table: str = "pages") -> str:
+    return f"""
+WITH aug AS (
+  SELECT url, epoch_us(warc_ts) AS ts_us FROM {table}
+  UNION ALL
+  SELECT 'HTTPS://' || upper(regexp_extract(url, '{_AUG_URL_RE}', 1)) || ':443'
+           || regexp_extract(url, '{_AUG_URL_RE}', 2) || '///#dup',
+         epoch_us(warc_ts) + 3600000000
+  FROM {table}
+  WHERE regexp_matches(url, '{_AUG_URL_RE}')
+    AND substr(md5(url), 1, 1) IN ('0', '1', '2')
+),
+parsed AS (
+  SELECT url, ts_us,
+         lower(regexp_extract(url, '{_CANON_RE}', 1)) AS scheme,
+         lower(regexp_extract(url, '{_CANON_RE}', 2)) AS hostport,
+         regexp_extract(url, '{_CANON_RE}', 3) AS path,
+         regexp_extract(url, '{_CANON_RE}', 4) AS query
+  FROM aug
+),
+canon AS (
+  SELECT url, ts_us,
+         scheme || '://' ||
+         CASE WHEN scheme = 'http'  AND hostport LIKE '%:80'
+                THEN substr(hostport, 1, length(hostport) - 3)
+              WHEN scheme = 'https' AND hostport LIKE '%:443'
+                THEN substr(hostport, 1, length(hostport) - 4)
+              ELSE hostport END ||
+         CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(path, '/+$', '') END ||
+         query AS canonical_url
+  FROM parsed
+  WHERE scheme IN ('http', 'https')
+),
+agg AS (
+  SELECT canonical_url, count(*)::BIGINT AS n_urls,
+         min(lpad(ts_us::VARCHAR, 20, '0') || '|' || url) AS mk
+  FROM canon GROUP BY 1
+)
+SELECT canonical_url, n_urls,
+       substr(mk, 1, 20)::BIGINT AS first_ts_us,
+       substr(mk, 22) AS first_url
+FROM agg
+"""

@@ -396,3 +396,62 @@ def test_edge_vectorize_raster(ray_session, tmp_path_factory):
     assert (spans >= 64).sum() == 1
     # untagged way's 5..9-degree block contributed nothing
     assert not ((eng["min_klng"] >= 490) & (eng["min_klat"] >= 490)).any()
+
+
+def test_edge_url_canonical_dedup(ray_session, tmp_path_factory):
+    """canonicalization on hostile shapes: default vs non-default ports on
+    both schemes, trailing-slash stacks, root path, fragments, queries
+    (preserved, incl. '?'-only), uppercase host/scheme, unicode path (host
+    charset stops at ASCII so no case-fold divergence), non-http dropped,
+    and two messy spellings that must COLLAPSE to one canonical."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages
+
+    d = tmp_path_factory.mktemp("edge_canon")
+    urls = [
+        "https://a.example/en/x",
+        "HTTPS://A.EXAMPLE:443/en/x///#frag",   # collapses into the row above
+        "http://a.example:80/en/x",              # http twin: SEPARATE canonical
+        "http://a.example:8080/en/x",            # non-default port stays
+        "https://b.example",                     # empty path -> '/'
+        "https://b.example//",                   # root slashes -> '/'
+        "https://c.example/p?q=1&r=2#frag",      # query kept, fragment dropped
+        "https://c.example/p?",                  # bare '?' is a distinct query
+        "ftp://d.example/x",                     # dropped
+        "https://e.example/café/x",         # unicode in PATH only
+        "https://E.EXAMPLE/café/x",         # same after host lowering
+    ]
+    base = np.datetime64("2025-03-01T00:00:00", "us")
+    tbl = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array([base + np.timedelta64(i, "h")
+                             for i in range(len(urls))], pa.timestamp("us")),
+        "html": pa.array([b""] * len(urls), pa.binary()),
+        "text": pa.array([""] * len(urls), pa.string()),
+        "lang": pa.array(["en"] * len(urls), pa.string()),
+    })
+    pq.write_table(tbl, str(d / "pages.parquet"))
+    eng = pages.url_canonical_dedup(
+        rd.read_parquet(str(d / "pages.parquet"))).to_pandas()
+    sql = pages.url_canonical_dedup_sql(f"read_parquet('{d}/pages.parquet')")
+    con = duckdb.connect()
+    orc = con.sql(sql).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    byc = dict(zip(eng["canonical_url"], eng["n_urls"]))
+    assert byc["https://a.example/en/x"] == 2          # messy spelling merged
+    assert byc["http://a.example/en/x"] == 1           # scheme NOT merged
+    assert byc["http://a.example:8080/en/x"] == 1
+    assert byc["https://b.example/"] == 2
+    assert byc["https://c.example/p?q=1&r=2"] == 1
+    assert byc["https://c.example/p?"] == 1
+    assert byc["https://e.example/café/x"] == 2   # host case folded
+    assert "ftp://d.example/x" not in byc
+    # first-seen representative: the EARLIEST (ts, url) of the merged group
+    first = dict(zip(eng["canonical_url"], eng["first_url"]))
+    assert first["https://a.example/en/x"] == "https://a.example/en/x"
