@@ -160,6 +160,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["text", "lang"]))
     q["distinct_tokens_per_lang"] = lambda sf: text.distinct_tokens_per_lang(
         _tbl(sf, "documents", ["text", "lang"]))
+    q["tfidf_top_terms"] = lambda sf: text.tfidf_top_terms(
+        _tbl(sf, "documents", ["doc_id", "text"]))
     q["redact_pii"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.redact_pii_batch, batch_format="pyarrow")
     q["doc_sentences"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
@@ -288,6 +290,7 @@ def oracle_sql() -> dict:
         "token_quantiles": text.token_quantiles_sql(),
         "top_terms_per_lang": text.top_terms_per_lang_sql(),
         "distinct_tokens_per_lang": text.distinct_tokens_per_lang_sql(),
+        "tfidf_top_terms": text.tfidf_top_terms_sql(),
         "redact_pii": text.redact_pii_sql(),
         "doc_sentences": text.doc_sentences_sql(),
         "quality_filtered_docs": text.quality_filtered_docs_sql(),

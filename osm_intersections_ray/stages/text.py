@@ -572,3 +572,90 @@ SELECT q.doc_id, q.lang, q.quality
 FROM q JOIN thr USING (lang)
 WHERE q.quality >= thr.cut
 """
+
+
+# --- TF-IDF keyword extraction ---------------------------------------------
+TFIDF_K = 5  # keywords kept per document
+
+
+def tfidf_top_terms(ds):
+    """Per-document TF-IDF top-K keywords — the classic three-exchange
+    distributed shape, with every driver-visible structure eliminated:
+
+    1. per-batch (doc_id, token) term frequencies (pandas C regex findall +
+       explode + groupby; each document sits wholly in one row, so per-doc
+       tf is batch-local and EXACT) — materialized once because both the
+       document-frequency aggregate and the join consume it;
+    2. document frequency = ``groupby(token).count()`` over those rows
+       (already distinct per doc) — vocabulary-keyed, never broadcast;
+    3. a token-keyed hash join ships each token's df back to its tf rows,
+       then a doc-hash shard groupby ranks per document.
+
+    The score is the integer ``tf * 1_000_000 // df`` (monotone in tf/df
+    for the fixed corpus), so engine and SQL rank IDENTICALLY — no float
+    comparison anywhere.  Ties break by token ascending, matching the
+    row_number() oracle."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from .common import drop_empty_blocks
+
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("tok", pa.string()),
+                           ("tf", pa.int64())])
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        ser = b["text"].to_pandas().fillna("")
+        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        df = (pd.DataFrame({"doc_id": b["doc_id"].to_pandas(), "tok": toks})
+              .explode("tok").dropna(subset=["tok"]))
+        g = df.groupby(["doc_id", "tok"], sort=False).size().reset_index(name="tf")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=tf_schema)
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    dfc = drop_empty_blocks(
+        tf.groupby("tok").aggregate(Count(alias_name="df")).materialize())
+    joined = tf.join(dfc, join_type="inner", num_partitions=16, on=("tok",))
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return b.append_column("dshard", pa.array((d * 2654435761 % 64).astype(np.int64)))
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("rk", pa.int64()),
+                            ("tok", pa.string()), ("tf", pa.int64()),
+                            ("df", pa.int64()), ("tfidf_micro", pa.int64())])
+
+    def per_shard(g: "pd.DataFrame") -> pa.Table:
+        g = g.copy()
+        g["tfidf_micro"] = (g["tf"].astype("int64") * 1_000_000) // g["df"].astype("int64")
+        g = g.sort_values(["doc_id", "tfidf_micro", "tok"],
+                          ascending=[True, False, True], kind="stable")
+        g = g.groupby("doc_id", sort=False).head(TFIDF_K)
+        g["rk"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        return pa.Table.from_pandas(
+            g[["doc_id", "rk", "tok", "tf", "df", "tfidf_micro"]],
+            preserve_index=False, schema=out_schema)
+
+    return (joined.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("dshard").map_groups(per_shard, batch_format="pandas"))
+
+
+def tfidf_top_terms_sql(table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM {table}
+),
+t AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+d AS (SELECT tok, count(*)::BIGINT AS df FROM t GROUP BY 1),
+s AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         (t.tf * 1000000 // d.df)::BIGINT AS tfidf_micro,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY (t.tf * 1000000 // d.df) DESC, t.tok) AS rk
+  FROM t JOIN d USING (tok)
+)
+SELECT doc_id, rk::BIGINT AS rk, tok, tf, df, tfidf_micro
+FROM s WHERE rk <= {TFIDF_K}
+"""
