@@ -225,6 +225,8 @@ def queries() -> dict:
         _tbl(sf, "events", ["user_id", "event_id", "ts", "event_type"]))
     q["user_event_gaps"] = lambda sf: events.user_event_gaps(
         _tbl(sf, "events", ["user_id", "event_id", "ts"]))
+    q["post_purchase_window"] = lambda sf: events.post_purchase_window(
+        _tbl(sf, "events", ["user_id", "event_id", "ts", "event_type", "value"]))
 
     # --- relational building blocks
     q["pricing_summary"] = lambda sf: relational.pricing_summary(
@@ -303,6 +305,7 @@ def oracle_sql() -> dict:
         "sessions": events.sessionize_sql(),
         "events_sliding": events.sliding_window_sql(),
         "asof_prev_purchase": events.asof_prev_purchase_sql(),
+        "post_purchase_window": events.post_purchase_window_sql(),
         "user_event_gaps": events.user_event_gaps_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),

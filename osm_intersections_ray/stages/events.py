@@ -304,3 +304,65 @@ SELECT user_id, session_idx::BIGINT AS session_idx,
        min(ts) AS start_ts, max(ts) AS end_ts
 FROM s GROUP BY user_id, session_idx
 """
+
+
+# --- interval (range) self-join: post-purchase activity window -------------
+PP_WINDOW_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def post_purchase_window(ds):
+    """Interval self-join: for every 'purchase' event, the count and
+    integer-cents value sum of the same user's events STRICTLY after the
+    purchase and within the next 30 minutes — the range-join shape
+    (event x interval) that neither as-of nor fixed windows cover.
+
+    Same partitioning as sessionize (``user_id % N_USER_SHARDS``: one
+    user's events never straddle shards), then fully vectorized per shard:
+    one sort, one composite-key ``np.searchsorted`` pair ((user, ts) as a
+    structured array — lexicographic, no overflow-prone key packing) and a
+    cumulative-sum difference.  No per-user Python loop; the per-group
+    dispatch cost lands on N_USER_SHARDS groups."""
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        shard = (np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
+                 % N_USER_SHARDS).astype(np.int64)
+        return (b.replace_schema_metadata(None)
+                .append_column("ushard", pa.array(shard)))
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        ts_us = df["ts"].astype("int64").to_numpy()
+        cents = round_half_away_np(df["value"].to_numpy() * 100)
+        key = np.empty(len(u), dtype=[("u", np.int64), ("t", np.int64)])
+        key["u"], key["t"] = u, ts_us
+        anchor = df["event_type"].to_numpy() == ASOF_TYPE
+        q_lo = key[anchor].copy()
+        q_hi = q_lo.copy()
+        q_hi["t"] = q_hi["t"] + PP_WINDOW_US
+        lo = np.searchsorted(key, q_lo, side="right")
+        hi = np.searchsorted(key, q_hi, side="right")
+        cs = np.concatenate(([0], np.cumsum(cents, dtype=np.int64)))
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy()[anchor], pa.int64()),
+            "n_follow": pa.array((hi - lo).astype(np.int64)),
+            "cents_follow": pa.array(cs[hi] - cs[lo]),
+        })
+
+    return (ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("ushard").map_groups(per_shard, batch_format="pandas"))
+
+
+def post_purchase_window_sql(table: str = "events") -> str:
+    return f"""
+SELECT p.event_id,
+       count(e.event_id)::BIGINT AS n_follow,
+       coalesce(sum(CAST(round(e.value * 100) AS BIGINT)), 0)::BIGINT AS cents_follow
+FROM {table} p
+LEFT JOIN {table} e
+  ON e.user_id = p.user_id
+ AND e.ts > p.ts
+ AND epoch_us(e.ts) <= epoch_us(p.ts) + {PP_WINDOW_US}
+WHERE p.event_type = '{ASOF_TYPE}'
+GROUP BY p.event_id
+"""

@@ -144,7 +144,7 @@ def edge_events_dir(tmp_path_factory):
 
 
 @pytest.mark.parametrize("name", ["events_hourly", "sessions", "events_sliding",
-                                  "asof_prev_purchase"])
+                                  "asof_prev_purchase", "post_purchase_window"])
 def test_edge_events_vs_oracle(ray_session, edge_events_dir, name):
     _compare(ray_session, edge_events_dir, "events", name)
 
