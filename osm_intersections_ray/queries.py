@@ -162,6 +162,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["text", "lang"]))
     q["tfidf_top_terms"] = lambda sf: text.tfidf_top_terms(
         _tbl(sf, "documents", ["doc_id", "text"]))
+    q["stratified_sample"] = lambda sf: text.stratified_sample(
+        _tbl(sf, "documents", ["doc_id", "lang"]))
     q["redact_pii"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.redact_pii_batch, batch_format="pyarrow")
     q["doc_sentences"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
@@ -293,6 +295,7 @@ def oracle_sql() -> dict:
         "top_terms_per_lang": text.top_terms_per_lang_sql(),
         "distinct_tokens_per_lang": text.distinct_tokens_per_lang_sql(),
         "tfidf_top_terms": text.tfidf_top_terms_sql(),
+        "stratified_sample": text.stratified_sample_sql(),
         "redact_pii": text.redact_pii_sql(),
         "doc_sentences": text.doc_sentences_sql(),
         "quality_filtered_docs": text.quality_filtered_docs_sql(),

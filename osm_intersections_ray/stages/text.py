@@ -659,3 +659,61 @@ s AS (
 SELECT doc_id, rk::BIGINT AS rk, tok, tf, df, tfidf_micro
 FROM s WHERE rk <= {TFIDF_K}
 """
+
+
+STRAT_SAMPLE_K = 40  # docs kept per language
+
+
+def stratified_sample(ds):
+    """Stratified corpus sampling: EXACTLY K documents per language, chosen
+    by deterministic hash order (md5-h60 of the doc_id, ties by doc_id) —
+    the per-stratum subset builder a training-data pipeline uses to keep
+    language balance while staying reproducible across runs, partitionings
+    and engines (no RNG, no global sort).
+
+    Two-tier top-k (same shape as the grouped top-k operator): every block
+    emits at most K rows per language present, then a single tiny per-lang
+    merge — the exchange carries O(K x langs x blocks) rows, never the
+    corpus."""
+    import pandas as pd
+
+    from ..functions.hashing import h60
+
+    out_schema = pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                            ("hkey", pa.int64())])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": b["lang"].to_pandas(),
+                           "doc_id": b["doc_id"].to_pandas()})
+        df["hkey"] = [h60(str(i)) for i in df["doc_id"]]
+        df = df.sort_values(["hkey", "doc_id"], kind="stable")
+        df = df.groupby("lang", sort=False).head(STRAT_SAMPLE_K)
+        return pa.Table.from_pandas(df[["lang", "doc_id", "hkey"]],
+                                    preserve_index=False, schema=out_schema)
+
+    def final_topk(g: "pd.DataFrame") -> pa.Table:
+        g = g.sort_values(["hkey", "doc_id"], kind="stable").head(STRAT_SAMPLE_K)
+        g = g.copy()
+        g["rk"] = range(1, len(g) + 1)
+        return pa.Table.from_pandas(
+            g[["lang", "rk", "doc_id"]], preserve_index=False,
+            schema=pa.schema([("lang", pa.string()), ("rk", pa.int64()),
+                              ("doc_id", pa.int64())]))
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow")
+            .groupby("lang").map_groups(final_topk, batch_format="pandas"))
+
+
+def stratified_sample_sql(table: str = "documents") -> str:
+    return f"""
+WITH h AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hkey,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id) AS rk
+  FROM {table}
+)
+SELECT lang, rk::BIGINT AS rk, doc_id FROM h WHERE rk <= {STRAT_SAMPLE_K}
+"""

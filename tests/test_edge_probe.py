@@ -50,7 +50,7 @@ DOC_QUERIES = [
     "image_decode_ppm", "audio_decode_wav", "image_resize_ppm",
     "sample_docs", "token_quantiles",
     "redact_pii", "doc_sentences", "quality_filtered_docs",
-    "tfidf_top_terms", "dup_clusters",
+    "tfidf_top_terms", "dup_clusters", "stratified_sample",
 ]
 
 
