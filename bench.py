@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "pricing_summary",
     "vectorize_raster",     # raster -> vector connected components
     "top_terms_per_lang",   # vocabulary-scale partial-combine aggregation
+    "url_canonical_dedup",  # crawl-frontier canonicalization (round-3 op)
+    "post_purchase_window", # interval self-join (round-3 op)
 ]
 
 
