@@ -597,7 +597,8 @@ SELECT doc_id FROM aug WHERE doc_id NOT IN (SELECT doc_b FROM verified)
 """
 
 
-def hash_min_components(edges_ds, node_col: str = "u", nbr_col: str = "v"):
+def hash_min_components(edges_ds, node_col: str = "u", nbr_col: str = "v",
+                        num_partitions: int = 8):
     """Distributed connected components over an undirected edge Dataset:
     "hash-min" label propagation (Rastogi et al., Finding Connected
     Components in Map-Reduce).  Returns one (node, cluster_id) row per
@@ -611,7 +612,9 @@ def hash_min_components(edges_ds, node_col: str = "u", nbr_col: str = "v"):
     heuristic.  Rounds = O(component diameter); near-dup graphs are small
     cliques/chains (2-4 rounds).  For adversarial long-chain graphs swap in
     the large-star/small-star O(log n) variant — same join/groupby
-    primitives, more rounds fused per pass."""
+    primitives, more rounds fused per pass.  ``num_partitions`` sizes the
+    per-round join exchange: keep it ~edge-blocks at real scale (the default
+    suits the sandbox's verified-pair volumes)."""
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
@@ -647,8 +650,8 @@ def hash_min_components(edges_ds, node_col: str = "u", nbr_col: str = "v"):
     prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
 
     for _ in range(64):  # diameter bound; exact convergence test below
-        msgs = (edges.join(labels, join_type="inner", num_partitions=8,
-                           on=("node",))
+        msgs = (edges.join(labels, join_type="inner",
+                           num_partitions=num_partitions, on=("node",))
                 .map_batches(lambda b: pa.table({"node": b["nbr"],
                                                  "lbl": b["label"]}),
                              batch_format="pyarrow"))
