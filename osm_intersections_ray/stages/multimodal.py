@@ -1,10 +1,12 @@
 """Multimodal column stages: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The container has no image/audio codecs, so the DECODE kernels are stubbed
-(deterministic fake decode of this module's own synthetic header format, or
-``NotImplementedError`` for real formats) — but all the Ray-side plumbing is
-real and tested: schemas, actor signatures, small-batch sizing for wide
+The container has no codec wheels, but THREE real formats are decoded with
+stdlib + numpy alone: binary netpbm (P6/P5), RIFF/WAVE PCM16, and — since
+zlib is stdlib — actual compressed PNG (8-bit RGB: DEFLATE + all five
+scanline filters + CRC-checked chunks).  Only exotic codecs (JPEG/FLAC/AV1)
+remain stubbed behind the FAKEIMG1 stand-in shape; all the Ray-side plumbing
+is real and tested: schemas, actor signatures, small-batch sizing for wide
 binary rows, and the project-early pattern (metadata splits off before any
 shuffle; bytes never pass through a groupby).
 
@@ -422,3 +424,195 @@ def fake_image_dataset(n: int, seed: int = 7):
              for _ in range(n)], pa.binary()),
     })
     return rd.from_arrow(rows)
+
+
+# --- REAL compressed-format decode: PNG (zlib IS in the stdlib) -------------
+#
+# The container lacks codec wheels, but PNG's compression is plain DEFLATE:
+# signature + CRC-checked chunks + zlib-compressed filtered scanlines.  The
+# pair below is a spec-faithful 8-bit RGB (color type 2) codec: the encoder
+# applies ALL FIVE scanline filters (row % 5) so the decoder's unfilter path
+# — including the Paeth predictor — is exercised on every image, and the
+# decoder verifies each chunk CRC like a real reader.  Filters 1/3/4
+# reconstruct sequentially (each byte depends on the reconstructed left
+# neighbor — inherent to the format); rows at fixture scale are <100 bytes,
+# and at real scale this stage is an actor-pool kernel exactly like any
+# C-backed codec would be.
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """8-bit RGB PNG encoder; ``pixels`` is uint8, length width*height*3.
+    Scanline y uses filter type y % 5 (None/Sub/Up/Average/Paeth)."""
+    import zlib
+
+    raster = pixels.reshape(height, width * 3).astype(np.int64)
+    rows = []
+    prev = np.zeros(width * 3, dtype=np.int64)
+    zero3 = np.zeros(3, dtype=np.int64)
+    for y in range(height):
+        row = raster[y]
+        left = np.concatenate((zero3, row[:-3]))
+        up = prev
+        ul = np.concatenate((zero3, prev[:-3]))
+        f = y % 5
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = (row - left) % 256
+        elif f == 2:
+            filt = (row - up) % 256
+        elif f == 3:
+            filt = (row - (left + up) // 2) % 256
+        else:
+            p = left + up - ul
+            pa_, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                            np.where(pb <= pc, up, ul))
+            filt = (row - pred) % 256
+        rows.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(blob: bytes):
+    """(width, height, channels, sum_px) from an 8-bit RGB PNG: chunk walk
+    with CRC verification, IDAT concatenation, inflate, per-scanline
+    unfilter (all 5 filter types)."""
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    i, n = 8, len(blob)
+    w = h = None
+    idat = []
+    while i + 8 <= n:
+        ln = int.from_bytes(blob[i:i + 4], "big")
+        tag = blob[i + 4:i + 8]
+        data = blob[i + 8:i + 8 + ln]
+        crc = int.from_bytes(blob[i + 8 + ln:i + 12 + ln], "big")
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, bd, ct, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if (bd, ct, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    f"only 8-bit RGB non-interlaced supported, got "
+                    f"bd={bd} ct={ct} interlace={inter}")
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("decompressed scanline size mismatch")
+    total = 0
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        row = np.frombuffer(raw, np.uint8, count=stride,
+                            offset=off + 1).astype(np.int64)
+        if f == 0:
+            rec = row
+        elif f == 2:
+            rec = (row + prev) % 256
+        else:  # sequential left-dependency filters
+            rec = np.empty(stride, dtype=np.int64)
+            for k in range(stride):
+                left = rec[k - 3] if k >= 3 else 0
+                if f == 1:
+                    rec[k] = (row[k] + left) % 256
+                elif f == 3:
+                    rec[k] = (row[k] + (left + prev[k]) // 2) % 256
+                else:  # Paeth
+                    up = prev[k]
+                    ul = prev[k - 3] if k >= 3 else 0
+                    p = left + up - ul
+                    pa_, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    if pa_ <= pb and pa_ <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    rec[k] = (row[k] + pred) % 256
+        total += int(rec.sum())
+        prev = rec
+    return w, h, 3, total
+
+
+class PNGDecode:
+    """Actor-pool stage: REAL PNG decode (inflate + unfilter + CRC), binary
+    image -> (width, height, channels, sum_px, mean_px)."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        w, h, c, s = [], [], [], []
+        for blob in b["image"].to_pylist():
+            fw, fh, fc, fs = decode_png(blob)
+            w.append(fw)
+            h.append(fh)
+            c.append(fc)
+            s.append(fs)
+        wn = np.asarray(w, np.int64)
+        hn = np.asarray(h, np.int64)
+        cn = np.asarray(c, np.int64)
+        sn = np.asarray(s, np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "width": pa.array(wn),
+            "height": pa.array(hn),
+            "channels": pa.array(cn),
+            "sum_px": pa.array(sn),
+            "mean_px": pa.array(sn / (wn * hn * cn), pa.float64()),
+        })
+
+
+_PNG_SERIES_MAX = (8 + 20) * (8 + 12) * 3 - 1  # max npix - 1 per the formulas
+
+
+def png_media_batch(b: pa.Table) -> pa.Table:
+    """doc_id -> real PNG payload (8-bit RGB, raster pixel[i] =
+    (seed + i) % 256, all five scanline filters exercised)."""
+    blobs = []
+    for d in b["doc_id"].to_pylist():
+        w = 8 + d % 21
+        h = 8 + (d // 5) % 13
+        seed = (d * 1103515245) % 256
+        px = ((seed + np.arange(w * h * 3, dtype=np.int64)) % 256).astype(np.uint8)
+        blobs.append(encode_png(w, h, px))
+    return pa.table({"doc_id": b["doc_id"], "image": pa.array(blobs, pa.binary())})
+
+
+def png_decode_sql(table: str = "documents") -> str:
+    """Oracle for the PNG decode pipeline: the closed-form raster sum — the
+    engine must reproduce it through DEFLATE + unfilter, so a single wrong
+    predictor byte breaks the hash."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 21 AS width,
+         8 + (doc_id // 5) % 13 AS height,
+         (doc_id * 1103515245) % 256 AS seed
+  FROM {table}
+)
+SELECT d.doc_id, d.width, d.height, CAST(3 AS BIGINT) AS channels,
+       CAST(SUM((d.seed + s.i) % 256) AS BIGINT) AS sum_px,
+       CAST(SUM((d.seed + s.i) % 256) AS BIGINT)
+         / CAST(d.width * d.height * 3 AS DOUBLE) AS mean_px
+FROM dims d JOIN generate_series(0, {_PNG_SERIES_MAX}) s(i)
+     ON s.i < d.width * d.height * 3
+GROUP BY d.doc_id, d.width, d.height
+"""

@@ -461,3 +461,54 @@ def test_hash_min_components_empty(ray_session):
 
     tbl = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
     assert hash_min_components(rd.from_arrow(tbl)).count() == 0
+
+
+def test_png_codec_roundtrip_and_hostiles():
+    """REAL PNG path: encode->decode identity over rasters tall enough to
+    exercise ALL FIVE scanline filters; corrupt-CRC / truncated / non-PNG
+    payloads rejected; unsupported color types refused, not mis-decoded."""
+    import numpy as np
+    import pytest as _pt
+
+    from osm_intersections_ray.stages import multimodal as m
+
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 7), (8, 8), (23, 13), (2, 5)]:
+        px = rng.integers(0, 256, size=w * h * 3).astype(np.uint8)
+        blob = m.encode_png(w, h, px)
+        dw, dh, dc, ds = m.decode_png(blob)
+        assert (dw, dh, dc) == (w, h, 3)
+        assert ds == int(px.astype(np.int64).sum())
+    blob = m.encode_png(4, 6, rng.integers(0, 256, 72).astype(np.uint8))
+    bad = bytearray(blob)
+    bad[40] ^= 0xFF  # flip a byte inside IDAT -> CRC must catch it
+    with _pt.raises(ValueError):
+        m.decode_png(bytes(bad))
+    with _pt.raises(ValueError):
+        m.decode_png(b"NOTAPNG" + blob)
+    # 16-bit / grayscale IHDR refused
+    import struct as _s
+    import zlib as _z
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    hostile = (b"\x89PNG\r\n\x1a\n" + _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+               + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    with _pt.raises(NotImplementedError):
+        m.decode_png(hostile)
+
+
+def test_png_media_matches_generator():
+    """The synthesized PNG decodes back to the generator's closed-form
+    raster (pixel[i] = (seed+i) % 256) — pins encoder/oracle agreement."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm_intersections_ray.stages import multimodal as m
+
+    ids = [0, 1, 5, 7, 104, 499]
+    out = m.png_media_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    for d, blob in zip(ids, out["image"].to_pylist()):
+        w, h, c, s = m.decode_png(blob)
+        ew, eh = 8 + d % 21, 8 + (d // 5) % 13
+        seed = (d * 1103515245) % 256
+        want = int(((seed + np.arange(ew * eh * 3, dtype=np.int64)) % 256).sum())
+        assert (w, h, c, s) == (ew, eh, 3, want)
