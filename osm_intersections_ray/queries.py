@@ -20,6 +20,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from .sources import warc as warc_src
 from .sources.synthetic import ensure_fixtures
 from .stages import (
     dedup,
@@ -123,6 +124,8 @@ def queries() -> dict:
         _pages(sf, columns=["url", "text", "warc_ts"]))
     q["url_canonical_dedup"] = lambda sf: pages.url_canonical_dedup(
         _pages(sf, columns=["url", "warc_ts"]))
+
+    q["warc_pages"] = lambda sf: warc_src.read_warc_pages(warc_src.ensure_warc(sf))
 
     # --- text analysis over documents
     q["doc_stats"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
@@ -284,6 +287,7 @@ def oracle_sql() -> dict:
         "pages_way_join": pages.pages_way_join_sql(pages_tbl, ways_path),
         "host_section_stats": pages.host_section_stats_sql(pages_tbl),
         "url_canonical_dedup": pages.url_canonical_dedup_sql(pages_tbl),
+        "warc_pages": warc_src.warc_pages_sql(pages_tbl),
         "doc_stats": text.doc_stats_sql(),
         "lang_id": text.lang_id_sql(),
         "quality_score": text.quality_score_sql(),

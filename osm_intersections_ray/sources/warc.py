@@ -1,0 +1,171 @@
+"""WARC.gz source — the container format Common-Crawl actually ships.
+
+A WARC file is a sequence of records, each individually gzip-compressed and
+concatenated (the per-member layout is what makes CC files splittable at
+record boundaries); a record is CRLF headers + a Content-Length-delimited
+payload + a blank-record separator.  Everything here is stdlib (gzip/zlib)
++ pyarrow — no external wheels.
+
+Scale shape: the writer emits MANY .warc.gz files (one per shard), and the
+reader is ``read_binary_files`` (one file per task) + a stateless
+``map_batches`` parse — so ingest parallelism is file-count-wide and each
+task holds one file's bytes, never the corpus.  The parse is
+Content-Length-driven (no splitting on payload bytes), exactly like a real
+WARC reader.
+
+The fixture writer derives the .warc.gz files FROM the pages fixture table,
+so the whole path (encode -> gzip members -> parse -> rows) is verified
+hash-exact against a plain SQL projection of pages.parquet.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+
+N_WARC_FILES = 8
+
+
+def _iso8601_us(ts_us: int) -> str:
+    """Microsecond ISO-8601 Zulu timestamp from epoch-us (no tz machinery:
+    WARC-Date must round-trip bit-exactly through the parser below)."""
+    import datetime as dt
+
+    t = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=int(ts_us))
+    return t.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+
+
+def _parse_iso8601_us(s: str) -> int:
+    import datetime as dt
+
+    t = dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%fZ")
+    d = t - dt.datetime(1970, 1, 1)
+    # integer math, no float round-trip
+    return d.days * 86_400_000_000 + d.seconds * 1_000_000 + d.microseconds
+
+
+def encode_warc_record(url: str, ts_us: int, payload: bytes) -> bytes:
+    """One WARC/1.0 response record, individually gzipped (CC member
+    layout)."""
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+        b"WARC-Date: " + _iso8601_us(ts_us).encode("ascii") + b"\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(payload)).encode("ascii") + b"\r\n"
+        b"\r\n"
+    )
+    return gzip.compress(head + payload + b"\r\n\r\n", 6)
+
+
+def parse_warc_members(blob: bytes):
+    """Yield (url, ts_us, payload) from a multi-member .warc.gz blob (or an
+    already-inflated WARC stream — Ray's binary reader auto-decompresses
+    ``.gz`` paths).  Content-Length-driven — payload bytes are never
+    scanned for separators."""
+    raw = gzip.decompress(blob) if blob[:2] == b"\x1f\x8b" else blob
+    i, n = 0, len(raw)
+    while i < n:
+        if raw[i:i + 9] != b"WARC/1.0\r":
+            raise ValueError(f"bad WARC record start at {i}")
+        hdr_end = raw.index(b"\r\n\r\n", i)
+        headers = {}
+        for line in raw[i:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b": ")
+            headers[k.decode("ascii").lower()] = v.decode("utf-8")
+        clen = int(headers["content-length"])
+        body_start = hdr_end + 4
+        payload = raw[body_start:body_start + clen]
+        yield (headers["warc-target-uri"],
+               _parse_iso8601_us(headers["warc-date"]),
+               payload)
+        i = body_start + clen + 4  # trailing \r\n\r\n
+
+
+def write_warc_gz(pages_tbl: pa.Table, out_dir: str,
+                  n_files: int = N_WARC_FILES) -> None:
+    """Shard the pages table into ``n_files`` .warc.gz files (row order
+    preserved within a shard; shard = row_index % n_files)."""
+    urls = pages_tbl["url"].to_pylist()
+    ts = pages_tbl["warc_ts"].cast(pa.int64()).to_pylist()
+    htmls = pages_tbl["html"].to_pylist()
+    for s in range(n_files):
+        with open(os.path.join(out_dir, f"{s:04d}.warc.gz"), "wb") as f:
+            for k in range(s, len(urls), n_files):
+                f.write(encode_warc_record(urls[k], ts[k], htmls[k]))
+
+
+def ensure_warc(sf_dir: str) -> str:
+    """Generate (once, cached, atomic) the .warc.gz fixture shards derived
+    from the pages fixture for this scale factor."""
+    import pyarrow.parquet as pq
+
+    from .synthetic import FIXTURE_ROOT, ensure_fixtures, scale_from_sf_dir
+
+    fx = ensure_fixtures(sf_dir)
+    label, _, _ = scale_from_sf_dir(sf_dir)
+    out_dir = os.path.join(FIXTURE_ROOT, f"{label}_warc")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    tmp = tempfile.mkdtemp(dir=FIXTURE_ROOT, prefix=f".{label}_warc.")
+    try:
+        write_warc_gz(pq.read_table(os.path.join(fx, "pages.parquet"),
+                                    columns=["url", "warc_ts", "html"]), tmp)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("ok\n")
+        if not os.path.exists(out_dir):
+            os.replace(tmp, out_dir)
+        else:
+            shutil.rmtree(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return out_dir
+
+
+def read_warc_pages(warc_dir: str):
+    """Ray Dataset over .warc.gz shards: (url, warc_ts_us, n_bytes,
+    html_md5) per record.  One file per read task; the parse emits only
+    metadata + digest, so payload bytes never leave the ingest stage."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(warc_dir, file_extensions=["gz"])
+
+    def parse(b: pa.Table) -> pa.Table:
+        urls, tss, lens, digs = [], [], [], []
+        for blob in b["bytes"].to_pylist():
+            for url, ts_us, payload in parse_warc_members(blob):
+                urls.append(url)
+                tss.append(ts_us)
+                lens.append(len(payload))
+                digs.append(hashlib.md5(payload).hexdigest())
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts_us": pa.array(np.asarray(tss, np.int64)),
+            "n_bytes": pa.array(np.asarray(lens, np.int64)),
+            "html_md5": pa.array(digs, pa.string()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def warc_pages_sql(pages_tbl_expr: str) -> str:
+    """Oracle: the same rows straight off pages.parquet.  ``md5(decode(
+    html))`` hashes the raw payload bytes because the fixture htmls are
+    valid UTF-8 (a pinned fixture invariant; CAST would hex-escape
+    non-ASCII bytes); the engine side hashes the bytes directly and is
+    encoding-agnostic."""
+    return f"""
+SELECT url, epoch_us(warc_ts) AS warc_ts_us,
+       octet_length(html)::BIGINT AS n_bytes,
+       md5(decode(html)) AS html_md5
+FROM {pages_tbl_expr}
+"""

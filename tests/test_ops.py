@@ -512,3 +512,25 @@ def test_png_media_matches_generator():
         seed = (d * 1103515245) % 256
         want = int(((seed + np.arange(ew * eh * 3, dtype=np.int64)) % 256).sum())
         assert (w, h, c, s) == (ew, eh, 3, want)
+
+
+def test_warc_roundtrip_and_hostiles():
+    """WARC.gz source: record encode -> multi-member parse identity (incl.
+    empty payloads, CRLF and 8-bit bytes inside payloads, microsecond
+    timestamps); malformed record starts rejected."""
+    import pytest as _pt
+
+    from osm_intersections_ray.sources import warc as w
+
+    recs = [
+        ("https://a.example/x", 1_706_000_000_123_456, b"<html>\xc3\xa9</html>"),
+        ("https://b.example/y", 5, b""),
+        ("https://c.example/z", 0, b"a\r\n\r\nb" * 10),  # separator INSIDE payload
+    ]
+    blob = b"".join(w.encode_warc_record(*r) for r in recs)
+    assert list(w.parse_warc_members(blob)) == recs
+    # already-inflated stream parses too (Ray auto-decompresses .gz reads)
+    import gzip as _g
+    assert list(w.parse_warc_members(_g.decompress(blob))) == recs
+    with _pt.raises(ValueError):
+        list(w.parse_warc_members(b"NOT A WARC"))
