@@ -41,13 +41,22 @@ def _iso8601_us(ts_us: int) -> str:
     return t.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
 
 
+_EPOCH_ORD = 719_163  # datetime.date(1970, 1, 1).toordinal()
+
+
 def _parse_iso8601_us(s: str) -> int:
+    """Fixed-width parse of the exact format `_iso8601_us` emits
+    (YYYY-MM-DDTHH:MM:SS.ffffffZ) — runs once per WARC record on the ingest
+    hot path, so no strptime (which re-compiles its format string and builds
+    datetime objects per call; ~10x slower)."""
     import datetime as dt
 
-    t = dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%fZ")
-    d = t - dt.datetime(1970, 1, 1)
-    # integer math, no float round-trip
-    return d.days * 86_400_000_000 + d.seconds * 1_000_000 + d.microseconds
+    days = dt.date(int(s[0:4]), int(s[5:7]), int(s[8:10])).toordinal() - _EPOCH_ORD
+    return (days * 86_400_000_000
+            + int(s[11:13]) * 3_600_000_000
+            + int(s[14:16]) * 60_000_000
+            + int(s[17:19]) * 1_000_000
+            + int(s[20:26]))
 
 
 def encode_warc_record(url: str, ts_us: int, payload: bytes) -> bytes:

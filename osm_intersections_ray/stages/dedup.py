@@ -459,26 +459,37 @@ def _jaccard_verified_pairs(ds, ckpt_key: str | None = None):
             .groupby("pshard").map_groups(per_shard, batch_format="pandas"))
 
 
-def jaccard_pairs_sql(table: str = "documents") -> str:
-    return f"""
-WITH {_buckets_cte(table)},
-pairs AS (
+def _verified_cte(table: str) -> str:
+    """The buckets -> candidate-pairs -> shingle-sizes -> intersection ->
+    verified CTE chain — the single source of truth for the verification SQL
+    shared by the jaccard, survivor and cluster oracles (it mirrors the one
+    engine path, ``jaccard_verified_pairs``)."""
+    return f"""{_buckets_cte(table)},
+cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM buck a JOIN buck b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT p.doc_a, p.doc_b, count(*) AS i
-  FROM pairs p JOIN sh a ON a.doc_id = p.doc_a JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
+  FROM cand p JOIN sh a ON a.doc_id = p.doc_a JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
   GROUP BY 1, 2
-)
-SELECT p.doc_a, p.doc_b,
-       ((100 * coalesce(i.i, 0)) // (sa.n + sb.n - coalesce(i.i, 0)))::BIGINT AS jac_pct
-FROM pairs p
-JOIN sizes sa ON sa.doc_id = p.doc_a
-JOIN sizes sb ON sb.doc_id = p.doc_b
-LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-WHERE (100 * coalesce(i.i, 0)) // (sa.n + sb.n - coalesce(i.i, 0)) >= {JACCARD_PCT_MIN}
+),
+verified AS (
+  SELECT p.doc_a, p.doc_b,
+         ((100 * coalesce(i.i, 0)) // (sa.n + sb.n - coalesce(i.i, 0)))::BIGINT AS jac_pct
+  FROM cand p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  WHERE (100 * coalesce(i.i, 0)) // (sa.n + sb.n - coalesce(i.i, 0)) >= {JACCARD_PCT_MIN}
+)"""
+
+
+def jaccard_pairs_sql(table: str = "documents") -> str:
+    return f"""
+WITH {_verified_cte(table)}
+SELECT doc_a, doc_b, jac_pct FROM verified
 """
 
 
@@ -574,25 +585,7 @@ def near_dedup_survivors(ds, ckpt_key: str | None = None):
 
 def near_dedup_survivors_sql(table: str = "documents") -> str:
     return f"""
-WITH {_buckets_cte(table)},
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buck a JOIN buck b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT p.doc_a, p.doc_b, count(*) AS i
-  FROM pairs p JOIN sh a ON a.doc_id = p.doc_a JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
-  GROUP BY 1, 2
-),
-verified AS (
-  SELECT p.doc_b
-  FROM pairs p
-  JOIN sizes sa ON sa.doc_id = p.doc_a
-  JOIN sizes sb ON sb.doc_id = p.doc_b
-  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-  WHERE (100 * coalesce(i.i, 0)) // (sa.n + sb.n - coalesce(i.i, 0)) >= {JACCARD_PCT_MIN}
-)
+WITH {_verified_cte(table)}
 SELECT doc_id FROM aug WHERE doc_id NOT IN (SELECT doc_b FROM verified)
 """
 
@@ -649,6 +642,7 @@ def hash_min_components(edges_ds, node_col: str = "u", nbr_col: str = "v",
         .materialize())
     prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
 
+    converged = False
     for _ in range(64):  # diameter bound; exact convergence test below
         msgs = (edges.join(labels, join_type="inner",
                            num_partitions=num_partitions, on=("node",))
@@ -664,8 +658,15 @@ def hash_min_components(edges_ds, node_col: str = "u", nbr_col: str = "v",
             .materialize())
         new_sum = labels.aggregate(Sum("label"))["sum(label)"]
         if new_sum == prev_sum:  # min-monotone: equal sum <=> no label moved
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # never return partially-propagated (wrong) labels: a component with
+        # diameter > 64 needs the star-contraction variant, not silence
+        raise RuntimeError(
+            "hash_min_components did not converge in 64 rounds "
+            "(component diameter too large; use star contraction)")
     return labels
 
 
@@ -697,25 +698,7 @@ def dup_clusters_sql(table: str = "documents") -> str:
     """Oracle: recursive transitive closure over the symmetric verified-pair
     edge set, then min reachable id per node."""
     return f"""
-WITH RECURSIVE {_buckets_cte(table)},
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buck a JOIN buck b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT p.doc_a, p.doc_b, count(*) AS i
-  FROM cand p JOIN sh a ON a.doc_id = p.doc_a JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
-  GROUP BY 1, 2
-),
-verified AS (
-  SELECT p.doc_a, p.doc_b
-  FROM cand p
-  JOIN sizes sa ON sa.doc_id = p.doc_a
-  JOIN sizes sb ON sb.doc_id = p.doc_b
-  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-  WHERE (100 * coalesce(i.i, 0)) // (sa.n + sb.n - coalesce(i.i, 0)) >= {JACCARD_PCT_MIN}
-),
+WITH RECURSIVE {_verified_cte(table)},
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM verified
   UNION SELECT doc_b, doc_a FROM verified

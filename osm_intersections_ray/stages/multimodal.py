@@ -510,10 +510,14 @@ def decode_png(blob: bytes):
                     f"only 8-bit RGB non-interlaced supported, got "
                     f"bd={bd} ct={ct} interlace={inter}")
         elif tag == b"IDAT":
+            if w is None:  # spec: IHDR must precede IDAT
+                raise ValueError("IDAT before IHDR")
             idat.append(data)
         elif tag == b"IEND":
             break
         i += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR or IDAT chunk")
     raw = zlib.decompress(b"".join(idat))
     stride = w * 3
     if len(raw) != h * (stride + 1):
@@ -523,6 +527,8 @@ def decode_png(blob: bytes):
     for y in range(h):
         off = y * (stride + 1)
         f = raw[off]
+        if f > 4:
+            raise ValueError(f"invalid scanline filter type {f}")
         row = np.frombuffer(raw, np.uint8, count=stride,
                             offset=off + 1).astype(np.int64)
         if f == 0:

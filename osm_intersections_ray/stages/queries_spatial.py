@@ -390,10 +390,17 @@ def vectorize_raster(ways_ds):
         tagged = b["tagged"].to_numpy(zero_copy_only=False).astype(bool)
         # integer rectangle cover, fully vectorized (np.floor/ceil on float64
         # == math.floor/ceil row-wise — same IEEE operation)
-        lo0 = np.floor(b["minlon"].to_numpy(zero_copy_only=False)[tagged] * 100).astype(np.int64)
-        lo1 = np.ceil(b["maxlon"].to_numpy(zero_copy_only=False)[tagged] * 100).astype(np.int64)
-        la0 = np.floor(b["minlat"].to_numpy(zero_copy_only=False)[tagged] * 100).astype(np.int64)
-        la1 = np.ceil(b["maxlat"].to_numpy(zero_copy_only=False)[tagged] * 100).astype(np.int64)
+        flo0 = b["minlon"].to_numpy(zero_copy_only=False)[tagged] * 100
+        flo1 = b["maxlon"].to_numpy(zero_copy_only=False)[tagged] * 100
+        fla0 = b["minlat"].to_numpy(zero_copy_only=False)[tagged] * 100
+        fla1 = b["maxlat"].to_numpy(zero_copy_only=False)[tagged] * 100
+        for arr in (flo0, flo1, fla0, fla1):
+            if not np.isfinite(arr).all():  # loud, like the old per-row loop
+                raise ValueError("non-finite bbox value in tagged way row")
+        lo0 = np.floor(flo0).astype(np.int64)
+        lo1 = np.ceil(flo1).astype(np.int64)
+        la0 = np.floor(fla0).astype(np.int64)
+        la1 = np.ceil(fla1).astype(np.int64)
         ny = la1 - la0 + 1
         counts = (lo1 - lo0 + 1) * ny
         w = np.repeat(np.arange(len(counts)), counts)

@@ -495,6 +495,22 @@ def test_png_codec_roundtrip_and_hostiles():
     with _pt.raises(NotImplementedError):
         m.decode_png(hostile)
 
+    def chunk(tag, data):
+        return (_s.pack(">I", len(data)) + tag + data
+                + _s.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF))
+
+    # IDAT before IHDR (legal-CRC chunk-order attack) and missing IHDR
+    with _pt.raises(ValueError):
+        m.decode_png(b"\x89PNG\r\n\x1a\n" + chunk(b"IDAT", b"x")
+                     + chunk(b"IEND", b""))
+    # CRC-consistent but invalid filter byte (5) must error, not mis-decode
+    ihdr1 = _s.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    raw = b"\x05\x01\x02\x03"  # filter 5 + one RGB pixel
+    bad_filter = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr1)
+                  + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b""))
+    with _pt.raises(ValueError):
+        m.decode_png(bad_filter)
+
 
 def test_png_media_matches_generator():
     """The synthesized PNG decodes back to the generator's closed-form
