@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "top_terms_per_lang",   # vocabulary-scale partial-combine aggregation
     "url_canonical_dedup",  # crawl-frontier canonicalization (round-3 op)
     "post_purchase_window", # interval self-join (round-3 op)
+    "warc_pages",           # WARC.gz ingest (the input_hint's real container)
 ]
 
 
