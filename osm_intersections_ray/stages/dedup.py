@@ -597,17 +597,17 @@ def hash_min_components(edges_ds, node_col: str = "u", nbr_col: str = "v",
     Components in Map-Reduce).  Returns one (node, cluster_id) row per
     distinct node, cluster_id = the minimum node id in its component.
 
-    Each round is one hash join (edges x current labels, keyed on node) plus
-    a (node) groupby-min; labels and edges never leave the object store, and
-    the driver sees ONE int64 aggregate per round.  Labels only ever
-    decrease, so ``sum(label)`` is strictly decreasing until the fixpoint —
-    equality of consecutive sums is an EXACT convergence test, not a
-    heuristic.  Rounds = O(component diameter); near-dup graphs are small
-    cliques/chains (2-4 rounds).  For adversarial long-chain graphs swap in
-    the large-star/small-star O(log n) variant — same join/groupby
-    primitives, more rounds fused per pass.  ``num_partitions`` sizes the
-    per-round join exchange: keep it ~edge-blocks at real scale (the default
-    suits the sandbox's verified-pair volumes)."""
+    Each round is two hash joins — one-hop propagation (edges x labels) plus
+    a POINTER JUMP (labels x labels: label(u) -> label(label(u)), the
+    classic doubling step) — and a (node) groupby-min; labels and edges
+    never leave the object store, and the driver sees ONE int64 aggregate
+    per round.  Labels only ever decrease, so ``sum(label)`` is strictly
+    decreasing until the fixpoint — equality of consecutive sums is an EXACT
+    convergence test, not a heuristic.  The jump doubles the propagated
+    distance per round, so rounds = O(log diameter) (near-dup cliques: 1-2
+    rounds; an adversarial 200-link chain: ~8).  ``num_partitions`` sizes
+    the per-round join exchange: keep it ~edge-blocks at real scale (the
+    default suits the sandbox's verified-pair volumes)."""
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
@@ -643,14 +643,34 @@ def hash_min_components(edges_ds, node_col: str = "u", nbr_col: str = "v",
     prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
 
     converged = False
-    for _ in range(64):  # diameter bound; exact convergence test below
+    for rnd in range(64):  # O(log diameter) with the jump stream; test below
+        # one-hop propagation: each edge carries its endpoint's label across
         msgs = (edges.join(labels, join_type="inner",
                            num_partitions=num_partitions, on=("node",))
                 .map_batches(lambda b: pa.table({"node": b["nbr"],
                                                  "lbl": b["label"]}),
                              batch_format="pyarrow"))
+        if rnd >= 2:
+            # pointer jump: label(u) -> label(label(u)) (labels are node ids
+            # by construction, so the self-join always hits).  Doubling the
+            # propagation distance per round turns O(diameter) convergence
+            # into O(log diameter) — a 64-round cap covers any finite graph.
+            # Deferred to round 3+: typical near-dup components (cliques,
+            # short chains) converge in 1-2 hop-only rounds, and each extra
+            # join carries real actor-pool setup cost per round.
+            jt = labels.map_batches(
+                lambda b: pa.table({"jnode": b["node"], "jlbl": b["label"]}),
+                batch_format="pyarrow")
+            msgs = msgs.union(
+                labels.join(jt, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("label",), right_on=("jnode",))
+                .map_batches(lambda b: pa.table({"node": b["node"],
+                                                 "lbl": b["jlbl"]}),
+                             batch_format="pyarrow"))
         labels = drop_empty_blocks(
-            msgs.union(labels.map_batches(
+            msgs
+            .union(labels.map_batches(
                 lambda b: pa.table({"node": b["node"], "lbl": b["label"]}),
                 batch_format="pyarrow"))
             .groupby("node").aggregate(Min("lbl"))
@@ -662,11 +682,9 @@ def hash_min_components(edges_ds, node_col: str = "u", nbr_col: str = "v",
             break
         prev_sum = new_sum
     if not converged:
-        # never return partially-propagated (wrong) labels: a component with
-        # diameter > 64 needs the star-contraction variant, not silence
-        raise RuntimeError(
-            "hash_min_components did not converge in 64 rounds "
-            "(component diameter too large; use star contraction)")
+        # unreachable for any graph with diameter < 2^64; never return
+        # partially-propagated (wrong) labels
+        raise RuntimeError("hash_min_components did not converge in 64 rounds")
     return labels
 
 

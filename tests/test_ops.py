@@ -550,3 +550,19 @@ def test_warc_roundtrip_and_hostiles():
     assert list(w.parse_warc_members(_g.decompress(blob))) == recs
     with _pt.raises(ValueError):
         list(w.parse_warc_members(b"NOT A WARC"))
+
+
+def test_hash_min_components_long_chain(ray_session):
+    """Pointer jumping: a diameter-200 chain converges (O(log d) rounds,
+    far under the 64-round cap) with every node labeled by the chain head."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.dedup import hash_min_components
+
+    edges = [(1000 + i, 1000 + i + 1) for i in range(200)]
+    tbl = pa.table({"u": pa.array([e[0] for e in edges], pa.int64()),
+                    "v": pa.array([e[1] for e in edges], pa.int64())})
+    out = hash_min_components(rd.from_arrow(tbl)).to_pandas()
+    assert len(out) == 201
+    assert (out["label"] == 1000).all()
