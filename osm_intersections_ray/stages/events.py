@@ -44,7 +44,7 @@ def hourly_window(ds):
         g = df.groupby(["event_type", "hour"], sort=False).agg(
             n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False,
-                                    schema=_HOURLY_PARTIAL_SCHEMA)
+                                    schema=_HOURLY_PARTIAL_SCHEMA).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(["event_type", "hour"]).aggregate(
@@ -95,7 +95,7 @@ def sliding_window(ds):
         out["wstart"] = out.pop("wstart_us").to_numpy().astype("datetime64[us]")
         return pa.Table.from_pandas(
             out[["event_type", "wstart", "n", "sum_cents"]],
-            preserve_index=False, schema=_SLIDING_PARTIAL_SCHEMA)
+            preserve_index=False, schema=_SLIDING_PARTIAL_SCHEMA).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(["event_type", "wstart"]).aggregate(

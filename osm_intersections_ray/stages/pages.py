@@ -452,7 +452,7 @@ def host_section_stats(pages_ds):
             n_pages=("ts", "size"), sum_chars=("chars", "sum"),
             min_ts_us=("ts", "min"), max_ts_us=("ts", "max")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False,
-                                    schema=_HOST_PARTIAL_SCHEMA)
+                                    schema=_HOST_PARTIAL_SCHEMA).replace_schema_metadata(None)
 
     partials = pages_ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(["host", "section"]).aggregate(
@@ -559,7 +559,7 @@ def url_canonical_dedup(pages_ds):
                         .to_numpy() % N_CANON_SHARDS).astype("int64")
         return pa.Table.from_pandas(g2[["canon", "n", "key", "cshard"]],
                                     preserve_index=False,
-                                    schema=_URL_CANON_PARTIAL_SCHEMA)
+                                    schema=_URL_CANON_PARTIAL_SCHEMA).replace_schema_metadata(None)
 
     def per_shard(df: "pd.DataFrame") -> pa.Table:
         s = df.sort_values(["canon", "key"], kind="stable")

@@ -504,7 +504,7 @@ def vectorize_raster(ways_ds):
             n_cells=("x", "size"), min_klng=("x", "min"), max_klng=("x", "max"),
             min_klat=("y", "min"), max_klat=("y", "max")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False,
-                                    schema=_RASTER_PARTIAL_SCHEMA)
+                                    schema=_RASTER_PARTIAL_SCHEMA).replace_schema_metadata(None)
 
     agg = labeled.map_batches(relabel_partial, batch_format="pyarrow").groupby(
         "comp").aggregate(

@@ -48,7 +48,7 @@ def pricing_summary(ds):
             sum_price_cents=("price_cents", "sum"),
             sum_disc_cents=("disc_cents", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False,
-                                    schema=_PRICING_PARTIAL_SCHEMA)
+                                    schema=_PRICING_PARTIAL_SCHEMA).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -94,7 +94,7 @@ def revenue_by_nation(orders_ds, customer_tbl: pa.Table, nation_tbl: pa.Table):
         g = df.groupby("n_name", sort=False).agg(
             n_orders=("cents", "size"), revenue_cents=("cents", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False,
-                                    schema=_REVENUE_PARTIAL_SCHEMA)
+                                    schema=_REVENUE_PARTIAL_SCHEMA).replace_schema_metadata(None)
 
     partials = orders_ds.map_batches(join, batch_format="pyarrow")
     return partials.groupby("n_name").aggregate(

@@ -357,14 +357,14 @@ def top_terms_per_lang(ds):
                             kind="stable")
         df = df.groupby("lang", sort=False).head(TOP_TERMS_K)
         return pa.Table.from_pandas(df[["lang", "token", "n"]],
-                                    preserve_index=False, schema=counts_schema)
+                                    preserve_index=False, schema=counts_schema).replace_schema_metadata(None)
 
     def final_topk(g: "pd.DataFrame") -> pa.Table:
         g = g.sort_values(["n", "token"], ascending=[False, True],
                           kind="stable").head(TOP_TERMS_K).reset_index(drop=True)
         g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return pa.Table.from_pandas(g[["lang", "token", "n", "rk"]],
-                                    preserve_index=False, schema=out_schema)
+                                    preserve_index=False, schema=out_schema).replace_schema_metadata(None)
 
     return (counts.map_batches(local_topk, batch_format="pyarrow")
             .groupby("lang").map_groups(final_topk, batch_format="pandas"))
@@ -400,7 +400,7 @@ def distinct_tokens_per_lang(ds):
               .explode("token").dropna(subset=["token"])
               .drop_duplicates(["lang", "token"]))
         return pa.Table.from_pandas(df[["lang", "token"]],
-                                    preserve_index=False, schema=pair_schema)
+                                    preserve_index=False, schema=pair_schema).replace_schema_metadata(None)
 
     pairs = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby(["lang", "token"]).aggregate(Count(alias_name="c")))
@@ -610,7 +610,7 @@ def tfidf_top_terms(ds):
         df = (pd.DataFrame({"doc_id": b["doc_id"].to_pandas(), "tok": toks})
               .explode("tok").dropna(subset=["tok"]))
         g = df.groupby(["doc_id", "tok"], sort=False).size().reset_index(name="tf")
-        return pa.Table.from_pandas(g, preserve_index=False, schema=tf_schema)
+        return pa.Table.from_pandas(g, preserve_index=False, schema=tf_schema).replace_schema_metadata(None)
 
     tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
     dfc = drop_empty_blocks(
@@ -636,7 +636,7 @@ def tfidf_top_terms(ds):
         g["rk"] = g.groupby("doc_id", sort=False).cumcount() + 1
         return pa.Table.from_pandas(
             g[["doc_id", "rk", "tok", "tf", "df", "tfidf_micro"]],
-            preserve_index=False, schema=out_schema)
+            preserve_index=False, schema=out_schema).replace_schema_metadata(None)
 
     return (joined.map_batches(add_shard, batch_format="pyarrow")
             .groupby("dshard").map_groups(per_shard, batch_format="pandas"))
@@ -689,7 +689,7 @@ def stratified_sample(ds):
         df = df.sort_values(["hkey", "doc_id"], kind="stable")
         df = df.groupby("lang", sort=False).head(STRAT_SAMPLE_K)
         return pa.Table.from_pandas(df[["lang", "doc_id", "hkey"]],
-                                    preserve_index=False, schema=out_schema)
+                                    preserve_index=False, schema=out_schema).replace_schema_metadata(None)
 
     def final_topk(g: "pd.DataFrame") -> pa.Table:
         g = g.sort_values(["hkey", "doc_id"], kind="stable").head(STRAT_SAMPLE_K)
@@ -698,7 +698,7 @@ def stratified_sample(ds):
         return pa.Table.from_pandas(
             g[["lang", "rk", "doc_id"]], preserve_index=False,
             schema=pa.schema([("lang", pa.string()), ("rk", pa.int64()),
-                              ("doc_id", pa.int64())]))
+                              ("doc_id", pa.int64())])).replace_schema_metadata(None)
 
     return (ds.map_batches(local_topk, batch_format="pyarrow")
             .groupby("lang").map_groups(final_topk, batch_format="pandas"))
