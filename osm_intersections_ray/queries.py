@@ -149,6 +149,10 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
     q["simhash"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         dedup.simhash_batch, batch_format="pyarrow", batch_size=8192)
+    q["simhash_near_pairs"] = lambda sf: dedup.simhash_near_pairs(
+        _tbl(sf, "documents", ["doc_id", "text"]))
+    q["near_dup_char_ngram"] = lambda sf: dedup.char_ngram_verified_pairs(
+        _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
     q["near_dedup_survivors"] = lambda sf: dedup.near_dedup_survivors(
         _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
     q["dup_clusters"] = lambda sf: dedup.dup_clusters(
@@ -162,6 +166,8 @@ def queries() -> dict:
     q["top_terms_per_lang"] = lambda sf: text.top_terms_per_lang(
         _tbl(sf, "documents", ["text", "lang"]))
     q["distinct_tokens_per_lang"] = lambda sf: text.distinct_tokens_per_lang(
+        _tbl(sf, "documents", ["text", "lang"]))
+    q["hll_distinct_shingles"] = lambda sf: text.hll_distinct_shingles(
         _tbl(sf, "documents", ["text", "lang"]))
     q["tfidf_top_terms"] = lambda sf: text.tfidf_top_terms(
         _tbl(sf, "documents", ["doc_id", "text"]))
@@ -296,6 +302,8 @@ def oracle_sql() -> dict:
         "minhash_lsh_pairs": dedup.lsh_pairs_sql(),
         "near_dup_jaccard": dedup.jaccard_pairs_sql(),
         "simhash": dedup.simhash_sql(),
+        "simhash_near_pairs": dedup.simhash_near_pairs_sql(),
+        "near_dup_char_ngram": dedup.char_ngram_pairs_sql(),
         "near_dedup_survivors": dedup.near_dedup_survivors_sql(),
         "dup_clusters": dedup.dup_clusters_sql(),
         "bpe_token_count": text.bpe_token_count_sql(),
@@ -303,6 +311,7 @@ def oracle_sql() -> dict:
         "token_quantiles": text.token_quantiles_sql(),
         "top_terms_per_lang": text.top_terms_per_lang_sql(),
         "distinct_tokens_per_lang": text.distinct_tokens_per_lang_sql(),
+        "hll_distinct_shingles": text.hll_distinct_shingles_sql(),
         "tfidf_top_terms": text.tfidf_top_terms_sql(),
         "stratified_sample": text.stratified_sample_sql(),
         "redact_pii": text.redact_pii_sql(),

@@ -493,6 +493,113 @@ SELECT doc_a, doc_b, jac_pct FROM verified
 """
 
 
+# --- character-n-gram Jaccard (the "n-gram Jaccard" dedup flavor): the same
+# LSH candidate pairs, but similarity measured on distinct lowercased char
+# 5-grams instead of word 3-shingles — robust to token-boundary edits that
+# word shingles overweight.  Same distributed shape as the word verify:
+# texts reach their pairs via Dataset.join (docs in no pair never move) and
+# grams exist only inside the pair shards, never in a shuffle.
+CHAR_NGRAM_K = 5
+CHAR_NGRAM_PCT_MIN = 50
+
+
+def char_ngram_verified_pairs(ds, ckpt_key: str | None = None):
+    """LSH candidates verified by char-``CHAR_NGRAM_K``-gram Jaccard
+    (integer percent, floor; pairs where either side is shorter than K chars
+    have no gram set and drop, mirroring the oracle's inner join on sizes)."""
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        bb = np.asarray(b["doc_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, bb])),
+            "doc_a": pa.array(np.concatenate([a, a])),
+            "doc_b": pa.array(np.concatenate([bb, bb])),
+        })
+
+    from .common import drop_empty_blocks
+
+    cand = drop_empty_blocks(lsh_candidate_pairs(ds, ckpt_key=ckpt_key).materialize())
+    if cand.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                       "doc_b": pa.array([], pa.int64()),
+                                       "cng_pct": pa.array([], pa.int64())}))
+    member = cand.map_batches(member_rows, batch_format="pyarrow")
+    texts = ds.map_batches(augment_near_batch, batch_format="pyarrow")
+    joined = member.join(texts, join_type="inner", num_partitions=16, on=("doc_id",))
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        sh = ((np.asarray(b["doc_a"].to_numpy(zero_copy_only=False)) * 1000003
+               + np.asarray(b["doc_b"].to_numpy(zero_copy_only=False)))
+              % N_PAIR_SHARDS).astype(np.int64)
+        return b.append_column("pshard", pa.array(sh))
+
+    K = CHAR_NGRAM_K
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        uniq = df.drop_duplicates("doc_id")
+        # candidate docs only (a tiny derived set): plain Python gram sets —
+        # exact against the oracle's DISTINCT substr() per char position
+        sets = {}
+        for i, t in zip(uniq["doc_id"], uniq["text"]):
+            tl = t.lower()
+            sets[int(i)] = ({tl[j:j + K] for j in range(len(tl) - K + 1)}
+                            if len(tl) >= K else set())
+        pairs = df.drop_duplicates(["doc_a", "doc_b"])
+        out_a, out_b, out_p = [], [], []
+        for a, b2 in zip(pairs["doc_a"], pairs["doc_b"]):
+            sa = sets.get(int(a))
+            sb = sets.get(int(b2))
+            if not sa or not sb:  # short/missing side: no gram set (see SQL)
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            pct = (100 * inter) // union
+            if pct >= CHAR_NGRAM_PCT_MIN:
+                out_a.append(int(a))
+                out_b.append(int(b2))
+                out_p.append(pct)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "cng_pct": pa.array(out_p, pa.int64())})
+
+    return (joined.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("pshard").map_groups(per_shard, batch_format="pandas"))
+
+
+def char_ngram_pairs_sql(table: str = "documents") -> str:
+    K = CHAR_NGRAM_K
+    return f"""
+WITH {_buckets_cte(table)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buck a JOIN buck b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+gr AS (
+  SELECT DISTINCT c.doc_id, substr(lower(a.text), i, {K}) AS g
+  FROM cdocs c JOIN aug a ON a.doc_id = c.doc_id,
+       UNNEST(generate_series(1, length(a.text) - {K - 1})) AS u(i)
+  WHERE length(a.text) >= {K}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM cand p JOIN gr a ON a.doc_id = p.doc_a JOIN gr b ON b.doc_id = p.doc_b AND b.g = a.g
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       ((100 * coalesce(i.i, 0)) // (sa.n + sb.n - coalesce(i.i, 0)))::BIGINT AS cng_pct
+FROM cand p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+WHERE (100 * coalesce(i.i, 0)) // (sa.n + sb.n - coalesce(i.i, 0)) >= {CHAR_NGRAM_PCT_MIN}
+"""
+
+
 def simhash_batch(b: pa.Table) -> pa.Table:
     """Vectorized SimHash: one md5 (h60) per distinct token in the batch, then
     numpy bit-count voting — identical values to the scalar simhash64 (same
@@ -543,6 +650,118 @@ s AS (SELECT doc_id,
       FROM bits GROUP BY doc_id)
 SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
 FROM {table} d LEFT JOIN s ON s.doc_id = d.doc_id
+"""
+
+
+# --- SimHash near-dup pairs: hamming <= 3 via 4 x 15-bit band pigeonhole ---
+# Any two 60-bit signatures differing in at most SIMHASH_BANDS-1 bits agree
+# exactly on at least one band, so an exact-match bucket join on
+# (band, band_value) finds every qualifying pair; the XOR-popcount verify
+# then drops band-collision false positives.  At corpus scale the shuffle
+# carries only (band, bval, doc_id, simhash) = 28 B rows, never text, and
+# 15-bit band values over md5-derived signatures spread buckets well; dense
+# buckets (boilerplate-heavy corpora where one signature dominates) verify
+# vectorized inside their shard rather than through per-pair Python.
+SIMHASH_BANDS = 4
+SIMHASH_HAM_MAX = SIMHASH_BANDS - 1
+_SIMHASH_BAND_BITS = 60 // SIMHASH_BANDS
+_SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1
+
+
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR — numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    x -= (x >> np.uint64(1)) & m1
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def _simhash_band_rows(b: pa.Table) -> pa.Table:
+    ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    sig = np.asarray(b["simhash"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    n = len(ids)
+    bands = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int32), n)
+    sig_rep = np.repeat(sig, SIMHASH_BANDS)
+    bval = ((sig_rep.astype(np.uint64)
+             >> (bands.astype(np.uint64) * np.uint64(_SIMHASH_BAND_BITS)))
+            & np.uint64(_SIMHASH_BAND_MASK)).astype(np.int64)
+    shard = ((bval * 131 + bands) % N_SHARDS).astype(np.int64)
+    return pa.table({"doc_id": pa.array(np.repeat(ids, SIMHASH_BANDS)),
+                     "simhash": pa.array(sig_rep),
+                     "band": pa.array(bands),
+                     "bval": pa.array(bval),
+                     "shard": pa.array(shard)})
+
+
+_SIMHASH_PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                                   ("hamming", pa.int64())])
+
+
+def simhash_near_pairs(ds):
+    """(doc_a < doc_b) pairs with SimHash hamming distance <= 3 over the
+    near-augmented docs: band explode -> sharded bucket self-join ->
+    vectorized XOR-popcount verify -> distinct.  Signatures ride along with
+    the band rows (8 extra bytes/row) so verification needs no join back to
+    a signature table."""
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        dup = df[df.duplicated(["band", "bval"], keep=False)]
+        if len(dup) == 0:
+            return _SIMHASH_PAIRS_SCHEMA.empty_table()
+        m = dup.merge(dup, on=["band", "bval"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if len(m) == 0:
+            return _SIMHASH_PAIRS_SCHEMA.empty_table()
+        ham = _popcount_u64(np.bitwise_xor(
+            m["simhash_x"].to_numpy().astype(np.uint64),
+            m["simhash_y"].to_numpy().astype(np.uint64)))
+        keep = ham <= SIMHASH_HAM_MAX
+        return pa.table({"doc_a": pa.array(m["doc_id_x"].to_numpy()[keep], pa.int64()),
+                         "doc_b": pa.array(m["doc_id_y"].to_numpy()[keep], pa.int64()),
+                         "hamming": pa.array(ham[keep])})
+
+    from ray.data.aggregate import Min
+
+    rows = (ds.map_batches(augment_near_batch, batch_format="pyarrow")
+            .map_batches(simhash_batch, batch_format="pyarrow", batch_size=8192)
+            .map_batches(_simhash_band_rows, batch_format="pyarrow"))
+    cand = rows.groupby("shard").map_groups(per_shard, batch_format="pandas")
+    # a pair can match in several bands (and therefore several shards):
+    # dedupe on the pair; hamming is identical across matches so Min keeps it
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+def simhash_near_pairs_sql(table: str = "documents") -> str:
+    return f"""
+WITH aug AS ({augment_near_sql(table)}),
+toks AS (SELECT doc_id, unnest({_TOKS_EXPR}) AS tok FROM aug),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+      FROM toks WHERE tok <> ''),
+bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM h, UNNEST(generate_series(0, 59)) AS g(j)
+  GROUP BY doc_id, j
+),
+s AS (SELECT doc_id,
+             SUM(CASE WHEN c > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+      FROM bits GROUP BY doc_id),
+sig AS (SELECT a.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+        FROM aug a LEFT JOIN s ON s.doc_id = a.doc_id),
+bands AS (SELECT doc_id, simhash, b,
+                 (simhash >> ({_SIMHASH_BAND_BITS} * b)) & {_SIMHASH_BAND_MASK} AS bval
+          FROM sig, UNNEST(generate_series(0, {SIMHASH_BANDS - 1})) AS g(b)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+                         b.doc_id AS doc_b, b.simhash AS sb
+         FROM bands a JOIN bands b
+           ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAM_MAX}
 """
 
 

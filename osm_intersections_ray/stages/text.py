@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pyarrow as pa
 
 STOPWORDS_EN = ["the", "and", "of", "a", "to", "is", "in", "that", "it", "on"]
@@ -419,6 +420,126 @@ def distinct_tokens_per_lang_sql(table: str = "documents") -> str:
 WITH t AS (SELECT lang, unnest({TOKS_SQL}) AS token FROM {table})
 SELECT lang, count(DISTINCT token)::BIGINT AS n_distinct_tokens
 FROM t GROUP BY 1
+"""
+
+
+# --- HyperLogLog sketch: approximate distinct 3-token shingles per lang.
+# The mergeable-sketch counterpart to the exact count-distinct above: each
+# batch folds its shingle hashes into m=256 max-rank registers, so the
+# shuffle carries at most (langs x 256) rows per block no matter how large
+# the corpus — the pattern for cardinalities where even the deduped
+# (lang, key) exchange of the exact operator is too wide.  Every step is a
+# deterministic integer function of the md5-derived shingle hashes, so the
+# DuckDB oracle reproduces the registers AND the floor()ed estimate
+# bit-for-bit (the one double division uses the same IEEE inputs on both
+# sides).  Raw HLL estimator only (no linear-counting branch: ln() is not
+# bit-reproducible across libraries); with m=256 the relative error is
+# ~1.04/sqrt(256) = 6.5% for cardinalities above ~2.5m, which the fixture
+# satisfies (3k-9k distinct shingles per lang at sf0.01) and a pytest pins.
+HLL_M = 256                      # p = 8: reg = top 8 bits of the 64-bit hash
+_HLL_W_BITS = 48                 # rank observed over the low 48 bits
+_HLL_MAX_RANK = _HLL_W_BITS + 1  # all-zero window
+_HLL_POW2 = np.uint64(1) << np.arange(_HLL_W_BITS, dtype=np.uint64)
+# alpha_256 * m^2 * 2^49 — embedded verbatim (repr) in the SQL so both sides
+# parse the identical double for the single floating-point division
+_HLL_NUM = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(1 << _HLL_MAX_RANK)
+
+_HLL_PARTIAL_SCHEMA = pa.schema([("lang", pa.string()), ("reg", pa.int64()),
+                                 ("rank", pa.int64())])
+
+
+def _hll_partial(b: pa.Table) -> pa.Table:
+    from .dedup import _shingle_hashes_per_doc  # lazy: dedup imports text
+
+    langs = b["lang"].to_pylist()
+    sh = _shingle_hashes_per_doc(b["text"].to_pylist())
+    per_lang: dict = {}
+    for lang, arr in zip(langs, sh):
+        regs = per_lang.get(lang)
+        if regs is None:
+            regs = per_lang[lang] = np.zeros(HLL_M, dtype=np.int64)
+        if len(arr) == 0:
+            continue
+        reg = (arr >> np.uint64(64 - 8)).astype(np.int64)
+        w = arr & np.uint64((1 << _HLL_W_BITS) - 1)
+        # bitlength(w) = #powers-of-two <= w; rank = 1 + leading zeros
+        rank = _HLL_MAX_RANK - np.searchsorted(_HLL_POW2, w, side="right")
+        np.maximum.at(regs, reg, rank)
+    out_lang, out_reg, out_rank = [], [], []
+    for lang, regs in per_lang.items():
+        nz = np.nonzero(regs)[0]
+        # the (lang, 0, 0) sentinel keeps a lang visible even when none of
+        # its docs in this batch has >= 3 tokens (grid parity with the SQL)
+        out_lang.extend([lang] * (len(nz) + 1))
+        out_reg.extend(nz.tolist())
+        out_reg.append(0)
+        out_rank.extend(regs[nz].tolist())
+        out_rank.append(0)
+    return pa.table({"lang": pa.array(out_lang, pa.string()),
+                     "reg": pa.array(out_reg, pa.int64()),
+                     "rank": pa.array(out_rank, pa.int64())}).cast(_HLL_PARTIAL_SCHEMA)
+
+
+def hll_distinct_shingles(ds):
+    """(lang, v_zero, s_scaled, est): HLL registers folded per batch, merged
+    by a tiny (lang, reg) max-aggregate, finalized per lang.  ``s_scaled`` =
+    sum over all 256 registers of 2^(49 - max_rank) (int64-exact), ``est`` =
+    floor(alpha * m^2 * 2^49 / s_scaled)."""
+    import math
+
+    from ray.data.aggregate import Max
+
+    # the merged register table is (langs x 256) rows by construction —
+    # collapse to one block so the final per-lang pass emits no schema-less
+    # empty partitions (keeps the bench log clean for real schema drift)
+    regs = (ds.map_batches(_hll_partial, batch_format="pyarrow")
+            .groupby(["lang", "reg"]).aggregate(Max("rank", alias_name="rank"))
+            .repartition(1))
+
+    def per_lang(df: pd.DataFrame) -> pa.Table:
+        full = np.zeros(HLL_M, dtype=np.int64)
+        full[df["reg"].to_numpy()] = df["rank"].to_numpy()
+        s_scaled = int((np.int64(1) << (_HLL_MAX_RANK - full)).sum())
+        v_zero = int((full == 0).sum())
+        est = int(math.floor(_HLL_NUM / float(s_scaled)))
+        return pa.table({"lang": pa.array([df["lang"].iloc[0]], pa.string()),
+                         "v_zero": pa.array([v_zero], pa.int64()),
+                         "s_scaled": pa.array([s_scaled], pa.int64()),
+                         "est": pa.array([est], pa.int64())})
+
+    return regs.groupby("lang").map_groups(per_lang, batch_format="pandas")
+
+
+def hll_distinct_shingles_sql(table: str = "documents") -> str:
+    from .dedup import _M64, _TOKS_EXPR, _h60_sql, MIX_C  # lazy: no cycle
+
+    C, M = int(MIX_C), _M64
+    return f"""
+WITH toks AS (SELECT lang, {_TOKS_EXPR} AS t FROM {table}),
+sh AS (
+  SELECT lang,
+         ((({_h60_sql('t[i]')} * {C} + {_h60_sql('t[i+1]')}) % {M}) * {C}
+            + {_h60_sql('t[i+2]')}) % {M} AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+r AS (SELECT lang, (s // {1 << (64 - 8)})::BIGINT AS reg,
+             (s % {1 << _HLL_W_BITS})::BIGINT AS w FROM sh),
+rk AS (SELECT lang, reg,
+              max(CASE WHEN w = 0 THEN {_HLL_MAX_RANK}
+                       ELSE {_HLL_MAX_RANK} - length(bin(w)) END) AS rnk
+       FROM r GROUP BY 1, 2),
+langs AS (SELECT DISTINCT lang FROM {table}),
+grid AS (SELECT l.lang, u.reg FROM langs l, UNNEST(generate_series(0, {HLL_M - 1})) AS u(reg)),
+fullr AS (SELECT g.lang, g.reg, coalesce(rk.rnk, 0) AS rnk
+          FROM grid g LEFT JOIN rk ON rk.lang = g.lang AND rk.reg = g.reg),
+agg AS (SELECT lang,
+               sum(1::BIGINT << ({_HLL_MAX_RANK} - rnk))::BIGINT AS s_scaled,
+               sum(CASE WHEN rnk = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero
+        FROM fullr GROUP BY 1)
+SELECT lang, v_zero, s_scaled,
+       CAST(floor({_HLL_NUM!r} / s_scaled) AS BIGINT) AS est
+FROM agg
 """
 
 

@@ -51,6 +51,7 @@ DOC_QUERIES = [
     "sample_docs", "token_quantiles",
     "redact_pii", "doc_sentences", "quality_filtered_docs",
     "tfidf_top_terms", "dup_clusters", "stratified_sample",
+    "simhash_near_pairs", "near_dup_char_ngram", "hll_distinct_shingles",
 ]
 
 
