@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "nearest_two",          # findClosest reverse geocoder (region-sharded kNN)
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_near_pairs",   # hamming band join (round-3 session-5 op)
+    "hll_distinct_shingles",  # mergeable-sketch cardinality (session-5 op)
     "knn_cosine",
     "embedding_near_dup",   # bucketed near-dup (round-2 scale path)
     "events_hourly",
