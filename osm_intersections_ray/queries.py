@@ -173,6 +173,12 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text"]))
     q["stratified_sample"] = lambda sf: text.stratified_sample(
         _tbl(sf, "documents", ["doc_id", "lang"]))
+    q["decontaminate"] = lambda sf: dedup.decontaminate(
+        _tbl(sf, "documents", ["doc_id", "text"]))
+    q["repetition_stats"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
+        text.repetition_stats_batch, batch_format="pyarrow")
+    q["pack_sequences"] = lambda sf: text.pack_sequences(
+        _tbl(sf, "documents", ["doc_id", "text"]))
     q["redact_pii"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.redact_pii_batch, batch_format="pyarrow")
     q["doc_sentences"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
@@ -314,6 +320,9 @@ def oracle_sql() -> dict:
         "hll_distinct_shingles": text.hll_distinct_shingles_sql(),
         "tfidf_top_terms": text.tfidf_top_terms_sql(),
         "stratified_sample": text.stratified_sample_sql(),
+        "decontaminate": dedup.decontaminate_sql(),
+        "repetition_stats": text.repetition_stats_sql(),
+        "pack_sequences": text.pack_sequences_sql(),
         "redact_pii": text.redact_pii_sql(),
         "doc_sentences": text.doc_sentences_sql(),
         "quality_filtered_docs": text.quality_filtered_docs_sql(),

@@ -765,6 +765,134 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAM_MAX}
 """
 
 
+# --- benchmark decontamination -----------------------------------------------
+DECON_MOD = 5   # originals with doc_id % 5 == 0 form the held-out benchmark
+DECON_K = 8     # flag corpus docs sharing any 8-token shingle with the suite
+
+
+def _kgram_hashes_per_doc(texts, k: int) -> list[np.ndarray]:
+    """Per-doc word-k-gram rolling-mix hash arrays (positions kept, duplicate
+    grams kept).  Same per-token h60 + MIX_C fold as the MinHash shingles,
+    generalized to k tokens, so the DuckDB oracle reproduces every value with
+    HUGEINT arithmetic (% 2^64 == uint64 wraparound)."""
+    cache: dict = {}
+    hs, starts, lens = _token_hashes(texts, cache)
+    out = []
+    for d in range(len(texts)):
+        L = int(lens[d])
+        if L < k:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        seg = hs[starts[d]: starts[d] + L]
+        n = L - k + 1
+        s = seg[:n].copy()
+        for j in range(1, k):
+            s *= MIX_C
+            s += seg[j: j + n]
+        out.append(s)
+    return out
+
+
+def decontaminate(ds):
+    """Benchmark decontamination — flag corpus documents that share any
+    DECON_K-token shingle with a held-out benchmark suite (the eval-leak
+    scrub every training-data build runs; n-gram rule a la Lee et al. /
+    GPT-3 appendix C).
+
+    Suite = the ``doc_id % DECON_MOD == 0`` slice of the ORIGINAL documents;
+    corpus = the near-dup augmentation minus the suite, so contaminated rows
+    exist by construction (the +1M mutated twin of a suite doc keeps its
+    8-grams).  Scale shape: a benchmark suite is a FIXED small eval set by
+    definition (10^4-10^5 docs however large the corpus), so its distinct
+    shingle-hash set is built distributedly, collected once, and broadcast
+    via ``ray.put`` — corpus docs then stream through one ``map_batches``
+    with a vectorized searchsorted membership test: no join, no shuffle,
+    nothing driver-side grows with the corpus."""
+    import ray
+
+    from .common import cached_get
+
+    def bench_hashes(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False))
+        keep = ids % DECON_MOD == 0
+        texts = [t for t, m in zip(b["text"].to_pylist(), keep) if m]
+        sh = _kgram_hashes_per_doc(texts, DECON_K)
+        u = (np.unique(np.concatenate(sh)) if sh
+             else np.empty(0, dtype=np.uint64))
+        return pa.table({"s": pa.array(u)})
+
+    parts = ds.map_batches(bench_hashes, batch_format="pyarrow").to_pandas()
+    bench = np.unique(parts["s"].to_numpy().astype(np.uint64))
+    bref = ray.put(bench)
+
+    def flag(b: pa.Table) -> pa.Table:
+        bench = cached_get(bref)
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False))
+        corpus = ~((ids % DECON_MOD == 0) & (ids < 1_000_000))
+        ids = ids[corpus]
+        texts = [t for t, m in zip(b["text"].to_pylist(), corpus) if m]
+        sh = _kgram_hashes_per_doc(texts, DECON_K)
+        n_grams = np.array([len(a) for a in sh], dtype=np.int64)
+        flat = (np.concatenate(sh) if sh
+                else np.empty(0, dtype=np.uint64))
+        hit = np.zeros(len(flat), dtype=np.int64)
+        if flat.size and bench.size:
+            idx = np.searchsorted(bench, flat)
+            inb = idx < bench.size
+            hit[inb] = (bench[idx[inb]] == flat[inb]).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(hit)])
+        bounds = np.concatenate([[0], np.cumsum(n_grams)])
+        n_hits = cum[bounds[1:]] - cum[bounds[:-1]]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_hits": pa.array(n_hits, pa.int64()),
+            "contaminated": pa.array((n_hits > 0).astype(np.int64), pa.int64()),
+        })
+
+    return (ds.map_batches(augment_near_batch, batch_format="pyarrow")
+            .map_batches(flag, batch_format="pyarrow"))
+
+
+def _kgram_fold_sql(k: int) -> str:
+    C, M = int(MIX_C), _M64
+    s = _h60_sql("t[i]")
+    for j in range(1, k):
+        s = f"(({s}) * {C} + {_h60_sql(f't[i+{j}]')}) % {M}"
+    return s
+
+
+def decontaminate_sql(table: str = "documents") -> str:
+    from .text import TOKS_SQL  # the filtered tokenizer (== ascii_tokens)
+
+    fold = _kgram_fold_sql(DECON_K)
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM ({augment_near_sql(table)})
+  WHERE NOT (doc_id % {DECON_MOD} = 0 AND doc_id < 1000000)
+),
+bt AS (SELECT doc_id, {TOKS_SQL} AS t FROM {table} WHERE doc_id % {DECON_MOD} = 0),
+bsh AS (
+  SELECT DISTINCT {fold} AS s
+  FROM bt, UNNEST(generate_series(1, len(t) - {DECON_K - 1})) AS u(i)
+  WHERE len(t) >= {DECON_K}
+),
+ct AS (SELECT doc_id, {TOKS_SQL} AS t FROM corpus),
+csh AS (
+  SELECT doc_id, {fold} AS s
+  FROM ct, UNNEST(generate_series(1, len(t) - {DECON_K - 1})) AS u(i)
+  WHERE len(t) >= {DECON_K}
+),
+hits AS (SELECT doc_id, count(*)::BIGINT AS n_hits
+         FROM csh WHERE s IN (SELECT s FROM bsh) GROUP BY 1)
+SELECT ct.doc_id,
+       greatest(len(ct.t) - {DECON_K - 1}, 0)::BIGINT AS n_grams,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+FROM ct LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def near_dedup_survivors(ds, ckpt_key: str | None = None):
     """End-to-end near-dedup: documents of the augmented table that survive
     MinHash-LSH + Jaccard dedup — for each verified near-dup pair the

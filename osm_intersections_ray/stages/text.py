@@ -782,6 +782,166 @@ FROM s WHERE rk <= {TFIDF_K}
 """
 
 
+# --- Gopher-style repetition quality signals --------------------------------
+def repetition_stats_batch(b: pa.Table) -> pa.Table:
+    """Repetition quality signals per document (the Gopher/C4 filter family):
+    duplicate-sentence counts and the hottest token bigram.  All outputs are
+    integers, computed from the SAME splits as the existing operators
+    (sentences = '. ' string_split semantics incl. empty chunks, tokens = the
+    RE2 ``\\s`` class), so the DuckDB oracle is bit-exact on any input.
+
+    Stateless vectorized batch: sentences/bigrams explode into pandas frames
+    and aggregate with C groupbys — no per-row Python in the hot path."""
+    import pandas as pd
+
+    n = len(b)
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    ser = b["text"].to_pandas()
+    d = np.arange(n, dtype=np.int64)
+
+    # sentence duplication: group '. '-chunks per doc
+    sdf = pd.DataFrame({"d": d, "s": ser.str.split(". ", regex=False)}).explode("s")
+    sg = sdf.groupby(["d", "s"], sort=False).size().reset_index(name="c")
+    per = sg.groupby("d", sort=False).agg(
+        n_sents=("c", "sum"), n_distinct=("c", "size"))
+    dup_chars = ((sg["c"] - 1) * sg["s"].str.len()).groupby(sg["d"]).sum()
+
+    # hottest token bigram (lowercased tokens, space-joined — tokens can
+    # never contain an ASCII space, so the join key is unambiguous)
+    toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+    tdf = (pd.DataFrame({"d": d, "tok": toks}).explode("tok")
+           .dropna(subset=["tok"]))
+    tdf["nxt"] = tdf.groupby("d", sort=False)["tok"].shift(-1)
+    bdf = tdf.dropna(subset=["nxt"])
+    top = pd.Series(0, index=d, dtype="int64")
+    if len(bdf):
+        key = bdf["tok"] + " " + bdf["nxt"]
+        bg = key.groupby([bdf["d"], key]).size()
+        top = bg.groupby(level=0).max().reindex(d, fill_value=0)
+
+    n_tok = toks.str.len().to_numpy()
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_sents": pa.array(per["n_sents"].reindex(d, fill_value=0).to_numpy(), pa.int64()),
+        "n_dup_sents": pa.array(
+            (per["n_sents"] - per["n_distinct"]).reindex(d, fill_value=0).to_numpy(),
+            pa.int64()),
+        "dup_chars": pa.array(dup_chars.reindex(d, fill_value=0).to_numpy(), pa.int64()),
+        "n_bigrams": pa.array(np.maximum(n_tok - 1, 0), pa.int64()),
+        "top_bigram_n": pa.array(top.to_numpy(), pa.int64()),
+    })
+
+
+def repetition_stats_sql(table: str = "documents") -> str:
+    return f"""
+WITH s AS (SELECT doc_id, unnest(string_split(text, '. ')) AS sent FROM {table}),
+sg AS (SELECT doc_id, sent, count(*) AS c FROM s GROUP BY 1, 2),
+sa AS (SELECT doc_id, sum(c)::BIGINT AS n_sents,
+              (sum(c) - count(*))::BIGINT AS n_dup_sents,
+              sum((c - 1) * length(sent))::BIGINT AS dup_chars
+       FROM sg GROUP BY 1),
+t AS (SELECT doc_id, {TOKS_SQL} AS t FROM {table}),
+bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+       FROM t, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+       WHERE len(t) >= 2),
+bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+ba AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_n FROM bgc GROUP BY 1)
+SELECT t.doc_id, sa.n_sents, sa.n_dup_sents, sa.dup_chars,
+       greatest(len(t.t) - 1, 0)::BIGINT AS n_bigrams,
+       coalesce(ba.top_bigram_n, 0)::BIGINT AS top_bigram_n
+FROM t JOIN sa USING (doc_id) LEFT JOIN ba USING (doc_id)
+"""
+
+
+# --- concat-then-chunk sequence packing --------------------------------------
+PACK_BUDGET = 2048  # context-window token budget per training chunk
+PACK_SHARDS = 64    # ordered range shards for the distributed prefix sum
+
+
+def pack_sequences(ds):
+    """Concat-then-chunk sequence packing — the step that turns a cleaned
+    corpus into fixed-budget training chunks: documents are laid out in
+    doc_id order, token offsets accumulate globally, and every doc lands in
+    chunk ``offset // PACK_BUDGET`` (``straddle`` marks docs split across a
+    chunk boundary).
+
+    This is a distributed EXCLUSIVE PREFIX SUM, kept shuffle-lean:
+
+    1. one streaming pass projects (doc_id, n_tokens) — tiny rows,
+       materialized once;
+    2. range-sharding by ``doc_id // W`` (W from max(doc_id), so shard order
+       == doc order) feeds a per-shard token-total aggregate — the exchange
+       carries ONE row per shard;
+    3. the driver folds <= PACK_SHARDS totals into exclusive bases (O(64)
+       work regardless of corpus size), broadcasts them, and each shard
+       finishes its own cumsum locally.
+
+    The corpus text is read exactly once; nothing driver-side grows with the
+    data."""
+    import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .common import cached_get
+
+    def counts(b: pa.Table) -> pa.Table:
+        ser = b["text"].to_pandas()
+        n = ser.str.count(r"[^\t\n\f\r ]+").fillna(0).astype("int64")
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pa.array(n.to_numpy(), pa.int64())})
+
+    tc = ds.map_batches(counts, batch_format="pyarrow").materialize()
+    max_id = tc.max("doc_id")
+    w = max_id // PACK_SHARDS + 1
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return b.append_column("shard", pa.array(ids // w, pa.int64()))
+
+    sharded = tc.map_batches(add_shard, batch_format="pyarrow")
+    totals = (sharded.groupby("shard")
+              .aggregate(Sum("n_tokens", alias_name="tot"))
+              .to_pandas().sort_values("shard"))  # <= PACK_SHARDS rows
+    cum = np.concatenate([[0], np.cumsum(totals["tot"].to_numpy())[:-1]])
+    bases = dict(zip((int(s) for s in totals["shard"]), (int(c) for c in cum)))
+    bref = ray.put(bases)
+
+    def per_shard(g: "pd.DataFrame") -> pa.Table:
+        base = cached_get(bref)[int(g["shard"].iloc[0])]
+        g = g.sort_values("doc_id", kind="stable")
+        n = g["n_tokens"].to_numpy()
+        off = base + np.concatenate([[0], np.cumsum(n[:-1])]) if len(n) else np.empty(0, np.int64)
+        chunk = off // PACK_BUDGET
+        end_chunk = (off + np.maximum(n, 1) - 1) // PACK_BUDGET
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "tok_offset": pa.array(off, pa.int64()),
+            "chunk_id": pa.array(chunk, pa.int64()),
+            "straddle": pa.array(((n > 0) & (end_chunk != chunk)).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    return sharded.groupby("shard").map_groups(per_shard, batch_format="pandas")
+
+
+def pack_sequences_sql(table: str = "documents") -> str:
+    return f"""
+WITH t AS (SELECT doc_id, len({TOKS_SQL})::BIGINT AS n FROM {table}),
+s AS (SELECT doc_id, n,
+             (sum(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n)::BIGINT AS off
+      FROM t)
+SELECT doc_id, n AS n_tokens, off AS tok_offset,
+       (off // {PACK_BUDGET})::BIGINT AS chunk_id,
+       (CASE WHEN n > 0 AND (off + n - 1) // {PACK_BUDGET} <> off // {PACK_BUDGET}
+             THEN 1 ELSE 0 END)::BIGINT AS straddle
+FROM s
+"""
+
+
 STRAT_SAMPLE_K = 40  # docs kept per language
 
 

@@ -52,6 +52,7 @@ DOC_QUERIES = [
     "redact_pii", "doc_sentences", "quality_filtered_docs",
     "tfidf_top_terms", "dup_clusters", "stratified_sample",
     "simhash_near_pairs", "near_dup_char_ngram", "hll_distinct_shingles",
+    "decontaminate", "repetition_stats", "pack_sequences",
 ]
 
 

@@ -632,3 +632,59 @@ def test_hll_estimate_accuracy(ray_session):
         true_n = len(exact[r.lang])
         assert true_n > 2.5 * text.HLL_M / 4, "fixture left raw-HLL regime"
         assert abs(r.est - true_n) <= 0.20 * true_n, (r.lang, r.est, true_n)
+
+
+def test_decontaminate_flags_twins(ray_session):
+    """Non-vacuity + semantics: every near-dup twin of a benchmark doc with
+    >= DECON_K tokens is contaminated, and its hit count covers the shared
+    prefix; docs sharing no 8-gram with the suite stay clean."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import dedup
+    from osm_intersections_ray.stages.text import ascii_tokens
+
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                        columns=["doc_id", "text"])
+    out = dedup.decontaminate(rd.from_arrow(tbl)).to_pandas().set_index("doc_id")
+    ids = tbl["doc_id"].to_pylist()
+    texts = dict(zip(ids, tbl["text"].to_pylist()))
+    twin_of_bench = [i + 1_000_000 for i in ids
+                     if i % dedup.NEAR_DUP_MOD == 0 and i % dedup.DECON_MOD == 0
+                     and len(ascii_tokens(texts[i])) >= dedup.DECON_K]
+    assert twin_of_bench, "fixture produced no contaminated twins; vacuous"
+    for t in twin_of_bench:
+        r = out.loc[t]
+        assert r["contaminated"] == 1 and r["n_hits"] >= 1, (t, dict(r))
+    # suite docs themselves are excluded from the corpus output
+    assert not any(i % dedup.DECON_MOD == 0 and i < 1_000_000 for i in out.index)
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    """The distributed exclusive scan equals the single-process scan: offsets
+    are the exact cumulative token counts in doc_id order, chunks partition
+    the token stream, straddles mark boundary crossings."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import text
+    from osm_intersections_ray.stages.text import PACK_BUDGET, _tokens
+
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                        columns=["doc_id", "text"])
+    out = (text.pack_sequences(rd.from_arrow(tbl)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    order = sorted(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    n = np.array([len(_tokens(t)) for _, t in order], dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(n[:-1])])
+    assert (out["doc_id"].to_numpy() == [i for i, _ in order]).all()
+    assert (out["n_tokens"].to_numpy() == n).all()
+    assert (out["tok_offset"].to_numpy() == off).all()
+    assert (out["chunk_id"].to_numpy() == off // PACK_BUDGET).all()
+    want_straddle = ((n > 0) & ((off + np.maximum(n, 1) - 1) // PACK_BUDGET
+                                != off // PACK_BUDGET)).astype(np.int64)
+    assert (out["straddle"].to_numpy() == want_straddle).all()
+    assert out["straddle"].sum() > 0, "fixture crosses no chunk boundary; vacuous"
