@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "url_canonical_dedup",  # crawl-frontier canonicalization (round-3 op)
     "post_purchase_window", # interval self-join (round-3 op)
     "warc_pages",           # WARC.gz ingest (the input_hint's real container)
+    "decontaminate",        # benchmark n-gram scrub (round-3 session-6 op)
+    "pack_sequences",       # distributed prefix-sum packing (session-6 op)
 ]
 
 

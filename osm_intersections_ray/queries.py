@@ -193,6 +193,14 @@ def queries() -> dict:
         return similarity.knn_brute(_tbl(sf, "embeddings", ["vec_id", "embedding"]), qref)
 
     q["knn_cosine"] = knn_cosine
+
+    def rrf_fusion(sf):
+        emb = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        qref = ray.put(similarity.load_queries(emb))
+        return similarity.rrf_fusion(
+            _tbl(sf, "embeddings", ["vec_id", "embedding"]), qref)
+
+    q["rrf_fusion"] = rrf_fusion
     q["embedding_near_dup"] = lambda sf: similarity.near_dup_pairs(
         _tbl(sf, "embeddings", ["vec_id", "embedding"]))
 
@@ -249,6 +257,10 @@ def queries() -> dict:
         _tbl(sf, "events", ["user_id", "event_id", "ts"]))
     q["post_purchase_window"] = lambda sf: events.post_purchase_window(
         _tbl(sf, "events", ["user_id", "event_id", "ts", "event_type", "value"]))
+    q["funnel_stages"] = lambda sf: events.funnel_stages(
+        _tbl(sf, "events", ["user_id", "ts", "event_type"]))
+    q["props_kv_stats"] = lambda sf: events.props_kv_stats(
+        _tbl(sf, "events", ["event_type", "props"]))
 
     # --- relational building blocks
     q["pricing_summary"] = lambda sf: relational.pricing_summary(
@@ -331,6 +343,7 @@ def oracle_sql() -> dict:
         "audio_decode_wav": multimodal.audio_decode_sql(),
         "image_resize_ppm": multimodal.image_resize_sql(),
         "knn_cosine": similarity.knn_sql(),
+        "rrf_fusion": similarity.rrf_fusion_sql(),
         "embedding_near_dup": similarity.near_dup_sql(),
         "events_hourly": events.hourly_window_sql(),
         "sessions": events.sessionize_sql(),
@@ -338,6 +351,8 @@ def oracle_sql() -> dict:
         "asof_prev_purchase": events.asof_prev_purchase_sql(),
         "post_purchase_window": events.post_purchase_window_sql(),
         "user_event_gaps": events.user_event_gaps_sql(),
+        "funnel_stages": events.funnel_stages_sql(),
+        "props_kv_stats": events.props_kv_stats_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "top_parts": relational.top_parts_sql(),

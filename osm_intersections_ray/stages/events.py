@@ -366,3 +366,143 @@ LEFT JOIN {table} e
 WHERE p.event_type = '{ASOF_TYPE}'
 GROUP BY p.event_id
 """
+
+
+# --- ordered funnel analysis --------------------------------------------------
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_stages(ds):
+    """Ordered-funnel analysis: for every user, the first 'view', the first
+    'click' STRICTLY AFTER it, and the first 'purchase' strictly after that
+    — the sequence-pattern query of product analytics (stage reached 0-3 +
+    the three timestamps, -1 sentinels).
+
+    Same sharded shape as sessionize: shuffle key ``user_id %
+    N_USER_SHARDS``; within a shard each step is a filtered pandas
+    groupby-min plus a merge (C kernels, no per-user Python).  Strict-> on
+    the raw timestamp only (not event_id), so duplicate-ts events behave
+    identically to the SQL oracle."""
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        shard = (np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
+                 % N_USER_SHARDS).astype(np.int64)
+        return (b.replace_schema_metadata(None)
+                .append_column("ushard", pa.array(shard)))
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        ts_us = df["ts"].astype("int64")
+        f = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                          "event_type": df["event_type"].to_numpy(),
+                          "ts_us": ts_us.to_numpy()})
+        users = f[["user_id"]].drop_duplicates()
+        prev = None
+        outs = []
+        for step in FUNNEL_STEPS:
+            s = f[f["event_type"] == step]
+            if prev is not None:
+                s = s.merge(prev, on="user_id")
+                s = s[s["ts_us"] > s["t_prev"]]
+            t = (s.groupby("user_id", sort=False)["ts_us"].min()
+                 .reset_index(name="t_prev"))
+            outs.append(t)
+            prev = t
+        res = users
+        for i, t in enumerate(outs, start=1):
+            res = res.merge(t.rename(columns={"t_prev": f"t{i}_us"}),
+                            on="user_id", how="left")
+        stage = np.zeros(len(res), dtype=np.int64)
+        for i in range(1, len(FUNNEL_STEPS) + 1):
+            stage = np.where(res[f"t{i}_us"].notna(), i, stage)
+        cols = {"user_id": pa.array(res["user_id"].to_numpy(), pa.int64()),
+                "stage": pa.array(stage, pa.int64())}
+        for i in range(1, len(FUNNEL_STEPS) + 1):
+            cols[f"t{i}_us"] = pa.array(
+                res[f"t{i}_us"].fillna(-1).to_numpy().astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return (ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("ushard").map_groups(per_shard, batch_format="pandas"))
+
+
+def funnel_stages_sql(table: str = "events") -> str:
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH u AS (SELECT DISTINCT user_id FROM {table}),
+f1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM {table}
+       WHERE event_type = '{s1}' GROUP BY 1),
+f2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM {table} e
+       JOIN f1 USING (user_id)
+       WHERE e.event_type = '{s2}' AND epoch_us(e.ts) > f1.t1 GROUP BY 1),
+f3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM {table} e
+       JOIN f2 USING (user_id)
+       WHERE e.event_type = '{s3}' AND epoch_us(e.ts) > f2.t2 GROUP BY 1)
+SELECT u.user_id,
+       (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+             WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stage,
+       coalesce(t1, -1)::BIGINT AS t1_us,
+       coalesce(t2, -1)::BIGINT AS t2_us,
+       coalesce(t3, -1)::BIGINT AS t3_us
+FROM u LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id)
+       LEFT JOIN f3 USING (user_id)
+"""
+
+
+# --- schema-on-read JSON extraction -------------------------------------------
+# Explicit class, no \s / \d: Python re and DuckDB RE2 read it identically.
+PROPS_K_PATTERN = '"k":[ ]*(-?[0-9]+)'
+PROPS_BUCKET = 10
+
+_PROPS_PARTIAL_SCHEMA = pa.schema([
+    ("event_type", pa.string()), ("k_bucket", pa.int64()),
+    ("n", pa.int64()), ("sum_k", pa.int64()),
+    ("min_k", pa.int64()), ("max_k", pa.int64()),
+])
+
+
+def props_kv_stats(ds):
+    """Schema-on-read over the ``props`` JSON column: extract the integer
+    ``k`` field (rows that don't match the shape are DROPPED on both sides),
+    bucket by floor(k/10), and aggregate (n, sum, min, max) per
+    (event_type, bucket).  Partial-combine: the per-batch pandas groupby is
+    the combiner, so the shuffle carries one row per (batch, type, bucket)
+    — never events."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ser = b["props"].to_pandas()
+        k = pd.to_numeric(ser.str.extract(PROPS_K_PATTERN, expand=False),
+                          errors="coerce")
+        m = k.notna().to_numpy()
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas()[m],
+                           "k": k.to_numpy()[m].astype(np.int64)})
+        # floor bucket (numpy // floors; the SQL uses floor() explicitly —
+        # DuckDB's integer // truncates toward zero, probed on this build)
+        df["k_bucket"] = df["k"].to_numpy() // PROPS_BUCKET
+        g = df.groupby(["event_type", "k_bucket"], sort=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max")).reset_index()
+        return pa.Table.from_pandas(
+            g[["event_type", "k_bucket", "n", "sum_k", "min_k", "max_k"]],
+            preserve_index=False, schema=_PROPS_PARTIAL_SCHEMA).replace_schema_metadata(None)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "k_bucket"]).aggregate(
+                Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"),
+                Min("min_k", alias_name="min_k"), Max("max_k", alias_name="max_k")))
+
+
+def props_kv_stats_sql(table: str = "events") -> str:
+    return f"""
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '{PROPS_K_PATTERN}', 1) AS BIGINT) AS k
+  FROM {table}
+)
+SELECT event_type,
+       CAST(floor(k / {PROPS_BUCKET}.0) AS BIGINT) AS k_bucket,
+       count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+       min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+FROM x WHERE k IS NOT NULL
+GROUP BY 1, 2
+"""

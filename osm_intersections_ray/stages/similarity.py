@@ -140,6 +140,45 @@ SELECT qid, nid, rk::BIGINT AS rk FROM r WHERE rk <= {TOP_K}
 """
 
 
+RRF_K0 = 60  # the standard RRF dampening constant (Cormack et al.)
+
+
+def rrf_fusion(ds, queries_ref):
+    """Multi-query retrieval consensus via Reciprocal Rank Fusion: run the
+    exact cosine top-k for EVERY broadcast query (one streamed pass — the
+    existing :func:`knn_brute` shape, where each batch ships only k local
+    rows per query), then fuse the per-query rankings into one consensus
+    list with integer RRF points ``1_000_000 // (RRF_K0 + rank)`` — the
+    query-expansion merge step of a retrieval pipeline.
+
+    The fusion input is k x n_queries rows by construction (never corpus-
+    sized), so the final scoring is a trivial driver-side fold; everything
+    float stays upstream inside the already-hash-exact kNN — the fused
+    ranking is pure integer math, bit-identical to the SQL window oracle
+    (ties by nid ascending)."""
+    base = knn_brute(ds, queries_ref)  # (qid, nid, rk) — k rows per query
+    base = base.assign(pts=1_000_000 // (RRF_K0 + base["rk"].to_numpy()))
+    g = (base.groupby("nid")
+         .agg(n_lists=("qid", "size"), rrf_micro=("pts", "sum"))
+         .reset_index()
+         .sort_values(["rrf_micro", "nid"], ascending=[False, True],
+                      kind="stable").reset_index(drop=True))
+    g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["rk", "nid", "n_lists", "rrf_micro"]].astype("int64")
+
+
+def rrf_fusion_sql(table: str = "embeddings") -> str:
+    return f"""
+WITH knn AS ({knn_sql(table)}),
+r AS (SELECT nid, count(*)::BIGINT AS n_lists,
+             sum(1000000 // ({RRF_K0} + rk))::BIGINT AS rrf_micro
+      FROM knn GROUP BY 1)
+SELECT row_number() OVER (ORDER BY rrf_micro DESC, nid)::BIGINT AS rk,
+       nid, n_lists, rrf_micro
+FROM r
+"""
+
+
 def _augment_near(b: pa.Table) -> pa.Table:
     ids = b["vec_id"].to_pylist()
     emb = b["embedding"].to_pylist()

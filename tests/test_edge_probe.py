@@ -132,21 +132,37 @@ def edge_events_dir(tmp_path_factory):
         (3, H + 10, "a", 2.0),              # sees the ts==H purchase
         (4, 5, "a", 0.0),                   # user with no purchase: -1 sentinel
         (4, 5 + GAP + GAP, "a", 1e6),       # far gap: second session
+        # funnel hostiles (view -> click -> purchase, strict ts ordering):
+        (5, 100, "view", 1.0),              # funnel start
+        (5, 100, "click", 1.0),             # SAME ts as view: must NOT count
+        (5, 101, "click", 1.0),             # counts (strictly after)
+        (5, 101, "purchase", 1.0),          # same ts as click: must NOT count
+        (5, 102, "purchase", 1.0),          # stage 3
+        (6, 200, "click", 1.0),             # click BEFORE any view: ignored
+        (6, 201, "view", 1.0),              # stage stops at 1 (no later click)
+        (7, 300, "purchase", 1.0),          # purchase alone: stage 0
     ]
+    # hostile props shapes, cycled over all rows: malformed JSON, wrong key
+    # case, negative k, float k (both sides regexp-extract the int prefix),
+    # padded whitespace, missing key
+    props_cycle = ["{}", '{"k": 5}', '{"k":-7}', '{"k": 12 }', "not json",
+                   '{"K": 3}', '{"k": 9.5}', '{"k":0}']
     tbl = pa.table({
         "event_id": pa.array(range(len(rows)), pa.int64()),
         "ts": pa.array([base + off for _, off, _, _ in rows], pa.timestamp("us")),
         "user_id": pa.array([u for u, _, _, _ in rows], pa.int64()),
         "event_type": pa.array([t for _, _, t, _ in rows], pa.string()),
         "value": pa.array([v for _, _, _, v in rows], pa.float64()),
-        "props": pa.array(["{}"] * len(rows), pa.string()),
+        "props": pa.array([props_cycle[i % len(props_cycle)]
+                           for i in range(len(rows))], pa.string()),
     })
     pq.write_table(tbl, str(d / "events.parquet"))
     return str(d)
 
 
 @pytest.mark.parametrize("name", ["events_hourly", "sessions", "events_sliding",
-                                  "asof_prev_purchase", "post_purchase_window"])
+                                  "asof_prev_purchase", "post_purchase_window",
+                                  "funnel_stages", "props_kv_stats"])
 def test_edge_events_vs_oracle(ray_session, edge_events_dir, name):
     _compare(ray_session, edge_events_dir, "events", name)
 
@@ -181,7 +197,8 @@ def edge_emb_dir(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", ["knn_cosine", "embedding_near_dup"])
+@pytest.mark.parametrize("name", ["knn_cosine", "embedding_near_dup",
+                                  "rrf_fusion"])
 def test_edge_embeddings_vs_oracle(ray_session, edge_emb_dir, name):
     _compare(ray_session, edge_emb_dir, "embeddings", name)
 
