@@ -118,10 +118,23 @@ _PERM_A = np.array([(h60(f"minhash-a|{j}") << 1) | 1 for j in range(NUM_PERM)],
 _PERM_B = np.array([h60(f"minhash-b|{j}") for j in range(NUM_PERM)], dtype=np.uint64)
 
 
+# Per-WORKER token-hash cache: md5 is ~75% of the MinHash kernel and the
+# token vocabulary repeats heavily across batches, so hashing each distinct
+# token once per worker process (not once per batch) removes most of the
+# kernel's md5 + Python-object churn.  Values are pure functions of the
+# token (h60), so caching cannot change any result.  Bounded: cleared when
+# it exceeds _TOKEN_CACHE_MAX entries (~2M tokens = a few hundred MB worst
+# case), which keeps open-vocabulary corpora safe at 100 TB.
+_TOKEN_H_CACHE: dict = {}
+_TOKEN_CACHE_MAX = 1 << 21
+
+
 def _token_hashes(texts, cache: dict):
     """Flat per-token h60 array over all docs + per-doc (start, n_tokens).
-    One md5 per token *distinct within the batch* (the cache persists across
-    calls when held by the caller)."""
+    One md5 per token *distinct within the cache's lifetime* (callers pass
+    the per-worker :data:`_TOKEN_H_CACHE`)."""
+    if len(cache) > _TOKEN_CACHE_MAX:
+        cache.clear()
     hs: list = []
     starts = np.empty(len(texts), dtype=np.int64)
     lens = np.empty(len(texts), dtype=np.int64)
@@ -142,8 +155,7 @@ def _token_hashes(texts, cache: dict):
 def _shingle_hashes_per_doc(texts) -> list[np.ndarray]:
     """Per-doc word-SHINGLE_K-shingle hash arrays (with duplicates), via the
     rolling integer mix.  Docs with < SHINGLE_K tokens get an empty array."""
-    cache: dict = {}
-    hs, starts, lens = _token_hashes(texts, cache)
+    hs, starts, lens = _token_hashes(texts, _TOKEN_H_CACHE)
     out = []
     for d in range(len(texts)):
         L = int(lens[d])
@@ -155,10 +167,12 @@ def _shingle_hashes_per_doc(texts) -> list[np.ndarray]:
     return out
 
 
-_CHUNK_OCC = 1 << 17  # ~128k shingle occurrences per inner chunk: the
-# (occ, NUM_PERM) uint64 mix matrix stays ~32 MB (cache/bandwidth friendly)
-# regardless of how large a block Ray hands the kernel — without this, a
-# 50k-doc block makes ~800 MB temporaries and the kernel goes memory-bound.
+_CHUNK_OCC = 1 << 14  # ~16k shingle occurrences per inner chunk: the
+# (occ, NUM_PERM) uint64 mix matrix stays ~4 MB — LLC-resident, so the mix
+# pass stops competing for DRAM bandwidth when many workers run in parallel
+# (measured 2->8-cpu kernel scaling 0.64 -> 0.74 eff vs the 32 MB chunk,
+# and faster at BOTH levels).  Without chunking, a 50k-doc block makes
+# ~800 MB temporaries and the kernel goes memory-bound.
 # The mix buffer is allocated ONCE per worker process and reused via
 # out= kernels: freshly-touched pages are catastrophically slow on
 # ballooned-memory hypervisors (measured ~17 MB/s first-touch on this
@@ -775,8 +789,7 @@ def _kgram_hashes_per_doc(texts, k: int) -> list[np.ndarray]:
     grams kept).  Same per-token h60 + MIX_C fold as the MinHash shingles,
     generalized to k tokens, so the DuckDB oracle reproduces every value with
     HUGEINT arithmetic (% 2^64 == uint64 wraparound)."""
-    cache: dict = {}
-    hs, starts, lens = _token_hashes(texts, cache)
+    hs, starts, lens = _token_hashes(texts, _TOKEN_H_CACHE)
     out = []
     for d in range(len(texts)):
         L = int(lens[d])
