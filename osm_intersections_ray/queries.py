@@ -157,6 +157,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
     q["dup_clusters"] = lambda sf: dedup.dup_clusters(
         _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
+    q["dup_ngram_stats"] = lambda sf: dedup.dup_ngram_stats(
+        _tbl(sf, "documents", ["doc_id", "text"]))
     q["bpe_token_count"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.bpe_token_count_batch, batch_format="pyarrow")
     q["sample_docs"] = lambda sf: _tbl(sf, "documents", ["doc_id"]).map_batches(
@@ -202,6 +204,8 @@ def queries() -> dict:
 
     q["rrf_fusion"] = rrf_fusion
     q["embedding_near_dup"] = lambda sf: similarity.near_dup_pairs(
+        _tbl(sf, "embeddings", ["vec_id", "embedding"]))
+    q["embedding_dup_clusters"] = lambda sf: similarity.embedding_dup_clusters(
         _tbl(sf, "embeddings", ["vec_id", "embedding"]))
 
     def ann_lsh(sf):  # approximate — no SQL oracle by design
@@ -275,6 +279,15 @@ def queries() -> dict:
             _tbl(sf, "orders", ["o_custkey", "o_totalprice"]), cust, nat)
 
     q["revenue_by_nation"] = rev_nation
+    def ship_prio(sf):
+        return relational.shipping_priority(
+            _tbl(sf, "customer", ["c_custkey", "c_mktsegment"]),
+            _tbl(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                "o_orderpriority"]),
+            _tbl(sf, "lineitem", ["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"]))
+
+    q["shipping_priority"] = ship_prio
     q["top_parts"] = lambda sf: relational.top_parts(
         _tbl(sf, "part", ["p_partkey", "p_name", "p_retailprice"]))
     q["top_parts_per_brand"] = lambda sf: relational.top_parts_per_brand(
@@ -324,6 +337,7 @@ def oracle_sql() -> dict:
         "near_dup_char_ngram": dedup.char_ngram_pairs_sql(),
         "near_dedup_survivors": dedup.near_dedup_survivors_sql(),
         "dup_clusters": dedup.dup_clusters_sql(),
+        "dup_ngram_stats": dedup.dup_ngram_stats_sql(),
         "bpe_token_count": text.bpe_token_count_sql(),
         "sample_docs": text.sample_docs_sql(),
         "token_quantiles": text.token_quantiles_sql(),
@@ -345,6 +359,7 @@ def oracle_sql() -> dict:
         "knn_cosine": similarity.knn_sql(),
         "rrf_fusion": similarity.rrf_fusion_sql(),
         "embedding_near_dup": similarity.near_dup_sql(),
+        "embedding_dup_clusters": similarity.embedding_dup_clusters_sql(),
         "events_hourly": events.hourly_window_sql(),
         "sessions": events.sessionize_sql(),
         "events_sliding": events.sliding_window_sql(),
@@ -355,6 +370,7 @@ def oracle_sql() -> dict:
         "props_kv_stats": events.props_kv_stats_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
+        "shipping_priority": relational.shipping_priority_sql(),
         "top_parts": relational.top_parts_sql(),
         "top_parts_per_brand": relational.top_parts_per_brand_sql(),
         "customers_without_orders": filters.customers_without_orders_sql(),

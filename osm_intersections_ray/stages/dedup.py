@@ -1088,3 +1088,137 @@ reach AS (
 )
 SELECT node AS doc_id, MIN(r)::BIGINT AS cluster_id FROM reach GROUP BY node
 """
+
+
+# --- corpus-wide duplicated n-gram statistics --------------------------------
+DUPGRAM_K = 8  # same granularity as the decontamination rule
+
+
+def dup_ngram_stats(ds):
+    """Exact duplicated-substring statistics at fixed k-token granularity —
+    the corpus-level repeated-n-gram signal of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (``repetition_stats`` is the
+    WITHIN-doc variant; this one is the corpus-wide self-join): for every
+    doc of the near-augmented corpus, how many of its DUPGRAM_K-gram
+    occurrences also occur anywhere else in the corpus (total occurrence
+    count > 1), plus the per-mille ratio.  Twin docs share every gram of
+    their common prefix by construction, so the signal is non-trivial.
+
+    Scale shape — unlike :func:`decontaminate` (whose membership side is a
+    fixed SMALL eval suite, so one broadcast set is right), the dup-gram
+    table here is corpus-sized, so nothing is collected or broadcast:
+
+    1. one tokenize pass emits ``(doc_id, gh, m)`` rows — ``m`` = within-doc
+       occurrence count, final immediately because a doc lives in exactly
+       one batch (the only corpus-sized exchange downstream carries these
+       24-byte rows, never text);
+    2. gram totals: per-batch partial combine + one ``(gh)`` groupby-sum;
+    3. occurrence rows re-acquire their gram's total via a hash
+       ``Dataset.join`` on ``gh`` — a join, not a broadcast, because the
+       gram table grows with the corpus;
+    4. per-doc partial combine + a tiny ``(doc_id)`` groupby-sum.
+
+    Docs with fewer than DUPGRAM_K tokens have no grams and are absent from
+    the output on both sides.
+    """
+    from ray.data.aggregate import Sum
+
+    from .common import drop_empty_blocks
+
+    _EXPLODE_SCHEMA = pa.schema([
+        ("doc_id", pa.int64()), ("gh", pa.int64()), ("m", pa.int64())])
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False))
+        grams = _kgram_hashes_per_doc(b["text"].to_pylist(), DUPGRAM_K)
+        out_id, out_gh, out_m = [], [], []
+        for i, g in zip(ids, grams):
+            if g.size == 0:
+                continue
+            u, m = np.unique(g, return_counts=True)
+            out_id.append(np.full(u.size, i, dtype=np.int64))
+            out_gh.append(u.view(np.int64))  # bit view: join key only
+            out_m.append(m.astype(np.int64))
+        if not out_id:
+            return _EXPLODE_SCHEMA.empty_table()
+        return pa.table({"doc_id": pa.array(np.concatenate(out_id)),
+                         "gh": pa.array(np.concatenate(out_gh)),
+                         "m": pa.array(np.concatenate(out_m))})
+
+    occ = drop_empty_blocks(
+        ds.map_batches(augment_near_batch, batch_format="pyarrow")
+        .map_batches(explode, batch_format="pyarrow").materialize())
+
+    _CNT_PARTIAL_SCHEMA = pa.schema([("gh", pa.int64()), ("cnt", pa.int64())])
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        gh = np.asarray(b["gh"].to_numpy(zero_copy_only=False))
+        m = np.asarray(b["m"].to_numpy(zero_copy_only=False))
+        u, inv = np.unique(gh, return_inverse=True)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, m)
+        return pa.Table.from_arrays([pa.array(u), pa.array(s)],
+                                    schema=_CNT_PARTIAL_SCHEMA)
+
+    totals = drop_empty_blocks(
+        occ.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("gh").aggregate(Sum("cnt", alias_name="cnt")).materialize())
+
+    joined = occ.join(totals, join_type="inner", num_partitions=16,
+                      on=("gh",))
+
+    _DOC_PARTIAL_SCHEMA = pa.schema([
+        ("doc_id", pa.int64()), ("n_grams", pa.int64()),
+        ("n_dup_grams", pa.int64())])
+
+    def doc_partial(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False))
+        m = np.asarray(b["m"].to_numpy(zero_copy_only=False))
+        cnt = np.asarray(b["cnt"].to_numpy(zero_copy_only=False))
+        u, inv = np.unique(ids, return_inverse=True)
+        n = np.zeros(u.size, dtype=np.int64)
+        d = np.zeros(u.size, dtype=np.int64)
+        np.add.at(n, inv, m)
+        np.add.at(d, inv, np.where(cnt > 1, m, 0))
+        return pa.Table.from_arrays([pa.array(u), pa.array(n), pa.array(d)],
+                                    schema=_DOC_PARTIAL_SCHEMA)
+
+    agg = (drop_empty_blocks(joined)
+           .map_batches(doc_partial, batch_format="pyarrow")
+           .groupby("doc_id").aggregate(
+               Sum("n_grams", alias_name="n_grams"),
+               Sum("n_dup_grams", alias_name="n_dup_grams")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n_grams"].to_numpy(zero_copy_only=False))
+        d = np.asarray(b["n_dup_grams"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": b["doc_id"], "n_grams": b["n_grams"],
+                         "n_dup_grams": b["n_dup_grams"],
+                         "dup_pm": pa.array(d * 1000 // n, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_ngram_stats_sql(table: str = "documents") -> str:
+    from .text import TOKS_SQL
+
+    fold = _kgram_fold_sql(DUPGRAM_K)
+    return f"""
+WITH aug AS ({augment_near_sql(table)}),
+ct AS (SELECT doc_id, {TOKS_SQL} AS t FROM aug),
+grams AS (
+  SELECT doc_id, {fold} AS gh
+  FROM ct, UNNEST(generate_series(1, len(t) - {DUPGRAM_K - 1})) AS u(i)
+  WHERE len(t) >= {DUPGRAM_K}
+),
+tot AS (SELECT gh, count(*)::BIGINT AS cnt FROM grams GROUP BY 1),
+per_doc AS (
+  SELECT g.doc_id,
+         count(*)::BIGINT AS n_grams,
+         coalesce(sum(CASE WHEN t.cnt > 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_dup_grams
+  FROM grams g JOIN tot t USING (gh) GROUP BY 1
+)
+SELECT doc_id, n_grams, n_dup_grams,
+       (n_dup_grams * 1000 // n_grams)::BIGINT AS dup_pm
+FROM per_doc
+"""

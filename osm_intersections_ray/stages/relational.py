@@ -185,3 +185,123 @@ WITH r AS (
 SELECT p_brand, p_partkey, p_name, price_cents, rk::BIGINT AS rk
 FROM r WHERE rk <= {k}
 """
+
+
+# --- TPC-H Q3-shaped: 3-table join chain + grouped revenue + top-k -----------
+Q3_SEGMENT = "BUILDING"
+# cutoff mid-range of the synthetic order/ship dates (1995..2001): both join
+# sides stay selective (orders before, shipments after); tz-free epoch-us
+Q3_CUTOFF_US = int(np.datetime64("1998-06-01T00:00:00", "us").astype(np.int64))
+
+
+def shipping_priority(customer_ds, orders_ds, lineitem_ds, k: int = 10):
+    """TPC-H Q3 shape — the canonical 3-table join chain: customers of one
+    market segment, their orders placed BEFORE the cutoff, revenue from line
+    items shipped AFTER it; top-k open orders by revenue.
+
+    Scale shape: NO broadcast anywhere (unlike ``revenue_by_nation``, whose
+    dims are declared-small) — customer and orders meet in a hash
+    ``Dataset.join`` on custkey, lineitem is pre-aggregated per batch to
+    (orderkey, cents) partials BEFORE its join (the classic push-the-
+    combiner-below-the-join move: the orderkey join then carries one row
+    per (batch, orderkey), never raw line items), and the final top-k is
+    local-topk-per-block + a k*blocks-row driver merge — never a global
+    sort.  Dates ride as int64 epoch-us; revenue as integer cents."""
+    from .common import drop_empty_blocks
+
+    def cust_filter(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.equal(b["c_mktsegment"], Q3_SEGMENT)
+        return pa.table({"o_custkey": b.filter(m)["c_custkey"]})
+
+    cust = customer_ds.map_batches(cust_filter, batch_format="pyarrow")
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        m = d < Q3_CUTOFF_US
+        t = b.filter(pa.array(m))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_orderdate_us": pa.array(d[m], pa.int64()),
+            "o_orderpriority": t["o_orderpriority"],
+        })
+
+    ords = orders_ds.map_batches(ord_filter, batch_format="pyarrow")
+
+    semi = drop_empty_blocks(ords.materialize()).join(
+        drop_empty_blocks(cust.materialize()), join_type="inner",
+        num_partitions=16, on=("o_custkey",))
+
+    _LI_PARTIAL_SCHEMA = pa.schema([
+        ("o_orderkey", pa.int64()), ("cents", pa.int64())])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        d = b["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        m = d > Q3_CUTOFF_US
+        key = b["l_orderkey"].to_numpy(zero_copy_only=False)[m]
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)[m]
+        cents = round_half_away_np(px * (1 - disc) * 100)
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(np.int64)), pa.array(s)],
+            schema=_LI_PARTIAL_SCHEMA)
+
+    li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+
+    joined = drop_empty_blocks(li.materialize()).join(
+        drop_empty_blocks(semi.materialize()), join_type="inner",
+        num_partitions=16, on=("o_orderkey",))
+
+    from ray.data.aggregate import Sum
+
+    # o_orderdate_us / o_orderpriority are functionally dependent on the
+    # orderkey, so grouping by all three keys equals grouping by orderkey
+    rev = joined.groupby(
+        ["o_orderkey", "o_orderdate_us", "o_orderpriority"]).aggregate(
+        Sum("cents", alias_name="revenue_cents"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(["revenue_cents", "o_orderkey"],
+                            ascending=[False, True], kind="stable").head(k)
+        return pa.Table.from_pandas(
+            df[["o_orderkey", "revenue_cents", "o_orderdate_us",
+                "o_orderpriority"]],
+            preserve_index=False).replace_schema_metadata(None)
+
+    top = rev.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    top = top.sort_values(["revenue_cents", "o_orderkey"],
+                          ascending=[False, True], kind="stable").head(k)
+    top = top.reset_index(drop=True)
+    top["rk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["rk", "o_orderkey", "revenue_cents", "o_orderdate_us",
+                "o_orderpriority"]].astype(
+        {"o_orderkey": "int64", "revenue_cents": "int64",
+         "o_orderdate_us": "int64"})
+
+
+def shipping_priority_sql(k: int = 10) -> str:
+    return f"""
+WITH rev AS (
+  SELECT l.l_orderkey AS o_orderkey,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))::BIGINT
+           AS revenue_cents,
+         max(epoch_us(o.o_orderdate))::BIGINT AS o_orderdate_us,
+         max(o.o_orderpriority) AS o_orderpriority
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+    AND epoch_us(o.o_orderdate) < {Q3_CUTOFF_US}
+    AND epoch_us(l.l_shipdate) > {Q3_CUTOFF_US}
+  GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY revenue_cents DESC, o_orderkey ASC)::BIGINT AS rk,
+       o_orderkey, revenue_cents, o_orderdate_us, o_orderpriority
+FROM rev ORDER BY rk LIMIT {k}
+"""

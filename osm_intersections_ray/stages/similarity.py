@@ -461,3 +461,51 @@ def ann_bucketed(ds, queries_ref, planes_seed: int = 424242):
                               ascending=[True, False, True], kind="stable")
     local["rk"] = local.groupby("qid").cumcount() + 1
     return local[local["rk"] <= TOP_K][["qid", "nid", "rk"]].reset_index(drop=True).astype("int64")
+
+
+def embedding_dup_clusters(ds):
+    """SemDeDup-style semantic duplicate CLUSTERS: connected components over
+    the verified embedding near-dup pair graph (cosine >= NEAR_COS_MIN),
+    cluster_id = the smallest vec_id in each component — the grouping a
+    per-cluster keep-one / sampling policy consumes (pair lists alone lose
+    it; this is the embedding-space sibling of ``dedup.dup_clusters``).
+
+    Reuses the bucketed :func:`near_dup_pairs` blocking (no all-pairs, no
+    driver materialization) and the distributed hash-min component kernel —
+    only (vec_id, vec_id) edges and (vec_id, label) rows ever shuffle."""
+    from .dedup import hash_min_components
+
+    pairs = near_dup_pairs(ds)
+    labels = hash_min_components(pairs, node_col="vec_a", nbr_col="vec_b")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": b["node"], "cluster_id": b["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def embedding_dup_clusters_sql(table: str = "embeddings") -> str:
+    """Oracle: exact all-pairs cosine pair set, then recursive transitive
+    closure + min reachable id (same closure shape as dup_clusters_sql)."""
+    return f"""
+WITH RECURSIVE aug AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM {table}
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(CAST(x * {NEAR_DUP_SCALE} AS FLOAT) AS DOUBLE))
+  FROM {table} WHERE vec_id % {NEAR_DUP_MOD} = 0
+),
+pairs AS (
+  SELECT least(a.vec_id, b.vec_id) AS u, greatest(a.vec_id, b.vec_id) AS v
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_COS_MIN}
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT node::BIGINT AS vec_id, MIN(r)::BIGINT AS cluster_id FROM reach GROUP BY node
+"""

@@ -688,3 +688,110 @@ def test_pack_sequences_prefix_sum(ray_session):
                                 != off // PACK_BUDGET)).astype(np.int64)
     assert (out["straddle"].to_numpy() == want_straddle).all()
     assert out["straddle"].sum() > 0, "fixture crosses no chunk boundary; vacuous"
+
+
+def test_dup_ngram_stats_exact(ray_session):
+    """Distributed corpus-wide dup-gram stats == a single-process
+    recomputation over the augmented corpus, and every near-dup twin (plus
+    its original's shared prefix) shows duplicated grams."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import dedup
+
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                        columns=["doc_id", "text"])
+    out = (dedup.dup_ngram_stats(rd.from_arrow(tbl)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    aug = dedup.augment_near_batch(tbl)
+    ids = aug["doc_id"].to_pylist()
+    grams = dedup._kgram_hashes_per_doc(aug["text"].to_pylist(),
+                                        dedup.DUPGRAM_K)
+    total = collections.Counter()
+    for g in grams:
+        total.update(g.tolist())
+    want = {}
+    for i, g in zip(ids, grams):
+        if g.size == 0:
+            continue
+        n = int(g.size)
+        d = int(sum(1 for h in g.tolist() if total[h] > 1))
+        want[i] = (n, d, d * 1000 // n)
+    got = {int(r.doc_id): (int(r.n_grams), int(r.n_dup_grams), int(r.dup_pm))
+           for r in out.itertuples()}
+    assert got == want
+    twins = [i for i in got if i >= 1_000_000]
+    assert twins and all(got[t][1] > 0 for t in twins), "twins must show dups"
+    assert any(v[1] == 0 for v in got.values()), "some doc must be clean"
+
+
+def test_embedding_dup_clusters_union_find(ray_session):
+    """Cluster labels == union-find over the verified embedding near-dup
+    pair graph (min vec_id per component)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import similarity
+
+    tbl = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    pairs = (similarity.near_dup_pairs(rd.from_arrow(tbl)).to_pandas()
+             .sort_values(["vec_a", "vec_b"]))
+    assert len(pairs) > 0, "fixture produced no near-dup pairs; vacuous"
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got_df = similarity.embedding_dup_clusters(rd.from_arrow(tbl)).to_pandas()
+    got = dict(zip(got_df["vec_id"].astype(int), got_df["cluster_id"].astype(int)))
+    assert got == want
+    assert any(k != v for k, v in got.items()), "no non-trivial cluster"
+
+
+def test_shipping_priority_semantics(ray_session):
+    """Tiny hostile Q3: strict cutoff boundaries on BOTH date filters,
+    revenue ties broken by orderkey asc, segment filter applied."""
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as rel
+
+    C = rel.Q3_CUTOFF_US
+    us = pa.timestamp("us")
+    cust = pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64()),
+                     "c_mktsegment": [rel.Q3_SEGMENT, "OTHER", rel.Q3_SEGMENT]})
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 3, 3], pa.int64()),
+        # 13 sits EXACTLY at the cutoff -> excluded (strict <)
+        "o_orderdate": pa.array([C - 10, C - 10, C - 10, C, C - 10], us),
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "3-LOW", "4-X", "5-Y"],
+    })
+    lineitem = pa.table({
+        "l_orderkey": pa.array([10, 10, 11, 12, 13, 14, 14], pa.int64()),
+        # one shipment of order 10 is exactly at the cutoff -> excluded
+        "l_shipdate": pa.array([C + 1, C, C + 1, C + 1, C + 1, C + 1, C + 1], us),
+        "l_extendedprice": pa.array([100.0, 999.0, 100.0, 50.0, 50.0, 30.0, 70.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    })
+    out = rel.shipping_priority(rd.from_arrow(cust), rd.from_arrow(orders),
+                                rd.from_arrow(lineitem))
+    # order 12: wrong segment; order 13: orderdate at cutoff; 10 and 11 tie
+    # at 10000 cents -> orderkey asc; 14 sums two lines
+    assert out["o_orderkey"].tolist() == [10, 11, 14]
+    assert out["revenue_cents"].tolist() == [10000, 10000, 10000]
+    assert out["rk"].tolist() == [1, 2, 3]
+    assert out["o_orderpriority"].tolist() == ["1-URGENT", "2-HIGH", "5-Y"]
