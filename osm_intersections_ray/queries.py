@@ -51,8 +51,20 @@ def _pages(sf_dir: str, columns=None):
                            columns=columns, override_num_blocks=32)
 
 
+def _strip_meta(b):
+    # zero-copy: the driver's testdata parquet carries pandas schema
+    # metadata, which breaks Ray's block-schema dedup hash ("Failed to hash
+    # the schemas: unhashable type: 'dict'") whenever the batcher coalesces
+    # read blocks; stripping once at the read keeps every downstream stage
+    # clean.  batch_size=None = whole blocks, so the strip itself never
+    # coalesces.
+    return b.replace_schema_metadata(None)
+
+
 def _tbl(sf_dir: str, name: str, columns=None):
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    ).map_batches(_strip_meta, batch_format="pyarrow", batch_size=None)
 
 
 def queries() -> dict:

@@ -614,36 +614,38 @@ WHERE (100 * coalesce(i.i, 0)) // (sa.n + sb.n - coalesce(i.i, 0)) >= {CHAR_NGRA
 """
 
 
+_SIMHASH_CHUNK = 1 << 17  # occurrences per inner chunk: the (chunk, 64)
+# uint8 bit matrix stays ~8 MB (LLC-resident) however large a block Ray
+# hands the kernel — the previous formulation built a (total_tokens, 60)
+# int16 temporary (~1.2 GB at 10M tokens) and went memory-bound.
+
+
 def simhash_batch(b: pa.Table) -> pa.Table:
-    """Vectorized SimHash: one md5 (h60) per distinct token in the batch, then
-    numpy bit-count voting — identical values to the scalar simhash64 (same
-    per-token h60), so the SQL oracle is unchanged in semantics."""
+    """Vectorized SimHash: one md5 (h60) per distinct token *per worker*
+    (shared :data:`_TOKEN_H_CACHE`), then chunked ``np.unpackbits`` voting —
+    per-bit vote = 2 x popcount - n_tokens, sign bit packed.  Identical
+    values to the scalar simhash64 (same per-token h60), so the SQL oracle
+    is unchanged in semantics."""
     ids = b["doc_id"].to_pylist()
-    texts = b["text"].to_pylist()
-    cache: dict = {}
-    hs_list, starts = [], []
-    for t in texts:
-        starts.append(len(hs_list))
-        for tok in ascii_tokens(t):
-            h = cache.get(tok)
-            if h is None:
-                h = h60(tok)
-                cache[tok] = h
-            hs_list.append(h)
-    ends = starts[1:] + [len(hs_list)]
-    sigs = np.zeros(len(ids), dtype=np.int64)
-    if hs_list:
-        hs = np.array(hs_list, dtype=np.uint64)
-        shifts = np.arange(60, dtype=np.uint64)
-        bits = (((hs[:, None] >> shifts[None, :]) & 1).astype(np.int16) * 2 - 1)
-        nonempty = [k for k in range(len(ids)) if ends[k] > starts[k]]
-        seg_starts = np.array([starts[k] for k in nonempty], dtype=np.int64)
-        counts = np.add.reduceat(bits.astype(np.int32), seg_starts, axis=0)
-        weights = (np.uint64(1) << shifts).astype(np.uint64)
-        vals = ((counts > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
-        sigs[np.array(nonempty, dtype=np.int64)] = vals.astype(np.int64)
+    hs, starts, lens = _token_hashes(b["text"].to_pylist(), _TOKEN_H_CACHE)
+    n_docs = len(ids)
+    counts = np.zeros((n_docs, 60), dtype=np.int64)
+    if hs.size:
+        rep = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        for s in range(0, hs.size, _SIMHASH_CHUNK):
+            seg = hs[s: s + _SIMHASH_CHUNK]
+            d = rep[s: s + _SIMHASH_CHUNK]
+            # little-endian uint64 -> per-value bit columns 0..59
+            bits = np.unpackbits(seg.view(np.uint8).reshape(-1, 8),
+                                 axis=1, bitorder="little")[:, :60]
+            bnd = np.flatnonzero(np.diff(d, prepend=d[0] - 1))
+            sums = np.add.reduceat(bits.astype(np.int32), bnd, axis=0)
+            counts[d[bnd]] += sums  # doc ids unique within a chunk
+    votes = 2 * counts - lens[:, None]
+    weights = (np.uint64(1) << np.arange(60, dtype=np.uint64))
+    sigs = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
     return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                     "simhash": pa.array(sigs, pa.int64())})
+                     "simhash": pa.array(sigs.astype(np.int64), pa.int64())})
 
 
 def simhash_sql(table: str = "documents") -> str:
@@ -1106,27 +1108,32 @@ def dup_ngram_stats(ds):
 
     Scale shape — unlike :func:`decontaminate` (whose membership side is a
     fixed SMALL eval suite, so one broadcast set is right), the dup-gram
-    table here is corpus-sized, so nothing is collected or broadcast:
+    table here is corpus-sized, so nothing is collected or broadcast, and
+    the whole computation is ONE all-to-all of 32-byte rows:
 
-    1. one tokenize pass emits ``(doc_id, gh, m)`` rows — ``m`` = within-doc
-       occurrence count, final immediately because a doc lives in exactly
-       one batch (the only corpus-sized exchange downstream carries these
-       24-byte rows, never text);
-    2. gram totals: per-batch partial combine + one ``(gh)`` groupby-sum;
-    3. occurrence rows re-acquire their gram's total via a hash
-       ``Dataset.join`` on ``gh`` — a join, not a broadcast, because the
-       gram table grows with the corpus;
-    4. per-doc partial combine + a tiny ``(doc_id)`` groupby-sum.
+    1. one tokenize pass emits ``(gshard, doc_id, gh, m)`` rows — ``m`` =
+       within-doc occurrence count, final immediately because a doc lives
+       in exactly one batch;
+    2. rows exchange ONCE on ``gshard = gh % N_GH_SHARDS`` (all occurrences
+       of a gram meet in one shard), where a vectorized sort + run-length
+       pass computes global gram totals and folds them straight into
+       per-doc partials — no second shuffle, no hash join (a previous
+       formulation shipped the same rows through a (gh) groupby AND a
+       gh-keyed ``Dataset.join`` and ran ~5x slower);
+    3. a tiny ``(doc_id)`` groupby-sum merges the per-shard partials.
 
-    Docs with fewer than DUPGRAM_K tokens have no grams and are absent from
-    the output on both sides.
+    ``N_GH_SHARDS`` bounds the per-group pandas frame (total occurrences /
+    shards); size it to cluster cores at real scale like the other sharded
+    kernels (sessionize, url dedup).  Docs with fewer than DUPGRAM_K tokens
+    have no grams and are absent from the output on both sides.
     """
     from ray.data.aggregate import Sum
 
-    from .common import drop_empty_blocks
+    N_GH_SHARDS = 64
 
     _EXPLODE_SCHEMA = pa.schema([
-        ("doc_id", pa.int64()), ("gh", pa.int64()), ("m", pa.int64())])
+        ("gshard", pa.int64()), ("doc_id", pa.int64()),
+        ("gh", pa.int64()), ("m", pa.int64())])
 
     def explode(b: pa.Table) -> pa.Table:
         ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False))
@@ -1137,54 +1144,43 @@ def dup_ngram_stats(ds):
                 continue
             u, m = np.unique(g, return_counts=True)
             out_id.append(np.full(u.size, i, dtype=np.int64))
-            out_gh.append(u.view(np.int64))  # bit view: join key only
+            out_gh.append(u)
             out_m.append(m.astype(np.int64))
         if not out_id:
             return _EXPLODE_SCHEMA.empty_table()
-        return pa.table({"doc_id": pa.array(np.concatenate(out_id)),
-                         "gh": pa.array(np.concatenate(out_gh)),
-                         "m": pa.array(np.concatenate(out_m))})
+        gh = np.concatenate(out_gh)  # uint64
+        return pa.table({
+            "gshard": pa.array((gh % N_GH_SHARDS).astype(np.int64)),
+            "doc_id": pa.array(np.concatenate(out_id)),
+            "gh": pa.array(gh.view(np.int64)),  # bit view: shard key only
+            "m": pa.array(np.concatenate(out_m))})
 
-    occ = drop_empty_blocks(
-        ds.map_batches(augment_near_batch, batch_format="pyarrow")
-        .map_batches(explode, batch_format="pyarrow").materialize())
-
-    _CNT_PARTIAL_SCHEMA = pa.schema([("gh", pa.int64()), ("cnt", pa.int64())])
-
-    def cnt_partial(b: pa.Table) -> pa.Table:
-        gh = np.asarray(b["gh"].to_numpy(zero_copy_only=False))
-        m = np.asarray(b["m"].to_numpy(zero_copy_only=False))
-        u, inv = np.unique(gh, return_inverse=True)
-        s = np.zeros(u.size, dtype=np.int64)
-        np.add.at(s, inv, m)
-        return pa.Table.from_arrays([pa.array(u), pa.array(s)],
-                                    schema=_CNT_PARTIAL_SCHEMA)
-
-    totals = drop_empty_blocks(
-        occ.map_batches(cnt_partial, batch_format="pyarrow")
-        .groupby("gh").aggregate(Sum("cnt", alias_name="cnt")).materialize())
-
-    joined = occ.join(totals, join_type="inner", num_partitions=16,
-                      on=("gh",))
+    occ = ds.map_batches(augment_near_batch, batch_format="pyarrow").map_batches(
+        explode, batch_format="pyarrow")
 
     _DOC_PARTIAL_SCHEMA = pa.schema([
         ("doc_id", pa.int64()), ("n_grams", pa.int64()),
         ("n_dup_grams", pa.int64())])
 
-    def doc_partial(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False))
-        m = np.asarray(b["m"].to_numpy(zero_copy_only=False))
-        cnt = np.asarray(b["cnt"].to_numpy(zero_copy_only=False))
-        u, inv = np.unique(ids, return_inverse=True)
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        gh = df["gh"].to_numpy()
+        doc = df["doc_id"].to_numpy()
+        m = df["m"].to_numpy()
+        order = np.argsort(gh, kind="stable")
+        ghs, docs_, ms = gh[order], doc[order], m[order]
+        bnd = np.concatenate([[0], np.flatnonzero(ghs[1:] != ghs[:-1]) + 1])
+        run_len = np.diff(np.concatenate([bnd, [ghs.size]]))
+        cnt_per_occ = np.repeat(np.add.reduceat(ms, bnd), run_len)
+        dup_m = np.where(cnt_per_occ > 1, ms, 0)
+        u, inv = np.unique(docs_, return_inverse=True)
         n = np.zeros(u.size, dtype=np.int64)
         d = np.zeros(u.size, dtype=np.int64)
-        np.add.at(n, inv, m)
-        np.add.at(d, inv, np.where(cnt > 1, m, 0))
+        np.add.at(n, inv, ms)
+        np.add.at(d, inv, dup_m)
         return pa.Table.from_arrays([pa.array(u), pa.array(n), pa.array(d)],
                                     schema=_DOC_PARTIAL_SCHEMA)
 
-    agg = (drop_empty_blocks(joined)
-           .map_batches(doc_partial, batch_format="pyarrow")
+    agg = (occ.groupby("gshard").map_groups(per_shard, batch_format="pandas")
            .groupby("doc_id").aggregate(
                Sum("n_grams", alias_name="n_grams"),
                Sum("n_dup_grams", alias_name="n_dup_grams")))
