@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "warc_pages",           # WARC.gz ingest (the input_hint's real container)
     "decontaminate",        # benchmark n-gram scrub (round-3 session-6 op)
     "pack_sequences",       # distributed prefix-sum packing (session-6 op)
+    "dup_ngram_stats",      # corpus-wide dup-substring self-join (session-6)
+    "shipping_priority",    # TPC-H Q3 3-table join chain (session-6)
 ]
 
 
@@ -85,7 +87,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # warm the OS page cache so we measure compute+shuffle, not first disk read
     import pyarrow.parquet as pq
 
-    for name in ("lineitem", "events", "documents", "embeddings"):
+    for name in ("lineitem", "orders", "customer", "events", "documents",
+                 "embeddings"):
         pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
 
     qs = queries()

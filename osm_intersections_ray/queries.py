@@ -187,6 +187,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text"]))
     q["stratified_sample"] = lambda sf: text.stratified_sample(
         _tbl(sf, "documents", ["doc_id", "lang"]))
+    q["shuffle_assignment"] = lambda sf: text.shuffle_assignment(
+        _tbl(sf, "documents", ["doc_id"]))
     q["decontaminate"] = lambda sf: dedup.decontaminate(
         _tbl(sf, "documents", ["doc_id", "text"]))
     q["repetition_stats"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
@@ -358,6 +360,7 @@ def oracle_sql() -> dict:
         "hll_distinct_shingles": text.hll_distinct_shingles_sql(),
         "tfidf_top_terms": text.tfidf_top_terms_sql(),
         "stratified_sample": text.stratified_sample_sql(),
+        "shuffle_assignment": text.shuffle_assignment_sql(),
         "decontaminate": dedup.decontaminate_sql(),
         "repetition_stats": text.repetition_stats_sql(),
         "pack_sequences": text.pack_sequences_sql(),

@@ -998,3 +998,60 @@ WITH h AS (
 )
 SELECT lang, rk::BIGINT AS rk, doc_id FROM h WHERE rk <= {STRAT_SAMPLE_K}
 """
+
+
+# --- deterministic training-shuffle assignment --------------------------------
+SHUFFLE_N_SHARDS = 16
+
+
+def shuffle_assignment(ds):
+    """Deterministic global training-data shuffle: every document gets a
+    pseudo-random output shard and a position within it, derived purely from
+    md5 of the doc_id — the "randomize example order before packing" step of
+    a training-data build, reproducible across runs, partitionings and
+    engines (no RNG state, no global sort).
+
+    ``shard = hkey % SHUFFLE_N_SHARDS``; ``pos`` = 1-based rank within the
+    shard by (hkey, doc_id).  Scale shape: one exchange keyed by shard
+    (SHUFFLE_N_SHARDS groups — size it to the target file count at real
+    scale), with the within-shard ranking a single vectorized argsort per
+    group; the exchange carries (doc_id, hkey) pairs, never text.  Writing
+    the shuffled corpus is then ``write_parquet`` partitioned by ``shard``
+    with rows pre-ordered by ``pos``."""
+    import pandas as pd
+
+    from ..functions.hashing import h60
+
+    key_schema = pa.schema([("shard", pa.int64()), ("doc_id", pa.int64()),
+                            ("hkey", pa.int64())])
+
+    def keys(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        hk = np.array([h60(str(i)) for i in ids], dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(hk % SHUFFLE_N_SHARDS), pa.array(ids, pa.int64()),
+             pa.array(hk)], schema=key_schema)
+
+    def rank(g: "pd.DataFrame") -> pa.Table:
+        g = g.sort_values(["hkey", "doc_id"], kind="stable").reset_index(drop=True)
+        return pa.table({
+            "shard": pa.array(g["shard"].to_numpy(), pa.int64()),
+            "pos": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "hkey": pa.array(g["hkey"].to_numpy(), pa.int64()),
+        })
+
+    return (ds.map_batches(keys, batch_format="pyarrow")
+            .groupby("shard").map_groups(rank, batch_format="pandas"))
+
+
+def shuffle_assignment_sql(table: str = "documents") -> str:
+    h = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    return f"""
+WITH k AS (SELECT doc_id, {h} AS hkey, {h} % {SHUFFLE_N_SHARDS} AS shard
+           FROM {table})
+SELECT shard::BIGINT AS shard,
+       row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id)::BIGINT AS pos,
+       doc_id, hkey
+FROM k
+"""

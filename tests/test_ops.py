@@ -795,3 +795,29 @@ def test_shipping_priority_semantics(ray_session):
     assert out["revenue_cents"].tolist() == [10000, 10000, 10000]
     assert out["rk"].tolist() == [1, 2, 3]
     assert out["o_orderpriority"].tolist() == ["1-URGENT", "2-HIGH", "5-Y"]
+
+
+def test_shuffle_assignment_permutation(ray_session):
+    """Shuffle assignment is a permutation: every doc exactly once, pos is
+    1..len(shard) per shard, order within a shard follows (hkey, doc_id),
+    and the md5 key spreads docs across all shards."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from osm_intersections_ray.functions.hashing import h60
+    from osm_intersections_ray.stages import text
+
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                        columns=["doc_id"])
+    out = text.shuffle_assignment(rd.from_arrow(tbl)).to_pandas()
+    ids = sorted(tbl["doc_id"].to_pylist())
+    assert sorted(out["doc_id"]) == ids
+    assert set(out["shard"]) == set(range(text.SHUFFLE_N_SHARDS))
+    for shard, g in out.groupby("shard"):
+        g = g.sort_values("pos")
+        assert g["pos"].tolist() == list(range(1, len(g) + 1))
+        want = sorted(g["doc_id"], key=lambda i: (h60(str(i)), i))
+        assert g["doc_id"].tolist() == want
+        assert all(h60(str(i)) % text.SHUFFLE_N_SHARDS == shard
+                   for i in g["doc_id"])
