@@ -189,6 +189,10 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "lang"]))
     q["shuffle_assignment"] = lambda sf: text.shuffle_assignment(
         _tbl(sf, "documents", ["doc_id"]))
+    q["token_freq_histogram"] = lambda sf: text.token_freq_histogram(
+        _tbl(sf, "documents", ["text"]))
+    q["cms_token_counts"] = lambda sf: text.cms_token_counts(
+        _tbl(sf, "documents", ["text"]))
     q["decontaminate"] = lambda sf: dedup.decontaminate(
         _tbl(sf, "documents", ["doc_id", "text"]))
     q["repetition_stats"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
@@ -361,6 +365,8 @@ def oracle_sql() -> dict:
         "tfidf_top_terms": text.tfidf_top_terms_sql(),
         "stratified_sample": text.stratified_sample_sql(),
         "shuffle_assignment": text.shuffle_assignment_sql(),
+        "token_freq_histogram": text.token_freq_histogram_sql(),
+        "cms_token_counts": text.cms_token_counts_sql(),
         "decontaminate": dedup.decontaminate_sql(),
         "repetition_stats": text.repetition_stats_sql(),
         "pack_sequences": text.pack_sequences_sql(),

@@ -25,6 +25,7 @@ import hashlib
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 STOPWORDS_EN = ["the", "and", "of", "a", "to", "is", "in", "that", "it", "on"]
@@ -1054,4 +1055,171 @@ SELECT shard::BIGINT AS shard,
        row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id)::BIGINT AS pos,
        doc_id, hkey
 FROM k
+"""
+
+
+# --- Zipf token-frequency histogram -------------------------------------------
+
+
+def token_freq_histogram(ds):
+    """Zipf-shape corpus diagnostic: how many distinct tokens occur 1x,
+    2-3x, 4-7x, ... (log2 buckets of the global occurrence count), plus the
+    occurrence mass per bucket — the sanity plot every corpus build checks
+    before training.
+
+    Scale shape mirrors ``distinct_tokens_per_lang``: per-batch partial
+    (token, n) combiners, ONE vocabulary-sized (token) exchange of combined
+    rows, then per-block histogram partials and a tiny (bucket) groupby —
+    the histogram step never moves the vocabulary again."""
+    from ray.data.aggregate import Sum
+
+    _PARTIAL = pa.schema([("token", pa.string()), ("n", pa.int64())])
+    _HIST = pa.schema([("bucket", pa.int64()), ("n_tokens", pa.int64()),
+                       ("n_occurrences", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ser = b["text"].to_pandas().fillna("")
+        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        df = pd.DataFrame({"token": toks}).explode("token").dropna()
+        g = df.groupby("token", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g[["token", "n"]], preserve_index=False,
+                                    schema=_PARTIAL).replace_schema_metadata(None)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("n", alias_name="n")))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        if n.size == 0:
+            return _HIST.empty_table()
+        bucket = np.floor(np.log2(n)).astype(np.int64)  # n >= 1 always
+        u, inv = np.unique(bucket, return_inverse=True)
+        nt = np.bincount(inv).astype(np.int64)
+        occ = np.zeros(u.size, dtype=np.int64)
+        np.add.at(occ, inv, n)
+        return pa.Table.from_arrays([pa.array(u), pa.array(nt), pa.array(occ)],
+                                    schema=_HIST)
+
+    return (counts.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(
+                Sum("n_tokens", alias_name="n_tokens"),
+                Sum("n_occurrences", alias_name="n_occurrences")))
+
+
+def token_freq_histogram_sql(table: str = "documents") -> str:
+    return f"""
+WITH t AS (SELECT unnest({TOKS_SQL}) AS token FROM {table}),
+c AS (SELECT token, count(*)::BIGINT AS n FROM t GROUP BY 1)
+SELECT floor(log2(n))::BIGINT AS bucket,
+       count(*)::BIGINT AS n_tokens,
+       sum(n)::BIGINT AS n_occurrences
+FROM c GROUP BY 1
+"""
+
+
+# --- Count-Min sketch token counts ---------------------------------------------
+CMS_D = 4      # depths (independent hash rows)
+CMS_W = 1024   # buckets per row
+# fixed probe set: frequent synthetic-vocabulary words + one absent token
+# (shows the sketch's one-sided overestimation against the exact count)
+CMS_PROBES = ("table", "row", "key", "merge", "window", "zzz-absent-token")
+
+
+def cms_token_counts(ds):
+    """Count-Min sketch of corpus token occurrences, probed at a fixed token
+    set — the bounded-memory frequency sketch of a streaming pipeline.  The
+    sketch is a pure SUM structure (register[d][b] = total occurrences
+    hashing to bucket b in depth d), so partial-combine merging is exact and
+    block-order-insensitive, and a DuckDB oracle reproduces every register —
+    estimates are bit-exact, not approximately checked.
+
+    Scale shape: ONE streamed pass emits per-batch register partials
+    (per-DISTINCT-token md5 via the shared worker cache, occurrence mass
+    folded in as ``np.bincount`` weights) plus exact probe-count partials
+    tagged ``d = -1`` — a single (d, bucket) groupby then yields the whole
+    sketch AND the probe truths in <= D*W + |probes| rows (sketch-sized,
+    never corpus-sized; the driver reads only that).  Output:
+    (token, est, exact) — est >= exact always, equality unless the probe
+    collides in every depth."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import h60
+
+    _REG = pa.schema([("d", pa.int64()), ("bucket", pa.int64()),
+                      ("cnt", pa.int64())])
+    probe_ix = {p: i for i, p in enumerate(CMS_PROBES)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        ser = b["text"].to_pandas().fillna("")
+        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        df = pd.DataFrame({"token": toks}).explode("token").dropna()
+        if len(df) == 0:
+            return _REG.empty_table()
+        g = df.groupby("token", sort=False).size()
+        names = g.index.to_list()
+        n = g.to_numpy().astype(np.int64)
+        out_d, out_b, out_c = [], [], []
+        for d in range(CMS_D):
+            bk = np.array([h60(f"cms{d}|{t}") for t in names],
+                          dtype=np.int64) % CMS_W
+            cnt = np.bincount(bk, weights=n, minlength=CMS_W)
+            nz = np.flatnonzero(cnt)
+            out_d.append(np.full(nz.size, d, dtype=np.int64))
+            out_b.append(nz.astype(np.int64))
+            out_c.append(cnt[nz].astype(np.int64))  # < 2^53: exact
+        # exact probe partials ride the same exchange, tagged d = -1
+        pb = [probe_ix[t] for t in names if t in probe_ix]
+        pc = [int(c) for t, c in zip(names, n) if t in probe_ix]
+        out_d.append(np.full(len(pb), -1, dtype=np.int64))
+        out_b.append(np.array(pb, dtype=np.int64))
+        out_c.append(np.array(pc, dtype=np.int64))
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(out_d)), pa.array(np.concatenate(out_b)),
+             pa.array(np.concatenate(out_c))], schema=_REG)
+
+    regs = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["d", "bucket"]).aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())  # <= D*W + |probes| rows, never corpus-sized
+
+    reg_map = {(int(r.d), int(r.bucket)): int(r.cnt) for r in regs.itertuples()}
+    rows = []
+    for p in CMS_PROBES:
+        est = min(reg_map.get((d, h60(f"cms{d}|{p}") % CMS_W), 0)
+                  for d in range(CMS_D))
+        rows.append((p, est, reg_map.get((-1, probe_ix[p]), 0)))
+    return pa.table({
+        "token": pa.array([r[0] for r in rows], pa.string()),
+        "est": pa.array([r[1] for r in rows], pa.int64()),
+        "exact": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def cms_token_counts_sql(table: str = "documents") -> str:
+    probes = ", ".join(f"('{p}')" for p in CMS_PROBES)
+    hp = (f"('0x' || substr(md5('cms' || ds.d || '|' || p.token), 1, 15))"
+          f"::BIGINT % {CMS_W}")
+    ht = (f"('0x' || substr(md5('cms' || d || '|' || token), 1, 15))"
+          f"::BIGINT % {CMS_W}")
+    return f"""
+WITH t AS (SELECT unnest({TOKS_SQL}) AS token FROM {table}),
+ds AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS d),
+regs AS (
+  SELECT d, {ht} AS bucket, count(*)::BIGINT AS cnt
+  FROM t, ds GROUP BY 1, 2
+),
+probes(token) AS (VALUES {probes}),
+est AS (
+  SELECT token, min(cnt_reg)::BIGINT AS est FROM (
+    SELECT p.token,
+           coalesce((SELECT r.cnt FROM regs r
+                     WHERE r.d = ds.d AND r.bucket = {hp}), 0) AS cnt_reg
+    FROM probes p CROSS JOIN ds
+  ) GROUP BY 1
+),
+exact AS (
+  SELECT p.token, count(t.token)::BIGINT AS exact
+  FROM probes p LEFT JOIN t ON t.token = p.token GROUP BY 1
+)
+SELECT e.token, e.est, x.exact
+FROM est e JOIN exact x USING (token)
 """

@@ -821,3 +821,38 @@ def test_shuffle_assignment_permutation(ray_session):
         assert g["doc_id"].tolist() == want
         assert all(h60(str(i)) % text.SHUFFLE_N_SHARDS == shard
                    for i in g["doc_id"])
+
+
+def test_cms_one_sided_and_histogram_mass(ray_session):
+    """CMS estimates are one-sided (est >= exact, both integer-exact
+    aggregates) and the Zipf histogram partitions the vocabulary: bucket
+    masses sum to the exact total occurrence / distinct-token counts."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import text
+
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                        columns=["text"])
+    cms = text.cms_token_counts(rd.from_arrow(tbl)).to_pandas()
+    assert set(cms["token"]) == set(text.CMS_PROBES)
+    assert (cms["est"] >= cms["exact"]).all()
+    present = cms[cms["token"] != "zzz-absent-token"]
+    assert (present["exact"] > 0).all(), "probe words missing from fixture"
+    cnt = collections.Counter()
+    for t in tbl["text"].to_pylist():
+        cnt.update(text._tokens(t))
+    exact_map = dict(zip(cms["token"], cms["exact"]))
+    for p in text.CMS_PROBES:
+        assert exact_map[p] == cnt.get(p, 0)
+
+    hist = text.token_freq_histogram(rd.from_arrow(tbl)).to_pandas()
+    assert hist["n_occurrences"].sum() == sum(cnt.values())
+    assert hist["n_tokens"].sum() == len(cnt)
+    for r in hist.itertuples():
+        lo, hi = 2 ** int(r.bucket), 2 ** (int(r.bucket) + 1)
+        want = [c for c in cnt.values() if lo <= c < hi]
+        assert r.n_tokens == len(want) and r.n_occurrences == sum(want)
