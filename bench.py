@@ -188,7 +188,10 @@ def run_scaling_workload(num_cpus: int) -> dict:
     fx = ensure_fixtures("/root/testdata/sf0.1r16")  # generated once, cached
 
     def pages_ds():
+        # prune at the read: the join leg consumes only url + the geotag
+        # inside html — text/warc_ts/lang never leave storage
         return rd.read_parquet(os.path.join(fx, "pages.parquet"),
+                               columns=["url", "html"],
                                override_num_blocks=4 * num_cpus)
 
     def ways_ds():

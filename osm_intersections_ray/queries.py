@@ -127,11 +127,12 @@ def queries() -> dict:
     q["intersections_geom_only"] = intersections_geom_only
 
     # --- pages graft (input_hint table)
-    q["pages_extract"] = lambda sf: _pages(sf).map_batches(
+    q["pages_extract"] = lambda sf: _pages(sf, columns=["url", "html"]).map_batches(
         pages.Extractor, batch_format="pyarrow", concurrency=(1, 8), batch_size=4096)
-    q["pages_geotag"] = lambda sf: _pages(sf).map_batches(
+    q["pages_geotag"] = lambda sf: _pages(sf, columns=["url", "html"]).map_batches(
         pages.geotag_batch, batch_format="pyarrow", batch_size=4096)
-    q["pages_way_join"] = lambda sf: pages.pages_way_join(_pages(sf), _ways(sf))
+    q["pages_way_join"] = lambda sf: pages.pages_way_join(
+        _pages(sf, columns=["url", "html"]), _ways(sf))
     q["host_section_stats"] = lambda sf: pages.host_section_stats(
         _pages(sf, columns=["url", "text", "warc_ts"]))
     q["url_canonical_dedup"] = lambda sf: pages.url_canonical_dedup(

@@ -194,20 +194,34 @@ Q3_SEGMENT = "BUILDING"
 Q3_CUTOFF_US = int(np.datetime64("1998-06-01T00:00:00", "us").astype(np.int64))
 
 
-def shipping_priority(customer_ds, orders_ds, lineitem_ds, k: int = 10):
+BROADCAST_CUST_MAX = 2_000_000  # same crossover idea as pages_way_join
+
+
+def shipping_priority(customer_ds, orders_ds, lineitem_ds, k: int = 10,
+                      broadcast_cust_max: int = BROADCAST_CUST_MAX):
     """TPC-H Q3 shape — the canonical 3-table join chain: customers of one
     market segment, their orders placed BEFORE the cutoff, revenue from line
     items shipped AFTER it; top-k open orders by revenue.
 
-    Scale shape: NO broadcast anywhere (unlike ``revenue_by_nation``, whose
-    dims are declared-small) — customer and orders meet in a hash
-    ``Dataset.join`` on custkey, lineitem is pre-aggregated per batch to
-    (orderkey, cents) partials BEFORE its join (the classic push-the-
-    combiner-below-the-join move: the orderkey join then carries one row
-    per (batch, orderkey), never raw line items), and the final top-k is
-    local-topk-per-block + a k*blocks-row driver merge — never a global
-    sort.  Dates ride as int64 epoch-us; revenue as integer cents."""
-    from .common import drop_empty_blocks
+    Scale shape, by cardinality (mirroring ``pages_way_join``):
+
+    * customer <= ``broadcast_cust_max``: the segment-filtered custkey set
+      collects once (int64 keys only), ships via ``ray.put``, and the
+      orders filter applies a vectorized searchsorted semi-join inside its
+      own ``map_batches`` — the first join costs zero shuffles;
+    * larger customer tables: a hash ``Dataset.join`` on custkey.
+
+    Either way, lineitem is pre-aggregated per batch to (orderkey, cents)
+    partials BELOW the orderkey join (the push-the-combiner-below-the-join
+    move: the join carries one row per (batch, orderkey), never raw line
+    items), the orderkey join is the single all-to-all, and the final
+    top-k is local-topk-per-block + a k*blocks-row driver merge — never a
+    global sort.  Dates ride as int64 epoch-us; revenue as integer cents."""
+    import ray
+
+    from .common import cached_get
+
+    broadcast = customer_ds.count() <= broadcast_cust_max
 
     def cust_filter(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -216,29 +230,47 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds, k: int = 10):
         return pa.table({"o_custkey": b.filter(m)["c_custkey"]})
 
     cust = customer_ds.map_batches(cust_filter, batch_format="pyarrow")
+    keys_ref = None
+    if broadcast:
+        keys = np.sort(cust.to_pandas()["o_custkey"].to_numpy().astype(np.int64))
+        keys_ref = ray.put(keys)
 
     def ord_filter(b: pa.Table) -> pa.Table:
-        d = b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
         m = d < Q3_CUTOFF_US
+        if keys_ref is not None:  # broadcast semi-join on custkey
+            keys = cached_get(keys_ref)
+            if keys.size == 0:
+                m &= False
+            else:
+                ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(keys, ck).clip(0, keys.size - 1)
+                m &= keys[pos] == ck
         t = b.filter(pa.array(m))
-        return pa.table({
+        out = {
             "o_orderkey": t["o_orderkey"],
             "o_custkey": t["o_custkey"],
             "o_orderdate_us": pa.array(d[m], pa.int64()),
             "o_orderpriority": t["o_orderpriority"],
-        })
+        }
+        if keys_ref is not None:
+            del out["o_custkey"]  # semi-join done; drop the key column
+        return pa.table(out)
 
     ords = orders_ds.map_batches(ord_filter, batch_format="pyarrow")
-
-    semi = drop_empty_blocks(ords.materialize()).join(
-        drop_empty_blocks(cust.materialize()), join_type="inner",
-        num_partitions=16, on=("o_custkey",))
+    if keys_ref is not None:
+        semi = ords
+    else:
+        semi = ords.join(cust, join_type="inner", num_partitions=16,
+                         on=("o_custkey",))
 
     _LI_PARTIAL_SCHEMA = pa.schema([
         ("o_orderkey", pa.int64()), ("cents", pa.int64())])
 
     def li_partial(b: pa.Table) -> pa.Table:
-        d = b["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        d = b["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
         m = d > Q3_CUTOFF_US
         key = b["l_orderkey"].to_numpy(zero_copy_only=False)[m]
         px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
@@ -253,17 +285,21 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds, k: int = 10):
 
     li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
 
-    joined = drop_empty_blocks(li.materialize()).join(
-        drop_empty_blocks(semi.materialize()), join_type="inner",
-        num_partitions=16, on=("o_orderkey",))
+    # the single all-to-all.  Inputs are map_batches outputs with pinned
+    # schemas (empty blocks keep them), so no drop_empty_blocks guard is
+    # needed — that hazard is specific to sort/aggregate exchange outputs.
+    joined = li.join(semi, join_type="inner", num_partitions=8,
+                     on=("o_orderkey",))
 
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Min, Sum
 
     # o_orderdate_us / o_orderpriority are functionally dependent on the
-    # orderkey, so grouping by all three keys equals grouping by orderkey
-    rev = joined.groupby(
-        ["o_orderkey", "o_orderdate_us", "o_orderpriority"]).aggregate(
-        Sum("cents", alias_name="revenue_cents"))
+    # orderkey (Min over a per-key constant is exact), so the exchange sorts
+    # ONE int64 key instead of a 3-key string-bearing composite
+    rev = joined.groupby("o_orderkey").aggregate(
+        Sum("cents", alias_name="revenue_cents"),
+        Min("o_orderdate_us", alias_name="o_orderdate_us"),
+        Min("o_orderpriority", alias_name="o_orderpriority"))
 
     def local_topk(b: pa.Table) -> pa.Table:
         df = b.to_pandas()

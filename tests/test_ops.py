@@ -787,14 +787,18 @@ def test_shipping_priority_semantics(ray_session):
         "l_extendedprice": pa.array([100.0, 999.0, 100.0, 50.0, 50.0, 30.0, 70.0]),
         "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
     })
-    out = rel.shipping_priority(rd.from_arrow(cust), rd.from_arrow(orders),
-                                rd.from_arrow(lineitem))
-    # order 12: wrong segment; order 13: orderdate at cutoff; 10 and 11 tie
-    # at 10000 cents -> orderkey asc; 14 sums two lines
-    assert out["o_orderkey"].tolist() == [10, 11, 14]
-    assert out["revenue_cents"].tolist() == [10000, 10000, 10000]
-    assert out["rk"].tolist() == [1, 2, 3]
-    assert out["o_orderpriority"].tolist() == ["1-URGENT", "2-HIGH", "5-Y"]
+    # both routes must agree: broadcast semi-join (default at this scale)
+    # and the above-crossover hash-join path (forced via broadcast_cust_max=0)
+    for bmax in (rel.BROADCAST_CUST_MAX, 0):
+        out = rel.shipping_priority(rd.from_arrow(cust), rd.from_arrow(orders),
+                                    rd.from_arrow(lineitem),
+                                    broadcast_cust_max=bmax)
+        # order 12: wrong segment; order 13: orderdate at cutoff; 10 and 11
+        # tie at 10000 cents -> orderkey asc; 14 sums two lines
+        assert out["o_orderkey"].tolist() == [10, 11, 14]
+        assert out["revenue_cents"].tolist() == [10000, 10000, 10000]
+        assert out["rk"].tolist() == [1, 2, 3]
+        assert out["o_orderpriority"].tolist() == ["1-URGENT", "2-HIGH", "5-Y"]
 
 
 def test_shuffle_assignment_permutation(ray_session):
