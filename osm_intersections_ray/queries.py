@@ -282,6 +282,8 @@ def queries() -> dict:
         _tbl(sf, "events", ["user_id", "event_id", "ts", "event_type", "value"]))
     q["funnel_stages"] = lambda sf: events.funnel_stages(
         _tbl(sf, "events", ["user_id", "ts", "event_type"]))
+    q["retention_cohorts"] = lambda sf: events.retention_cohorts(
+        _tbl(sf, "events", ["user_id", "ts"]))
     q["props_kv_stats"] = lambda sf: events.props_kv_stats(
         _tbl(sf, "events", ["event_type", "props"]))
 
@@ -390,6 +392,7 @@ def oracle_sql() -> dict:
         "user_event_gaps": events.user_event_gaps_sql(),
         "funnel_stages": events.funnel_stages_sql(),
         "props_kv_stats": events.props_kv_stats_sql(),
+        "retention_cohorts": events.retention_cohorts_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "shipping_priority": relational.shipping_priority_sql(),

@@ -506,3 +506,61 @@ SELECT event_type,
 FROM x WHERE k IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+# --- retention cohort analysis -------------------------------------------------
+DAY_US = 86_400_000_000
+
+
+def retention_cohorts(ds):
+    """Retention cohort matrix — the product-analytics staple: users grouped
+    by their FIRST-activity day (the cohort), counted on every later day
+    they were active, keyed by day offset.  Output one row per
+    (cohort_day, day_offset) with the distinct-user count.
+
+    Scale shape: ONE exchange keyed by ``user_id % N_USER_SHARDS`` (a user's
+    whole history lands in one shard, so per-shard distinct-user counts are
+    EXACT partials); within a shard everything is a pandas groupby-min +
+    drop_duplicates (C kernels, no per-user Python).  The final
+    (cohort_day, day_offset) groupby-sum moves only cohort-matrix-sized
+    rows (days^2, never events)."""
+    from ray.data.aggregate import Sum
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        shard = (np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
+                 % N_USER_SHARDS).astype(np.int64)
+        return (b.replace_schema_metadata(None)
+                .append_column("ushard", pa.array(shard)))
+
+    _PARTIAL = pa.schema([("cohort_day", pa.int64()),
+                          ("day_offset", pa.int64()), ("n_users", pa.int64())])
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        day = (df["ts"].astype("int64") // DAY_US).to_numpy()
+        f = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "day": day})
+        f = f.drop_duplicates()  # (user, active day)
+        cohort = f.groupby("user_id", sort=False)["day"].transform("min")
+        g = (pd.DataFrame({"cohort_day": cohort.to_numpy(),
+                           "day_offset": f["day"].to_numpy() - cohort.to_numpy()})
+             .groupby(["cohort_day", "day_offset"], sort=False)
+             .size().reset_index(name="n_users"))
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_PARTIAL).replace_schema_metadata(None)
+
+    return (ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("ushard").map_groups(per_shard, batch_format="pandas")
+            .groupby(["cohort_day", "day_offset"]).aggregate(
+                Sum("n_users", alias_name="n_users")))
+
+
+def retention_cohorts_sql(table: str = "events") -> str:
+    return f"""
+WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day
+           FROM {table}),
+c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+SELECT c.cohort::BIGINT AS cohort_day,
+       (d.day - c.cohort)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM d JOIN c USING (user_id)
+GROUP BY 1, 2
+"""

@@ -860,3 +860,34 @@ def test_cms_one_sided_and_histogram_mass(ray_session):
         lo, hi = 2 ** int(r.bucket), 2 ** (int(r.bucket) + 1)
         want = [c for c in cnt.values() if lo <= c < hi]
         assert r.n_tokens == len(want) and r.n_occurrences == sum(want)
+
+
+def test_retention_cohorts_exact(ray_session):
+    """Cohort matrix == single-process recomputation: first-activity day per
+    user, distinct active days, offset counts; total day-0 users == distinct
+    users."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import events
+
+    tbl = pq.read_table("/root/testdata/sf0.01/events.parquet",
+                        columns=["user_id", "ts"])
+    out = events.retention_cohorts(rd.from_arrow(tbl)).to_pandas()
+    days = collections.defaultdict(set)
+    for u, t in zip(tbl["user_id"].to_pylist(), tbl["ts"].to_pylist()):
+        days[u].add(int(t.timestamp() * 1_000_000) // events.DAY_US)
+    want = collections.Counter()
+    for u, ds_ in days.items():
+        c = min(ds_)
+        for d in ds_:
+            want[(c, d - c)] += 1
+    got = {(int(r.cohort_day), int(r.day_offset)): int(r.n_users)
+           for r in out.itertuples()}
+    assert got == dict(want)
+    day0 = out[out["day_offset"] == 0]["n_users"].sum()
+    assert day0 == len(days)
+    assert (out["day_offset"] > 0).any(), "no retention beyond day 0; vacuous"
