@@ -185,7 +185,8 @@ def run_scaling_workload(num_cpus: int) -> dict:
     # (shuffle setup, scheduling) are amortized and both legs measure
     # COMPUTE scaling — at r4 the join leg was scheduler-dominated (1.3x
     # from 2->8 cpus) once the MinHash kernel got ~25x faster.
-    fx = ensure_fixtures("/root/testdata/sf0.1r16")  # generated once, cached
+    fx = ensure_fixtures(os.environ.get("GRAFT_SCALING_SF",
+                                        "/root/testdata/sf0.1r16"))  # cached
 
     def pages_ds():
         # prune at the read: the join leg consumes only url + the geotag

@@ -115,13 +115,17 @@ FROM g
 """
 
 
-# Broadcast-regime bounds.  The per-worker broadcast is the exploded COVER
-# index: 6 x 8-byte columns = 48 B per cover row, and a way bbox compacts to
-# ~4-8 cells, so ways are pre-screened at ~250k (metadata-only count) and the
-# actual built index is double-checked in cover ROWS before ray.put — above
-# either bound the join routes to the native variant that carries bboxes
-# through the shuffle instead of broadcasting (~100 MB worst-case broadcast).
-BROADCAST_WAYS_MAX = 250_000
+# Broadcast-regime bounds.  The broadcast is the exploded COVER index:
+# 6 x 8-byte columns = 48 B per cover row (ray.put once = one copy per NODE
+# in the shared object store, not per worker), and a way bbox compacts to
+# ~2-8 cells, so the binding budget is COVER ROWS (~96 MB at the 2M-row cap,
+# double-checked on the actual built index before ray.put); the ways count
+# is only a cheap metadata-only pre-screen sized to the same budget at the
+# typical ~2.5 covers/way.  Above either bound the join routes to the
+# native variant that carries bboxes through the shuffle instead of
+# broadcasting.  Measured at 3.2M pages / 8 cpus: broadcast ~8 s vs native
+# ~76 s — the native route is strictly a memory-bound escape hatch.
+BROADCAST_WAYS_MAX = 800_000
 BROADCAST_COVER_ROWS_MAX = 2_000_000
 
 
@@ -164,20 +168,33 @@ def pages_way_join(pages_ds, ways_ds, broadcast_ways_max: int = BROADCAST_WAYS_M
             pa.array(idx, pa.int64()))
         return sub.add_column(0, "cellkey", pa.array(cells, pa.int64()))
 
-    cov = ways_ds.map_batches(cover_rows, batch_format="pyarrow").to_pandas()
-    if len(cov) > BROADCAST_COVER_ROWS_MAX:
+    # Arrow-native index assembly: collect the cover blocks zero-copy from
+    # the object store and gather straight from the concatenated columns —
+    # `to_pandas` consolidation doubled the copies, and on this
+    # ballooned-memory hypervisor fresh-page first-touch is the real cost
+    # (measured: the assembly was ~60% of the join leg's fixed time).
+    _COV_SCHEMA = pa.schema([
+        ("cellkey", pa.int64()), ("way_id", pa.int64()),
+        ("minlat", pa.float64()), ("minlon", pa.float64()),
+        ("maxlat", pa.float64()), ("maxlon", pa.float64())])
+    blocks = [t for t in ray.get(
+        ways_ds.map_batches(cover_rows, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows > 0]  # empty blocks can be schema-less
+    cov = (pa.concat_tables(blocks) if blocks else _COV_SCHEMA.empty_table())
+    if cov.num_rows > BROADCAST_COVER_ROWS_MAX:
         # pathological bboxes exploded past the broadcast budget: fall back
         # (the collect was wasted but bounded; at real scale the ways-count
         # pre-screen routes to the native variant before ever getting here)
         return pages_way_join_native(pages_ds, ways_ds)
-    order = np.argsort(cov["cellkey"].to_numpy(), kind="stable")
+    cells = cov["cellkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(cells, kind="stable")
     idx_ref = ray.put({
-        "cells": cov["cellkey"].to_numpy()[order],
-        "way_id": cov["way_id"].to_numpy()[order].astype(np.int64),
-        "minlat": cov["minlat"].to_numpy()[order],
-        "minlon": cov["minlon"].to_numpy()[order],
-        "maxlat": cov["maxlat"].to_numpy()[order],
-        "maxlon": cov["maxlon"].to_numpy()[order],
+        "cells": cells[order],
+        "way_id": cov["way_id"].to_numpy(zero_copy_only=False)[order].astype(np.int64),
+        "minlat": cov["minlat"].to_numpy(zero_copy_only=False)[order],
+        "minlon": cov["minlon"].to_numpy(zero_copy_only=False)[order],
+        "maxlat": cov["maxlat"].to_numpy(zero_copy_only=False)[order],
+        "maxlon": cov["maxlon"].to_numpy(zero_copy_only=False)[order],
     })
 
     def lookup(b: pa.Table) -> pa.Table:
