@@ -145,6 +145,8 @@ def queries() -> dict:
         text.doc_stats_batch, batch_format="pyarrow")
     q["lang_id"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.lang_id_batch, batch_format="pyarrow")
+    q["lang_confusion"] = lambda sf: text.lang_confusion(
+        _tbl(sf, "documents", ["doc_id", "text", "lang"]))
     q["quality_score"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.quality_score_batch, batch_format="pyarrow")
     q["fingerprint"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
@@ -348,6 +350,7 @@ def oracle_sql() -> dict:
         "warc_pages": warc_src.warc_pages_sql(pages_tbl),
         "doc_stats": text.doc_stats_sql(),
         "lang_id": text.lang_id_sql(),
+        "lang_confusion": text.lang_confusion_sql(),
         "quality_score": text.quality_score_sql(),
         "fingerprint": text.fingerprint_sql(),
         "exact_dedup": dedup.exact_dedup_sql(),

@@ -1223,3 +1223,34 @@ exact AS (
 SELECT e.token, e.est, x.exact
 FROM est e JOIN exact x USING (token)
 """
+
+
+def lang_confusion(ds):
+    """Declared-vs-detected language confusion matrix — the data-quality
+    drift check of a corpus build (mislabeled-language mass per cell):
+    counts per (declared lang, predicted lang).  Pure two-phase aggregate:
+    the per-batch partial reuses the vectorized lang-ID kernel, the exchange
+    carries one row per (batch, cell) — cells = langs^2, never docs."""
+    from ray.data.aggregate import Sum
+
+    _P = pa.schema([("lang", pa.string()), ("lang_pred", pa.string()),
+                    ("n", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pred = lang_id_batch(b)["lang_pred"].to_pandas()
+        df = pd.DataFrame({"lang": b["lang"].to_pandas(), "lang_pred": pred})
+        g = df.groupby(["lang", "lang_pred"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_P).replace_schema_metadata(None)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "lang_pred"]).aggregate(Sum("n", alias_name="n")))
+
+
+def lang_confusion_sql(table: str = "documents") -> str:
+    return f"""
+WITH pred AS ({lang_id_sql(table)})
+SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+FROM {table} d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+"""
