@@ -206,6 +206,13 @@ def queries() -> dict:
         text.redact_pii_batch, batch_format="pyarrow")
     q["doc_sentences"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.doc_sentences_batch, batch_format="pyarrow")
+    def clean_corpus_q(sf):
+        from .pipelines.corpus_clean import clean_corpus
+
+        return clean_corpus(_tbl(sf, "documents", ["doc_id", "text", "lang"]),
+                            ckpt_key=f"docs|{sf}")
+
+    q["clean_corpus"] = clean_corpus_q
     q["quality_filtered_docs"] = lambda sf: text.quality_filtered_docs(
         _tbl(sf, "documents", ["doc_id", "text", "lang"]))
 
@@ -379,6 +386,9 @@ def oracle_sql() -> dict:
         "redact_pii": text.redact_pii_sql(),
         "doc_sentences": text.doc_sentences_sql(),
         "quality_filtered_docs": text.quality_filtered_docs_sql(),
+        "clean_corpus": __import__(
+            "osm_intersections_ray.pipelines.corpus_clean",
+            fromlist=["clean_corpus_sql"]).clean_corpus_sql(),
         "image_decode_ppm": multimodal.image_decode_sql(),
         "image_decode_png": multimodal.png_decode_sql(),
         "audio_decode_wav": multimodal.audio_decode_sql(),

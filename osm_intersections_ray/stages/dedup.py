@@ -808,6 +808,43 @@ def _kgram_hashes_per_doc(texts, k: int) -> list[np.ndarray]:
     return out
 
 
+def decon_suite_hashes(ds) -> np.ndarray:
+    """Sorted distinct DECON_K-gram hash array of the benchmark suite
+    (``doc_id % DECON_MOD == 0`` slice of the original documents), built
+    distributedly and collected once — suite-sized by definition, never
+    corpus-sized.  Shared by :func:`decontaminate` and the composite
+    corpus-clean pipeline."""
+
+    def bench_hashes(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False))
+        keep = ids % DECON_MOD == 0
+        texts = [t for t, m in zip(b["text"].to_pylist(), keep) if m]
+        sh = _kgram_hashes_per_doc(texts, DECON_K)
+        u = (np.unique(np.concatenate(sh)) if sh
+             else np.empty(0, dtype=np.uint64))
+        return pa.table({"s": pa.array(u)})
+
+    parts = ds.map_batches(bench_hashes, batch_format="pyarrow").to_pandas()
+    return np.unique(parts["s"].to_numpy().astype(np.uint64))
+
+
+def decon_hits_per_doc(texts, bench: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (n_grams, n_hits) of DECON_K-gram membership in the sorted
+    ``bench`` hash set — the vectorized searchsorted core shared by
+    :func:`decontaminate` and the corpus-clean pipeline."""
+    sh = _kgram_hashes_per_doc(texts, DECON_K)
+    n_grams = np.array([len(a) for a in sh], dtype=np.int64)
+    flat = (np.concatenate(sh) if sh else np.empty(0, dtype=np.uint64))
+    hit = np.zeros(len(flat), dtype=np.int64)
+    if flat.size and bench.size:
+        idx = np.searchsorted(bench, flat)
+        inb = idx < bench.size
+        hit[inb] = (bench[idx[inb]] == flat[inb]).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(hit)])
+    bounds = np.concatenate([[0], np.cumsum(n_grams)])
+    return n_grams, cum[bounds[1:]] - cum[bounds[:-1]]
+
+
 def decontaminate(ds):
     """Benchmark decontamination — flag corpus documents that share any
     DECON_K-token shingle with a held-out benchmark suite (the eval-leak
@@ -827,18 +864,7 @@ def decontaminate(ds):
 
     from .common import cached_get
 
-    def bench_hashes(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False))
-        keep = ids % DECON_MOD == 0
-        texts = [t for t, m in zip(b["text"].to_pylist(), keep) if m]
-        sh = _kgram_hashes_per_doc(texts, DECON_K)
-        u = (np.unique(np.concatenate(sh)) if sh
-             else np.empty(0, dtype=np.uint64))
-        return pa.table({"s": pa.array(u)})
-
-    parts = ds.map_batches(bench_hashes, batch_format="pyarrow").to_pandas()
-    bench = np.unique(parts["s"].to_numpy().astype(np.uint64))
-    bref = ray.put(bench)
+    bref = ray.put(decon_suite_hashes(ds))
 
     def flag(b: pa.Table) -> pa.Table:
         bench = cached_get(bref)
@@ -846,18 +872,7 @@ def decontaminate(ds):
         corpus = ~((ids % DECON_MOD == 0) & (ids < 1_000_000))
         ids = ids[corpus]
         texts = [t for t, m in zip(b["text"].to_pylist(), corpus) if m]
-        sh = _kgram_hashes_per_doc(texts, DECON_K)
-        n_grams = np.array([len(a) for a in sh], dtype=np.int64)
-        flat = (np.concatenate(sh) if sh
-                else np.empty(0, dtype=np.uint64))
-        hit = np.zeros(len(flat), dtype=np.int64)
-        if flat.size and bench.size:
-            idx = np.searchsorted(bench, flat)
-            inb = idx < bench.size
-            hit[inb] = (bench[idx[inb]] == flat[inb]).astype(np.int64)
-        cum = np.concatenate([[0], np.cumsum(hit)])
-        bounds = np.concatenate([[0], np.cumsum(n_grams)])
-        n_hits = cum[bounds[1:]] - cum[bounds[:-1]]
+        n_grams, n_hits = decon_hits_per_doc(texts, bench)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "n_grams": pa.array(n_grams, pa.int64()),

@@ -891,3 +891,61 @@ def test_retention_cohorts_exact(ray_session):
     day0 = out[out["day_offset"] == 0]["n_users"].sum()
     assert day0 == len(days)
     assert (out["day_offset"] > 0).any(), "no retention beyond day 0; vacuous"
+
+
+def test_clean_corpus_composition(ray_session):
+    """clean_corpus == set algebra over its three independently-verified
+    legs: corpus ids minus contaminated (decontaminate) minus near-dedup
+    losers (jaccard doc_b) minus below-median quality — and every criterion
+    removes at least one doc (non-vacuity)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from osm_intersections_ray.pipelines.corpus_clean import clean_corpus
+    from osm_intersections_ray.stages import dedup
+    from osm_intersections_ray.stages.text import (
+        QUALITY_FILTER_PCT, quality_score_batch)
+
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                        columns=["doc_id", "text", "lang"])
+    got = set(clean_corpus(rd.from_arrow(tbl)).to_pandas()["doc_id"])
+
+    decon = dedup.decontaminate(rd.from_arrow(tbl)).to_pandas()
+    contaminated = set(decon[decon["contaminated"] == 1]["doc_id"])
+    corpus_ids = set(decon["doc_id"])  # same corpus definition
+    pairs = dedup.jaccard_verified_pairs(rd.from_arrow(tbl)).to_pandas()
+    losers = set(pairs["doc_b"])
+
+    # per-lang medians over ORIGINAL docs + corpus quality, in-process
+    q_orig = quality_score_batch(tbl)["quality"].to_numpy()
+    import numpy as np
+    import pandas as pd
+
+    df = pd.DataFrame({"lang": tbl["lang"].to_pylist(), "q": q_orig})
+    cuts = {}
+    for lang, g in df.groupby("lang"):
+        v = np.sort(g["q"].to_numpy())
+        cuts[lang] = int(v[int(np.searchsorted(
+            np.arange(1, len(v) + 1) * 100,
+            QUALITY_FILTER_PCT * len(v), side="left"))])
+    aug_t, aug_l = {}, {}
+    for i, t, lg in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist(),
+                        tbl["lang"].to_pylist()):
+        aug_t[i], aug_l[i] = t, lg
+        if i % dedup.NEAR_DUP_MOD == 0:
+            aug_t[i + 1_000_000] = t + dedup.NEAR_DUP_SUFFIX
+            aug_l[i + 1_000_000] = lg
+    qmap = {}
+    ids = sorted(corpus_ids)
+    qv = quality_score_batch(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([aug_t[i] for i in ids], pa.string()),
+    }))["quality"].to_numpy()
+    qmap = dict(zip(ids, qv))
+    low_q = {i for i in corpus_ids if qmap[i] < cuts[aug_l[i]]}
+    want = corpus_ids - contaminated - losers - low_q
+    assert got == want
+    assert contaminated & corpus_ids, "vacuous: nothing contaminated"
+    assert losers & corpus_ids, "vacuous: no near-dup losers"
+    assert low_q - contaminated - losers, "vacuous: quality removes nothing"
