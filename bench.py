@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "pack_sequences",       # distributed prefix-sum packing (session-6 op)
     "dup_ngram_stats",      # corpus-wide dup-substring self-join (session-6)
     "shipping_priority",    # TPC-H Q3 3-table join chain (session-6)
+    "retention_cohorts",    # user-sharded cohort matrix (session-6)
+    "clean_corpus",         # composite decon+dedup+quality scrub (session-6)
 ]
 
 
