@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..stages.common import cap_join_partitions
+
 from ..stages import dedup
 from ..stages.text import (
     QUALITY_FILTER_PCT,
@@ -119,7 +121,8 @@ def clean_corpus(ds, ckpt_key: str | None = None):
                              np.ones(b.num_rows, dtype=np.int8))})
 
     drop = pairs.map_batches(drop_rows, batch_format="pyarrow")
-    joined = filtered.join(drop, join_type="left_outer", num_partitions=16,
+    joined = filtered.join(drop, join_type="left_outer",
+                           num_partitions=cap_join_partitions(16),
                            on=("doc_id",))
 
     def keep_unmatched(b: pa.Table) -> pa.Table:

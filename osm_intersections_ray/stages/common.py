@@ -92,3 +92,21 @@ def explode_lists(batch: pa.Table, list_cols: list[str], keep_cols: list[str]) -
     np.cumsum(lengths[:-1], out=starts[1:] if len(lengths) > 1 else starts[1:])
     out["pos"] = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
     return out
+
+
+def cap_join_partitions(requested: int) -> int:
+    """Clamp a ``Dataset.join`` ``num_partitions`` to the cluster's CPU
+    count.  Ray's hash join spawns a pool of shuffle-aggregator actors
+    sized from the partition count; on a cluster with fewer CPUs than that
+    pool wants, the aggregators reserve the CPUs the upstream map tasks
+    need and the join wedges with zero blocks flowing (observed: a
+    num_partitions=32 join on a 2-CPU cluster sat 50+ minutes with the
+    feeding read backpressured at 0 output blocks).  At real cluster sizes
+    the requested value is returned unchanged."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", requested))
+    except Exception:  # not initialized: let Ray's own default apply
+        return requested
+    return max(2, min(requested, cpus))

@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .common import cap_join_partitions
+
 from ..functions.hashing import h60
 from .text import ascii_tokens
 
@@ -438,7 +440,8 @@ def _jaccard_verified_pairs(ds, ckpt_key: str | None = None):
                                        "jac_pct": pa.array([], pa.int64())}))
     member = cand.map_batches(member_rows, batch_format="pyarrow")
     texts = ds.map_batches(augment_near_batch, batch_format="pyarrow")
-    joined = member.join(texts, join_type="inner", num_partitions=16, on=("doc_id",))
+    joined = member.join(texts, join_type="inner",
+                         num_partitions=cap_join_partitions(16), on=("doc_id",))
 
     def add_shard(b: pa.Table) -> pa.Table:
         sh = ((np.asarray(b["doc_a"].to_numpy(zero_copy_only=False)) * 1000003
@@ -542,7 +545,8 @@ def char_ngram_verified_pairs(ds, ckpt_key: str | None = None):
                                        "cng_pct": pa.array([], pa.int64())}))
     member = cand.map_batches(member_rows, batch_format="pyarrow")
     texts = ds.map_batches(augment_near_batch, batch_format="pyarrow")
-    joined = member.join(texts, join_type="inner", num_partitions=16, on=("doc_id",))
+    joined = member.join(texts, join_type="inner",
+                         num_partitions=cap_join_partitions(16), on=("doc_id",))
 
     def add_shard(b: pa.Table) -> pa.Table:
         sh = ((np.asarray(b["doc_a"].to_numpy(zero_copy_only=False)) * 1000003
@@ -947,7 +951,8 @@ def near_dedup_survivors(ds, ckpt_key: str | None = None):
                          "dropped": pa.array(np.ones(n, dtype=np.int8))})
 
     drop = pairs.map_batches(drop_rows, batch_format="pyarrow")
-    joined = aug.join(drop, join_type="left_outer", num_partitions=16,
+    joined = aug.join(drop, join_type="left_outer",
+                      num_partitions=cap_join_partitions(16),
                       on=("doc_id",))
 
     def keep(b: pa.Table) -> pa.Table:
@@ -989,6 +994,8 @@ def hash_min_components(edges_ds, node_col: str = "u", nbr_col: str = "v",
     from ray.data.aggregate import Min, Sum
 
     from .common import drop_empty_blocks
+
+    num_partitions = cap_join_partitions(num_partitions)
 
     def both_dirs(b: pa.Table) -> pa.Table:
         u = np.asarray(b[node_col].to_numpy(zero_copy_only=False), dtype=np.int64)

@@ -126,7 +126,9 @@ FROM g
 # broadcasting.  Measured at 3.2M pages / 8 cpus: broadcast ~8 s vs native
 # ~76 s — the native route is strictly a memory-bound escape hatch.
 BROADCAST_WAYS_MAX = 800_000
-BROADCAST_COVER_ROWS_MAX = 2_000_000
+BROADCAST_COVER_ROWS_MAX = 8_000_000  # ~384 MB index: one object-store copy
+# per NODE — trivial against a worker node's memory, and measured 8-20x
+# faster than the native shuffle route at every size this sandbox can hold
 
 
 def pages_way_join(pages_ds, ways_ds, broadcast_ways_max: int = BROADCAST_WAYS_MAX):
@@ -383,7 +385,10 @@ def pages_way_join_native(pages_ds, ways_ds, num_partitions: int = 32,
 
     p = pages_ds.map_batches(pages_cells, batch_format="pyarrow")
     w = ways_ds.map_batches(ways_cells, batch_format="pyarrow")
-    joined = p.join(w, join_type="inner", num_partitions=num_partitions,
+    from .common import cap_join_partitions
+
+    joined = p.join(w, join_type="inner",
+                    num_partitions=cap_join_partitions(num_partitions),
                     on=("cellkey", "salt"))
 
     def refine(b: pa.Table) -> pa.Table:

@@ -9,6 +9,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .common import cap_join_partitions
+
 from ..functions.scalar import round_half_away_np
 
 # Partial-aggregate outputs carry a PINNED schema: pandas infers object/float
@@ -262,7 +264,8 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds, k: int = 10,
     if keys_ref is not None:
         semi = ords
     else:
-        semi = ords.join(cust, join_type="inner", num_partitions=16,
+        semi = ords.join(cust, join_type="inner",
+                         num_partitions=cap_join_partitions(16),
                          on=("o_custkey",))
 
     _LI_PARTIAL_SCHEMA = pa.schema([
@@ -288,7 +291,8 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds, k: int = 10,
     # the single all-to-all.  Inputs are map_batches outputs with pinned
     # schemas (empty blocks keep them), so no drop_empty_blocks guard is
     # needed — that hazard is specific to sort/aggregate exchange outputs.
-    joined = li.join(semi, join_type="inner", num_partitions=8,
+    joined = li.join(semi, join_type="inner",
+                     num_partitions=cap_join_partitions(8),
                      on=("o_orderkey",))
 
     from ray.data.aggregate import Min, Sum

@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .common import cap_join_partitions
+
 STOPWORDS_EN = ["the", "and", "of", "a", "to", "is", "in", "that", "it", "on"]
 PUNCT = ".,;:!?"
 
@@ -737,7 +739,8 @@ def tfidf_top_terms(ds):
     tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
     dfc = drop_empty_blocks(
         tf.groupby("tok").aggregate(Count(alias_name="df")).materialize())
-    joined = tf.join(dfc, join_type="inner", num_partitions=16, on=("tok",))
+    joined = tf.join(dfc, join_type="inner",
+                     num_partitions=cap_join_partitions(16), on=("tok",))
 
     def add_shard(b: pa.Table) -> pa.Table:
         import numpy as np

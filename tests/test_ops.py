@@ -949,3 +949,17 @@ def test_clean_corpus_composition(ray_session):
     assert contaminated & corpus_ids, "vacuous: nothing contaminated"
     assert losers & corpus_ids, "vacuous: no near-dup losers"
     assert low_q - contaminated - losers, "vacuous: quality removes nothing"
+
+
+def test_cap_join_partitions(ray_session):
+    """Join partition counts clamp to the cluster CPU count: Ray's hash
+    join wedges when its aggregator pool reserves more CPUs than exist
+    (observed live: num_partitions=32 on a 2-CPU cluster, zero blocks for
+    50+ minutes)."""
+    import ray
+
+    from osm_intersections_ray.stages.common import cap_join_partitions
+
+    cpus = int(ray.cluster_resources()["CPU"])
+    assert cap_join_partitions(32) == min(32, max(2, cpus))
+    assert cap_join_partitions(2) == 2
