@@ -137,6 +137,8 @@ def queries() -> dict:
         _pages(sf, columns=["url", "text", "warc_ts"]))
     q["url_canonical_dedup"] = lambda sf: pages.url_canonical_dedup(
         _pages(sf, columns=["url", "warc_ts"]))
+    q["domain_mix_weights"] = lambda sf: pages.domain_mix_weights(
+        _pages(sf, columns=["url", "text"]))
 
     q["warc_pages"] = lambda sf: warc_src.read_warc_pages(warc_src.ensure_warc(sf))
 
@@ -196,6 +198,10 @@ def queries() -> dict:
         _tbl(sf, "documents", ["text"]))
     q["cms_token_counts"] = lambda sf: text.cms_token_counts(
         _tbl(sf, "documents", ["text"]))
+    q["collocations"] = lambda sf: text.collocations(
+        _tbl(sf, "documents", ["text"]))
+    q["doc_chunks"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
+        text.doc_chunks_batch, batch_format="pyarrow")
     q["decontaminate"] = lambda sf: dedup.decontaminate(
         _tbl(sf, "documents", ["doc_id", "text"]))
     q["repetition_stats"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
@@ -318,6 +324,9 @@ def queries() -> dict:
                                   "l_discount", "l_shipdate"]))
 
     q["shipping_priority"] = ship_prio
+    q["late_shipment_priority"] = lambda sf: relational.late_shipment_priority(
+        _tbl(sf, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        _tbl(sf, "lineitem", ["l_orderkey", "l_shipdate"]))
     q["top_parts"] = lambda sf: relational.top_parts(
         _tbl(sf, "part", ["p_partkey", "p_name", "p_retailprice"]))
     q["top_parts_per_brand"] = lambda sf: relational.top_parts_per_brand(
@@ -354,6 +363,7 @@ def oracle_sql() -> dict:
         "pages_way_join": pages.pages_way_join_sql(pages_tbl, ways_path),
         "host_section_stats": pages.host_section_stats_sql(pages_tbl),
         "url_canonical_dedup": pages.url_canonical_dedup_sql(pages_tbl),
+        "domain_mix_weights": pages.domain_mix_weights_sql(pages_tbl),
         "warc_pages": warc_src.warc_pages_sql(pages_tbl),
         "doc_stats": text.doc_stats_sql(),
         "lang_id": text.lang_id_sql(),
@@ -380,6 +390,8 @@ def oracle_sql() -> dict:
         "shuffle_assignment": text.shuffle_assignment_sql(),
         "token_freq_histogram": text.token_freq_histogram_sql(),
         "cms_token_counts": text.cms_token_counts_sql(),
+        "collocations": text.collocations_sql(),
+        "doc_chunks": text.doc_chunks_sql(),
         "decontaminate": dedup.decontaminate_sql(),
         "repetition_stats": text.repetition_stats_sql(),
         "pack_sequences": text.pack_sequences_sql(),
@@ -409,6 +421,7 @@ def oracle_sql() -> dict:
         "pricing_summary": relational.pricing_summary_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "shipping_priority": relational.shipping_priority_sql(),
+        "late_shipment_priority": relational.late_shipment_priority_sql(),
         "top_parts": relational.top_parts_sql(),
         "top_parts_per_brand": relational.top_parts_per_brand_sql(),
         "customers_without_orders": filters.customers_without_orders_sql(),

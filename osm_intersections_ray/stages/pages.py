@@ -646,3 +646,91 @@ SELECT canonical_url, n_urls,
        substr(mk, 22) AS first_url
 FROM agg
 """
+
+
+# --- Training-mixture domain weights ----------------------------------------
+_SITE_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+/[^/?#]+)"
+_MIX_PARTIAL_SCHEMA = pa.schema([
+    ("site", pa.string()), ("n_pages", pa.int64()), ("token_mass", pa.int64()),
+])
+
+
+def domain_mix_weights(pages_ds):
+    """Per-source sampling weights for training-data mixing: token mass per
+    site, square-root temperature smoothing (the standard de-emphasis of
+    mega-sources when composing a corpus mix, alpha = 0.5), and each site's
+    resulting share in parts-per-million.
+
+    The "site" unit is ``host/<first path segment>`` — the registrable
+    source unit of this crawl layout (the fixture serves every section from
+    one host, exactly like a CC crawl fronted by one CDN host); at
+    planet-crawl scale the same operator runs keyed on the bare host by
+    swapping the regex, nothing else changes.
+
+    Distribution shape: per-batch partial (site, n_pages, token_mass) rows
+    (pandas C extract + groupby) -> one (site)-keyed groupby -> the global
+    weight total is a single scalar aggregate broadcast into a final
+    stateless map.  Nothing site-cardinality-sized ever sits on the driver.
+
+    Exactness: ``weight = floor(sqrt(token_mass))`` is bit-identical in
+    numpy and DuckDB because IEEE-754 sqrt is correctly rounded and every
+    mass here is an exactly-representable int < 2^53 (mis-rounding of
+    floor(sqrt) needs the true sqrt within half an ulp of an integer;
+    below 2^52 the gap to the nearest integer is >= ~2^-27 >> ulp).
+    share_ppm is pure int64 floor division."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        url = b["url"].to_pandas()
+        site = url.str.extract(_SITE_RE, expand=False)
+        toks = b["text"].to_pandas().fillna("").str.count(r"[^\t\n\f\r ]+")
+        df = (pd.DataFrame({"site": site,
+                            "mass": toks.to_numpy(dtype=np.int64)})
+              .dropna(subset=["site"]))
+        g = df.groupby("site", sort=False).agg(
+            n_pages=("mass", "size"), token_mass=("mass", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_MIX_PARTIAL_SCHEMA).replace_schema_metadata(None)
+
+    sites = (pages_ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("site").aggregate(
+                 Sum("n_pages", alias_name="n_pages"),
+                 Sum("token_mass", alias_name="token_mass"))
+             .materialize())
+
+    def add_weight(b: pa.Table) -> pa.Table:
+        mass = np.asarray(b["token_mass"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        w = np.floor(np.sqrt(mass.astype(np.float64))).astype(np.int64)
+        return b.append_column("weight", pa.array(w, pa.int64()))
+
+    weighted = sites.map_batches(add_weight, batch_format="pyarrow").materialize()
+    total_w = int(weighted.sum("weight"))  # one scalar, broadcast by closure
+
+    def add_share(b: pa.Table) -> pa.Table:
+        w = np.asarray(b["weight"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        share = (w * 1_000_000) // max(total_w, 1)
+        return b.append_column("share_ppm", pa.array(share, pa.int64()))
+
+    return weighted.map_batches(add_share, batch_format="pyarrow")
+
+
+def domain_mix_weights_sql(table: str = "pages") -> str:
+    return f"""
+WITH p AS (
+  SELECT regexp_extract(url, '{_SITE_RE}', 1) AS site,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+             AS mass
+  FROM {table}
+),
+h AS (SELECT site, count(*)::BIGINT AS n_pages,
+             sum(mass)::BIGINT AS token_mass
+      FROM p WHERE coalesce(site, '') <> '' GROUP BY 1),
+w AS (SELECT *, CAST(floor(sqrt(token_mass)) AS BIGINT) AS weight FROM h)
+SELECT site, n_pages, token_mass, weight,
+       (weight * 1000000 // greatest(sum(weight) OVER (), 1))::BIGINT
+           AS share_ppm
+FROM w
+"""

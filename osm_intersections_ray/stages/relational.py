@@ -345,3 +345,85 @@ SELECT row_number() OVER (ORDER BY revenue_cents DESC, o_orderkey ASC)::BIGINT A
        o_orderkey, revenue_cents, o_orderdate_us, o_orderpriority
 FROM rev ORDER BY rk LIMIT {k}
 """
+
+
+# --- TPC-H Q4-shaped: EXISTS semi-join via pre-aggregated extremum -----------
+LATE_SHIP_DAYS = 60  # a shipment later than orderdate + this is "late"
+_LATE_US = LATE_SHIP_DAYS * 86_400 * 1_000_000
+_MAXSHIP_PARTIAL_SCHEMA = pa.schema([
+    ("l_orderkey", pa.int64()), ("max_ship_us", pa.int64()),
+])
+
+
+def late_shipment_priority(orders_ds, lineitem_ds):
+    """Orders with at least one late shipment, counted per order priority —
+    the TPC-H Q4 shape (EXISTS-correlated semi-join), adapted to this
+    schema's columns (l_shipdate vs o_orderdate + {LATE_SHIP_DAYS}d).
+
+    The scale move: ``EXISTS(l_shipdate > cutoff)`` over a per-order row set
+    equals ``max(l_shipdate) > cutoff``, so the fact table collapses BEFORE
+    the join — per-batch partial max per orderkey, one (orderkey) groupby,
+    and only one row per order crosses the join.  No distinct-set shuffle,
+    no driver structure; the final (priority) groupby has single-digit
+    cardinality and partial-combines for free."""
+    from ray.data.aggregate import Max, Sum
+
+    from .common import drop_empty_blocks
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        ship = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"l_orderkey": ok, "max_ship_us": ship}).groupby(
+            "l_orderkey", sort=False)["max_ship_us"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_MAXSHIP_PARTIAL_SCHEMA).replace_schema_metadata(None)
+
+    max_ship = drop_empty_blocks(
+        lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(
+            Max("max_ship_us", alias_name="max_ship_us")).materialize())
+
+    def ord_project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["o_orderkey"],
+            "o_orderpriority": b["o_orderpriority"],
+            "odate_us": b["o_orderdate"].cast(pa.int64()),
+        })
+
+    orders = orders_ds.map_batches(ord_project, batch_format="pyarrow")
+    joined = orders.join(max_ship, join_type="inner",
+                         num_partitions=cap_join_partitions(16),
+                         on=("l_orderkey",))
+
+    _P = pa.schema([("o_orderpriority", pa.string()), ("n_late", pa.int64())])
+
+    def late_partial(b: pa.Table) -> pa.Table:
+        odate = np.asarray(b["odate_us"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+        ship = np.asarray(b["max_ship_us"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        late = ship > odate + _LATE_US
+        g = (pd.DataFrame({"o_orderpriority":
+                           b["o_orderpriority"].to_pandas()[late]})
+             .groupby("o_orderpriority", sort=False).size()
+             .reset_index(name="n_late"))
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_P).replace_schema_metadata(None)
+
+    return (joined.map_batches(late_partial, batch_format="pyarrow")
+            .groupby("o_orderpriority").aggregate(Sum("n_late",
+                                                      alias_name="n_late")))
+
+
+def late_shipment_priority_sql() -> str:
+    return f"""
+WITH ms AS (
+  SELECT l_orderkey, max(epoch_us(l_shipdate))::BIGINT AS max_ship_us
+  FROM lineitem GROUP BY 1
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_late
+FROM orders o JOIN ms ON o.o_orderkey = ms.l_orderkey
+WHERE ms.max_ship_us > epoch_us(o.o_orderdate) + {_LATE_US}
+GROUP BY 1
+"""

@@ -1257,3 +1257,182 @@ SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
 FROM {table} d JOIN pred p USING (doc_id)
 GROUP BY 1, 2
 """
+
+
+# --- Collocation mining (tokenizer-training signal) --------------------------
+COLLOC_K = 20        # bigrams kept
+COLLOC_MIN_PAIR = 3  # min corpus occurrences before a pair is scored
+
+
+def collocations(ds):
+    """Corpus-wide adjacent-token collocations scored by integer Dice — the
+    pair-statistics pass a tokenizer-training / phrase-mining pipeline runs
+    over the whole corpus.  Dice instead of PMI keeps the score exact in
+    int64 at ANY corpus size (``2e6 * n_xy`` overflows only past 4.6e12
+    occurrences of one bigram; PMI's log or the lift's triple product would
+    force floats / int128).
+
+    Distribution shape:
+    1. per-batch PARTIAL bigram counts (pandas C findall + a shift-compare
+       that never crosses document boundaries) — the exchange moves one row
+       per distinct (w1, w2) per batch, never per occurrence;
+    2. ``groupby((w1, w2)).sum`` (the vocabulary^2-keyed wide step) then a
+       min-count filter that slashes the candidate set BEFORE any join;
+    3. unigram counts from a second streamed pass (same partial-combine
+       shape) hash-join onto the surviving candidates twice (w1, w2) —
+       candidates are small post-filter, the vocabulary table never
+       broadcasts;
+    4. per-block local top-K + a K-rows-per-block driver merge — no global
+       sort.  Ties: (dice DESC, n_xy DESC, w1 ASC, w2 ASC), matching the
+       row_number() oracle exactly (all-integer score)."""
+    from ray.data.aggregate import Sum
+
+    from .common import cap_join_partitions, drop_empty_blocks
+
+    bg_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                           ("n_xy", pa.int64())])
+    ug_schema = pa.schema([("tok", pa.string()), ("n", pa.int64())])
+
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        ser = b["text"].to_pandas().fillna("")
+        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        df = pd.DataFrame({"rid": np.arange(len(toks), dtype=np.int64),
+                           "w1": toks}).explode("w1").dropna(subset=["w1"])
+        if len(df) == 0:
+            return bg_schema.empty_table()
+        rid = df["rid"].to_numpy(dtype=np.int64)
+        df = df.assign(w2=df["w1"].shift(-1))
+        same = np.zeros(len(df), dtype=bool)
+        same[:-1] = rid[1:] == rid[:-1]  # next token is in the same doc
+        g = (df.loc[same].groupby(["w1", "w2"], sort=False).size()
+             .reset_index(name="n_xy"))
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=bg_schema).replace_schema_metadata(None)
+
+    def unigram_partial(b: pa.Table) -> pa.Table:
+        ser = b["text"].to_pandas().fillna("")
+        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        df = (pd.DataFrame({"tok": toks}).explode("tok")
+              .dropna(subset=["tok"]))
+        g = df.groupby("tok", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=ug_schema).replace_schema_metadata(None)
+
+    def keep_frequent(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b["n_xy"], COLLOC_MIN_PAIR))
+
+    cand = drop_empty_blocks(
+        ds.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"]).aggregate(Sum("n_xy", alias_name="n_xy"))
+        .map_batches(keep_frequent, batch_format="pyarrow").materialize())
+    uni = drop_empty_blocks(
+        ds.map_batches(unigram_partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("n", alias_name="n")).materialize())
+
+    j1 = cand.rename_columns({"w1": "tok"}).join(
+        uni, join_type="inner", num_partitions=cap_join_partitions(16),
+        on=("tok",)).rename_columns({"tok": "w1", "n": "n_x"})
+    # the first join's empty hash partitions are schema-less blocks that
+    # would crash Acero inside the second join — strip them (refs stay put)
+    j1 = drop_empty_blocks(j1.materialize())
+    j2 = j1.rename_columns({"w2": "tok"}).join(
+        uni, join_type="inner", num_partitions=cap_join_partitions(16),
+        on=("tok",)).rename_columns({"tok": "w2", "n": "n_y"})
+
+    cols = ["w1", "w2", "n_xy", "n_x", "n_y", "dice_ppm"]
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["dice_ppm"] = (2_000_000 * df["n_xy"].astype("int64")) // (
+            df["n_x"].astype("int64") + df["n_y"].astype("int64"))
+        df = df.sort_values(["dice_ppm", "n_xy", "w1", "w2"],
+                            ascending=[False, False, True, True],
+                            kind="stable").head(COLLOC_K)
+        return pa.Table.from_pandas(df[cols],
+                                    preserve_index=False).replace_schema_metadata(None)
+
+    out = j2.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["dice_ppm", "n_xy", "w1", "w2"],
+                          ascending=[False, False, True, True],
+                          kind="stable").head(COLLOC_K).reset_index(drop=True)
+    out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[cols + ["rk"]]
+
+
+def collocations_sql(table: str = "documents") -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM {table}),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2),
+bg AS (SELECT t[i] AS w1, t[i+1] AS w2, count(*)::BIGINT AS n_xy
+       FROM idx GROUP BY 1, 2 HAVING count(*) >= {COLLOC_MIN_PAIR}),
+ug AS (SELECT tok, count(*)::BIGINT AS n
+       FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+s AS (SELECT bg.w1, bg.w2, bg.n_xy, x.n AS n_x, y.n AS n_y,
+             (2000000 * bg.n_xy // (x.n + y.n))::BIGINT AS dice_ppm
+      FROM bg JOIN ug x ON bg.w1 = x.tok JOIN ug y ON bg.w2 = y.tok),
+r AS (SELECT *, row_number() OVER (ORDER BY dice_ppm DESC, n_xy DESC,
+                                   w1 ASC, w2 ASC) AS rk FROM s)
+SELECT w1, w2, n_xy, n_x, n_y, dice_ppm, rk::BIGINT AS rk
+FROM r WHERE rk <= {COLLOC_K}
+"""
+
+
+# --- Fixed-size token chunking with overlap (RAG / context-window prep) ------
+CHUNK_TOKENS = 64   # tokens per chunk
+CHUNK_STRIDE = 48   # start-to-start step (overlap = CHUNK_TOKENS - stride)
+
+
+def doc_chunks_batch(b: pa.Table) -> pa.Table:
+    """Explode each document into fixed-size overlapping token chunks — the
+    flat_map shape that prepares a corpus for embedding / context windows
+    (complement of pack_sequences, which CONCATENATES short docs; this
+    SPLITS long ones).  Chunk starts are 0, stride, 2*stride, ... while
+    start < n_tokens, so every token is covered and consecutive chunks
+    overlap by ``CHUNK_TOKENS - CHUNK_STRIDE`` tokens; the last chunk may be
+    short.  Empty docs emit no rows on both sides.
+
+    Stateless map_batches: chunk COUNTS and ids are closed-form numpy
+    (repeat/arange); only the final string assembly touches per-chunk
+    Python, the same granularity every text kernel here uses."""
+    texts = b["text"].to_pylist()
+    doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    toks = [_tokens(t) for t in texts]
+    n = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    n_chunks = (n + CHUNK_STRIDE - 1) // CHUNK_STRIDE  # = #starts < n
+    # (empty docs: n_chunks == 0 repeats zero times -> no rows, as the SQL)
+    rep_doc = np.repeat(np.asarray(doc_ids, dtype=np.int64), n_chunks)
+    # chunk_id = 0..n_chunks-1 within each doc, via one global arange
+    ends = np.cumsum(n_chunks)
+    chunk_id = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) \
+        - np.repeat(ends - n_chunks, n_chunks)
+    rep_n = np.repeat(n, n_chunks)
+    start = chunk_id * CHUNK_STRIDE
+    n_chunk = np.minimum(CHUNK_TOKENS, rep_n - start)
+    chunk_texts = []
+    doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64), n_chunks)
+    for di, s in zip(doc_idx, start):
+        chunk_texts.append(" ".join(toks[di][s:s + CHUNK_TOKENS]))
+    return pa.table({
+        "doc_id": pa.array(rep_doc, pa.int64()),
+        "chunk_id": pa.array(chunk_id, pa.int64()),
+        "n_chunk_tokens": pa.array(n_chunk, pa.int64()),
+        "chunk_text": pa.array(chunk_texts, pa.string()),
+    })
+
+
+def doc_chunks_sql(table: str = "documents") -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM {table}),
+s AS (SELECT doc_id, t,
+             unnest(generate_series(0, len(t) - 1, {CHUNK_STRIDE})) AS start
+      FROM toks WHERE len(t) > 0)
+SELECT doc_id,
+       (start // {CHUNK_STRIDE})::BIGINT AS chunk_id,
+       least({CHUNK_TOKENS}, len(t) - start)::BIGINT AS n_chunk_tokens,
+       array_to_string(list_slice(t, start + 1, start + {CHUNK_TOKENS}), ' ')
+           AS chunk_text
+FROM s
+"""

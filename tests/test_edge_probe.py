@@ -53,6 +53,7 @@ DOC_QUERIES = [
     "tfidf_top_terms", "dup_clusters", "stratified_sample",
     "simhash_near_pairs", "near_dup_char_ngram", "hll_distinct_shingles",
     "decontaminate", "repetition_stats", "pack_sequences",
+    "collocations", "doc_chunks",
 ]
 
 
@@ -475,3 +476,100 @@ def test_edge_url_canonical_dedup(ray_session, tmp_path_factory):
     # first-seen representative: the EARLIEST (ts, url) of the merged group
     first = dict(zip(eng["canonical_url"], eng["first_url"]))
     assert first["https://a.example/en/x"] == "https://a.example/en/x"
+
+
+def test_edge_domain_mix_weights(ray_session, tmp_path_factory):
+    """Mix-weight hostiles: urls with no scheme / no path segment (dropped on
+    both sides), empty and whitespace-only text (0 mass but still a page),
+    a mega-site vs a tiny site (sqrt smoothing must keep the tiny site's
+    share > its raw mass share), unicode tokens."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages
+
+    d = tmp_path_factory.mktemp("edge_mix")
+    rows = [
+        ("https://big.example/news/a", "w " * 10000),        # mega source
+        ("https://big.example/news/b", "x y z " * 100),
+        ("https://tiny.example/blog/a", "just four tokens here"),
+        ("https://tiny.example/blog/b", ""),                  # 0-mass page
+        ("https://tiny.example/blog/c", " \t\n "),            # whitespace only
+        ("no-scheme.example/path/x", "dropped entirely"),     # no scheme
+        ("https://bare.example", "no path segment dropped"),  # no /segment
+        ("https://uni.example/ünï/ç", "Ünïcødé tökens çount"),
+    ]
+    pq.write_table(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }), str(d / "pages.parquet"))
+    eng = pages.domain_mix_weights(
+        rd.read_parquet(str(d / "pages.parquet"))).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(
+        pages.domain_mix_weights_sql(f"read_parquet('{d}/pages.parquet')")).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    by = eng.set_index("site")
+    assert set(by.index) == {"big.example/news", "tiny.example/blog",
+                             "uni.example/ünï"}
+    assert by.loc["tiny.example/blog", "n_pages"] == 3  # 0-mass pages counted
+    # sqrt temperature: tiny site's ppm share strictly exceeds its mass share
+    tot_mass = int(by["token_mass"].sum())
+    tiny = by.loc["tiny.example/blog"]
+    assert tiny["share_ppm"] > tiny["token_mass"] * 1_000_000 // tot_mass
+
+
+def test_edge_late_shipment_priority(ray_session, tmp_path_factory):
+    """Q4-shape hostiles: shipment at EXACTLY orderdate+60d must not count
+    (strict >), +60d+1us counts, only the per-order MAX shipment matters,
+    orders with no lineitems drop out, priorities with zero late orders
+    emit no row."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational
+
+    d = tmp_path_factory.mktemp("edge_late")
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    day = np.timedelta64(86_400_000_000, "us")
+    us1 = np.timedelta64(1, "us")
+    orders = [  # (okey, odate, priority)
+        (1, base, "1-URGENT"),      # ships at exactly +60d: NOT late
+        (2, base, "1-URGENT"),      # ships at +60d + 1us: late
+        (3, base, "2-HIGH"),        # early ship + late ship: max wins -> late
+        (4, base, "3-MEDIUM"),      # no lineitems: dropped by the inner join
+        (5, base + day, "2-HIGH"),  # later odate shifts the cutoff: NOT late
+    ]
+    li = [  # (okey, shipdate)
+        (1, base + 60 * day),
+        (2, base + 60 * day + us1),
+        (3, base + day), (3, base + 90 * day),
+        (5, base + 60 * day),
+    ]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+        "o_orderdate": pa.array([o[1] for o in orders], pa.timestamp("us")),
+        "o_orderpriority": pa.array([o[2] for o in orders], pa.string()),
+    }), str(d / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([x[0] for x in li], pa.int64()),
+        "l_shipdate": pa.array([x[1] for x in li], pa.timestamp("us")),
+    }), str(d / "lineitem.parquet"))
+    eng = relational.late_shipment_priority(
+        rd.read_parquet(str(d / "orders.parquet")),
+        rd.read_parquet(str(d / "lineitem.parquet"))).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    orc = con.sql(relational.late_shipment_priority_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    by = dict(zip(eng["o_orderpriority"], eng["n_late"]))
+    assert by == {"1-URGENT": 1, "2-HIGH": 1}
