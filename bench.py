@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "shipping_priority",    # TPC-H Q3 3-table join chain (session-6)
     "retention_cohorts",    # user-sharded cohort matrix (session-6)
     "clean_corpus",         # composite decon+dedup+quality scrub (session-6)
+    "collocations",         # vocabulary^2 bigram stats + double join (session-7)
+    "late_shipment_priority",  # Q4-shape pre-aggregated semi-join (session-7)
 ]
 
 
