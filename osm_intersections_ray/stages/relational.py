@@ -360,48 +360,48 @@ def late_shipment_priority(orders_ds, lineitem_ds):
     the TPC-H Q4 shape (EXISTS-correlated semi-join), adapted to this
     schema's columns (l_shipdate vs o_orderdate + {LATE_SHIP_DAYS}d).
 
-    Two scale moves:
-    * ``EXISTS(l_shipdate > cutoff)`` over a per-order row set equals
-      ``max(l_shipdate) > cutoff``, so the fact table collapses inside each
-      batch — one row per (orderkey, batch) crosses the exchange.
-    * The orderkey JOIN dissolves into the SAME exchange: order rows and
-      lineitem partials union into one (okey)-keyed groupby with sentinel
-      fields (INT64_MIN dates, '' priority); Max() reassembles the pair and
-      rows where a sentinel survives are exactly the anti-join rows (order
-      with no lineitems / orphan lineitem), filtered after.  One all-to-all
-      total, no hash-join actor pool, no broadcast, no driver state."""
+    The scale move: ``EXISTS(l_shipdate > cutoff)`` over a per-order row set
+    equals ``max(l_shipdate) > cutoff``, so the fact table collapses BEFORE
+    the join — per-batch partial max per orderkey, one (orderkey) groupby,
+    and only one row per order crosses the join.  No distinct-set shuffle,
+    no driver structure; the final (priority) groupby has single-digit
+    cardinality and partial-combines for free.
+
+    A "dissolve the join into the same exchange" variant (union sentinel
+    rows from both tables into one (okey)-keyed Max groupby) was tried and
+    MEASURED SLOWER at sf0.1 (warm 10.8 s vs 8.8 s; cold 23 s vs 9.5 s):
+    Ray's groupby exchange is sort-based, so pushing both tables' rows —
+    including a string Max column — through one sorted aggregate costs more
+    than the hash join it removed.  Keep the hash-join shape."""
     from ray.data.aggregate import Max, Sum
 
-    _MIN = np.iinfo(np.int64).min
-    _U = pa.schema([("okey", pa.int64()), ("max_ship_us", pa.int64()),
-                    ("odate_us", pa.int64()), ("prio", pa.string())])
+    from .common import cap_join_partitions, drop_empty_blocks
 
     def li_partial(b: pa.Table) -> pa.Table:
         ok = np.asarray(b["l_orderkey"].to_numpy(zero_copy_only=False),
                         dtype=np.int64)
         ship = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        g = pd.DataFrame({"okey": ok, "max_ship_us": ship}).groupby(
-            "okey", sort=False)["max_ship_us"].max().reset_index()
-        g["odate_us"] = _MIN
-        g["prio"] = ""
+        g = pd.DataFrame({"l_orderkey": ok, "max_ship_us": ship}).groupby(
+            "l_orderkey", sort=False)["max_ship_us"].max().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False,
-                                    schema=_U).replace_schema_metadata(None)
+                                    schema=_MAXSHIP_PARTIAL_SCHEMA).replace_schema_metadata(None)
 
-    def ord_rows(b: pa.Table) -> pa.Table:
-        n = b.num_rows
+    max_ship = drop_empty_blocks(
+        lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(
+            Max("max_ship_us", alias_name="max_ship_us")).materialize())
+
+    def ord_project(b: pa.Table) -> pa.Table:
         return pa.table({
-            "okey": b["o_orderkey"],
-            "max_ship_us": pa.array(np.full(n, _MIN), pa.int64()),
+            "l_orderkey": b["o_orderkey"],
+            "o_orderpriority": b["o_orderpriority"],
             "odate_us": b["o_orderdate"].cast(pa.int64()),
-            "prio": b["o_orderpriority"],
         })
 
-    both = orders_ds.map_batches(ord_rows, batch_format="pyarrow").union(
-        lineitem_ds.map_batches(li_partial, batch_format="pyarrow"))
-    agg = both.groupby("okey").aggregate(
-        Max("max_ship_us", alias_name="max_ship_us"),
-        Max("odate_us", alias_name="odate_us"),
-        Max("prio", alias_name="prio"))
+    orders = orders_ds.map_batches(ord_project, batch_format="pyarrow")
+    joined = orders.join(max_ship, join_type="inner",
+                         num_partitions=cap_join_partitions(16),
+                         on=("l_orderkey",))
 
     _P = pa.schema([("o_orderpriority", pa.string()), ("n_late", pa.int64())])
 
@@ -410,16 +410,15 @@ def late_shipment_priority(orders_ds, lineitem_ds):
                            dtype=np.int64)
         ship = np.asarray(b["max_ship_us"].to_numpy(zero_copy_only=False),
                           dtype=np.int64)
-        # both sides present (inner-join semantics) AND strictly late
-        late = (ship != _MIN) & (odate != _MIN) & (ship > odate + _LATE_US)
+        late = ship > odate + _LATE_US
         g = (pd.DataFrame({"o_orderpriority":
-                           b["prio"].to_pandas()[late]})
+                           b["o_orderpriority"].to_pandas()[late]})
              .groupby("o_orderpriority", sort=False).size()
              .reset_index(name="n_late"))
         return pa.Table.from_pandas(g, preserve_index=False,
                                     schema=_P).replace_schema_metadata(None)
 
-    return (agg.map_batches(late_partial, batch_format="pyarrow")
+    return (joined.map_batches(late_partial, batch_format="pyarrow")
             .groupby("o_orderpriority").aggregate(Sum("n_late",
                                                       alias_name="n_late")))
 
