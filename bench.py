@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "clean_corpus",         # composite decon+dedup+quality scrub (session-6)
     "collocations",         # vocabulary^2 bigram stats + double join (session-7)
     "late_shipment_priority",  # Q4-shape pre-aggregated semi-join (session-7)
+    "graph_pagerank",       # iterative link-graph centrality, 1 exchange/round (session-7)
 ]
 
 

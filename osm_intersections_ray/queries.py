@@ -26,6 +26,7 @@ from .stages import (
     dedup,
     events,
     filters,
+    graph,
     knn,
     multimodal,
     pages,
@@ -221,6 +222,8 @@ def queries() -> dict:
     q["clean_corpus"] = clean_corpus_q
     q["quality_filtered_docs"] = lambda sf: text.quality_filtered_docs(
         _tbl(sf, "documents", ["doc_id", "text", "lang"]))
+    q["graph_pagerank"] = lambda sf: graph.graph_pagerank(
+        _tbl(sf, "documents", ["doc_id"]))
 
     # --- similarity search over embeddings
     def knn_cosine(sf):
@@ -398,6 +401,7 @@ def oracle_sql() -> dict:
         "redact_pii": text.redact_pii_sql(),
         "doc_sentences": text.doc_sentences_sql(),
         "quality_filtered_docs": text.quality_filtered_docs_sql(),
+        "graph_pagerank": graph.graph_pagerank_sql(),
         "clean_corpus": __import__(
             "osm_intersections_ray.pipelines.corpus_clean",
             fromlist=["clean_corpus_sql"]).clean_corpus_sql(),

@@ -963,3 +963,41 @@ def test_cap_join_partitions(ray_session):
     cpus = int(ray.cluster_resources()["CPU"])
     assert cap_join_partitions(32) == min(32, max(2, cpus))
     assert cap_join_partitions(2) == 2
+
+
+def test_graph_pagerank_matches_numpy_reference(ray_session):
+    """Distributed join-free PageRank == an independent single-process numpy
+    power iteration over the same derived edge set (non-contiguous doc_ids
+    exercise the searchsorted rank-row mapping)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from osm_intersections_ray.functions.hashing import h60
+    from osm_intersections_ray.stages import graph
+
+    ids = np.array(sorted({(i * 7) % 400 for i in range(301)}), dtype=np.int64)
+    n = len(ids)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)})).repartition(5)
+    out = graph.graph_pagerank(ds)
+
+    # reference: dense power iteration keyed by doc_id value
+    pos = {int(d): k for k, d in enumerate(ids)}
+    edges = []
+    for d in ids:
+        dsts = [h60(f"link|{d}|{j}") % n for j in range(graph.PR_OUTDEG)]
+        dsts = [t for t in dsts if t != d]
+        for t in dsts:
+            edges.append((int(d), int(t), len(dsts)))
+    pr = {int(d): graph.PR_R0 for d in ids}
+    for _ in range(graph.PR_ITERS):
+        inc = {int(d): 0 for d in ids}
+        for s, t, deg in edges:
+            if t in inc:  # derived dst is mod n over VALUE space; ids here
+                inc[t] += pr[s] // deg
+        pr = {d: graph.PR_BASE + (85 * v) // 100 for d, v in inc.items()}
+    ref = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[: graph.PR_TOP_K]
+    assert list(out["doc_id"]) == [d for d, _ in ref]
+    assert list(out["pr"]) == [v for _, v in ref]
+    assert list(out["rk"]) == list(range(1, len(ref) + 1))
