@@ -32,6 +32,7 @@ from .stages import (
     pages,
     queries_spatial as qs,
     relational,
+    retrieval,
     similarity,
     text,
 )
@@ -224,6 +225,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text", "lang"]))
     q["graph_pagerank"] = lambda sf: graph.graph_pagerank(
         _tbl(sf, "documents", ["doc_id"]))
+    q["bm25_search"] = lambda sf: retrieval.bm25_search(
+        _tbl(sf, "documents", ["doc_id", "text"]))
 
     # --- similarity search over embeddings
     def knn_cosine(sf):
@@ -402,6 +405,7 @@ def oracle_sql() -> dict:
         "doc_sentences": text.doc_sentences_sql(),
         "quality_filtered_docs": text.quality_filtered_docs_sql(),
         "graph_pagerank": graph.graph_pagerank_sql(),
+        "bm25_search": retrieval.bm25_search_sql(),
         "clean_corpus": __import__(
             "osm_intersections_ray.pipelines.corpus_clean",
             fromlist=["clean_corpus_sql"]).clean_corpus_sql(),

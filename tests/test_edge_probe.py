@@ -53,7 +53,7 @@ DOC_QUERIES = [
     "tfidf_top_terms", "dup_clusters", "stratified_sample",
     "simhash_near_pairs", "near_dup_char_ngram", "hll_distinct_shingles",
     "decontaminate", "repetition_stats", "pack_sequences",
-    "collocations", "doc_chunks",
+    "collocations", "doc_chunks", "graph_pagerank", "bm25_search",
 ]
 
 
