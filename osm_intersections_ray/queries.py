@@ -176,6 +176,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
     q["dup_clusters"] = lambda sf: dedup.dup_clusters(
         _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
+    q["cluster_representatives"] = lambda sf: dedup.cluster_representatives(
+        _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
     q["dup_ngram_stats"] = lambda sf: dedup.dup_ngram_stats(
         _tbl(sf, "documents", ["doc_id", "text"]))
     q["bpe_token_count"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
@@ -384,6 +386,7 @@ def oracle_sql() -> dict:
         "near_dup_char_ngram": dedup.char_ngram_pairs_sql(),
         "near_dedup_survivors": dedup.near_dedup_survivors_sql(),
         "dup_clusters": dedup.dup_clusters_sql(),
+        "cluster_representatives": dedup.cluster_representatives_sql(),
         "dup_ngram_stats": dedup.dup_ngram_stats_sql(),
         "bpe_token_count": text.bpe_token_count_sql(),
         "sample_docs": text.sample_docs_sql(),

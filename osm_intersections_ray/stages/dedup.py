@@ -1114,6 +1114,107 @@ SELECT node AS doc_id, MIN(r)::BIGINT AS cluster_id FROM reach GROUP BY node
 """
 
 
+# argmax packing for the cluster representative: quality (<= 100) in the
+# high bits, inverted doc_id in the low REP_ID_BITS, so a single integer
+# Max() picks (max quality, then MIN doc_id) — no custom aggregate crosses
+# the shuffle.  2^44 covers ~1.7e13 doc ids (augment twins included).
+REP_ID_BITS = 44
+_REP_ID_MASK = (1 << REP_ID_BITS) - 1
+
+
+def cluster_representatives(ds, ckpt_key: str | None = None):
+    """Keep-BEST-per-cluster dedup policy: for every near-dup cluster, the
+    representative is the doc with the highest quality score (tie: smallest
+    doc_id) — the quality-aware alternative to ``near_dedup_survivors``'
+    keep-first-by-id (what a training-data pipeline actually wants when
+    twins differ in cleanliness).  Returns
+    (cluster_id, rep_doc_id, rep_quality, n_docs).
+
+    Composition, all distributed: checkpointed verified pairs -> hash-min
+    connected components (``dup_clusters``), quality scored per batch over
+    the augmented corpus, ONE hash join to attach quality to cluster
+    members, then a (cluster_id) groupby where Max over the packed
+    (quality, ~doc_id) int64 performs the argmax and Count sizes the
+    cluster."""
+    from ray.data.aggregate import Count, Max
+
+    from .common import cap_join_partitions, drop_empty_blocks
+    from .text import quality_score_batch
+
+    out_schema = pa.schema([("cluster_id", pa.int64()),
+                            ("rep_doc_id", pa.int64()),
+                            ("rep_quality", pa.int64()),
+                            ("n_docs", pa.int64())])
+
+    clusters = drop_empty_blocks(
+        dup_clusters(ds, ckpt_key=ckpt_key).materialize())
+    if clusters.count() == 0:
+        return out_schema.empty_table()
+
+    quality = (ds.map_batches(augment_near_batch, batch_format="pyarrow")
+               .map_batches(quality_score_batch, batch_format="pyarrow"))
+
+    joined = clusters.join(quality, join_type="inner",
+                           num_partitions=cap_join_partitions(16),
+                           on=("doc_id",))
+
+    def pack(b: pa.Table) -> pa.Table:
+        q = np.asarray(b["quality"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        return pa.table({"cluster_id": b["cluster_id"],
+                         "packed": pa.array((q << REP_ID_BITS)
+                                            | (_REP_ID_MASK - d))})
+
+    def decode(b: pa.Table) -> pa.Table:
+        packed = np.asarray(b["packed"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        return pa.table({
+            "cluster_id": b["cluster_id"],
+            "rep_doc_id": pa.array(_REP_ID_MASK - (packed & _REP_ID_MASK)),
+            "rep_quality": pa.array(packed >> REP_ID_BITS),
+            "n_docs": b["n_docs"],
+        }, schema=out_schema)
+
+    return (joined.map_batches(pack, batch_format="pyarrow")
+            .groupby("cluster_id")
+            .aggregate(Max("packed", alias_name="packed"),
+                       Count(alias_name="n_docs"))
+            .map_batches(decode, batch_format="pyarrow"))
+
+
+def cluster_representatives_sql(table: str = "documents") -> str:
+    from .text import quality_score_sql
+
+    q_inner = quality_score_sql("aug", cte_prefix="q_")
+    return f"""
+WITH RECURSIVE {_verified_cte(table)},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(r)::BIGINT AS cluster_id FROM reach GROUP BY node
+),
+q AS ({q_inner}),
+ranked AS (
+  SELECT c.cluster_id, q.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, q.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id)::BIGINT AS n_docs
+  FROM clusters c JOIN q ON q.doc_id = c.doc_id)
+SELECT cluster_id, doc_id AS rep_doc_id, quality::BIGINT AS rep_quality,
+       n_docs
+FROM ranked WHERE rn = 1
+"""
+
+
 # --- corpus-wide duplicated n-gram statistics --------------------------------
 DUPGRAM_K = 8  # same granularity as the decontamination rule
 

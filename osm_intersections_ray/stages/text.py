@@ -167,23 +167,27 @@ def quality_score_batch(b: pa.Table) -> pa.Table:
     return pa.table({"doc_id": b["doc_id"], "quality": pa.array(scores, pa.int64())})
 
 
-def quality_score_sql(table: str = "documents") -> str:
+def quality_score_sql(table: str = "documents", cte_prefix: str = "") -> str:
+    """``cte_prefix`` renames the internal CTEs so the query can nest inside
+    another WITH chain (the dedup cluster-representative oracle) without
+    shadowing its ``toks``."""
     stops = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    toks, f = cte_prefix + "toks", cte_prefix + "f"
     return f"""
-WITH toks AS (
+WITH {toks} AS (
   SELECT doc_id, text, {TOKS_SQL} AS t FROM {table}
-), f AS (
+), {f} AS (
   SELECT doc_id,
          len(t) AS n,
          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt,
          len(list_filter(t, x -> x IN ({stops}))) AS stop_cnt
-  FROM toks
+  FROM {toks}
 )
 SELECT doc_id,
        ((CASE WHEN n BETWEEN 20 AND 1000 THEN 40 WHEN n >= 5 THEN 20 ELSE 0 END)
       + (CASE WHEN n > 0 AND punct_cnt * 10 <= n * 3 THEN 30 ELSE 0 END)
       + (CASE WHEN n > 0 AND stop_cnt * 100 >= n * 2 THEN 30 ELSE 0 END))::BIGINT AS quality
-FROM f
+FROM {f}
 """
 
 
