@@ -83,6 +83,7 @@ def queries() -> dict:
     q["nearest_two"] = lambda sf: knn.nearest_two_queries(_ways(sf))
     q["block_gps"] = lambda sf: qs.block_gps_lookup(_ways(sf))
     q["vectorize_raster"] = lambda sf: qs.vectorize_raster(_ways(sf))
+    q["way_l1_lengths"] = lambda sf: qs.way_l1_lengths(_ways(sf))
 
     # --- full reference-exact pipeline (oracle = pytest golden vs the
     # single-process reference oracle; driver gets a rows-only check)
@@ -366,6 +367,7 @@ def oracle_sql() -> dict:
         "nearest_two": knn.nearest_two_sql(ways_path),
         "block_gps": qs.block_gps_sql(ways_path),
         "vectorize_raster": qs.vectorize_raster_sql(ways_path),
+        "way_l1_lengths": qs.way_l1_lengths_sql(ways_path),
         "pages_extract": pages.extract_sql(pages_tbl),
         "pages_geotag": pages.geotag_sql(pages_tbl),
         "pages_way_join": pages.pages_way_join_sql(pages_tbl, ways_path),

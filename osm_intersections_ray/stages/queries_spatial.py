@@ -576,3 +576,93 @@ SELECT comp // {_KMUL} - {_KOFF_X} AS comp_klng,
        min(klat)::BIGINT AS min_klat, max(klat)::BIGINT AS max_klat
 FROM cl GROUP BY 1, 2
 """
+
+
+# --- per-county polyline length stats (integer fix6 L1 meters) ---------------
+# The reference measures "Manhattan meters" as (|dlat| + |dlon|) * 100,000
+# m/deg (js/geo.js:23 DEGREES_TO_METERS); over fix6 integer coordinates
+# (floor(x*1e6 + 0.5), js round — functions/scalar.fix6) a segment's L1
+# length in MICRODEGREES is exact int64, so the county aggregate never sums
+# floats (0.1 m per unit when a reader wants meters).
+
+
+def way_l1_lengths(ways_ds):
+    """Per-county length census of the tagged road network: way count, total
+    and max per-way L1 polyline length in fix6 microdegrees.
+
+    Shape: the vertex lists never explode into per-point rows — each batch
+    flattens its Arrow list columns zero-copy, takes one np.diff over the
+    flattened fix6 coords with cross-way positions zeroed, reduceat-sums per
+    way, and emits ONE partial row per county; the only exchange is the
+    final tiny (county) groupby."""
+    from ray.data.aggregate import Max, Sum
+
+    part_schema = pa.schema([("county", pa.string()), ("n_ways", pa.int64()),
+                             ("total_l1_udeg", pa.int64()),
+                             ("max_l1_udeg", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(b["tagged"])
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        lats = t["lats"].combine_chunks()
+        lons = t["lons"].combine_chunks()
+        lens = np.asarray(lats.value_lengths(), dtype=np.int64)
+        la6 = np.floor(np.asarray(lats.flatten(), dtype=np.float64) * 1e6
+                       + 0.5).astype(np.int64)
+        lo6 = np.floor(np.asarray(lons.flatten(), dtype=np.float64) * 1e6
+                       + 0.5).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        if len(la6) == 0:
+            way_sum = np.zeros(len(lens), dtype=np.int64)
+        else:
+            d = np.abs(np.diff(la6)) + np.abs(np.diff(lo6))
+            # zero the diffs that straddle two ways, then segment-sum;
+            # reduceat needs strictly valid starts, so clip boundary indices
+            # into range and zero out degenerate (<2 point) ways after
+            cross = starts[1:-1] - 1
+            d[cross[(cross >= 0) & (cross < len(d))]] = 0
+            idx = np.minimum(starts[:-1], max(len(d) - 1, 0))
+            way_sum = np.add.reduceat(d, idx) if len(d) else np.zeros(
+                len(lens), dtype=np.int64)
+            way_sum[lens < 2] = 0
+            # a way starting at the last diff index shares reduceat output
+            # with its predecessor only when it has <2 points — zeroed above
+        g = (pd.DataFrame({"county": t["county"].to_pandas(),
+                           "l1": way_sum})
+             .groupby("county", sort=False)["l1"]
+             .agg(n_ways="size", total_l1_udeg="sum", max_l1_udeg="max")
+             .reset_index())
+        return pa.Table.from_pandas(
+            g.astype({"n_ways": np.int64, "total_l1_udeg": np.int64,
+                      "max_l1_udeg": np.int64}),
+            preserve_index=False, schema=part_schema).replace_schema_metadata(None)
+
+    return (ways_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("county")
+            .aggregate(Sum("n_ways", alias_name="n_ways"),
+                       Sum("total_l1_udeg", alias_name="total_l1_udeg"),
+                       Max("max_l1_udeg", alias_name="max_l1_udeg")))
+
+
+def way_l1_lengths_sql(ways_path: str) -> str:
+    return f"""
+WITH pts AS (
+  SELECT county, way_id, i AS idx,
+         CAST(floor(lats[i] * 1000000 + 0.5) AS BIGINT) AS la6,
+         CAST(floor(lons[i] * 1000000 + 0.5) AS BIGINT) AS lo6
+  FROM read_parquet('{ways_path}'),
+       UNNEST(generate_series(1, len(lats))) AS u(i)
+  WHERE tagged
+),
+seg AS (
+  SELECT county, way_id,
+         abs(la6 - lag(la6) OVER w) + abs(lo6 - lag(lo6) OVER w) AS d
+  FROM pts WINDOW w AS (PARTITION BY way_id ORDER BY idx)
+),
+wl AS (SELECT county, way_id, COALESCE(SUM(d), 0)::BIGINT AS l1
+       FROM seg GROUP BY 1, 2)
+SELECT county, COUNT(*)::BIGINT AS n_ways, SUM(l1)::BIGINT AS total_l1_udeg,
+       MAX(l1)::BIGINT AS max_l1_udeg
+FROM wl GROUP BY county
+"""

@@ -1001,3 +1001,42 @@ def test_graph_pagerank_matches_numpy_reference(ray_session):
     assert list(out["doc_id"]) == [d for d, _ in ref]
     assert list(out["pr"]) == [v for _, v in ref]
     assert list(out["rk"]) == list(range(1, len(ref) + 1))
+
+
+def test_way_l1_lengths_degenerate_ways(ray_session):
+    """The reduceat segment-sum handles 0/1-point ways and batch boundaries
+    exactly like a per-way scalar loop."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.queries_spatial import way_l1_lengths
+
+    lats = [[1.0, 1.000002, 1.000001], [2.0], [], [3.0, 3.0000005],
+            [4.0, 4.000001]]
+    lons = [[5.0, 5.000001, 5.000004], [6.0], [], [7.0, 7.0000004],
+            [8.0, 8.000002]]
+    county = ["A", "A", "B", "B", "B"]
+    tbl = pa.table({
+        "county": pa.array(county),
+        "tagged": pa.array([True] * 5),
+        "lats": pa.array(lats, pa.list_(pa.float64())),
+        "lons": pa.array(lons, pa.list_(pa.float64())),
+    })
+    out = way_l1_lengths(rd.from_arrow(tbl).repartition(3)).to_pandas()
+
+    def fix6(x):
+        import math
+        return math.floor(x * 1e6 + 0.5)
+
+    ref = {}
+    for c, la, lo in zip(county, lats, lons):
+        l1 = sum(abs(fix6(la[i + 1]) - fix6(la[i]))
+                 + abs(fix6(lo[i + 1]) - fix6(lo[i]))
+                 for i in range(len(la) - 1))
+        n, tot, mx = ref.get(c, (0, 0, 0))
+        ref[c] = (n + 1, tot + l1, max(mx, l1))
+    got = {r.county: (r.n_ways, r.total_l1_udeg, r.max_l1_udeg)
+           for r in out.itertuples()}
+    assert got == ref
