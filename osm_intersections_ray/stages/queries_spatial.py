@@ -666,3 +666,93 @@ SELECT county, COUNT(*)::BIGINT AS n_ways, SUM(l1)::BIGINT AS total_l1_udeg,
        MAX(l1)::BIGINT AS max_l1_udeg
 FROM wl GROUP BY county
 """
+
+
+def _flat6(t: pa.Table):
+    """Flatten a ways batch's vertex lists zero-copy into fix6 int arrays +
+    per-way lengths/starts (shared by the length/bearing kernels)."""
+    lats = t["lats"].combine_chunks()
+    lons = t["lons"].combine_chunks()
+    lens = np.asarray(lats.value_lengths(), dtype=np.int64)
+    la6 = np.floor(np.asarray(lats.flatten(), dtype=np.float64) * 1e6
+                   + 0.5).astype(np.int64)
+    lo6 = np.floor(np.asarray(lons.flatten(), dtype=np.float64) * 1e6
+                   + 0.5).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    return la6, lo6, lens, starts
+
+
+def way_bearing_octants(ways_ds):
+    """Per-county segment-bearing census in 8 integer-exact compass classes.
+
+    True 22.5-degree compass octants need tan(22.5) and floats; instead each
+    non-degenerate segment classifies by SIGNS and the |dlat| vs |dlon|
+    comparison — boundaries at the axes and 45-degree diagonals, exact in
+    int64 and reproduced verbatim by the SQL CASE.  Encoding:
+    ``octant = 4*(dlat < 0) + 2*(dlon < 0) + (|dlat| > |dlon|)`` (0-7);
+    zero-length segments (both deltas 0 after fix6) are dropped on both
+    sides.  One partial row per (county, octant) per batch; the only
+    exchange is the tiny final groupby."""
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema([("county", pa.string()), ("octant", pa.int64()),
+                             ("n_segs", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(b["tagged"])
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        la6, lo6, lens, starts = _flat6(t)
+        if len(la6) < 2:
+            return part_schema.empty_table()
+        dla = np.diff(la6)
+        dlo = np.diff(lo6)
+        valid = np.ones(len(dla), dtype=bool)
+        cross = starts[1:-1] - 1
+        valid[cross[(cross >= 0) & (cross < len(dla))]] = False
+        valid &= (dla != 0) | (dlo != 0)
+        octant = (4 * (dla < 0).astype(np.int64)
+                  + 2 * (dlo < 0).astype(np.int64)
+                  + (np.abs(dla) > np.abs(dlo)).astype(np.int64))
+        # diff i spans flattened points (i, i+1); for the surviving
+        # within-way diffs both points share a way, so the point-aligned
+        # county repeat (sliced to diff length) labels every valid diff
+        county_pt = np.repeat(np.asarray(t["county"].to_pylist(),
+                                         dtype=object), lens)
+        g = (pd.DataFrame({"county": county_pt[:-1][valid],
+                           "octant": octant[valid]})
+             .groupby(["county", "octant"], sort=False).size()
+             .reset_index(name="n_segs"))
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=part_schema).replace_schema_metadata(None)
+
+    return (ways_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["county", "octant"])
+            .aggregate(Sum("n_segs", alias_name="n_segs")))
+
+
+def way_bearing_octants_sql(ways_path: str) -> str:
+    return f"""
+WITH pts AS (
+  SELECT county, way_id, i AS idx,
+         CAST(floor(lats[i] * 1000000 + 0.5) AS BIGINT) AS la6,
+         CAST(floor(lons[i] * 1000000 + 0.5) AS BIGINT) AS lo6
+  FROM read_parquet('{ways_path}'),
+       UNNEST(generate_series(1, len(lats))) AS u(i)
+  WHERE tagged
+),
+seg AS (
+  SELECT county,
+         la6 - lag(la6) OVER w AS dla,
+         lo6 - lag(lo6) OVER w AS dlo
+  FROM pts WINDOW w AS (PARTITION BY way_id ORDER BY idx)
+)
+SELECT county,
+       (4 * CASE WHEN dla < 0 THEN 1 ELSE 0 END
+      + 2 * CASE WHEN dlo < 0 THEN 1 ELSE 0 END
+      + CASE WHEN abs(dla) > abs(dlo) THEN 1 ELSE 0 END)::BIGINT AS octant,
+       count(*)::BIGINT AS n_segs
+FROM seg
+WHERE dla IS NOT NULL AND (dla <> 0 OR dlo <> 0)
+GROUP BY 1, 2
+"""
