@@ -231,6 +231,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id"]))
     q["bm25_search"] = lambda sf: retrieval.bm25_search(
         _tbl(sf, "documents", ["doc_id", "text"]))
+    q["lm_score"] = lambda sf: text.lm_score(
+        _tbl(sf, "documents", ["doc_id", "text"]))
 
     # --- similarity search over embeddings
     def knn_cosine(sf):
@@ -413,6 +415,7 @@ def oracle_sql() -> dict:
         "quality_filtered_docs": text.quality_filtered_docs_sql(),
         "graph_pagerank": graph.graph_pagerank_sql(),
         "bm25_search": retrieval.bm25_search_sql(),
+        "lm_score": text.lm_score_sql(),
         "clean_corpus": __import__(
             "osm_intersections_ray.pipelines.corpus_clean",
             fromlist=["clean_corpus_sql"]).clean_corpus_sql(),

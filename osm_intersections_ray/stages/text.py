@@ -1440,3 +1440,139 @@ SELECT doc_id,
            AS chunk_text
 FROM s
 """
+
+
+# --- bigram language-model scoring --------------------------------------------
+# A perplexity-style fluency signal without floats: per doc, the occurrence-
+# weighted mean conditional bigram probability in ppm, with P(w2|w1) =
+# n_xy / n_first(w1) and n_first(w1) = sum_w2 n_xy(w1, w2) (w1's count as a
+# bigram FIRST element, derived from the bigram table itself — probabilities
+# per w1 sum to exactly 1e6-epsilon, no separate unigram pass).
+
+
+def lm_score(ds):
+    """Train-and-score in one lineage: corpus bigram counts -> per-first-token
+    totals -> per-doc occurrence-weighted mean P(w2|w1) in ppm.  Docs with no
+    bigram (<2 tokens) are excluded on both sides.
+
+    Scale shape (10^12 docs): the model is a vocabulary^2-keyed TABLE, far
+    too big to broadcast, so scoring is a (w1, w2) hash join of per-doc
+    PRE-COMBINED bigram rows (one row per distinct bigram per doc, counted —
+    never per occurrence) against the stats; per-doc numerator/denominator
+    partials then combine through one (doc_id) groupby.  All integer —
+    1e6 * n_xy fits int64 while no single bigram exceeds ~9.2e12
+    occurrences; score = sum(n * p) // sum(n) <= 1e6."""
+    from ray.data.aggregate import Sum
+
+    from .common import cap_join_partitions, drop_empty_blocks
+
+    bg_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                           ("n_xy", pa.int64())])
+    docbg_schema = pa.schema([("doc_id", pa.int64()), ("w1", pa.string()),
+                              ("w2", pa.string()), ("n", pa.int64())])
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+                            ("lm_ppm", pa.int64())])
+
+    def _bigram_frame(b: pa.Table) -> pd.DataFrame:
+        ser = b["text"].to_pandas().fillna("")
+        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        df = pd.DataFrame({"doc_id": b["doc_id"].to_pandas(),
+                           "w1": toks}).explode("w1").dropna(subset=["w1"])
+        if len(df) == 0:
+            return df.assign(w2=pd.Series(dtype=object))
+        rid = df["doc_id"].to_numpy()
+        df = df.assign(w2=df["w1"].shift(-1))
+        same = np.zeros(len(df), dtype=bool)
+        same[:-1] = rid[1:] == rid[:-1]
+        return df.loc[same]
+
+    def bg_partial(b: pa.Table) -> pa.Table:
+        df = _bigram_frame(b)
+        if len(df) == 0:
+            return bg_schema.empty_table()
+        g = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="n_xy")
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=bg_schema).replace_schema_metadata(None)
+
+    def docbg_partial(b: pa.Table) -> pa.Table:
+        df = _bigram_frame(b)
+        if len(df) == 0:
+            return docbg_schema.empty_table()
+        g = (df.groupby(["doc_id", "w1", "w2"], sort=False).size()
+             .reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=docbg_schema).replace_schema_metadata(None)
+
+    mat = ds.materialize()
+    bg = drop_empty_blocks(
+        mat.map_batches(bg_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"]).aggregate(Sum("n_xy", alias_name="n_xy"))
+        .materialize())
+
+    nf_schema = pa.schema([("w1", pa.string()), ("n_first", pa.int64())])
+    nf = drop_empty_blocks(
+        bg.map_batches(
+            lambda b: pa.table({"w1": b["w1"], "n_first": b["n_xy"]},
+                               schema=nf_schema), batch_format="pyarrow")
+        .groupby("w1").aggregate(Sum("n_first", alias_name="n_first"))
+        .materialize())
+
+    stats = drop_empty_blocks(
+        bg.join(nf, join_type="inner",
+                num_partitions=cap_join_partitions(16),
+                on=("w1",)).materialize())
+
+    docbg = mat.map_batches(docbg_partial, batch_format="pyarrow")
+    joined = docbg.join(stats, join_type="inner",
+                        num_partitions=cap_join_partitions(16),
+                        on=("w1", "w2"))
+
+    part_schema = pa.schema([("doc_id", pa.int64()), ("num", pa.int64()),
+                             ("n_bigrams", pa.int64())])
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        nxy = np.asarray(b["n_xy"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        nfst = np.asarray(b["n_first"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        p = (1_000_000 * nxy) // nfst
+        g = (pd.DataFrame({"doc_id": b["doc_id"].to_pandas(),
+                           "num": n * p, "n_bigrams": n})
+             .groupby("doc_id", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=part_schema).replace_schema_metadata(None)
+
+    def finish(b: pa.Table) -> pa.Table:
+        num = np.asarray(b["num"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        den = np.asarray(b["n_bigrams"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        return pa.table({"doc_id": b["doc_id"], "n_bigrams": b["n_bigrams"],
+                         "lm_ppm": pa.array(num // den)}, schema=out_schema)
+
+    return (joined.map_batches(score_partial, batch_format="pyarrow")
+            .groupby("doc_id").aggregate(Sum("num", alias_name="num"),
+                                         Sum("n_bigrams",
+                                             alias_name="n_bigrams"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def lm_score_sql(table: str = "documents") -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM {table}),
+idx AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2),
+bg AS (SELECT w1, w2, count(*)::BIGINT AS n_xy FROM idx GROUP BY 1, 2),
+nf AS (SELECT w1, SUM(n_xy)::BIGINT AS n_first FROM bg GROUP BY 1),
+docbg AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS n
+          FROM idx GROUP BY 1, 2, 3),
+p AS (SELECT d.doc_id, d.n,
+             (1000000 * bg.n_xy) // nf.n_first AS p
+      FROM docbg d JOIN bg ON bg.w1 = d.w1 AND bg.w2 = d.w2
+      JOIN nf ON nf.w1 = d.w1)
+SELECT doc_id, SUM(n)::BIGINT AS n_bigrams,
+       (SUM(n * p) // SUM(n))::BIGINT AS lm_ppm
+FROM p GROUP BY doc_id
+"""
