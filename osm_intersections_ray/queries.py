@@ -233,6 +233,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text"]))
     q["lm_score"] = lambda sf: text.lm_score(
         _tbl(sf, "documents", ["doc_id", "text"]))
+    q["inverted_index"] = lambda sf: retrieval.inverted_index(
+        _tbl(sf, "documents", ["doc_id", "text"]))
 
     # --- similarity search over embeddings
     def knn_cosine(sf):
@@ -416,6 +418,7 @@ def oracle_sql() -> dict:
         "graph_pagerank": graph.graph_pagerank_sql(),
         "bm25_search": retrieval.bm25_search_sql(),
         "lm_score": text.lm_score_sql(),
+        "inverted_index": retrieval.inverted_index_sql(),
         "clean_corpus": __import__(
             "osm_intersections_ray.pipelines.corpus_clean",
             fromlist=["clean_corpus_sql"]).clean_corpus_sql(),

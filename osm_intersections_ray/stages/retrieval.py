@@ -204,3 +204,59 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, rk, doc_id, score
 FROM ranked WHERE rk <= {BM25_K}
 """
+
+
+# --- inverted index build -----------------------------------------------------
+POSTINGS_PREVIEW = 20  # doc ids materialized per token row (df stays exact)
+
+
+def inverted_index(ds):
+    """Posting-list construction — the index-build half of the retrieval
+    story (BM25 above is the query half).  Returns one row per token:
+    (token, df, postings) with postings = the first ``POSTINGS_PREVIEW``
+    doc_ids ascending, comma-joined (a bounded preview; a production sink
+    would ``write_parquet`` the full lists partitioned by token hash, same
+    layout).
+
+    Shape: a doc's row lives in exactly one batch, so the per-batch
+    (token, doc_id) dedup IS the global dedup — the single exchange carries
+    one row per distinct (token, doc) pair, and the per-token kernel runs
+    inside ``groupby(token).map_groups``."""
+    td_schema = pa.schema([("token", pa.string()), ("doc_id", pa.int64())])
+    out_schema = pa.schema([("token", pa.string()), ("df", pa.int64()),
+                            ("postings", pa.string())])
+
+    def td_partial(b: pa.Table) -> pa.Table:
+        ser = b["text"].to_pandas().fillna("")
+        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        df = (pd.DataFrame({"doc_id": b["doc_id"].to_pandas(),
+                            "token": toks})
+              .explode("token").dropna(subset=["token"])
+              .drop_duplicates())
+        return pa.Table.from_pandas(df[["token", "doc_id"]],
+                                    preserve_index=False,
+                                    schema=td_schema).replace_schema_metadata(None)
+
+    def per_token(g: pd.DataFrame) -> pa.Table:
+        ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
+        return pa.table({
+            "token": pa.array([g["token"].iloc[0]]),
+            "df": pa.array([len(ids)], pa.int64()),
+            "postings": pa.array([",".join(
+                str(i) for i in ids[:POSTINGS_PREVIEW])]),
+        }, schema=out_schema)
+
+    return (ds.map_batches(td_partial, batch_format="pyarrow")
+            .groupby("token").map_groups(per_token, batch_format="pandas"))
+
+
+def inverted_index_sql(table: str = "documents") -> str:
+    return f"""
+WITH td AS (
+  SELECT DISTINCT doc_id, unnest({TOKS_SQL}) AS token FROM {table}
+)
+SELECT token, count(*)::BIGINT AS df,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1,
+                                  {POSTINGS_PREVIEW}), ',') AS postings
+FROM td GROUP BY token
+"""

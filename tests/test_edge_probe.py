@@ -54,7 +54,7 @@ DOC_QUERIES = [
     "simhash_near_pairs", "near_dup_char_ngram", "hll_distinct_shingles",
     "decontaminate", "repetition_stats", "pack_sequences",
     "collocations", "doc_chunks", "graph_pagerank", "bm25_search",
-    "cluster_representatives", "lm_score",
+    "cluster_representatives", "lm_score", "inverted_index",
 ]
 
 
