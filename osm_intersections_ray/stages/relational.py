@@ -355,27 +355,88 @@ _MAXSHIP_PARTIAL_SCHEMA = pa.schema([
 ])
 
 
-def late_shipment_priority(orders_ds, lineitem_ds):
+ORDERS_BROADCAST_MAX = 2_000_000  # crossover: above this, hash-join route
+
+
+def late_shipment_priority(orders_ds, lineitem_ds,
+                           broadcast_orders_max: int = ORDERS_BROADCAST_MAX):
     """Orders with at least one late shipment, counted per order priority —
     the TPC-H Q4 shape (EXISTS-correlated semi-join), adapted to this
     schema's columns (l_shipdate vs o_orderdate + {LATE_SHIP_DAYS}d).
 
-    The scale move: ``EXISTS(l_shipdate > cutoff)`` over a per-order row set
-    equals ``max(l_shipdate) > cutoff``, so the fact table collapses BEFORE
-    the join — per-batch partial max per orderkey, one (orderkey) groupby,
-    and only one row per order crosses the join.  No distinct-set shuffle,
-    no driver structure; the final (priority) groupby has single-digit
-    cardinality and partial-combines for free.
+    Scale shape, by cardinality (mirroring ``shipping_priority``):
 
-    A "dissolve the join into the same exchange" variant (union sentinel
-    rows from both tables into one (okey)-keyed Max groupby) was tried and
-    MEASURED SLOWER at sf0.1 (warm 10.8 s vs 8.8 s; cold 23 s vs 9.5 s):
-    Ray's groupby exchange is sort-based, so pushing both tables' rows —
-    including a string Max column — through one sorted aggregate costs more
-    than the hash join it removed.  Keep the hash-join shape."""
+    * orders <= ``broadcast_orders_max``: the (orderkey -> orderdate,
+      priority) arrays collect once, ship via ``ray.put``, and EXISTS
+      evaluates entirely inside the lineitem map (``any late item`` ORs
+      across batches for free) — the only exchange is a dedup groupby over
+      the LATE orderkeys, a subset pre-deduped per batch.  Zero joins.
+    * larger orders tables: ``EXISTS(l_shipdate > cutoff)`` over a
+      per-order row set equals ``max(l_shipdate) > cutoff``, so the fact
+      table collapses BEFORE a single (orderkey) hash join — per-batch
+      partial max per orderkey, one groupby, one row per order through the
+      join.
+
+    A third shape — dissolving the join into one union+groupby Max exchange
+    with sentinel rows — was tried and MEASURED SLOWER at sf0.1 (warm
+    10.8 s vs 8.8 s): Ray's groupby exchange is sort-based, so pushing both
+    tables' rows (with a string Max) through one sorted aggregate costs
+    more than the hash join it removed."""
+    import ray
     from ray.data.aggregate import Max, Sum
 
-    from .common import cap_join_partitions, drop_empty_blocks
+    from .common import cached_get, cap_join_partitions, drop_empty_blocks
+
+    if orders_ds.count() <= broadcast_orders_max:
+        odf = orders_ds.map_batches(
+            lambda b: pa.table({"okey": b["o_orderkey"],
+                                "odate_us": b["o_orderdate"].cast(pa.int64()),
+                                "prio": b["o_orderpriority"]}),
+            batch_format="pyarrow").to_pandas()
+        order = np.argsort(odf["okey"].to_numpy(), kind="stable")
+        okeys = odf["okey"].to_numpy(dtype=np.int64)[order]
+        odates = odf["odate_us"].to_numpy(dtype=np.int64)[order]
+        prios = odf["prio"].to_numpy(dtype=object)[order]
+        ref = ray.put((okeys, odates, prios))
+
+        _K = pa.schema([("okey", pa.int64())])
+
+        def late_keys(b: pa.Table) -> pa.Table:
+            okeys, odates, _ = cached_get(ref)
+            ok = np.asarray(b["l_orderkey"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+            ship = b["l_shipdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            if okeys.size == 0:
+                return _K.empty_table()
+            pos = np.searchsorted(okeys, ok).clip(0, okeys.size - 1)
+            late = (okeys[pos] == ok) & (ship > odates[pos] + _LATE_US)
+            return pa.table({"okey": pa.array(np.unique(ok[late]))},
+                            schema=_K)
+
+        _P = pa.schema([("o_orderpriority", pa.string()),
+                        ("n_late", pa.int64())])
+
+        def count_prio(b: pa.Table) -> pa.Table:
+            okeys, _, prios = cached_get(ref)
+            ok = np.asarray(b["okey"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+            pos = np.searchsorted(okeys, ok)
+            g = (pd.DataFrame({"o_orderpriority": prios[pos]})
+                 .groupby("o_orderpriority", sort=False).size()
+                 .reset_index(name="n_late"))
+            return pa.Table.from_pandas(g, preserve_index=False,
+                                        schema=_P).replace_schema_metadata(None)
+
+        from ray.data.aggregate import Count
+
+        return (lineitem_ds.map_batches(late_keys, batch_format="pyarrow")
+                .groupby("okey").aggregate(Count(alias_name="_n"))
+                .map_batches(lambda b: b.select(["okey"]),
+                             batch_format="pyarrow")
+                .map_batches(count_prio, batch_format="pyarrow")
+                .groupby("o_orderpriority")
+                .aggregate(Sum("n_late", alias_name="n_late")))
 
     def li_partial(b: pa.Table) -> pa.Table:
         ok = np.asarray(b["l_orderkey"].to_numpy(zero_copy_only=False),

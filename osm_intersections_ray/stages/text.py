@@ -1298,6 +1298,11 @@ def collocations(ds):
     ug_schema = pa.schema([("tok", pa.string()), ("n", pa.int64())])
 
     def bigram_partial(b: pa.Table) -> pa.Table:
+        # ONE tokenize pass feeds both tables: each doc's LAST token emits a
+        # sentinel row (w2 = "" — real tokens are never empty), so per-token
+        # group totals over ALL rows equal the full unigram counts
+        # (n(w) = n_as_bigram_first(w) + n_as_doc_last(w)) and the second
+        # corpus tokenization disappears.
         ser = b["text"].to_pandas().fillna("")
         toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
         df = pd.DataFrame({"rid": np.arange(len(toks), dtype=np.int64),
@@ -1308,31 +1313,32 @@ def collocations(ds):
         df = df.assign(w2=df["w1"].shift(-1))
         same = np.zeros(len(df), dtype=bool)
         same[:-1] = rid[1:] == rid[:-1]  # next token is in the same doc
-        g = (df.loc[same].groupby(["w1", "w2"], sort=False).size()
+        df.loc[~same, "w2"] = ""         # doc-last sentinel rows
+        g = (df.groupby(["w1", "w2"], sort=False).size()
              .reset_index(name="n_xy"))
         return pa.Table.from_pandas(g, preserve_index=False,
                                     schema=bg_schema).replace_schema_metadata(None)
 
-    def unigram_partial(b: pa.Table) -> pa.Table:
-        ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
-        df = (pd.DataFrame({"tok": toks}).explode("tok")
-              .dropna(subset=["tok"]))
-        g = df.groupby("tok", sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False,
-                                    schema=ug_schema).replace_schema_metadata(None)
-
     def keep_frequent(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return b.filter(pc.greater_equal(b["n_xy"], COLLOC_MIN_PAIR))
+        return b.filter(pc.and_(pc.not_equal(b["w2"], ""),
+                                pc.greater_equal(b["n_xy"],
+                                                 COLLOC_MIN_PAIR)))
 
-    cand = drop_empty_blocks(
+    allrows = drop_empty_blocks(
         ds.map_batches(bigram_partial, batch_format="pyarrow")
         .groupby(["w1", "w2"]).aggregate(Sum("n_xy", alias_name="n_xy"))
-        .map_batches(keep_frequent, batch_format="pyarrow").materialize())
+        .materialize())
+    cand = drop_empty_blocks(
+        allrows.map_batches(keep_frequent,
+                            batch_format="pyarrow").materialize())
+    # unigram totals derived from the already-combined bigram table — this
+    # exchange is vocabulary^2-sized rows, not a second corpus pass
     uni = drop_empty_blocks(
-        ds.map_batches(unigram_partial, batch_format="pyarrow")
+        allrows.map_batches(
+            lambda b: pa.table({"tok": b["w1"], "n": b["n_xy"]},
+                               schema=ug_schema), batch_format="pyarrow")
         .groupby("tok").aggregate(Sum("n", alias_name="n")).materialize())
 
     j1 = cand.rename_columns({"w1": "tok"}).join(

@@ -1040,3 +1040,47 @@ def test_way_l1_lengths_degenerate_ways(ray_session):
     got = {r.county: (r.n_ways, r.total_l1_udeg, r.max_l1_udeg)
            for r in out.itertuples()}
     assert got == ref
+
+
+def test_late_shipment_routes_equal(ray_session):
+    """Broadcast semi-join route == hash-join route on a table with orphan
+    lineitems, lineitem-less orders, boundary-exact (NOT late) shipments,
+    and multi-late-item orders (EXISTS dedup)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational
+
+    D = 86_400 * 1_000_000
+    base = 1_750_000_000_000_000
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array(
+            np.array([base] * 4, dtype="datetime64[us]")),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "1-URGENT",
+                                     "3-MEDIUM"]),
+    })
+    cutoff = relational.LATE_SHIP_DAYS * D
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 3, 99], pa.int64()),
+        "l_shipdate": pa.array(np.array([
+            base + cutoff + D,      # late
+            base + cutoff + 2 * D,  # late again (same order: counts once)
+            base,                   # on time
+            base + cutoff,          # boundary: NOT late (strict >)
+            base + cutoff + D,      # late
+            base + cutoff + 9 * D,  # orphan key: ignored
+        ], dtype="datetime64[us]")),
+    })
+    # order 4 has no lineitems at all
+    expect = {"1-URGENT": 2}
+
+    for bmax in (10**9, 0):
+        out = relational.late_shipment_priority(
+            rd.from_arrow(orders).repartition(2),
+            rd.from_arrow(li).repartition(3),
+            broadcast_orders_max=bmax).to_pandas()
+        got = dict(zip(out["o_orderpriority"], out["n_late"]))
+        assert got == expect, (bmax, got)
