@@ -1266,9 +1266,13 @@ GROUP BY 1, 2
 # --- Collocation mining (tokenizer-training signal) --------------------------
 COLLOC_K = 20        # bigrams kept
 COLLOC_MIN_PAIR = 3  # min corpus occurrences before a pair is scored
+# vocabulary rows below which the unigram table broadcasts instead of
+# hash-joining twice (~50 MB of strings at the bound; web-scale vocabularies
+# take the join route)
+COLLOC_VOCAB_BROADCAST_MAX = 2_000_000
 
 
-def collocations(ds):
+def collocations(ds, vocab_broadcast_max: int = None):
     """Corpus-wide adjacent-token collocations scored by integer Dice — the
     pair-statistics pass a tokenizer-training / phrase-mining pipeline runs
     over the whole corpus.  Dice instead of PMI keeps the score exact in
@@ -1341,15 +1345,42 @@ def collocations(ds):
                                schema=ug_schema), batch_format="pyarrow")
         .groupby("tok").aggregate(Sum("n", alias_name="n")).materialize())
 
-    j1 = cand.rename_columns({"w1": "tok"}).join(
-        uni, join_type="inner", num_partitions=cap_join_partitions(16),
-        on=("tok",)).rename_columns({"tok": "w1", "n": "n_x"})
-    # the first join's empty hash partitions are schema-less blocks that
-    # would crash Acero inside the second join — strip them (refs stay put)
-    j1 = drop_empty_blocks(j1.materialize())
-    j2 = j1.rename_columns({"w2": "tok"}).join(
-        uni, join_type="inner", num_partitions=cap_join_partitions(16),
-        on=("tok",)).rename_columns({"tok": "w2", "n": "n_y"})
+    if vocab_broadcast_max is None:
+        vocab_broadcast_max = COLLOC_VOCAB_BROADCAST_MAX
+    if uni.count() <= vocab_broadcast_max:
+        # small-vocabulary route: the unigram table broadcasts once and both
+        # lookups run inside the candidate map — zero joins (every candidate
+        # token exists in uni by construction: same source rows)
+        import ray
+
+        from .common import cached_get
+
+        udf = uni.to_pandas()
+        order = np.argsort(udf["tok"].to_numpy(dtype=object), kind="stable")
+        ref = ray.put((udf["tok"].to_numpy(dtype=object)[order],
+                       udf["n"].to_numpy(dtype=np.int64)[order]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            toks, ns = cached_get(ref)
+            w1 = b["w1"].to_numpy(zero_copy_only=False)
+            w2 = b["w2"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "w1": b["w1"], "w2": b["w2"], "n_xy": b["n_xy"],
+                "n_x": pa.array(ns[np.searchsorted(toks, w1)]),
+                "n_y": pa.array(ns[np.searchsorted(toks, w2)]),
+            })
+
+        j2 = cand.map_batches(attach, batch_format="pyarrow")
+    else:
+        j1 = cand.rename_columns({"w1": "tok"}).join(
+            uni, join_type="inner", num_partitions=cap_join_partitions(16),
+            on=("tok",)).rename_columns({"tok": "w1", "n": "n_x"})
+        # the first join's empty hash partitions are schema-less blocks that
+        # would crash Acero inside the second join — strip them (refs stay)
+        j1 = drop_empty_blocks(j1.materialize())
+        j2 = j1.rename_columns({"w2": "tok"}).join(
+            uni, join_type="inner", num_partitions=cap_join_partitions(16),
+            on=("tok",)).rename_columns({"tok": "w2", "n": "n_y"})
 
     cols = ["w1", "w2", "n_xy", "n_x", "n_y", "dice_ppm"]
 

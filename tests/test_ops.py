@@ -1084,3 +1084,28 @@ def test_late_shipment_routes_equal(ray_session):
             broadcast_orders_max=bmax).to_pandas()
         got = dict(zip(out["o_orderpriority"], out["n_late"]))
         assert got == expect, (bmax, got)
+
+
+def test_collocations_routes_equal(ray_session):
+    """Broadcast-vocab route == double-hash-join route, including the
+    doc-last sentinel bookkeeping (unigram totals must count final tokens)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.text import collocations
+
+    docs = ["a b a b c", "b c b c", "a b", "c", "", "b c a b"]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs)})
+    a = collocations(rd.from_arrow(tbl).repartition(3),
+                     vocab_broadcast_max=10**9)
+    b = collocations(rd.from_arrow(tbl).repartition(3),
+                     vocab_broadcast_max=0)
+    pd_a = a.sort_values(["w1", "w2"]).reset_index(drop=True)
+    pd_b = b.sort_values(["w1", "w2"]).reset_index(drop=True)
+    assert pd_a.equals(pd_b)
+    # unigram sanity on a hand-countable corpus: n('b') = 7, n('c') = 5
+    row = pd_a[(pd_a.w1 == "b") & (pd_a.w2 == "c")]
+    assert not row.empty and int(row.n_x.iloc[0]) == 7 \
+        and int(row.n_y.iloc[0]) == 5
