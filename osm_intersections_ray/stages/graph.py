@@ -85,7 +85,7 @@ def graph_pagerank(ds):
     exchange, so in-degree-0 nodes never drop out of the rank table."""
     from ray.data.aggregate import Max, Sum
 
-    from .common import drop_empty_blocks
+    _RANK_SCHEMA = pa.schema([("node", pa.int64()), ("pr", pa.int64())])
 
     base = ds.materialize()
     n_docs = base.count()
@@ -94,9 +94,11 @@ def graph_pagerank(ds):
         lambda b: pa.table({"node": b["doc_id"],
                             "pr": pa.array(np.full(b.num_rows, PR_R0,
                                                    dtype=np.int64))}),
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow")
 
     def msgs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # schema-less empty exchange block
+            return _MSG_SCHEMA.empty_table()
         node = np.asarray(b["node"].to_numpy(zero_copy_only=False),
                           dtype=np.int64)
         pr = np.asarray(b["pr"].to_numpy(zero_copy_only=False),
@@ -124,21 +126,30 @@ def graph_pagerank(ds):
         }, schema=_MSG_SCHEMA)
 
     def damp(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _RANK_SCHEMA.empty_table()
         keep = np.asarray(b["real"].to_numpy(zero_copy_only=False),
                           dtype=np.int64) > 0
         inc = np.asarray(b["inc"].to_numpy(zero_copy_only=False),
                          dtype=np.int64)[keep]
         return pa.table({"node": b["node"].filter(pa.array(keep)),
-                         "pr": pa.array(PR_BASE + (85 * inc) // 100)})
+                         "pr": pa.array(PR_BASE + (85 * inc) // 100)},
+                        schema=_RANK_SCHEMA)
 
+    # the whole PR_ITERS-round loop is ONE lazy lineage — no per-round
+    # materialize (no joins anywhere, and the kernels guard the schema-less
+    # empty blocks the aggregate exchanges emit), so the streaming executor
+    # runs all rounds in a single execution
     for _ in range(PR_ITERS):
-        ranks = drop_empty_blocks(
-            ranks.map_batches(msgs, batch_format="pyarrow")
-            .groupby("node").aggregate(Sum("inc", alias_name="inc"),
-                                       Max("real", alias_name="real"))
-            .map_batches(damp, batch_format="pyarrow").materialize())
+        ranks = (ranks.map_batches(msgs, batch_format="pyarrow")
+                 .groupby("node").aggregate(Sum("inc", alias_name="inc"),
+                                            Max("real", alias_name="real"))
+                 .map_batches(damp, batch_format="pyarrow"))
 
     def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("pr", pa.int64())]).empty_table()
         df = b.to_pandas().rename(columns={"node": "doc_id"})
         return pa.Table.from_pandas(
             df.sort_values(["pr", "doc_id"], ascending=[False, True],
