@@ -85,6 +85,7 @@ def queries() -> dict:
     q["vectorize_raster"] = lambda sf: qs.vectorize_raster(_ways(sf))
     q["way_l1_lengths"] = lambda sf: qs.way_l1_lengths(_ways(sf))
     q["way_bearing_octants"] = lambda sf: qs.way_bearing_octants(_ways(sf))
+    q["way_components"] = lambda sf: graph.way_components(_ways(sf))
 
     # --- full reference-exact pipeline (oracle = pytest golden vs the
     # single-process reference oracle; driver gets a rows-only check)
@@ -374,6 +375,7 @@ def oracle_sql() -> dict:
         "vectorize_raster": qs.vectorize_raster_sql(ways_path),
         "way_l1_lengths": qs.way_l1_lengths_sql(ways_path),
         "way_bearing_octants": qs.way_bearing_octants_sql(ways_path),
+        "way_components": graph.way_components_sql(ways_path),
         "pages_extract": pages.extract_sql(pages_tbl),
         "pages_geotag": pages.geotag_sql(pages_tbl),
         "pages_way_join": pages.pages_way_join_sql(pages_tbl, ways_path),
