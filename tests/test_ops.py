@@ -1109,3 +1109,31 @@ def test_collocations_routes_equal(ray_session):
     row = pd_a[(pd_a.w1 == "b") & (pd_a.w2 == "c")]
     assert not row.empty and int(row.n_x.iloc[0]) == 7 \
         and int(row.n_y.iloc[0]) == 5
+
+
+def test_way_components_cross_batch_chain(ray_session):
+    """A single chain component split across many batches must merge through
+    the global contraction rounds; plus isolated ways as size-1 components."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.graph import way_components
+
+    # chain: way i shares node 1000+i with way i+1  (component of 30, min=0)
+    n = 30
+    ways, nodes = [], []
+    for i in range(n):
+        ways.append(i)
+        nodes.append([1000 + i, 1000 + i + 1])
+    # two singletons and one separate pair
+    ways += [100, 101, 200, 201]
+    nodes += [[5000], [5001], [6000, 6001], [6001, 6002]]
+    tbl = pa.table({
+        "way_id": pa.array(ways, pa.int64()),
+        "nodes": pa.array(nodes, pa.list_(pa.int64())),
+        "tagged": pa.array([True] * len(ways)),
+    })
+    out = way_components(rd.from_arrow(tbl).repartition(7)).to_pandas()
+    got = dict(zip(out["component_id"], out["n_ways"]))
+    assert got == {0: n, 100: 1, 101: 1, 200: 2}
