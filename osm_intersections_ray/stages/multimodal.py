@@ -1,10 +1,11 @@
 """Multimodal column stages: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The container has no codec wheels, but THREE real formats are decoded with
+The container has no codec wheels, but FOUR real formats are decoded with
 stdlib + numpy alone: binary netpbm (P6/P5), RIFF/WAVE PCM16, and — since
 zlib is stdlib — actual compressed PNG (8-bit RGB: DEFLATE + all five
-scanline filters + CRC-checked chunks).  Only exotic codecs (JPEG/FLAC/AV1)
+scanline filters + CRC-checked chunks), and GIF87a (variable-width LZW,
+CLEAR resets, KwKwK).  Only transform codecs (JPEG/FLAC/AV1)
 remain stubbed behind the FAKEIMG1 stand-in shape; all the Ray-side plumbing
 is real and tested: schemas, actor signatures, small-batch sizing for wide
 binary rows, and the project-early pattern (metadata splits off before any
@@ -620,5 +621,267 @@ SELECT d.doc_id, d.width, d.height, CAST(3 AS BIGINT) AS channels,
          / CAST(d.width * d.height * 3 AS DOUBLE) AS mean_px
 FROM dims d JOIN generate_series(0, {_PNG_SERIES_MAX}) s(i)
      ON s.i < d.width * d.height * 3
+GROUP BY d.doc_id, d.width, d.height
+"""
+
+
+# --- REAL compressed-format codec #2: GIF87a (LZW) ----------------------------
+#
+# GIF's compression is self-contained LZW (no external codec needed): header,
+# logical screen descriptor, a global color table, and an image whose index
+# stream is LZW-coded with variable-width codes (9..12 bits, LSB-first bit
+# packing, CLEAR/EOI control codes, 255-byte sub-blocks).  The pair below is
+# spec-faithful for 8-bit-palette non-interlaced images; the decoder also
+# reads "uncompressed-GIF"-style streams (literal codes + periodic CLEAR),
+# which the independent-stream test uses to pin the bit unpacking and CLEAR
+# handling separately from the encoder.
+
+_GIF_MIN_CODE = 8                      # 256-color palette
+_GIF_CLEAR = 1 << _GIF_MIN_CODE        # 256
+_GIF_EOI = _GIF_CLEAR + 1              # 257
+
+
+class _BitWriter:
+    """LSB-first bit packer (GIF's LZW bit order)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """GIF LZW: emit CLEAR, build the string table up to 4095, CLEAR+reset
+    when full, EOI at the end.  Width grows when the next free code no
+    longer fits the current width."""
+    bw = _BitWriter()
+    width = _GIF_MIN_CODE + 1
+
+    def reset():
+        return {bytes([i]): i for i in range(_GIF_CLEAR)}, _GIF_EOI + 1
+
+    table, next_code = reset()
+    bw.put(_GIF_CLEAR, width)
+    s = b""
+    for ch in data:
+        sc = s + bytes([ch])
+        if sc in table:
+            s = sc
+            continue
+        bw.put(table[s], width)
+        table[sc] = next_code
+        next_code += 1
+        # grow EXACTLY when the decoder's table length reaches 2^width —
+        # the standard GIF rule; growing one entry later desyncs the reader
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4095:
+            bw.put(_GIF_CLEAR, width)
+            table, next_code = reset()
+            width = _GIF_MIN_CODE + 1
+        s = sc[-1:]
+    if s:
+        bw.put(table[s], width)
+        # reserve a code slot for the flush emit too (GIFLIB convention):
+        # the decoder advances its width counter on EVERY code read, so an
+        # encoder that skips the flush slot can write EOI one bit narrower
+        # than the reader expects when the flush lands on a width boundary
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    bw.put(_GIF_EOI, width)
+    return bw.done()
+
+
+def _gif_palette() -> np.ndarray:
+    """Deterministic 256-entry palette: entry v = (v, 7v % 256, 13v % 256)."""
+    v = np.arange(256, dtype=np.int64)
+    return np.stack([v, (7 * v) % 256, (13 * v) % 256], axis=1)
+
+
+def encode_gif(width: int, height: int, indices: np.ndarray) -> bytes:
+    """GIF87a with the global palette above and a real LZW index stream."""
+    pal = _gif_palette().astype(np.uint8)
+    head = (b"GIF87a"
+            + struct.pack("<HH", width, height)
+            + bytes([0x80 | (7 << 4) | 7, 0, 0])   # GCT, 8-bit, 256 entries
+            + pal.tobytes())
+    img = (b"\x2C" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+           + bytes([_GIF_MIN_CODE]))
+    lzw = _lzw_encode(indices.astype(np.uint8).tobytes())
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return head + img + bytes(blocks) + b"\x00" + b"\x3B"
+
+
+def decode_gif(blob: bytes):
+    """(width, height, channels=3, sum_px) from a GIF87a/89a: palette walk +
+    full variable-width LZW (CLEAR resets, width growth, 12-bit cap)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack("<HH", blob[6:10])
+    packed = blob[10]
+    i = 13
+    pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        pal = np.frombuffer(blob, np.uint8, count=3 * n,
+                            offset=i).reshape(n, 3).astype(np.int64)
+        i += 3 * n
+    while i < len(blob) and blob[i] == 0x21:  # skip extension blocks
+        i += 2
+        while blob[i]:
+            i += 1 + blob[i]
+        i += 1
+    if i >= len(blob) or blob[i] != 0x2C:
+        raise ValueError("missing image descriptor")
+    w, h = struct.unpack("<HH", blob[i + 5:i + 9])
+    ipacked = blob[i + 9]
+    i += 10
+    if ipacked & 0x80:
+        raise NotImplementedError("local color tables not supported")
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIFs not supported")
+    if pal is None:
+        raise ValueError("no color table")
+    min_code = blob[i]
+    i += 1
+    data = bytearray()
+    while blob[i]:
+        ln = blob[i]
+        data += blob[i + 1:i + 1 + ln]
+        i += 1 + ln
+
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table = [bytes([k]) for k in range(clear)] + [b"", b""]
+    acc = nbits = pos = 0
+    out = bytearray()
+    prev = None
+    # width sync: the ENCODER assigns one new code after EVERY emitted code
+    # (including the first after CLEAR, whose content this side only learns
+    # one code later), so the decoder's virtual next-code counter advances
+    # per code READ — counting table appends instead lags by one and
+    # desyncs the bit widths (the classic LZW decoder bug)
+    virtual_next = eoi + 1
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = table[:eoi + 1]
+            width = min_code + 1
+            virtual_next = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW code")
+        virtual_next += 1
+        if virtual_next == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    if len(out) != w * h:
+        raise ValueError("decoded pixel count mismatch")
+    idx = np.frombuffer(bytes(out), np.uint8).astype(np.int64)
+    total = int(pal[idx].sum())
+    _ = (sw, sh)  # screen dims may exceed the (only) image's dims
+    return w, h, 3, total
+
+
+class GIFDecode:
+    """Actor-pool stage: REAL GIF decode (LZW + palette), binary image ->
+    (width, height, channels, sum_px, mean_px)."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        w, h, c, s = [], [], [], []
+        for blob in b["image"].to_pylist():
+            fw, fh, fc, fs = decode_gif(blob)
+            w.append(fw)
+            h.append(fh)
+            c.append(fc)
+            s.append(fs)
+        wn = np.asarray(w, np.int64)
+        hn = np.asarray(h, np.int64)
+        cn = np.asarray(c, np.int64)
+        sn = np.asarray(s, np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "width": pa.array(wn),
+            "height": pa.array(hn),
+            "channels": pa.array(cn),
+            "sum_px": pa.array(sn),
+            "mean_px": pa.array(sn / (wn * hn * cn), pa.float64()),
+        })
+
+
+_GIF_SERIES_MAX = (8 + 20) * (8 + 12) - 1  # max npix - 1 per the formulas
+
+
+def gif_media_batch(b: pa.Table) -> pa.Table:
+    """doc_id -> real GIF payload (256-color palette, index[i] =
+    (seed + i) % 256 — repeated runs exercise multi-byte LZW entries)."""
+    blobs = []
+    for d in b["doc_id"].to_pylist():
+        w = 8 + d % 21
+        h = 8 + (d // 5) % 13
+        seed = (d * 2654435761) % 256
+        idx = ((seed + np.arange(w * h, dtype=np.int64)) % 256).astype(np.uint8)
+        blobs.append(encode_gif(w, h, idx))
+    return pa.table({"doc_id": b["doc_id"], "image": pa.array(blobs, pa.binary())})
+
+
+def gif_decode_sql(table: str = "documents") -> str:
+    """Oracle: the closed-form palette-sum — index v maps to
+    v + 7v%256 + 13v%256, so one wrong LZW code breaks the hash."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 21 AS width,
+         8 + (doc_id // 5) % 13 AS height,
+         (doc_id * 2654435761) % 256 AS seed
+  FROM {table}
+)
+SELECT d.doc_id, d.width, d.height, CAST(3 AS BIGINT) AS channels,
+       CAST(SUM(((d.seed + s.i) % 256)
+                + (7 * ((d.seed + s.i) % 256)) % 256
+                + (13 * ((d.seed + s.i) % 256)) % 256) AS BIGINT) AS sum_px,
+       CAST(SUM(((d.seed + s.i) % 256)
+                + (7 * ((d.seed + s.i) % 256)) % 256
+                + (13 * ((d.seed + s.i) % 256)) % 256) AS BIGINT)
+         / CAST(d.width * d.height * 3 AS DOUBLE) AS mean_px
+FROM dims d JOIN generate_series(0, {_GIF_SERIES_MAX}) s(i)
+     ON s.i < d.width * d.height
 GROUP BY d.doc_id, d.width, d.height
 """

@@ -1137,3 +1137,68 @@ def test_way_components_cross_batch_chain(ray_session):
     out = way_components(rd.from_arrow(tbl).repartition(7)).to_pandas()
     got = dict(zip(out["component_id"], out["n_ways"]))
     assert got == {0: n, 100: 1, 101: 1, 200: 2}
+
+
+def test_gif_codec_roundtrip_and_hostiles():
+    """Real LZW: width-boundary flush sweep, CLEAR resets on deep tables,
+    KwKwK runs, an INDEPENDENT uncompressed-style stream (literal codes +
+    periodic CLEAR, never written by our encoder), and hostile payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from osm_intersections_ray.stages.multimodal import (
+        _GIF_CLEAR, _GIF_EOI, _GIF_MIN_CODE, _BitWriter, _gif_palette,
+        decode_gif, encode_gif)
+
+    pal = _gif_palette()
+    cases = [
+        (200, 150, np.zeros(200 * 150, dtype=np.uint8)),          # KwKwK + CLEARs
+        (100, 80, (np.arange(100 * 80) % 7).astype(np.uint8)),    # deep table
+        (50, 40, ((np.arange(50 * 40) * 97 + 13) % 256).astype(np.uint8)),
+    ]
+    for length in range(1, 300, 13):  # flush-on-width-boundary sweep
+        cases.append((length, 1,
+                      ((np.arange(length) * 5 + 1) % 256).astype(np.uint8)))
+    for w, h, idx in cases:
+        gw, gh, c, s = decode_gif(encode_gif(w, h, idx))
+        assert (gw, gh, c) == (w, h, 3)
+        assert s == int(pal[idx.astype(np.int64)].sum())
+
+    # independent writer: literal codes only, CLEAR every 200 so the width
+    # never grows — pins bit unpacking + CLEAR handling without our encoder
+    def uncompressed(w, h, idx):
+        bw = _BitWriter()
+        width = _GIF_MIN_CODE + 1
+        bw.put(_GIF_CLEAR, width)
+        for k, v in enumerate(idx):
+            if k and k % 200 == 0:
+                bw.put(_GIF_CLEAR, width)
+            bw.put(int(v), width)
+        bw.put(_GIF_EOI, width)
+        lzw = bw.done()
+        head = (b"GIF87a" + struct.pack("<HH", w, h)
+                + bytes([0x80 | (7 << 4) | 7, 0, 0])
+                + pal.astype(np.uint8).tobytes())
+        img = (b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+               + bytes([_GIF_MIN_CODE]))
+        blocks = bytearray()
+        for off in range(0, len(lzw), 255):
+            ch = lzw[off:off + 255]
+            blocks += bytes([len(ch)]) + ch
+        return head + img + bytes(blocks) + b"\x00" + b"\x3B"
+
+    idx = ((np.arange(37 * 23) * 11 + 5) % 256).astype(np.uint8)
+    gw, gh, c, s = decode_gif(uncompressed(37, 23, idx))
+    assert (gw, gh, s) == (37, 23, int(pal[idx.astype(np.int64)].sum()))
+
+    blob = encode_gif(4, 4, np.arange(16, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + blob[6:])
+    with pytest.raises(ValueError):
+        decode_gif(blob[:40])  # truncated mid-palette / no descriptor
+    # truncated LZW stream (cut the sub-blocks, keep structure)
+    cut = blob[: blob.index(b"\x2C") + 11] + b"\x01" + blob[-3:-2] + b"\x00\x3B"
+    with pytest.raises(ValueError):
+        decode_gif(cut)
