@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "collocations",         # vocabulary^2 bigram stats + double join (session-7)
     "late_shipment_priority",  # Q4-shape pre-aggregated semi-join (session-7)
     "graph_pagerank",       # iterative link-graph centrality, 1 exchange/round (session-7)
+    "bm25_search",          # broadcast-query retrieval, integer BM25 (session-7)
+    "image_decode_gif",     # real LZW decompress actor pool (session-7)
 ]
 
 
