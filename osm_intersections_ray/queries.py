@@ -144,6 +144,8 @@ def queries() -> dict:
         _pages(sf, columns=["url", "warc_ts"]))
     q["domain_mix_weights"] = lambda sf: pages.domain_mix_weights(
         _pages(sf, columns=["url", "text"]))
+    q["tile_pyramid"] = lambda sf: pages.tile_pyramid(
+        _pages(sf, columns=["url", "html"]))
 
     q["warc_pages"] = lambda sf: warc_src.read_warc_pages(warc_src.ensure_warc(sf))
 
@@ -387,6 +389,7 @@ def oracle_sql() -> dict:
         "host_section_stats": pages.host_section_stats_sql(pages_tbl),
         "url_canonical_dedup": pages.url_canonical_dedup_sql(pages_tbl),
         "domain_mix_weights": pages.domain_mix_weights_sql(pages_tbl),
+        "tile_pyramid": pages.tile_pyramid_sql(pages_tbl),
         "warc_pages": warc_src.warc_pages_sql(pages_tbl),
         "doc_stats": text.doc_stats_sql(),
         "lang_id": text.lang_id_sql(),

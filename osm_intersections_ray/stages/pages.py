@@ -734,3 +734,92 @@ SELECT site, n_pages, token_mass, weight,
            AS share_ppm
 FROM w
 """
+
+
+# --- multi-zoom tile aggregation pyramid ------------------------------------
+
+PYRAMID_RES_MIN = 10
+_PYR_PARTIAL_SCHEMA = pa.schema([("tile", pa.int64()), ("n_pages", pa.int64())])
+_PYR_XY_MASK = (1 << 29) - 1
+
+
+def tile_pyramid(pages_ds):
+    """Multi-resolution tile aggregation pyramid: page counts per quadkey
+    tile at every zoom level res 10..17 — the rollup a map-rendering /
+    heatmap backend derives from a geotagged corpus (the tiling half of the
+    north star; cf. the reference's bins index, js/geo.js grid stats).
+
+    Distributed shape: parent tiles are PURE int64 arithmetic on the res-17
+    tile (``(res<<58) | ((ix>>s)<<29) | (iy>>s)``), so one geotag pass emits
+    all 8 levels per batch, partial-combined with ``np.unique`` before the
+    single (tile) groupby — the exchange carries one row per distinct tile
+    per batch (bounded by world tile count, not page count), and no page row
+    crosses the shuffle.  At 10^12 pages the rollup never touches a page
+    twice; skewed urban tiles cost one partial row per batch like any other.
+    """
+    from ray.data.aggregate import Sum
+
+    g = pages_ds.map_batches(geotag_batch, batch_format="pyarrow",
+                             batch_size=4096)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["tile17"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        ix, iy = (t >> 29) & _PYR_XY_MASK, t & _PYR_XY_MASK
+        levels = [
+            (np.int64(res) << 58) | ((ix >> (TILE_RES_MAX - res)) << 29)
+            | (iy >> (TILE_RES_MAX - res))
+            for res in range(PYRAMID_RES_MIN, TILE_RES_MAX + 1)
+        ]
+        u, c = np.unique(np.concatenate(levels) if levels else t,
+                         return_counts=True)
+        return pa.table({"tile": pa.array(u, pa.int64()),
+                         "n_pages": pa.array(c.astype(np.int64), pa.int64())}
+                        ).cast(_PYR_PARTIAL_SCHEMA)
+
+    agg = (g.map_batches(partial, batch_format="pyarrow")
+           .groupby("tile").aggregate(Sum("n_pages", alias_name="n_pages")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["tile"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        return pa.table({
+            "tile": pa.array(t, pa.int64()),
+            "res": pa.array(t >> 58, pa.int64()),
+            "ix": pa.array((t >> 29) & _PYR_XY_MASK, pa.int64()),
+            "iy": pa.array(t & _PYR_XY_MASK, pa.int64()),
+            "n_pages": b["n_pages"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def tile_pyramid_sql(table: str = "pages") -> str:
+    n = 1 << TILE_RES_MAX
+    return f"""
+WITH g0 AS (
+  SELECT TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
+  FROM {table}
+), g AS (
+  SELECT * FROM g0
+  WHERE lat IS NOT NULL AND lon IS NOT NULL AND isfinite(lat) AND isfinite(lon)
+), xy AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1}) AS ix,
+         least(greatest(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1}) AS iy
+  FROM g
+), lv AS (
+  SELECT CAST(r AS BIGINT) AS res
+  FROM range({PYRAMID_RES_MIN}, {TILE_RES_MAX + 1}) t(r)
+)
+SELECT (res << 58) + ((ix >> ({TILE_RES_MAX} - res)) << 29)
+           + (iy >> ({TILE_RES_MAX} - res)) AS tile,
+       res,
+       ix >> ({TILE_RES_MAX} - res) AS ix,
+       iy >> ({TILE_RES_MAX} - res) AS iy,
+       count(*)::BIGINT AS n_pages
+FROM xy CROSS JOIN lv
+GROUP BY 1, 2, 3, 4
+"""

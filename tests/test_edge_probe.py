@@ -291,6 +291,25 @@ def test_edge_pages_extract_geotag(ray_session, edge_pages_dir):
     _pages_compare(edge_pages_dir, geo, pages.geotag_sql(tbl))
 
 
+def test_edge_tile_pyramid(ray_session, edge_pages_dir):
+    """Multi-zoom rollup on hostile geotags: clamped world-corner coords
+    (90/180 and -90/-180 land on the last tile, not one past it), dropped
+    unparseable pages, and the level CROSS JOIN (every kept page appears
+    exactly once per resolution)."""
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages
+
+    tbl = f"read_parquet('{edge_pages_dir}/pages.parquet')"
+    ds = rd.read_parquet(f"{edge_pages_dir}/pages.parquet")
+    pyr = pages.tile_pyramid(ds).to_pandas()
+    n_levels = pages.TILE_RES_MAX - pages.PYRAMID_RES_MIN + 1
+    n_kept = 9  # the geotag-parseable pages pinned above
+    assert int(pyr["n_pages"].sum()) == n_kept * n_levels
+    assert pyr["res"].between(pages.PYRAMID_RES_MIN, pages.TILE_RES_MAX).all()
+    _pages_compare(edge_pages_dir, pyr, pages.tile_pyramid_sql(tbl))
+
+
 def test_edge_pages_way_join(ray_session, edge_pages_dir):
     """Both join variants equal exact inclusive bbox containment on edge
     geometry: degenerate point bbox, page exactly on a bbox corner, world
