@@ -146,6 +146,8 @@ def queries() -> dict:
         _pages(sf, columns=["url", "text"]))
     q["tile_pyramid"] = lambda sf: pages.tile_pyramid(
         _pages(sf, columns=["url", "html"]))
+    q["way_page_density"] = lambda sf: pages.way_page_density(
+        _pages(sf, columns=["url", "html"]), _ways(sf))
 
     q["warc_pages"] = lambda sf: warc_src.read_warc_pages(warc_src.ensure_warc(sf))
 
@@ -390,6 +392,7 @@ def oracle_sql() -> dict:
         "url_canonical_dedup": pages.url_canonical_dedup_sql(pages_tbl),
         "domain_mix_weights": pages.domain_mix_weights_sql(pages_tbl),
         "tile_pyramid": pages.tile_pyramid_sql(pages_tbl),
+        "way_page_density": pages.way_page_density_sql(pages_tbl, ways_path),
         "warc_pages": warc_src.warc_pages_sql(pages_tbl),
         "doc_stats": text.doc_stats_sql(),
         "lang_id": text.lang_id_sql(),

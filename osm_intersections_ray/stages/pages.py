@@ -823,3 +823,70 @@ SELECT (res << 58) + ((ix >> ({TILE_RES_MAX} - res)) << 29)
 FROM xy CROSS JOIN lv
 GROUP BY 1, 2, 3, 4
 """
+
+
+# --- pages-per-way density (the north-star join, aggregated) ----------------
+
+_DENSITY_PARTIAL_SCHEMA = pa.schema([("way_id", pa.int64()),
+                                     ("n_pages", pa.int64())])
+
+
+def way_page_density(pages_ds, ways_ds):
+    """Per-way page density: how many geotagged pages land on each road's
+    bbox — the aggregate a coverage/demand map reads straight off the
+    north-star pages<->ways join.  Returns (county, way_id, name, n_pages)
+    for every way with at least one page.
+
+    Distributed shape: the join's (url, way_id) pairs partial-combine per
+    batch (``np.unique``) before ONE (way_id) groupby, so the exchange
+    carries way-count rows, not page-count rows; (county, name) then attach
+    via a way_id-keyed hash ``Dataset.join`` against the projected ways
+    table — both sides are O(ways), the 10^12 pages never re-shuffle."""
+    from ray.data.aggregate import Sum
+
+    from .common import cap_join_partitions, drop_empty_blocks
+
+    joined = pages_way_join(pages_ds, ways_ds)
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = np.asarray(b["way_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        u, c = np.unique(w, return_counts=True)
+        return pa.table({"way_id": pa.array(u, pa.int64()),
+                         "n_pages": pa.array(c.astype(np.int64), pa.int64())}
+                        ).cast(_DENSITY_PARTIAL_SCHEMA)
+
+    counts = drop_empty_blocks(
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("way_id").aggregate(Sum("n_pages", alias_name="n_pages"))
+        .materialize())
+
+    meta = ways_ds.map_batches(
+        lambda b: b.select(["way_id", "county", "name"]).replace_schema_metadata(None),
+        batch_format="pyarrow")
+    out = counts.join(meta, join_type="inner",
+                      num_partitions=cap_join_partitions(16), on=("way_id",))
+    return out.map_batches(
+        lambda b: b.select(["county", "way_id", "name", "n_pages"]),
+        batch_format="pyarrow")
+
+
+def way_page_density_sql(pages_table: str, ways_path: str) -> str:
+    return f"""
+WITH g0 AS (
+  SELECT url,
+         TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
+  FROM {pages_table}
+), g AS (
+  SELECT * FROM g0
+  WHERE lat IS NOT NULL AND lon IS NOT NULL AND isfinite(lat) AND isfinite(lon)
+)
+SELECT w.county, w.way_id, w.name, count(*)::BIGINT AS n_pages
+FROM g JOIN read_parquet('{ways_path}') w
+  ON g.lat BETWEEN w.minlat AND w.maxlat
+ AND g.lon BETWEEN w.minlon AND w.maxlon
+GROUP BY 1, 2, 3
+"""

@@ -253,6 +253,9 @@ def edge_pages_dir(tmp_path_factory):
         "minlon": pa.array([w[2] for w in EDGE_WAYS], pa.float64()),
         "maxlat": pa.array([w[3] for w in EDGE_WAYS], pa.float64()),
         "maxlon": pa.array([w[4] for w in EDGE_WAYS], pa.float64()),
+        # density metadata columns (way_page_density probe)
+        "county": pa.array([f"C{w[0] % 2}" for w in EDGE_WAYS], pa.string()),
+        "name": pa.array([f"Way {w[0]}" for w in EDGE_WAYS], pa.string()),
     }), str(d / "ways.parquet"))
     return str(d)
 
@@ -328,6 +331,24 @@ def test_edge_pages_way_join(ray_session, edge_pages_dir):
     _pages_compare(edge_pages_dir,
                    pages.pages_way_join_native(p, w, num_partitions=4).to_pandas(),
                    sql)
+
+
+def test_edge_way_page_density(ray_session, edge_pages_dir):
+    """Density rollup over the hostile join geometry: the degenerate point
+    bbox (way 2) counts only pages exactly on its point, the zero-match way
+    (5) is absent, and multi-way pages contribute one count per way."""
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages
+
+    tbl = f"read_parquet('{edge_pages_dir}/pages.parquet')"
+    wpath = f"{edge_pages_dir}/ways.parquet"
+    p = rd.read_parquet(f"{edge_pages_dir}/pages.parquet")
+    w = rd.read_parquet(wpath)
+    dens = pages.way_page_density(p, w).to_pandas()
+    assert 5 not in set(dens["way_id"])  # the no-match way never appears
+    _pages_compare(edge_pages_dir, dens,
+                   pages.way_page_density_sql(tbl, wpath))
 
 
 # ------------------------------------------------------- new-op edge probes
