@@ -148,6 +148,8 @@ def queries() -> dict:
         _pages(sf, columns=["url", "html"]))
     q["way_page_density"] = lambda sf: pages.way_page_density(
         _pages(sf, columns=["url", "html"]), _ways(sf))
+    q["bloom_url_filter"] = lambda sf: pages.bloom_url_filter(
+        _pages(sf, columns=["url"]))
 
     q["warc_pages"] = lambda sf: warc_src.read_warc_pages(warc_src.ensure_warc(sf))
 
@@ -393,6 +395,7 @@ def oracle_sql() -> dict:
         "domain_mix_weights": pages.domain_mix_weights_sql(pages_tbl),
         "tile_pyramid": pages.tile_pyramid_sql(pages_tbl),
         "way_page_density": pages.way_page_density_sql(pages_tbl, ways_path),
+        "bloom_url_filter": pages.bloom_url_filter_sql(pages_tbl),
         "warc_pages": warc_src.warc_pages_sql(pages_tbl),
         "doc_stats": text.doc_stats_sql(),
         "lang_id": text.lang_id_sql(),

@@ -890,3 +890,135 @@ FROM g JOIN read_parquet('{ways_path}') w
  AND g.lon BETWEEN w.minlon AND w.maxlon
 GROUP BY 1, 2, 3
 """
+
+
+# --- Bloom-filter URL membership sketch --------------------------------------
+
+BLOOM_M = 1 << 18          # filter bits
+BLOOM_K = 4                # double-hashed probe positions per element
+_BLOOM_BIT_SCHEMA = pa.schema([("bit", pa.int64()), ("n_contrib", pa.int64())])
+_BLOOM_PROBE_SCHEMA = pa.schema([("probe", pa.string()), ("n_hit", pa.int64()),
+                                 ("is_member", pa.int64())])
+
+
+def _bloom_h60(prefix: str, urls) -> np.ndarray:
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5((prefix + u).encode("utf-8")).hexdigest()[:15], 16)
+         for u in urls), np.int64, len(urls))
+
+
+def _bloom_positions(urls) -> np.ndarray:
+    """(n, K) bit positions via Kirsch-Mitzenmacher double hashing:
+    bit_j = (h1 + j*h2) mod M, h1/h2 = md5-h60 with distinct salts (the
+    DuckDB-reproducible hash idiom used across the sketch family)."""
+    h1, h2 = _bloom_h60("bf1|", urls), _bloom_h60("bf2|", urls)
+    j = np.arange(BLOOM_K, dtype=np.int64)
+    return (h1[:, None] + j[None, :] * h2[:, None]) % BLOOM_M
+
+
+def bloom_url_filter(pages_ds):
+    """Bloom-filter membership over the corpus urls — the crawl-frontier
+    "seen set" next to the CMS / HLL sketches: the filter builds as a
+    mergeable partial aggregate (per-batch DISTINCT set-bit rows -> one
+    (bit) groupby; the exchange is bounded by the FIXED filter size M, not
+    the corpus), is collected once (2^18 bits — fixed-size by construction,
+    like the decontaminate suite), broadcast via ``ray.put``, and a probe
+    set (a deterministic ~1/8 url sample, plus a known-absent twin per
+    probe) streams through a searchsorted membership test.  Returns one row
+    per distinct probe: (probe, n_hit of K positions, is_member).
+
+    The one-sidedness invariant (present => all K bits hit) is structural;
+    absent probes measure the real false-positive rate at this fill.  The
+    SQL oracle rebuilds the filter exactly (same salted md5-h60 positions),
+    so every register bit — and therefore every false positive — matches."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .common import cached_get, drop_empty_blocks
+
+    def bit_partial(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        if not urls:
+            return pa.table([], schema=_BLOOM_BIT_SCHEMA)
+        pos = _bloom_positions(urls).ravel()
+        u, c = np.unique(pos, return_counts=True)
+        return pa.table({"bit": pa.array(u, pa.int64()),
+                         "n_contrib": pa.array(c.astype(np.int64), pa.int64())}
+                        ).cast(_BLOOM_BIT_SCHEMA)
+
+    bits = drop_empty_blocks(
+        pages_ds.map_batches(bit_partial, batch_format="pyarrow")
+        .groupby("bit").aggregate(Sum("n_contrib", alias_name="n_contrib"))
+        .materialize())
+    set_bits = np.sort(np.asarray(
+        bits.select_columns(["bit"]).to_pandas()["bit"].to_numpy(),
+        dtype=np.int64))
+    bits_ref = ray.put(set_bits)
+
+    def probe_partial(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        filt = cached_get(bits_ref)
+        urls = b["url"].to_pylist()
+        probes = [u for u in urls
+                  if hashlib.md5(("probe|" + u).encode("utf-8")).hexdigest()[0]
+                  in "01"]
+        probes = probes + [p + "#absent" for p in probes]
+        if not probes:
+            return pa.table([], schema=_BLOOM_PROBE_SCHEMA)
+        pos = _bloom_positions(probes)
+        idx = np.searchsorted(filt, pos)
+        idx[idx >= len(filt)] = max(len(filt) - 1, 0)
+        hit = (filt[idx] == pos) if len(filt) else np.zeros_like(pos, bool)
+        n_hit = hit.sum(axis=1).astype(np.int64)
+        return pa.table({"probe": pa.array(probes, pa.string()),
+                         "n_hit": pa.array(n_hit, pa.int64()),
+                         "is_member": pa.array((n_hit == BLOOM_K).astype(np.int64),
+                                               pa.int64())}
+                        ).cast(_BLOOM_PROBE_SCHEMA)
+
+    from ray.data.aggregate import Max
+
+    # Max dedups exact replicas (n_hit is a pure function of the probe)
+    return (pages_ds.map_batches(probe_partial, batch_format="pyarrow")
+            .groupby("probe").aggregate(Max("n_hit", alias_name="n_hit"),
+                                        Max("is_member", alias_name="is_member")))
+
+
+def bloom_url_filter_sql(table: str = "pages") -> str:
+    h1 = "('0x' || substr(md5('bf1' || chr(124) || u), 1, 15))::BIGINT"
+    h2 = "('0x' || substr(md5('bf2' || chr(124) || u), 1, 15))::BIGINT"
+    return f"""
+WITH el AS (SELECT url AS u FROM {table}),
+bits AS (
+  SELECT DISTINCT ({h1} + r.j * {h2}) % {BLOOM_M} AS bit
+  FROM el CROSS JOIN (SELECT CAST(range AS BIGINT) AS j
+                      FROM range(0, {BLOOM_K})) r
+),
+probes AS (
+  SELECT DISTINCT url AS probe FROM {table}
+  WHERE substr(md5('probe' || chr(124) || url), 1, 1) IN ('0', '1')
+),
+allp AS (
+  SELECT probe FROM probes
+  UNION ALL SELECT probe || '#absent' FROM probes
+),
+pb AS (
+  SELECT p.probe AS u, r.j
+  FROM allp p CROSS JOIN (SELECT CAST(range AS BIGINT) AS j
+                          FROM range(0, {BLOOM_K})) r
+),
+hits AS (
+  SELECT pb.u AS probe,
+         CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END AS hit
+  FROM pb LEFT JOIN bits b
+    ON ({h1.replace("|| u", "|| pb.u")} + pb.j * {h2.replace("|| u", "|| pb.u")})
+           % {BLOOM_M} = b.bit
+)
+SELECT probe, sum(hit)::BIGINT AS n_hit,
+       (sum(hit) = {BLOOM_K})::BIGINT AS is_member
+FROM hits GROUP BY 1
+"""

@@ -1202,3 +1202,29 @@ def test_gif_codec_roundtrip_and_hostiles():
     cut = blob[: blob.index(b"\x2C") + 11] + b"\x01" + blob[-3:-2] + b"\x00\x3B"
     with pytest.raises(ValueError):
         decode_gif(cut)
+
+
+def test_bloom_filter_one_sided(ray_session):
+    """Bloom structural invariants on real corpus urls: every PRESENT probe
+    is a member (no false negatives, by construction), absent twins are
+    mostly non-members (false-positive rate bounded well under the
+    theoretical (1-e^{-kn/m})^k at this fill), and n_hit==K iff member."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from osm_intersections_ray.sources.synthetic import ensure_fixtures
+    from osm_intersections_ray.stages import pages
+
+    fx = ensure_fixtures("/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{fx}/pages.parquet", columns=["url"])
+    out = pages.bloom_url_filter(rd.from_arrow(tbl)).to_pandas()
+    present = out[~out["probe"].str.endswith("#absent")]
+    absent = out[out["probe"].str.endswith("#absent")]
+    assert len(present) > 100 and len(absent) == len(present)
+    assert (present["is_member"] == 1).all()
+    assert (present["n_hit"] == pages.BLOOM_K).all()
+    assert ((out["n_hit"] == pages.BLOOM_K) == (out["is_member"] == 1)).all()
+    # m=2^18, k=4, n=10k urls -> fp ~ (1-exp(-4*10000/262144))^4 ~ 4e-4;
+    # allow an order of magnitude of slack before calling it broken
+    assert absent["is_member"].mean() < 0.01
