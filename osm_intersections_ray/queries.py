@@ -150,6 +150,8 @@ def queries() -> dict:
         _pages(sf, columns=["url", "html"]), _ways(sf))
     q["bloom_url_filter"] = lambda sf: pages.bloom_url_filter(
         _pages(sf, columns=["url"]))
+    q["mixture_resample"] = lambda sf: pages.mixture_resample(
+        _pages(sf, columns=["url", "text"]))
 
     q["warc_pages"] = lambda sf: warc_src.read_warc_pages(warc_src.ensure_warc(sf))
 
@@ -396,6 +398,7 @@ def oracle_sql() -> dict:
         "tile_pyramid": pages.tile_pyramid_sql(pages_tbl),
         "way_page_density": pages.way_page_density_sql(pages_tbl, ways_path),
         "bloom_url_filter": pages.bloom_url_filter_sql(pages_tbl),
+        "mixture_resample": pages.mixture_resample_sql(pages_tbl),
         "warc_pages": warc_src.warc_pages_sql(pages_tbl),
         "doc_stats": text.doc_stats_sql(),
         "lang_id": text.lang_id_sql(),

@@ -717,9 +717,11 @@ def domain_mix_weights(pages_ds):
     return weighted.map_batches(add_share, batch_format="pyarrow")
 
 
-def domain_mix_weights_sql(table: str = "pages") -> str:
-    return f"""
-WITH p AS (
+def _mix_cte(table: str) -> str:
+    """Shared CTE chain ending in ``mixs(site, n_pages, token_mass, weight,
+    share_ppm)`` — the single source of truth for the mix arithmetic, nested
+    by both the weights query and the resampler."""
+    return f"""p AS (
   SELECT regexp_extract(url, '{_SITE_RE}', 1) AS site,
          len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
              AS mass
@@ -728,11 +730,19 @@ WITH p AS (
 h AS (SELECT site, count(*)::BIGINT AS n_pages,
              sum(mass)::BIGINT AS token_mass
       FROM p WHERE coalesce(site, '') <> '' GROUP BY 1),
-w AS (SELECT *, CAST(floor(sqrt(token_mass)) AS BIGINT) AS weight FROM h)
-SELECT site, n_pages, token_mass, weight,
-       (weight * 1000000 // greatest(sum(weight) OVER (), 1))::BIGINT
-           AS share_ppm
-FROM w
+w AS (SELECT *, CAST(floor(sqrt(token_mass)) AS BIGINT) AS weight FROM h),
+mixs AS (
+  SELECT site, n_pages, token_mass, weight,
+         (weight * 1000000 // greatest(sum(weight) OVER (), 1))::BIGINT
+             AS share_ppm
+  FROM w
+)"""
+
+
+def domain_mix_weights_sql(table: str = "pages") -> str:
+    return f"""
+WITH {_mix_cte(table)}
+SELECT site, n_pages, token_mass, weight, share_ppm FROM mixs
 """
 
 
@@ -1021,4 +1031,87 @@ hits AS (
 SELECT probe, sum(hit)::BIGINT AS n_hit,
        (sum(hit) = {BLOOM_K})::BIGINT AS is_member
 FROM hits GROUP BY 1
+"""
+
+
+# --- mixture resampling (apply the mix weights to the corpus) ----------------
+
+_RESAMPLE_SCHEMA = pa.schema([("url", pa.string()), ("site", pa.string()),
+                              ("repeats", pa.int64())])
+
+
+def mixture_resample(pages_ds):
+    """Apply the domain mix to the corpus: per-page epoch repeat counts that
+    realize each site's :func:`domain_mix_weights` share over the total
+    token budget — the "repeat under-represented sources, subsample
+    over-represented ones" step of composing a training mix (cf. the
+    sqrt-temperature mixes of the Pile / CCNet lineage).
+
+    Exact integer policy: a site's token target is
+    ``T = total_mass * share_ppm // 1e6``; its per-page epoch factor in ppm
+    is ``q = T * 1e6 // token_mass``; a page repeats ``q // 1e6`` times plus
+    one more iff ``md5-h60('rs|'+url) % 1e6 < q % 1e6`` — deterministic
+    fractional epochs with no RNG, so the expected site mass is T exactly
+    and the SQL oracle reproduces every row.
+
+    Distributed shape: the site table (bounded by source count) reduces via
+    the domain_mix_weights partial-combine, the factor map broadcasts once
+    via ``ray.put`` (driver arithmetic is arbitrary-precision Python int —
+    no overflow at any scale; the oracle casts through HUGEINT), and the
+    corpus streams through one stateless map.  Pages with no parseable site
+    are dropped, like the weights query."""
+    import hashlib
+
+    import pandas as pd
+    import ray
+
+    from .common import cached_get
+
+    sites = domain_mix_weights(pages_ds).to_pandas()
+    total_mass = int(sites["token_mass"].sum())
+    fmap = {}
+    for site, mass, share in zip(sites["site"], sites["token_mass"],
+                                 sites["share_ppm"]):
+        t_site = total_mass * int(share) // 1_000_000
+        fmap[site] = t_site * 1_000_000 // max(int(mass), 1)
+    fref = ray.put(fmap)
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        fm = cached_get(fref)
+        url = b["url"].to_pandas()
+        site = url.str.extract(_SITE_RE, expand=False)
+        keep = site.notna().to_numpy()
+        url, site = url[keep], site[keep]
+        q = site.map(fm).to_numpy(dtype=np.int64)
+        h = np.fromiter(
+            (int(hashlib.md5(("rs|" + u).encode("utf-8")).hexdigest()[:15], 16)
+             for u in url), np.int64, len(url)) % 1_000_000
+        rep = q // 1_000_000 + (h < q % 1_000_000)
+        return pa.table({"url": pa.array(url.tolist(), pa.string()),
+                         "site": pa.array(site.tolist(), pa.string()),
+                         "repeats": pa.array(rep.astype(np.int64), pa.int64())}
+                        ).cast(_RESAMPLE_SCHEMA)
+
+    return pages_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def mixture_resample_sql(table: str = "pages") -> str:
+    return f"""
+WITH {_mix_cte(table)},
+tot AS (SELECT sum(token_mass)::BIGINT AS total FROM mixs),
+f AS (
+  SELECT site,
+         (((total::HUGEINT * share_ppm // 1000000) * 1000000)
+              // greatest(token_mass, 1))::BIGINT AS factor_ppm
+  FROM mixs, tot
+),
+pg AS (
+  SELECT url, regexp_extract(url, '{_SITE_RE}', 1) AS site FROM {table}
+)
+SELECT pg.url, pg.site,
+       (f.factor_ppm // 1000000
+        + CASE WHEN ('0x' || substr(md5('rs' || chr(124) || pg.url), 1, 15))::BIGINT
+                    % 1000000 < f.factor_ppm % 1000000
+               THEN 1 ELSE 0 END)::BIGINT AS repeats
+FROM pg JOIN f USING (site)
 """

@@ -1228,3 +1228,32 @@ def test_bloom_filter_one_sided(ray_session):
     # m=2^18, k=4, n=10k urls -> fp ~ (1-exp(-4*10000/262144))^4 ~ 4e-4;
     # allow an order of magnitude of slack before calling it broken
     assert absent["is_member"].mean() < 0.01
+
+
+def test_mixture_resample_policy(ray_session):
+    """Resample semantics: every page of a site repeats either floor(q) or
+    floor(q)+1 epochs (q = the site's exact integer epoch factor), and the
+    realized token mass per site lands within one page's mass of the
+    sqrt-temperature target implied by domain_mix_weights."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from osm_intersections_ray.sources.synthetic import ensure_fixtures
+    from osm_intersections_ray.stages import pages
+
+    fx = ensure_fixtures("/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{fx}/pages.parquet", columns=["url", "text"])
+    sites = pages.domain_mix_weights(rd.from_arrow(tbl)).to_pandas()
+    out = pages.mixture_resample(rd.from_arrow(tbl)).to_pandas()
+    total = int(sites["token_mass"].sum())
+    for r in sites.itertuples():
+        t_site = total * int(r.share_ppm) // 1_000_000
+        q = t_site * 1_000_000 // max(int(r.token_mass), 1)
+        got = out.loc[out["site"] == r.site, "repeats"]
+        assert set(got.unique()) <= {q // 1_000_000, q // 1_000_000 + 1}, r.site
+        # fractional-epoch draws are md5-uniform: realized floor+bernoulli
+        # mean matches q within a loose binomial bound
+        frac = (got == q // 1_000_000 + 1).mean()
+        assert abs(frac - (q % 1_000_000) / 1e6) < 0.25
+    assert len(out) == len(tbl)  # every fixture url has a parseable site
