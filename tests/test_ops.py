@@ -1257,3 +1257,62 @@ def test_mixture_resample_policy(ray_session):
         frac = (got == q // 1_000_000 + 1).mean()
         assert abs(frac - (q % 1_000_000) / 1e6) < 0.25
     assert len(out) == len(tbl)  # every fixture url has a parseable site
+
+
+def test_jpeg_codec_roundtrip_and_hostiles():
+    """Baseline JPEG codec: (1) the DC-only corpus decodes losslessly to the
+    closed-form sum; (2) a RANDOM image with a real quant table + restart
+    intervals decodes to the independently-computed quantized-coefficient
+    roundtrip (exercises AC run/size codes, ZRL, EOB, byte stuffing, RSTn
+    predictor resets); (3) hostile payloads are refused loudly."""
+    import numpy as np
+    import pytest
+
+    from osm_intersections_ray.stages.multimodal import (
+        _JPG_B, decode_jpeg, encode_jpeg,
+    )
+
+    # (1) corpus shape, with and without restarts
+    for d in (0, 5, 13):
+        w, h = 8 * (2 + d % 5), 8 * (2 + (d // 3) % 4)
+        seed = (d * 2654435761) % 256
+        lv = ((seed + 37 * np.arange((w // 8) * (h // 8))) % 256
+              ).reshape(h // 8, w // 8)
+        img = np.kron(lv, np.ones((8, 8), int)).astype(np.uint8)
+        blob = encode_jpeg(w, h, img, restart_interval=3 if d % 4 == 0 else 0)
+        assert decode_jpeg(blob) == (w, h, 1, 64 * int(lv.sum()))
+
+    # (2) lossy AC roundtrip vs an independent numpy coefficient pipeline
+    rng = np.random.default_rng(5)
+    q = np.array([
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ], np.int64)
+    img = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    blob = encode_jpeg(32, 24, img, quant=q, restart_interval=2)
+    tot = 0
+    for by in range(3):
+        for bx in range(4):
+            blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8].astype(float) - 128.0
+            zz = np.round((_JPG_B @ blk @ _JPG_B.T).ravel() / q) * q
+            rec = _JPG_B.T @ zz.reshape(8, 8) @ _JPG_B
+            tot += int(np.clip(np.round(rec) + 128.0, 0, 255).sum())
+    assert decode_jpeg(blob) == (32, 24, 1, tot)
+
+    # (3) hostiles
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(NotImplementedError):  # progressive SOF2
+        bad = bytearray(blob)
+        sof = bad.find(b"\xFF\xC0")
+        bad[sof + 1] = 0xC2
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError):           # truncated entropy stream
+        decode_jpeg(blob[:len(blob) - 8] + b"\xFF\xD9")
+    with pytest.raises((ValueError, NotImplementedError)):  # 16-bit precision
+        bad = bytearray(blob)
+        sof = bad.find(b"\xFF\xC0")
+        bad[sof + 4] = 16
+        decode_jpeg(bytes(bad))
