@@ -1331,3 +1331,171 @@ FROM dims d JOIN generate_series(0, {_JPG_BLOCKS_MAX}) s(i)
      ON s.i < (d.width // 8) * (d.height // 8)
 GROUP BY d.doc_id, d.width, d.height
 """
+
+
+# --- REAL video container: AVI/MJPEG ----------------------------------------
+# Motion-JPEG in a RIFF-AVI container — the same chunk grammar as the WAV
+# reader above, carrying one baseline JPEG per frame.  This upgrades the
+# video path from the FAKEAUD-style stub to a real demux + decode: the
+# sampler walks the RIFF tree, pulls every Nth '00dc' frame chunk, and runs
+# the baseline JPEG decoder on exactly those frames (frame-sample-then-
+# decode — the cheap order at 100 TB, since unsampled frames are never
+# entropy-decoded).
+
+VIDEO_SAMPLE_EVERY = 2
+
+
+def encode_avi_mjpeg(width: int, height: int, frames: list, fps: int = 10) -> bytes:
+    """Minimal spec-shaped AVI: hdrl (avih + vids/MJPG strl) + movi with one
+    '00dc' chunk per JPEG frame (odd sizes even-padded, per RIFF)."""
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0x10, len(frames),
+                       0, 1, 0, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<I", 0)
+            + struct.pack("<2H", 0, 0)
+            + struct.pack("<8I", 0, 1, fps, 0, len(frames), 0, 0, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<I2i2H2I2i2I", 40, width, height, 1, 24,
+                       0x47504A4D, width * height * 3, 0, 0, 0, 0)  # 'MJPG'
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(
+        b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_len) walking a RIFF chunk run
+    (even-padded), exactly like the WAV reader's walk."""
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        ln = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        yield fourcc, pos + 8, ln
+        pos += 8 + ln + (ln % 2)
+
+
+def decode_avi_mjpeg(blob: bytes, every: int = VIDEO_SAMPLE_EVERY):
+    """(width, height, n_frames, n_sampled, sum_px) from an AVI/MJPEG:
+    demux the RIFF tree, JPEG-decode every ``every``-th frame only."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    n_frames_hdr = width = height = None
+    handler_ok = False
+    frames = []
+    for fourcc, p, ln in _riff_chunks(blob, 12, 8 + struct.unpack(
+            "<I", blob[4:8])[0]):
+        if fourcc != b"LIST":
+            continue
+        kind = blob[p:p + 4]
+        if kind == b"hdrl":
+            for f2, p2, l2 in _riff_chunks(blob, p + 4, p + ln):
+                if f2 == b"avih":
+                    vals = struct.unpack("<14I", blob[p2:p2 + 56])
+                    n_frames_hdr, width, height = vals[4], vals[8], vals[9]
+                elif f2 == b"LIST" and blob[p2:p2 + 4] == b"strl":
+                    for f3, p3, l3 in _riff_chunks(blob, p2 + 4, p2 + l2):
+                        if f3 == b"strh" and blob[p3:p3 + 8] == b"vidsMJPG":
+                            handler_ok = True
+        elif kind == b"movi":
+            for f2, p2, l2 in _riff_chunks(blob, p + 4, p + ln):
+                if f2 == b"00dc":
+                    frames.append(blob[p2:p2 + l2])
+    if n_frames_hdr is None:
+        raise ValueError("missing avih header")
+    if not handler_ok:
+        raise NotImplementedError("only the MJPG video handler is supported")
+    if len(frames) != n_frames_hdr:
+        raise ValueError("frame-count mismatch between avih and movi")
+    total = 0
+    n_sampled = 0
+    for fi in range(0, len(frames), every):
+        fw, fh, _fc, fs = decode_jpeg(frames[fi])
+        if (fw, fh) != (width, height):
+            raise ValueError("frame dims disagree with the AVI header")
+        total += fs
+        n_sampled += 1
+    return width, height, len(frames), n_sampled, total
+
+
+class MJPEGFrameSample:
+    """Actor-pool stage: REAL video frame sampling — AVI demux + baseline
+    JPEG decode of every Nth frame, binary video ->
+    (width, height, n_frames, n_sampled, sum_px)."""
+
+    def __init__(self, every: int = VIDEO_SAMPLE_EVERY):
+        self.every = every
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        w, h, nf, ns, s = [], [], [], [], []
+        for blob in b["video"].to_pylist():
+            fw, fh, fn, fns, fs = decode_avi_mjpeg(blob, self.every)
+            w.append(fw)
+            h.append(fh)
+            nf.append(fn)
+            ns.append(fns)
+            s.append(fs)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "width": pa.array(np.asarray(w, np.int64)),
+            "height": pa.array(np.asarray(h, np.int64)),
+            "n_frames": pa.array(np.asarray(nf, np.int64)),
+            "n_sampled": pa.array(np.asarray(ns, np.int64)),
+            "sum_px": pa.array(np.asarray(s, np.int64)),
+        })
+
+
+_AVI_FRAMES_MAX = 8          # 4 + d % 5 <= 8
+_AVI_BLOCKS_MAX = 4 * 4 - 1  # per the dim formulas below
+
+
+def avi_media_batch(b: pa.Table) -> pa.Table:
+    """doc_id -> real AVI/MJPEG payload: 4..8 DC-only JPEG frames, frame f's
+    block bi at level (seed + 37*bi + 11*f) % 256 (all-ones quant ->
+    lossless, closed-form oracle)."""
+    blobs = []
+    for d in b["doc_id"].to_pylist():
+        w = 8 * (2 + d % 3)
+        h = 8 * (2 + (d // 2) % 3)
+        seed = (d * 2654435761) % 256
+        nfr = 4 + d % 5
+        nb = (w // 8) * (h // 8)
+        bi = np.arange(nb, dtype=np.int64)
+        frames = []
+        for f in range(nfr):
+            lv = ((seed + 37 * bi + 11 * f) % 256).reshape(h // 8, w // 8)
+            img = np.kron(lv, np.ones((8, 8), np.int64)).astype(np.uint8)
+            frames.append(encode_jpeg(w, h, img))
+        blobs.append(encode_avi_mjpeg(w, h, frames))
+    return pa.table({"doc_id": b["doc_id"], "video": pa.array(blobs, pa.binary())})
+
+
+def avi_decode_sql(table: str = "documents") -> str:
+    """Oracle: closed-form sum over the SAMPLED frames (f % EVERY == 0) of
+    the per-frame constant-block rasters."""
+    every = VIDEO_SAMPLE_EVERY
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         8 * (2 + doc_id % 3) AS width,
+         8 * (2 + (doc_id // 2) % 3) AS height,
+         (doc_id * 2654435761) % 256 AS seed,
+         4 + doc_id % 5 AS n_frames
+  FROM {table}
+)
+SELECT d.doc_id, d.width, d.height, d.n_frames,
+       ((d.n_frames + {every - 1}) // {every})::BIGINT AS n_sampled,
+       CAST(64 * SUM((d.seed + 37 * s.i + 11 * f.f) % 256) AS BIGINT) AS sum_px
+FROM dims d
+JOIN generate_series(0, {_AVI_FRAMES_MAX - 1}) f(f)
+     ON f.f < d.n_frames AND f.f % {every} = 0
+JOIN generate_series(0, {_AVI_BLOCKS_MAX}) s(i)
+     ON s.i < (d.width // 8) * (d.height // 8)
+GROUP BY d.doc_id, d.width, d.height, d.n_frames
+"""

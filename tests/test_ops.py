@@ -1316,3 +1316,41 @@ def test_jpeg_codec_roundtrip_and_hostiles():
         sof = bad.find(b"\xFF\xC0")
         bad[sof + 4] = 16
         decode_jpeg(bytes(bad))
+
+
+def test_avi_mjpeg_demux_and_hostiles():
+    """AVI/MJPEG video path: the demuxer finds exactly the '00dc' frames,
+    sampling decodes only every Nth frame, and hostile containers (bad
+    magic, non-MJPG handler, frame-count lies, wrong frame dims) fail
+    loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from osm_intersections_ray.stages.multimodal import (
+        decode_avi_mjpeg, encode_avi_mjpeg, encode_jpeg,
+    )
+
+    lv = np.arange(4).reshape(2, 2) * 50
+    img = np.kron(lv, np.ones((8, 8), int)).astype(np.uint8)
+    frames = [encode_jpeg(16, 16, (img + 3 * f) % 256) for f in range(5)]
+    blob = encode_avi_mjpeg(16, 16, frames)
+    w, h, nf, ns, s = decode_avi_mjpeg(blob, every=2)
+    assert (w, h, nf, ns) == (16, 16, 5, 3)
+    want = sum(64 * int(((lv + 3 * f) % 256).sum()) for f in (0, 2, 4))
+    assert s == want
+    # every=1 decodes all frames; every=5 decodes only frame 0
+    assert decode_avi_mjpeg(blob, every=1)[3] == 5
+    assert decode_avi_mjpeg(blob, every=5)[3] == 1
+
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFFxxxxWAVE" + blob[12:])
+    with pytest.raises(NotImplementedError):   # non-MJPG handler
+        decode_avi_mjpeg(blob.replace(b"vidsMJPG", b"vidsXVID"))
+    with pytest.raises(ValueError):            # avih frame-count lie
+        i = blob.find(b"avih") + 8 + 16
+        decode_avi_mjpeg(blob[:i] + struct.pack("<I", 99) + blob[i + 4:])
+    with pytest.raises(ValueError):            # frame dims vs header
+        bad_frames = [encode_jpeg(24, 16, np.zeros((16, 24), np.uint8))] * 2
+        decode_avi_mjpeg(encode_avi_mjpeg(16, 16, bad_frames))
