@@ -56,6 +56,12 @@ BENCH_QUERIES = [
     "graph_pagerank",       # iterative link-graph centrality, 1 exchange/round (session-7)
     "bm25_search",          # broadcast-query retrieval, integer BM25 (session-7)
     "image_decode_gif",     # real LZW decompress actor pool (session-7)
+    "tile_pyramid",         # multi-zoom rollup, 8 levels in one pass (session-8)
+    "way_page_density",     # spatial-join aggregate + metadata join (session-8)
+    "bloom_url_filter",     # mergeable bit-set sketch + probe pass (session-8)
+    "mixture_resample",     # exact-integer mix epochs, broadcast factors (session-8)
+    "image_decode_jpeg",    # real Huffman+IDCT decode actor pool (session-8)
+    "video_frame_sample",   # AVI demux + sampled-frame JPEG decode (session-8)
 ]
 
 

@@ -1354,3 +1354,38 @@ def test_avi_mjpeg_demux_and_hostiles():
     with pytest.raises(ValueError):            # frame dims vs header
         bad_frames = [encode_jpeg(24, 16, np.zeros((16, 24), np.uint8))] * 2
         decode_avi_mjpeg(encode_avi_mjpeg(16, 16, bad_frames))
+
+
+def test_jsonl_source_hostiles(ray_session, tmp_path):
+    """JSONL.gz ingest: unicode text, embedded quotes/newlines-as-escapes,
+    empty text, and a raw (uncompressed) shard all parse to the exact
+    projection."""
+    import gzip
+    import json
+
+    import pandas as pd
+
+    from osm_intersections_ray.sources.jsonl import read_jsonl_pages
+
+    rows = [
+        {"url": "https://e.org/a", "ts": 1, "lang": "en", "text": "plain"},
+        {"url": "https://e.org/b", "ts": 2, "lang": "fr",
+         "text": 'quotes " and \\ backslash and\nnewline and tab\t'},
+        {"url": "https://e.org/c", "ts": 3, "lang": "de", "text": ""},
+        {"url": "https://e.org/d", "ts": 4, "lang": "en", "text": "héllo 世界"},
+    ]
+    body = "\n".join(json.dumps(r, ensure_ascii=False, separators=(",", ":"))
+                     for r in rows) + "\n"
+    with gzip.open(tmp_path / "part-0000.jsonl.gz", "wb") as f:
+        f.write(body.encode("utf-8"))
+    out = read_jsonl_pages(str(tmp_path)).to_pandas()
+    out = out.sort_values("ts_us").reset_index(drop=True)
+    want = pd.DataFrame({
+        "url": [r["url"] for r in rows],
+        "ts_us": [r["ts"] for r in rows],
+        "lang": [r["lang"] for r in rows],
+        "n_chars": [len(r["text"]) for r in rows],
+    })
+    assert (out["url"] == want["url"]).all()
+    assert (out["n_chars"].to_numpy() == want["n_chars"].to_numpy()).all()
+    assert (out["lang"] == want["lang"]).all()
