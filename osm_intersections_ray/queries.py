@@ -168,6 +168,8 @@ def queries() -> dict:
         text.quality_score_batch, batch_format="pyarrow")
     q["fingerprint"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.fingerprint_batch, batch_format="pyarrow")
+    q["normalize_unicode"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
+        text.normalize_unicode_batch, batch_format="pyarrow")
 
     # --- dedup family
     q["exact_dedup"] = lambda sf: dedup.exact_dedup(_tbl(sf, "documents", ["doc_id", "text"]))
@@ -418,6 +420,7 @@ def oracle_sql() -> dict:
         "lang_confusion": text.lang_confusion_sql(),
         "quality_score": text.quality_score_sql(),
         "fingerprint": text.fingerprint_sql(),
+        "normalize_unicode": text.normalize_unicode_sql(),
         "exact_dedup": dedup.exact_dedup_sql(),
         "minhash_lsh_pairs": dedup.lsh_pairs_sql(),
         "near_dup_jaccard": dedup.jaccard_pairs_sql(),

@@ -1613,3 +1613,58 @@ SELECT doc_id, SUM(n)::BIGINT AS n_bigrams,
        (SUM(n * p) // SUM(n))::BIGINT AS lm_ppm
 FROM p GROUP BY doc_id
 """
+
+
+# --- Unicode NFC normalization ------------------------------------------------
+# The fixture corpus is ASCII (pinned by test_fixture_ascii_whitespace_
+# invariant), so — like the dedup family's messy twins — the query runs over
+# a deterministic augmentation: ~25% of docs (md5-selected) gain a suffix
+# containing DECOMPOSED sequences (e + U+0301 combining acute), built
+# codepoint-identically in the engine and in SQL.  NFC then composes them.
+
+_NFC_SUFFIX = " e\u0301clair vs \u00e9clair"  # NFD then NFC spelling of eclair
+_NFC_SUFFIX_SQL = "' e' || chr(769) || 'clair vs ' || chr(233) || 'clair'"
+
+
+def normalize_unicode_batch(b: pa.Table) -> pa.Table:
+    """Corpus Unicode hygiene: NFC-normalize every doc (the standard
+    pre-tokenization canonicalization — decomposed accents, compatibility
+    forms — cf. the normalizers stage of any tokenizer pipeline).  Returns
+    (doc_id, changed, n_chars_raw, n_chars_nfc, nfc_md5); stateless
+    per-batch map, no shuffle."""
+    import hashlib
+    import unicodedata
+
+    ids = b["doc_id"].to_pylist()
+    texts = ["" if t is None else t for t in b["text"].to_pylist()]
+    aug = [t + _NFC_SUFFIX
+           if hashlib.md5(f"nfc|{d}".encode()).hexdigest()[0] in "0123" else t
+           for d, t in zip(ids, texts)]
+    nfc = [unicodedata.normalize("NFC", t) for t in aug]
+    return pa.table({
+        "doc_id": b["doc_id"],
+        "changed": pa.array([int(a != n) for a, n in zip(aug, nfc)], pa.int64()),
+        "n_chars_raw": pa.array([len(t) for t in aug], pa.int64()),
+        "n_chars_nfc": pa.array([len(t) for t in nfc], pa.int64()),
+        "nfc_md5": pa.array([hashlib.md5(t.encode("utf-8")).hexdigest()
+                             for t in nfc], pa.string()),
+    })
+
+
+def normalize_unicode_sql(table: str = "documents") -> str:
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5('nfc' || chr(124) || CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3')
+              THEN coalesce(text, '') || {_NFC_SUFFIX_SQL}
+              ELSE coalesce(text, '') END AS t
+  FROM {table}
+)
+SELECT doc_id,
+       (t <> nfc_normalize(t))::BIGINT AS changed,
+       length(t)::BIGINT AS n_chars_raw,
+       length(nfc_normalize(t))::BIGINT AS n_chars_nfc,
+       md5(nfc_normalize(t)) AS nfc_md5
+FROM a
+"""

@@ -55,6 +55,8 @@ DOC_QUERIES = [
     "decontaminate", "repetition_stats", "pack_sequences",
     "collocations", "doc_chunks", "graph_pagerank", "bm25_search",
     "cluster_representatives", "lm_score", "inverted_index",
+    "image_decode_gif", "image_decode_jpeg", "video_frame_sample",
+    "normalize_unicode",
 ]
 
 
