@@ -195,6 +195,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
     q["dup_ngram_stats"] = lambda sf: dedup.dup_ngram_stats(
         _tbl(sf, "documents", ["doc_id", "text"]))
+    q["paragraph_dedup"] = lambda sf: dedup.paragraph_dedup(
+        _tbl(sf, "documents", ["doc_id", "text"]))
     q["bpe_token_count"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.bpe_token_count_batch, batch_format="pyarrow")
     q["sample_docs"] = lambda sf: _tbl(sf, "documents", ["doc_id"]).map_batches(
@@ -431,6 +433,7 @@ def oracle_sql() -> dict:
         "dup_clusters": dedup.dup_clusters_sql(),
         "cluster_representatives": dedup.cluster_representatives_sql(),
         "dup_ngram_stats": dedup.dup_ngram_stats_sql(),
+        "paragraph_dedup": dedup.paragraph_dedup_sql(),
         "bpe_token_count": text.bpe_token_count_sql(),
         "sample_docs": text.sample_docs_sql(),
         "token_quantiles": text.token_quantiles_sql(),

@@ -1341,3 +1341,153 @@ SELECT doc_id, n_grams, n_dup_grams,
        (n_dup_grams * 1000 // n_grams)::BIGINT AS dup_pm
 FROM per_doc
 """
+
+
+# --- corpus-level duplicate-paragraph removal --------------------------------
+# The CCNet / Lee-et-al. boilerplate scrub: a paragraph is dropped wherever
+# it occurs EXCEPT its globally-first occurrence (order = (doc_id, pos)).
+# The fixture texts carry no newlines, so — like the dedup family's other
+# augmentations — boilerplate paragraphs are injected deterministically
+# (md5-selected ~31% of docs append one of two banners, ~12% also prepend
+# the other), built byte-identically in the engine and the SQL oracle.
+
+_PAR_SEP = "\n\n"
+_PAR_BOILER = ["Subscribe to our newsletter for daily updates.",
+               "All rights reserved. Terms of service apply."]
+_PAR_ROWS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("pos", pa.int64()), ("phash", pa.int64()),
+    ("key", pa.int64()), ("n_pars", pa.int64()), ("ptext", pa.string()),
+])
+
+
+def _augment_paragraphs(ids, texts):
+    out = []
+    for d, t in zip(ids, texts):
+        hx = hashlib.md5(f"pb|{d}".encode()).hexdigest()
+        t = t or ""
+        if hx[0] in "01234":
+            t = t + _PAR_SEP + _PAR_BOILER[int(hx[1], 16) % 2]
+        if hx[2] in "01":
+            t = _PAR_BOILER[(int(hx[1], 16) + 1) % 2] + _PAR_SEP + t
+        out.append(t)
+    return out
+
+
+def paragraph_dedup(ds):
+    """Sub-document dedup: split every doc into paragraphs, keep each
+    distinct paragraph only at its globally-first (doc_id, pos) occurrence,
+    and rebuild the scrubbed docs.  Returns (doc_id, n_pars, n_kept,
+    clean_md5) for every doc that keeps at least one paragraph (a doc whose
+    every paragraph appeared earlier vanishes, exactly like the oracle).
+
+    Distributed shape: paragraph rows carry an md5-h60 ``phash``; the
+    winner per hash is a packed int64 ``Min`` on ONE (phash) groupby (no
+    text moves); kept rows are selected by a phash-keyed hash
+    ``Dataset.join`` (both sides O(paragraphs), partitions capped); docs
+    rebuild in a doc-sharded pandas pass.  Nothing corpus-sized touches the
+    driver."""
+    from ray.data.aggregate import Min
+
+    from .common import drop_empty_blocks
+
+    def par_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        aug = _augment_paragraphs(ids, b["text"].to_pylist())
+        d_, p_, h_, k_, n_, t_ = [], [], [], [], [], []
+        for d, t in zip(ids, aug):
+            pars = t.split(_PAR_SEP)
+            for i, ptxt in enumerate(pars, start=1):
+                d_.append(d)
+                p_.append(i)
+                h_.append(int(hashlib.md5(ptxt.encode("utf-8")).hexdigest()[:15], 16))
+                k_.append(d * 64 + i)
+                n_.append(len(pars))
+                t_.append(ptxt)
+        return pa.table({"doc_id": pa.array(d_, pa.int64()),
+                         "pos": pa.array(p_, pa.int64()),
+                         "phash": pa.array(h_, pa.int64()),
+                         "key": pa.array(k_, pa.int64()),
+                         "n_pars": pa.array(n_, pa.int64()),
+                         "ptext": pa.array(t_, pa.string())}
+                        ).cast(_PAR_ROWS_SCHEMA)
+
+    pars = ds.map_batches(par_rows, batch_format="pyarrow")
+
+    def hash_key_only(b: pa.Table) -> pa.Table:
+        return b.select(["phash", "key"]).replace_schema_metadata(None)
+
+    winners = drop_empty_blocks(
+        pars.map_batches(hash_key_only, batch_format="pyarrow")
+        .groupby("phash").aggregate(Min("key", alias_name="minkey"))
+        .materialize())
+    joined = pars.join(winners, join_type="inner",
+                       num_partitions=cap_join_partitions(16), on=("phash",))
+
+    def keep_kept(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = b.filter(pc.equal(b["key"], b["minkey"]))
+        sh = pc.cast(pc.bit_wise_and(kept["doc_id"], 63), pa.int64())
+        return kept.select(["doc_id", "pos", "n_pars", "ptext"]
+                           ).append_column("dshard", sh)
+
+    kept = ds_kept = joined.map_batches(keep_kept, batch_format="pyarrow")
+
+    def rebuild(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["doc_id", "pos"], kind="stable")
+        g = df.groupby("doc_id", sort=False)
+        out = g.agg(n_pars=("n_pars", "first"), n_kept=("pos", "size"),
+                    clean=("ptext", lambda s: _PAR_SEP.join(s))).reset_index()
+        out["clean_md5"] = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                            for t in out["clean"]]
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "n_pars": pa.array(out["n_pars"].to_numpy(), pa.int64()),
+            "n_kept": pa.array(out["n_kept"].to_numpy(), pa.int64()),
+            "clean_md5": pa.array(out["clean_md5"].tolist(), pa.string()),
+        })
+
+    return (ds_kept.groupby("dshard")
+            .map_groups(rebuild, batch_format="pandas"))
+
+
+def paragraph_dedup_sql(table: str = "documents") -> str:
+    sep = "chr(10) || chr(10)"
+    b0 = _PAR_BOILER[0].replace("'", "''")
+    b1 = _PAR_BOILER[1].replace("'", "''")
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5('pb' || chr(124) || CAST(doc_id AS VARCHAR)), 3, 1)
+                   IN ('0','1')
+              THEN (CASE WHEN (('0x' || substr(md5('pb' || chr(124) ||
+                        CAST(doc_id AS VARCHAR)), 2, 1))::INT + 1) % 2 = 0
+                    THEN '{b0}' ELSE '{b1}' END) || {sep} ELSE '' END
+         ||
+         coalesce(text, '')
+         ||
+         CASE WHEN substr(md5('pb' || chr(124) || CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4')
+              THEN {sep} || (CASE WHEN ('0x' || substr(md5('pb' || chr(124) ||
+                        CAST(doc_id AS VARCHAR)), 2, 1))::INT % 2 = 0
+                    THEN '{b0}' ELSE '{b1}' END) ELSE '' END AS t
+  FROM {table}
+),
+pars AS (
+  SELECT doc_id, u.i::BIGINT AS pos, u.p AS ptext
+  FROM a, LATERAL (SELECT unnest(string_split(t, {sep})) AS p,
+                          unnest(generate_series(1, len(string_split(t, {sep})))) AS i) u
+),
+h AS (
+  SELECT *, ('0x' || substr(md5(ptext), 1, 15))::BIGINT AS phash,
+         doc_id * 64 + pos AS key
+  FROM pars
+),
+w AS (SELECT phash, min(key) AS minkey FROM h GROUP BY 1),
+kept AS (SELECT h.* FROM h JOIN w ON h.phash = w.phash AND h.key = w.minkey),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_pars FROM h GROUP BY 1)
+SELECT k.doc_id, t.n_pars, count(*)::BIGINT AS n_kept,
+       md5(string_agg(k.ptext, {sep} ORDER BY k.pos)) AS clean_md5
+FROM kept k JOIN tot t USING (doc_id)
+GROUP BY k.doc_id, t.n_pars
+"""

@@ -1389,3 +1389,43 @@ def test_jsonl_source_hostiles(ray_session, tmp_path):
     assert (out["url"] == want["url"]).all()
     assert (out["n_chars"].to_numpy() == want["n_chars"].to_numpy()).all()
     assert (out["lang"] == want["lang"]).all()
+
+
+def test_paragraph_dedup_semantics(ray_session):
+    """Corpus-level paragraph scrub: each injected boilerplate banner
+    survives in exactly ONE doc (its globally-first occurrence); all other
+    docs lose it (n_kept < n_pars); docs keep their own unique body."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import dedup
+
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                        columns=["doc_id", "text"])
+    out = dedup.paragraph_dedup(rd.from_arrow(tbl)).to_pandas()
+    ids = tbl["doc_id"].to_pylist()
+    texts = tbl["text"].to_pylist()
+    aug = dedup._augment_paragraphs(ids, texts)
+    # single-process reference: first occurrence by (doc_id, pos)
+    seen, ref = {}, {}
+    for d, t in sorted(zip(ids, aug)):
+        pars = t.split(dedup._PAR_SEP)
+        kept = []
+        for i, p in enumerate(pars, start=1):
+            if p not in seen:
+                seen[p] = (d, i)
+                kept.append(p)
+        if kept:
+            ref[d] = (len(pars), len(kept),
+                      hashlib.md5(dedup._PAR_SEP.join(kept).encode()).hexdigest())
+    got = {int(r.doc_id): (int(r.n_pars), int(r.n_kept), r.clean_md5)
+           for r in out.itertuples()}
+    assert got == ref
+    # non-vacuous: boilerplate was injected AND dropped somewhere
+    dropped = out[out["n_kept"] < out["n_pars"]]
+    assert len(dropped) > 50
+    multi = out[out["n_pars"] > 1]
+    assert len(multi) > 100
