@@ -170,6 +170,8 @@ def queries() -> dict:
         text.fingerprint_batch, batch_format="pyarrow")
     q["normalize_unicode"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.normalize_unicode_batch, batch_format="pyarrow")
+    q["quality_rank"] = lambda sf: text.quality_rank(
+        _tbl(sf, "documents", ["doc_id", "text"]))
 
     # --- dedup family
     q["exact_dedup"] = lambda sf: dedup.exact_dedup(_tbl(sf, "documents", ["doc_id", "text"]))
@@ -423,6 +425,7 @@ def oracle_sql() -> dict:
         "quality_score": text.quality_score_sql(),
         "fingerprint": text.fingerprint_sql(),
         "normalize_unicode": text.normalize_unicode_sql(),
+        "quality_rank": text.quality_rank_sql(),
         "exact_dedup": dedup.exact_dedup_sql(),
         "minhash_lsh_pairs": dedup.lsh_pairs_sql(),
         "near_dup_jaccard": dedup.jaccard_pairs_sql(),

@@ -1668,3 +1668,67 @@ SELECT doc_id,
        md5(nfc_normalize(t)) AS nfc_md5
 FROM a
 """
+
+
+# --- exact global ranking (distributed order statistics) ----------------------
+
+RANK_ID_SHARDS = 8  # id-range shards per quality level
+
+
+def quality_rank(ds):
+    """EXACT global rank of every doc under (quality DESC, doc_id ASC) —
+    the "sort the corpus by quality and take the top N" primitive, computed
+    WITHOUT a global sort: the composite key is range-sharded
+    (``(100 - quality) * S + doc_id // w``, so shard order == rank order),
+    per-shard counts fold into exclusive bases on the driver (<= 101*S
+    rows, independent of corpus size), and each shard finishes locally with
+    a sort + arange over its own rows.  Same machinery as the
+    pack_sequences prefix sum; at larger scale S grows, the driver table
+    stays O(levels x S)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from .common import cached_get
+
+    scored = (ds.map_batches(quality_score_batch, batch_format="pyarrow")
+              .materialize())
+    max_id = scored.max("doc_id")
+    w = max_id // RANK_ID_SHARDS + 1
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        q = np.asarray(b["quality"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        sh = (100 - q) * RANK_ID_SHARDS + ids // w
+        return b.append_column("shard", pa.array(sh, pa.int64()))
+
+    sharded = scored.map_batches(add_shard, batch_format="pyarrow")
+    totals = (sharded.groupby("shard").aggregate(Count(alias_name="n"))
+              .to_pandas().sort_values("shard"))  # <= 101 * S rows
+    cum = np.concatenate([[0], np.cumsum(totals["n"].to_numpy())[:-1]])
+    bases = dict(zip((int(s) for s in totals["shard"]),
+                     (int(c) for c in cum)))
+    bref = ray.put(bases)
+
+    def per_shard(g) -> pa.Table:
+        base = cached_get(bref)[int(g["shard"].iloc[0])]
+        g = g.sort_values("doc_id", kind="stable")
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "quality": pa.array(g["quality"].to_numpy(), pa.int64()),
+            "rank": pa.array(base + 1 + np.arange(len(g), dtype=np.int64),
+                             pa.int64()),
+        })
+
+    return sharded.groupby("shard").map_groups(per_shard, batch_format="pandas")
+
+
+def quality_rank_sql(table: str = "documents") -> str:
+    inner = quality_score_sql(table, cte_prefix="qr_")
+    return f"""
+WITH q AS ({inner})
+SELECT doc_id, quality,
+       row_number() OVER (ORDER BY quality DESC, doc_id ASC)::BIGINT AS rank
+FROM q
+"""

@@ -56,7 +56,7 @@ DOC_QUERIES = [
     "collocations", "doc_chunks", "graph_pagerank", "bm25_search",
     "cluster_representatives", "lm_score", "inverted_index",
     "image_decode_gif", "image_decode_jpeg", "video_frame_sample",
-    "normalize_unicode",
+    "normalize_unicode", "quality_rank", "paragraph_dedup",
 ]
 
 

@@ -1429,3 +1429,23 @@ def test_paragraph_dedup_semantics(ray_session):
     assert len(dropped) > 50
     multi = out[out["n_pars"] > 1]
     assert len(multi) > 100
+
+
+def test_quality_rank_permutation(ray_session):
+    """Global rank is a permutation of 1..n consistent with
+    (quality DESC, doc_id ASC), computed without a global sort."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import text
+
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                        columns=["doc_id", "text"])
+    out = text.quality_rank(rd.from_arrow(tbl)).to_pandas()
+    n = len(out)
+    assert sorted(out["rank"]) == list(range(1, n + 1))
+    srt = out.sort_values("rank")
+    key = list(zip(-srt["quality"].to_numpy(), srt["doc_id"].to_numpy()))
+    assert key == sorted(key)
+    assert out["quality"].nunique() > 1  # non-vacuous ordering
