@@ -65,9 +65,18 @@ def _strip_meta(b):
 
 
 def _tbl(sf_dir: str, name: str, columns=None):
-    return rd.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
-    ).map_batches(_strip_meta, batch_format="pyarrow", batch_size=None)
+    # pass a metadata-stripped schema at the READ so even the read operator's
+    # own block-schema dedup hash never sees the driver testdata's pandas
+    # dict metadata (the worker-side "Failed to hash the schemas" warning);
+    # the _strip_meta map stays as the belt for any other metadata source
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    import pyarrow as pa
+
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=sch).map_batches(
+        _strip_meta, batch_format="pyarrow", batch_size=None)
 
 
 def queries() -> dict:
