@@ -382,6 +382,14 @@ def queries() -> dict:
     q["late_shipment_priority"] = lambda sf: relational.late_shipment_priority(
         _tbl(sf, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]),
         _tbl(sf, "lineitem", ["l_orderkey", "l_shipdate"]))
+    def promo_rev(sf):
+        part = pq.read_table(os.path.join(sf, "part.parquet"),
+                             columns=["p_partkey", "p_type"])
+        return relational.promo_revenue(
+            _tbl(sf, "lineitem", ["l_partkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"]), part)
+
+    q["promo_revenue"] = promo_rev
     q["top_parts"] = lambda sf: relational.top_parts(
         _tbl(sf, "part", ["p_partkey", "p_name", "p_retailprice"]))
     q["top_parts_per_brand"] = lambda sf: relational.top_parts_per_brand(
@@ -496,6 +504,7 @@ def oracle_sql() -> dict:
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "shipping_priority": relational.shipping_priority_sql(),
         "late_shipment_priority": relational.late_shipment_priority_sql(),
+        "promo_revenue": relational.promo_revenue_sql(),
         "top_parts": relational.top_parts_sql(),
         "top_parts_per_brand": relational.top_parts_per_brand_sql(),
         "customers_without_orders": filters.customers_without_orders_sql(),

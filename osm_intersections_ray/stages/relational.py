@@ -495,3 +495,74 @@ FROM orders o JOIN ms ON o.o_orderkey = ms.l_orderkey
 WHERE ms.max_ship_us > epoch_us(o.o_orderdate) + {_LATE_US}
 GROUP BY 1
 """
+
+
+# --- TPC-H Q14-shaped: promo revenue share per month --------------------------
+
+_PROMO_PARTIAL_SCHEMA = pa.schema([
+    ("ym", pa.int64()), ("promo_cents", pa.int64()), ("total_cents", pa.int64()),
+])
+
+
+def promo_revenue(lineitem_ds, part_tbl: pa.Table):
+    """TPC-H Q14 shape: monthly promo-revenue share.  The part dim ships
+    once as a partkey -> is-PROMO boolean Series (vectorized ``.map``
+    gather, like revenue_by_nation — part is the declared-small side; at
+    planet scale route through a partkey hash join exactly like
+    shipping_priority's customer side); lineitem streams with per-batch
+    (year*100+month) partials, one tiny groupby, and the share computed as
+    exact integer ppm so the oracle matches bit-for-bit."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    is_promo = pd.Series(
+        np.fromiter((1 if t.startswith("PROMO") else 0
+                     for t in part_tbl["p_type"].to_pylist()), np.int64,
+                    part_tbl.num_rows),
+        index=part_tbl["p_partkey"].to_numpy(zero_copy_only=False))
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["l_shipdate"].to_pandas()
+        ym = (s.dt.year * 100 + s.dt.month).to_numpy(dtype=np.int64)
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        cents = round_half_away_np(px * (1 - disc) * 100)
+        promo = pd.Series(
+            b["l_partkey"].to_numpy(zero_copy_only=False)).map(is_promo).to_numpy(
+            dtype=np.int64)
+        df = pd.DataFrame({"ym": ym, "promo_cents": cents * promo,
+                           "total_cents": cents})
+        g = df.groupby("ym", sort=False).agg(
+            promo_cents=("promo_cents", "sum"),
+            total_cents=("total_cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_PROMO_PARTIAL_SCHEMA
+                                    ).replace_schema_metadata(None)
+
+    agg = (lineitem_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("ym").aggregate(Sum("promo_cents", alias_name="promo_cents"),
+                                    Sum("total_cents", alias_name="total_cents")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        p = np.asarray(b["promo_cents"].to_numpy(zero_copy_only=False), np.int64)
+        t = np.asarray(b["total_cents"].to_numpy(zero_copy_only=False), np.int64)
+        share = p * 1_000_000 // np.maximum(t, 1)
+        return b.append_column("promo_ppm", pa.array(share, pa.int64()))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def promo_revenue_sql() -> str:
+    return """
+WITH l AS (
+  SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT AS ym,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+         CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS promo
+  FROM lineitem JOIN part p ON p.p_partkey = l_partkey
+)
+SELECT ym, sum(cents * promo)::BIGINT AS promo_cents,
+       sum(cents)::BIGINT AS total_cents,
+       (sum(cents * promo) * 1000000 // greatest(sum(cents), 1))::BIGINT AS promo_ppm
+FROM l GROUP BY 1
+"""
