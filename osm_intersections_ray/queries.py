@@ -324,6 +324,11 @@ def queries() -> dict:
         .map_batches(multimodal.avi_media_batch, batch_format="pyarrow", batch_size=256)
         .map_batches(multimodal.MJPEGFrameSample, batch_format="pyarrow",
                      batch_size=128, concurrency=(1, 8)))
+    q["audio_decode_flac"] = lambda sf: (
+        _tbl(sf, "documents", ["doc_id"])
+        .map_batches(multimodal.flac_media_batch, batch_format="pyarrow", batch_size=256)
+        .map_batches(multimodal.FLACDecode, batch_format="pyarrow",
+                     batch_size=128, concurrency=(1, 8)))
     q["audio_decode_wav"] = lambda sf: (
         _tbl(sf, "documents", ["doc_id"])
         .map_batches(multimodal.wav_media_batch, batch_format="pyarrow", batch_size=512)
@@ -485,6 +490,7 @@ def oracle_sql() -> dict:
         "image_decode_gif": multimodal.gif_decode_sql(),
         "image_decode_jpeg": multimodal.jpeg_decode_sql(),
         "video_frame_sample": multimodal.avi_decode_sql(),
+        "audio_decode_flac": multimodal.flac_decode_sql(),
         "audio_decode_wav": multimodal.audio_decode_sql(),
         "image_resize_ppm": multimodal.image_resize_sql(),
         "knn_cosine": similarity.knn_sql(),

@@ -1449,3 +1449,45 @@ def test_quality_rank_permutation(ray_session):
     key = list(zip(-srt["quality"].to_numpy(), srt["doc_id"].to_numpy()))
     assert key == sorted(key)
     assert out["quality"].nunique() > 1  # non-vacuous ordering
+
+
+def test_flac_codec_roundtrip_and_hostiles():
+    """FLAC-subset codec: lossless roundtrip on random audio across rice
+    partition orders 0/2/3 and multi-frame streams with a short tail block;
+    UTF-8 frame-number coding round-trips multi-byte values; hostile
+    payloads (bad magic, flipped residual bit -> CRC-16, truncated stream,
+    stereo refusal) fail loudly."""
+    import numpy as np
+    import pytest
+
+    from osm_intersections_ray.stages.multimodal import (
+        _FlacBitReader, _read_utf8_number, _utf8_number,
+        decode_flac, encode_flac,
+    )
+
+    rng = np.random.default_rng(21)
+    s = rng.integers(-30000, 30000, 3000).astype(np.int64)  # full int16 range
+    for po in (0, 2, 3):
+        blob = encode_flac(s, partition_order=po)
+        assert decode_flac(blob) == (8000, 1, 3000, int(np.abs(s).sum()))
+    # the predictor actually compresses smooth audio (noise won't)
+    saw = (np.arange(4000, dtype=np.int64) * 7) % 2048 - 1024
+    assert len(encode_flac(saw)) < 2 * len(saw) * 0.6
+
+    # UTF-8 frame numbers: single and multi-byte
+    for n in (0, 127, 128, 5000, 1 << 20):
+        br = _FlacBitReader(_utf8_number(n))
+        assert _read_utf8_number(br) == n
+
+    with pytest.raises(ValueError):
+        decode_flac(b"RIFF not flac")
+    with pytest.raises(NotImplementedError):   # stereo STREAMINFO
+        bad = bytearray(encode_flac(s))
+        bad[8 + 12] |= 0x0E                    # channels-1 bits in STREAMINFO
+        decode_flac(bytes(bad))
+    with pytest.raises(ValueError):            # flipped bit deep in residuals
+        bad = bytearray(encode_flac(s))
+        bad[len(bad) // 2] ^= 0x10
+        decode_flac(bytes(bad))
+    with pytest.raises(ValueError):            # truncated
+        decode_flac(encode_flac(s)[:-40])
