@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "mixture_resample",     # exact-integer mix epochs, broadcast factors (session-8)
     "image_decode_jpeg",    # real Huffman+IDCT decode actor pool (session-8)
     "video_frame_sample",   # AVI demux + sampled-frame JPEG decode (session-8)
+    "audio_decode_flac",    # rice+predictor lossless audio decode (session-8)
+    "paragraph_dedup",      # corpus-level boilerplate scrub (session-8)
+    "quality_rank",         # exact global order statistics (session-8)
+    "jsonl_pages",          # vectorized NDJSON.gz ingest (session-8)
 ]
 
 

@@ -1,14 +1,15 @@
 """Multimodal column stages: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The container has no codec wheels, but FIVE real formats are decoded with
-stdlib + numpy alone: binary netpbm (P6/P5), RIFF/WAVE PCM16, and — since
-zlib is stdlib — actual compressed PNG (8-bit RGB: DEFLATE + all five
-scanline filters + CRC-checked chunks), GIF87a (variable-width LZW,
-CLEAR resets, KwKwK), and baseline sequential JPEG (canonical Huffman,
-zigzag/dequant, float IDCT, restart markers — see the codec section below).
-Only exotic codecs (FLAC/AV1/HEVC) remain stubbed behind the FAKEIMG1
-stand-in shape; all the Ray-side plumbing
+The container has no codec wheels, but SEVEN real formats are decoded with
+stdlib + numpy alone — images: binary netpbm (P6/P5), compressed PNG
+(DEFLATE + all five scanline filters + CRC-checked chunks), GIF87a
+(variable-width LZW, CLEAR resets, KwKwK), baseline sequential JPEG
+(canonical Huffman, zigzag/dequant, float IDCT, restart markers); audio:
+RIFF/WAVE PCM16 and a FLAC subset (rice-coded fixed-predictor subframes,
+CRC-8/16, STREAMINFO md5); video: AVI/MJPEG (RIFF demux + per-sampled-frame
+JPEG decode).  Only transform codecs beyond these (AV1/HEVC/Vorbis) remain
+stubbed behind the FAKEIMG1 stand-in shape; all the Ray-side plumbing
 is real and tested: schemas, actor signatures, small-batch sizing for wide
 binary rows, and the project-early pattern (metadata splits off before any
 shuffle; bytes never pass through a groupby).
