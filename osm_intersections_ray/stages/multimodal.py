@@ -1516,22 +1516,34 @@ GROUP BY d.doc_id, d.width, d.height, d.n_frames
 _FLAC_BLOCK = 1024  # fixed encoder block size (decoder reads any)
 
 
+def _crc_table(poly: int, width: int) -> list:
+    top, mask = 1 << (width - 1), (1 << width) - 1
+    tbl = []
+    for byte in range(256):
+        crc = byte << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        tbl.append(crc)
+    return tbl
+
+
+_CRC8_TBL = _crc_table(0x07, 8)
+_CRC16_TBL = _crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    tbl = _CRC8_TBL
     for byte in data:
-        crc ^= byte
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = tbl[crc ^ byte]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    tbl = _CRC16_TBL
     for byte in data:
-        crc ^= byte << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = (tbl[(crc >> 8) ^ byte] ^ (crc << 8)) & 0xFFFF
     return crc
 
 
@@ -1554,6 +1566,21 @@ class _FlacBitWriter:
             self.put(0, 32)
             q -= 32
         self.put(1, q + 1)  # q zeros then a one
+
+    def put_bits(self, arr: np.ndarray):
+        """Append a 0/1 uint8 bit array in bulk (np.packbits for the whole
+        bytes, scalar puts only for the <8-bit head/tail)."""
+        if self.n:
+            pend = np.fromiter(((self.acc >> (self.n - 1 - i)) & 1
+                                for i in range(self.n)), np.uint8, self.n)
+            arr = np.concatenate([pend, arr])
+            self.n = 0
+            self.acc = 0
+        nbytes = len(arr) // 8
+        if nbytes:
+            self.buf += np.packbits(arr[:nbytes * 8]).tobytes()
+        for b in arr[nbytes * 8:]:
+            self.put(int(b), 1)
 
     def pad(self):
         if self.n:
@@ -1718,10 +1745,23 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 8000,
                 ri += cnt
                 k = _rice_best_k(part) if len(part) else 0
                 bw.put(k, 4)
-                for uv in part:
-                    bw.put_unary(int(uv) >> k)
-                    if k:
-                        bw.put(int(uv) & ((1 << k) - 1), k)
+                if not len(part):
+                    continue
+                # bulk rice: one zeros array, terminator ones + remainder
+                # bits placed by fancy indexing, packed 8 at a time
+                q = part >> k
+                lens = q + 1 + k
+                starts = np.concatenate(
+                    [[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+                z = np.zeros(int(lens.sum()), np.uint8)
+                term = starts + q
+                z[term] = 1
+                if k:
+                    idx = (term[:, None] + 1 + np.arange(k)).ravel()
+                    z[idx] = ((part[:, None]
+                               >> np.arange(k - 1, -1, -1)) & 1
+                              ).astype(np.uint8).ravel()
+                bw.put_bits(z)
         bw.pad()
         frame = bytes(bw.buf)
         crc = _crc16(frame)
