@@ -208,6 +208,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text"]))
     q["paragraph_dedup"] = lambda sf: dedup.paragraph_dedup(
         _tbl(sf, "documents", ["doc_id", "text"]))
+    q["scrub_dup_ngrams"] = lambda sf: dedup.scrub_dup_ngrams(
+        _tbl(sf, "documents", ["doc_id", "text"]))
     q["bpe_token_count"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.bpe_token_count_batch, batch_format="pyarrow")
     q["sample_docs"] = lambda sf: _tbl(sf, "documents", ["doc_id"]).map_batches(
@@ -361,6 +363,8 @@ def queries() -> dict:
         _tbl(sf, "events", ["user_id", "ts"]))
     q["props_kv_stats"] = lambda sf: events.props_kv_stats(
         _tbl(sf, "events", ["event_type", "props"]))
+    q["events_rollup"] = lambda sf: events.events_rollup(
+        _tbl(sf, "events", ["event_type", "ts", "value"]))
 
     # --- relational building blocks
     q["pricing_summary"] = lambda sf: relational.pricing_summary(
@@ -384,6 +388,16 @@ def queries() -> dict:
                                   "l_discount", "l_shipdate"]))
 
     q["shipping_priority"] = ship_prio
+
+    def big_ords(sf):
+        cust = pq.read_table(os.path.join(sf, "customer.parquet"),
+                             columns=["c_custkey", "c_name"])
+        return relational.big_orders(
+            _tbl(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                "o_totalprice"]),
+            _tbl(sf, "lineitem", ["l_orderkey", "l_quantity"]), cust)
+
+    q["big_orders"] = big_ords
     q["late_shipment_priority"] = lambda sf: relational.late_shipment_priority(
         _tbl(sf, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]),
         _tbl(sf, "lineitem", ["l_orderkey", "l_shipdate"]))
@@ -459,6 +473,7 @@ def oracle_sql() -> dict:
         "cluster_representatives": dedup.cluster_representatives_sql(),
         "dup_ngram_stats": dedup.dup_ngram_stats_sql(),
         "paragraph_dedup": dedup.paragraph_dedup_sql(),
+        "scrub_dup_ngrams": dedup.scrub_dup_ngrams_sql(),
         "bpe_token_count": text.bpe_token_count_sql(),
         "sample_docs": text.sample_docs_sql(),
         "token_quantiles": text.token_quantiles_sql(),
@@ -506,9 +521,11 @@ def oracle_sql() -> dict:
         "funnel_stages": events.funnel_stages_sql(),
         "props_kv_stats": events.props_kv_stats_sql(),
         "retention_cohorts": events.retention_cohorts_sql(),
+        "events_rollup": events.events_rollup_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "shipping_priority": relational.shipping_priority_sql(),
+        "big_orders": relational.big_orders_sql(),
         "late_shipment_priority": relational.late_shipment_priority_sql(),
         "promo_revenue": relational.promo_revenue_sql(),
         "top_parts": relational.top_parts_sql(),

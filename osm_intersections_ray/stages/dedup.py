@@ -1491,3 +1491,176 @@ SELECT k.doc_id, t.n_pars, count(*)::BIGINT AS n_kept,
 FROM kept k JOIN tot t USING (doc_id)
 GROUP BY k.doc_id, t.n_pars
 """
+
+
+# --- corpus-level exact-substring scrub ---------------------------------------
+def scrub_dup_ngrams(ds):
+    """The actual Lee-et-al. exact-substring DEDUP TRANSFORM (not just the
+    signal — ``dup_ngram_stats`` measures, this one rewrites): every token
+    position covered by a DUPGRAM_K-gram that occurs more than once in the
+    whole corpus is removed, and the scrubbed document is rebuilt from the
+    kept tokens.  Output per doc: (n_tokens, n_removed, clean_md5) where
+    clean_md5 fingerprints the space-joined kept tokens — the md5 only
+    matches the oracle if every removed position matches exactly.
+
+    Scale shape (three bounded exchanges, nothing driver-side):
+
+    1. one tokenize pass emits (gshard, gh, doc_id, pos) gram-occurrence
+       rows (32 B each);
+    2. the ``gshard = gh % N`` exchange computes global gram totals with a
+       vectorized sort + run-length pass (same kernel as dup_ngram_stats)
+       and keeps only occurrences of duplicated grams — the stream SHRINKS
+       here to the dup mass;
+    3. a ``doc_id % N`` exchange folds a doc's dup starts into ONE
+       (doc_id, starts:list) row, which hash-joins the augmented docs
+       (left_outer — text ships exactly once per doc, docs without dups
+       pass through with a null starts row);
+    4. the final map rebuilds each doc vectorized: a cumsum
+       difference-array turns start positions into the coverage mask.
+    """
+    from .common import drop_empty_blocks
+    from .text import ascii_tokens as _toks
+
+    N_GH_SHARDS = 64
+    N_DOC_SHARDS = 32
+    K = DUPGRAM_K
+
+    _OCC_SCHEMA = pa.schema([
+        ("gshard", pa.int64()), ("gh", pa.int64()),
+        ("doc_id", pa.int64()), ("pos", pa.int64())])
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False))
+        grams = _kgram_hashes_per_doc(b["text"].to_pylist(), K)
+        out_id, out_gh, out_pos = [], [], []
+        for i, g in zip(ids, grams):
+            if g.size == 0:
+                continue
+            out_id.append(np.full(g.size, i, dtype=np.int64))
+            out_gh.append(g)
+            out_pos.append(np.arange(g.size, dtype=np.int64))
+        if not out_id:
+            return _OCC_SCHEMA.empty_table()
+        gh = np.concatenate(out_gh)  # uint64
+        return pa.table({
+            "gshard": pa.array((gh % N_GH_SHARDS).astype(np.int64)),
+            "gh": pa.array(gh.view(np.int64)),
+            "doc_id": pa.array(np.concatenate(out_id)),
+            "pos": pa.array(np.concatenate(out_pos))})
+
+    aug = ds.map_batches(augment_near_batch, batch_format="pyarrow")
+    occ = aug.map_batches(explode, batch_format="pyarrow")
+
+    _DUP_START_SCHEMA = pa.schema([
+        ("dshard", pa.int64()), ("doc_id", pa.int64()), ("pos", pa.int64())])
+
+    def dup_occurrences(df: pd.DataFrame) -> pa.Table:
+        gh = df["gh"].to_numpy()
+        order = np.argsort(gh, kind="stable")
+        ghs = gh[order]
+        bnd = np.concatenate([[0], np.flatnonzero(ghs[1:] != ghs[:-1]) + 1])
+        run_len = np.diff(np.concatenate([bnd, [ghs.size]]))
+        dup = np.repeat(run_len > 1, run_len)
+        keep = order[dup]
+        doc = df["doc_id"].to_numpy()[keep]
+        return pa.Table.from_arrays(
+            [pa.array(doc % N_DOC_SHARDS), pa.array(doc),
+             pa.array(df["pos"].to_numpy()[keep])],
+            schema=_DUP_START_SCHEMA)
+
+    dups = occ.groupby("gshard").map_groups(dup_occurrences, batch_format="pandas")
+
+    # Acero hash joins reject list-typed payload columns, so the per-doc
+    # start positions ride the join as a packed little-endian int64 BINARY
+    # blob (same trick as the supercell payloads in stages/knn.py).
+    _STARTS_SCHEMA = pa.schema([
+        ("doc_id", pa.int64()), ("starts", pa.binary())])
+
+    def fold_starts(df: pd.DataFrame) -> pa.Table:
+        doc = df["doc_id"].to_numpy()
+        pos = df["pos"].to_numpy()
+        order = np.argsort(doc, kind="stable")
+        doc, pos = doc[order], pos[order]
+        bnd = np.concatenate([[0], np.flatnonzero(doc[1:] != doc[:-1]) + 1])
+        blobs = [a.astype("<i8").tobytes() for a in np.split(pos, bnd[1:])]
+        return pa.Table.from_arrays(
+            [pa.array(doc[bnd], pa.int64()), pa.array(blobs, pa.binary())],
+            schema=_STARTS_SCHEMA)
+
+    starts = drop_empty_blocks(
+        dups.groupby("dshard").map_groups(
+            fold_starts, batch_format="pandas").materialize())
+
+    joined = aug.join(starts, join_type="left_outer",
+                      num_partitions=cap_join_partitions(16),
+                      on=("doc_id",))
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        starts_col = b["starts"].to_pylist()
+        n_tok, n_rm, md = [], [], []
+        for t, st in zip(texts, starts_col):
+            toks = _toks(t)
+            n = len(toks)
+            if st:
+                diff = np.zeros(n + 1, dtype=np.int64)
+                s = np.frombuffer(st, dtype="<i8").astype(np.int64)
+                np.add.at(diff, s, 1)
+                np.subtract.at(diff, np.minimum(s + K, n), 1)
+                covered = np.cumsum(diff[:-1]) > 0
+                kept = [x for x, c in zip(toks, covered) if not c]
+            else:
+                kept = toks
+            n_tok.append(n)
+            n_rm.append(n - len(kept))
+            md.append(hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_removed": pa.array(n_rm, pa.int64()),
+            "clean_md5": pa.array(md, pa.string())})
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
+def scrub_dup_ngrams_sql(table: str = "documents") -> str:
+    from .text import TOKS_SQL
+
+    K = DUPGRAM_K
+    fold = _kgram_fold_sql(K)
+    return f"""
+WITH aug AS ({augment_near_sql(table)}),
+ct AS (SELECT doc_id, {TOKS_SQL} AS t FROM aug),
+grams AS (
+  SELECT doc_id, u.i AS i, {fold} AS gh
+  FROM ct, UNNEST(generate_series(1, len(t) - {K - 1})) AS u(i)
+  WHERE len(t) >= {K}
+),
+tot AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+dup_starts AS (SELECT g.doc_id, g.i FROM grams g JOIN tot USING (gh)),
+pos AS (
+  SELECT doc_id, u.i AS i, t[u.i] AS tok
+  FROM ct, UNNEST(generate_series(1, len(t))) AS u(i)
+),
+covered AS (
+  SELECT DISTINCT p.doc_id, p.i
+  FROM pos p JOIN dup_starts d
+    ON d.doc_id = p.doc_id AND p.i BETWEEN d.i AND d.i + {K - 1}
+),
+kept AS (
+  SELECT p.doc_id, p.i, p.tok
+  FROM pos p LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.i = p.i
+  WHERE c.doc_id IS NULL
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS clean
+  FROM kept GROUP BY 1
+)
+SELECT ct.doc_id,
+       len(ct.t)::BIGINT AS n_tokens,
+       (len(ct.t) - coalesce(p.n_kept, 0))::BIGINT AS n_removed,
+       md5(coalesce(p.clean, '')) AS clean_md5
+FROM ct LEFT JOIN per_doc p USING (doc_id)
+"""

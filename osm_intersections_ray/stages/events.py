@@ -564,3 +564,70 @@ SELECT c.cohort::BIGINT AS cohort_day,
 FROM d JOIN c USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# --- multi-granularity rollup (GROUPING SETS shape) ---------------------------
+_ROLLUP_PARTIAL_SCHEMA = pa.schema([
+    ("event_type", pa.string()), ("day", pa.int64()),
+    ("n", pa.int64()), ("sum_cents", pa.int64()),
+])
+ROLLUP_ALL = "(all)"  # marker for rolled-up event_type levels
+
+
+def events_rollup(ds):
+    """GROUP BY ROLLUP(event_type, day): the (type, day), (type), and
+    grand-total rows of the daily revenue cube in one pass.
+
+    Scale shape: events partial-combine per batch at the FINEST granularity
+    only (one row per (batch, type, day)); one tiny groupby merges the
+    partials; the coarser rollup levels are then derived from that finest
+    aggregate, whose size is bounded by |event types| x |days| — a
+    world-bounded table, not an event-bounded one — so folding it in a
+    single block costs nothing at any corpus size.  Day is epoch days
+    (int64); rolled-up levels carry day = -1 / event_type = '(all)'."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].to_pandas().astype("int64").to_numpy()
+        day = ts_us // 86_400_000_000
+        cents = round_half_away_np(b["value"].to_numpy(zero_copy_only=False) * 100)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "day": day, "cents": cents})
+        g = df.groupby(["event_type", "day"], sort=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_ROLLUP_PARTIAL_SCHEMA
+                                    ).replace_schema_metadata(None)
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "day"]).aggregate(
+                  Sum("n", alias_name="n"),
+                  Sum("sum_cents", alias_name="sum_cents")))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        lvl1 = (df.groupby("event_type", sort=False)
+                .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+                .reset_index())
+        lvl1["day"] = np.int64(-1)
+        total = pd.DataFrame({"event_type": [ROLLUP_ALL], "day": [np.int64(-1)],
+                              "n": [df["n"].sum()],
+                              "sum_cents": [df["sum_cents"].sum()]})
+        out = pd.concat([df, lvl1, total], ignore_index=True)
+        return out[["event_type", "day", "n", "sum_cents"]].astype(
+            {"day": np.int64, "n": np.int64, "sum_cents": np.int64})
+
+    # the finest aggregate is world-bounded small; one block folds the cube
+    return finest.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None)
+
+
+def events_rollup_sql(table: str = "events") -> str:
+    return f"""
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN '{ROLLUP_ALL}' ELSE event_type END
+         AS event_type,
+       CASE WHEN GROUPING(d) = 1 THEN -1 ELSE d END::BIGINT AS day,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS d, value FROM {table})
+GROUP BY ROLLUP(event_type, d)
+"""

@@ -566,3 +566,96 @@ SELECT ym, sum(cents * promo)::BIGINT AS promo_cents,
        (sum(cents * promo) * 1000000 // greatest(sum(cents), 1))::BIGINT AS promo_ppm
 FROM l GROUP BY 1
 """
+
+
+# --- TPC-H Q18-shaped: HAVING-filtered aggregate joined back to its source ---
+BIG_ORDER_QTY = 250  # total rounded quantity above which an order is "big"
+
+
+def big_orders(orders_ds, lineitem_ds, customer_tbl: pa.Table):
+    """TPC-H Q18 shape — the groupby-HAVING join-back: orders whose total
+    line-item quantity exceeds ``BIG_ORDER_QTY``, with customer name and
+    order header attached.
+
+    Scale shape: lineitem pre-aggregates to (orderkey, qty) partials per
+    batch (the shuffle carries one row per batch-orderkey, never raw
+    lines), ONE orderkey groupby applies the HAVING filter distributedly,
+    and the surviving big-order rows — output-sized by construction, the
+    HAVING selects the extreme tail — hash-join orders on the int orderkey.
+    Customer is the declared-small dim here and ships once as a
+    custkey -> name Series (vectorized ``.map``, like revenue_by_nation);
+    at planet scale route it through a custkey hash join exactly like
+    shipping_priority's customer side."""
+    from ray.data.aggregate import Sum
+
+    from .common import drop_empty_blocks
+
+    _QTY_PARTIAL_SCHEMA = pa.schema([
+        ("o_orderkey", pa.int64()), ("qty", pa.int64())])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        key = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        qty = round_half_away_np(b["l_quantity"].to_numpy(zero_copy_only=False))
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, qty)
+        return pa.Table.from_arrays([pa.array(u.astype(np.int64)), pa.array(s)],
+                                    schema=_QTY_PARTIAL_SCHEMA)
+
+    totals = (lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+              .groupby("o_orderkey").aggregate(Sum("qty", alias_name="total_qty")))
+
+    def having(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater(b["total_qty"], BIG_ORDER_QTY))
+
+    big = drop_empty_blocks(totals.map_batches(
+        having, batch_format="pyarrow").materialize())
+
+    cname = pd.Series(customer_tbl["c_name"].to_pylist(),
+                      index=customer_tbl["c_custkey"].to_numpy(zero_copy_only=False))
+
+    def ord_proj(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        cents = round_half_away_np(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"],
+            "o_orderdate_us": pa.array(d, pa.int64()),
+            "o_totalprice_cents": pa.array(cents, pa.int64())})
+
+    joined = big.join(orders_ds.map_batches(ord_proj, batch_format="pyarrow"),
+                      join_type="inner",
+                      num_partitions=cap_join_partitions(8),
+                      on=("o_orderkey",))
+
+    def attach_name(b: pa.Table) -> pa.Table:
+        names = pd.Series(
+            b["o_custkey"].to_numpy(zero_copy_only=False)).map(cname)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"], "total_qty": b["total_qty"],
+            "o_custkey": b["o_custkey"],
+            "c_name": pa.array(names.to_numpy(dtype=object), pa.string()),
+            "o_orderdate_us": b["o_orderdate_us"],
+            "o_totalprice_cents": b["o_totalprice_cents"]})
+
+    return joined.map_batches(attach_name, batch_format="pyarrow")
+
+
+def big_orders_sql() -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {BIG_ORDER_QTY}
+)
+SELECT b.o_orderkey, b.total_qty, o.o_custkey, c.c_name,
+       epoch_us(o.o_orderdate)::BIGINT AS o_orderdate_us,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
+FROM big b
+JOIN orders o ON o.o_orderkey = b.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""

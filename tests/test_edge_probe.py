@@ -57,6 +57,7 @@ DOC_QUERIES = [
     "cluster_representatives", "lm_score", "inverted_index",
     "image_decode_gif", "image_decode_jpeg", "video_frame_sample",
     "normalize_unicode", "quality_rank", "paragraph_dedup",
+    "scrub_dup_ngrams",
 ]
 
 
@@ -166,7 +167,8 @@ def edge_events_dir(tmp_path_factory):
 
 @pytest.mark.parametrize("name", ["events_hourly", "sessions", "events_sliding",
                                   "asof_prev_purchase", "post_purchase_window",
-                                  "funnel_stages", "props_kv_stats"])
+                                  "funnel_stages", "props_kv_stats",
+                                  "events_rollup"])
 def test_edge_events_vs_oracle(ray_session, edge_events_dir, name):
     _compare(ray_session, edge_events_dir, "events", name)
 
