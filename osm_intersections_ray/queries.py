@@ -398,6 +398,12 @@ def queries() -> dict:
             _tbl(sf, "lineitem", ["l_orderkey", "l_quantity"]), cust)
 
     q["big_orders"] = big_ords
+    q["cold_customers"] = lambda sf: relational.cold_customers(
+        _tbl(sf, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+        _tbl(sf, "orders", ["o_custkey", "o_orderstatus"]))
+    q["running_order_total"] = lambda sf: relational.running_order_total(
+        _tbl(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"]))
     q["late_shipment_priority"] = lambda sf: relational.late_shipment_priority(
         _tbl(sf, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]),
         _tbl(sf, "lineitem", ["l_orderkey", "l_shipdate"]))
@@ -526,6 +532,8 @@ def oracle_sql() -> dict:
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "shipping_priority": relational.shipping_priority_sql(),
         "big_orders": relational.big_orders_sql(),
+        "cold_customers": relational.cold_customers_sql(),
+        "running_order_total": relational.running_order_total_sql(),
         "late_shipment_priority": relational.late_shipment_priority_sql(),
         "promo_revenue": relational.promo_revenue_sql(),
         "top_parts": relational.top_parts_sql(),

@@ -659,3 +659,193 @@ FROM big b
 JOIN orders o ON o.o_orderkey = b.o_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 """
+
+
+# --- TPC-H Q22-shaped: scalar-subquery broadcast + anti-join -------------------
+COLD_ORDER_STATUS = "O"  # "no OPEN orders" keeps the result non-empty on
+                         # the testdata (every custkey has SOME order)
+
+
+def cold_customers(customer_ds, orders_ds):
+    """TPC-H Q22 shape — the scalar-subquery broadcast: customers whose
+    account balance exceeds the average POSITIVE balance and who placed no
+    open (status ``COLD_ORDER_STATUS``) orders, counted per nation.
+
+    Scale shape, in three bounded moves:
+
+    1. the scalar subquery (avg positive acctbal) is a partial-combine
+       Sum/Sum over integer cents — two int64s reach the driver, nothing
+       else; the comparison ``bal > avg`` is then evaluated as the exact
+       integer cross-multiplication ``bal_cents * n_pos > sum_pos_cents``
+       (no float division on either side, so the oracle matches bit-exact);
+    2. the anti-join against orders is a hash ``Dataset.join`` left_outer
+       on custkey + null filter — o_custkey is pre-deduped per batch so the
+       join's order side carries at most one row per (batch, custkey), and
+       no process holds the order-customer key set (contrast
+       customers_without_orders, which demonstrates the broadcast-key-set
+       variant for declared-small sides);
+    3. the per-nation rollup is the usual partial-combine + tiny groupby.
+
+    Output: (c_nationkey, n_cust, sum_acctbal_cents) for qualifying
+    customers.
+    """
+    from ray.data.aggregate import Sum
+
+    from .common import drop_empty_blocks
+
+    _BAL_PARTIAL_SCHEMA = pa.schema([
+        ("one", pa.int64()), ("n_pos", pa.int64()), ("sum_pos_cents", pa.int64())])
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        cents = round_half_away_np(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100)
+        pos = cents > 0
+        return pa.Table.from_arrays(
+            [pa.array([np.int64(1)]), pa.array([np.int64(pos.sum())]),
+             pa.array([np.int64(cents[pos].sum())])],
+            schema=_BAL_PARTIAL_SCHEMA)
+
+    avg_row = (customer_ds.map_batches(bal_partial, batch_format="pyarrow")
+               .groupby("one").aggregate(
+                   Sum("n_pos", alias_name="n_pos"),
+                   Sum("sum_pos_cents", alias_name="sum_pos_cents"))
+               .take_all())  # exactly one tiny row: the broadcast scalar
+    n_pos = int(avg_row[0]["n_pos"]) or 1
+    sum_pos = int(avg_row[0]["sum_pos_cents"])
+
+    def rich(b: pa.Table) -> pa.Table:
+        cents = round_half_away_np(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100)
+        keep = cents * n_pos > sum_pos  # bal > avg, exact in integers
+        return pa.table({
+            "c_custkey": pa.array(
+                b["c_custkey"].to_numpy(zero_copy_only=False)[keep]),
+            "c_nationkey": pa.array(b["c_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep]),
+            "bal_cents": pa.array(cents[keep])})
+
+    def ord_keys(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["o_orderstatus"], COLD_ORDER_STATUS))
+        u = np.unique(b["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"c_custkey": pa.array(u.astype(np.int64)),
+                         "has_order": pa.array(np.ones(u.size, np.int8))})
+
+    rich_ds = drop_empty_blocks(customer_ds.map_batches(
+        rich, batch_format="pyarrow").materialize())
+    orders_keys = drop_empty_blocks(orders_ds.map_batches(
+        ord_keys, batch_format="pyarrow").materialize())
+    joined = rich_ds.join(orders_keys, join_type="left_outer",
+                          num_partitions=cap_join_partitions(8),
+                          on=("c_custkey",))
+
+    _COLD_PARTIAL_SCHEMA = pa.schema([
+        ("c_nationkey", pa.int64()), ("n_cust", pa.int64()),
+        ("sum_acctbal_cents", pa.int64())])
+
+    def cold_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.is_null(b["has_order"]))
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        bal = b["bal_cents"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(nk, return_inverse=True)
+        n = np.zeros(u.size, dtype=np.int64)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(s, inv, bal)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(np.int64)), pa.array(n), pa.array(s)],
+            schema=_COLD_PARTIAL_SCHEMA)
+
+    return (joined.map_batches(cold_partial, batch_format="pyarrow")
+            .groupby("c_nationkey").aggregate(
+                Sum("n_cust", alias_name="n_cust"),
+                Sum("sum_acctbal_cents", alias_name="sum_acctbal_cents")))
+
+
+def cold_customers_sql() -> str:
+    # the engine compares in exact integer cents (cross-multiplied), so the
+    # oracle does the same instead of a float AVG()
+    return f"""
+WITH c AS (SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+s AS (SELECT count(*)::BIGINT AS n_pos, sum(cents)::BIGINT AS sum_pos
+      FROM c WHERE cents > 0)
+SELECT c.c_nationkey, count(*)::BIGINT AS n_cust,
+       sum(c.cents)::BIGINT AS sum_acctbal_cents
+FROM c, s
+WHERE c.cents * s.n_pos > s.sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = '{COLD_ORDER_STATUS}')
+GROUP BY 1
+"""
+
+
+# --- cumulative window function (SUM OVER partition ORDER BY) ------------------
+N_CUST_SHARDS = 64
+
+
+def running_order_total(orders_ds):
+    """The classic analytic window — ``SUM(total) OVER (PARTITION BY custkey
+    ORDER BY orderdate, orderkey)`` plus ``ROW_NUMBER`` — per-customer
+    running revenue.
+
+    Scale shape: the shuffle key is ``o_custkey % N_CUST_SHARDS`` (the
+    sessionize layout — one exchange, no per-GROUP Python at customer
+    cardinality); each shard sorts once by (custkey, date, key) and computes
+    every customer's cumulative sum in ONE vectorized pass: a global cumsum
+    minus the per-customer base (``np.maximum.accumulate`` of the segment
+    starts) — no Python loop, no per-customer groupby.  Output is
+    row-per-order, i.e. a true window function, not an aggregate."""
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        shard = (np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False))
+                 % N_CUST_SHARDS).astype(np.int64)
+        cents = round_half_away_np(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100)
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "cshard": pa.array(shard), "o_custkey": b["o_custkey"],
+            "o_orderkey": b["o_orderkey"],
+            "o_orderdate_us": pa.array(d, pa.int64()),
+            "cents": pa.array(cents)})
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["o_custkey", "o_orderdate_us", "o_orderkey"],
+                            kind="stable")
+        cust = df["o_custkey"].to_numpy()
+        cents = df["cents"].to_numpy()
+        n = len(df)
+        csum = np.cumsum(cents)
+        start = np.ones(n, dtype=bool)
+        start[1:] = cust[1:] != cust[:-1]
+        # base[i] = csum just BEFORE this customer's first row
+        base = np.maximum.accumulate(np.where(start, csum - cents, 0))
+        running = csum - base
+        idx = np.arange(1, n + 1, dtype=np.int64)
+        row_base = np.maximum.accumulate(np.where(start, idx - 1, 0))
+        return pa.table({
+            "o_custkey": pa.array(cust, pa.int64()),
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
+            "o_orderdate_us": pa.array(df["o_orderdate_us"].to_numpy(), pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "running_cents": pa.array(running, pa.int64()),
+            "rn": pa.array(idx - row_base, pa.int64())})
+
+    return (orders_ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("cshard").map_groups(per_shard, batch_format="pandas"))
+
+
+def running_order_total_sql() -> str:
+    return """
+SELECT o_custkey, o_orderkey, epoch_us(o_orderdate)::BIGINT AS o_orderdate_us,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w::BIGINT AS running_cents,
+       row_number() OVER w::BIGINT AS rn
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""

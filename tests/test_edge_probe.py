@@ -618,3 +618,99 @@ def test_edge_late_shipment_priority(ray_session, tmp_path_factory):
         assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
     by = dict(zip(eng["o_orderpriority"], eng["n_late"]))
     assert by == {"1-URGENT": 1, "2-HIGH": 1}
+
+
+def test_edge_cold_customers(ray_session, tmp_path_factory):
+    """Q22-shape hostiles: the avg-balance cutoff is a STRICT integer
+    cross-multiply (a customer at exactly the average is excluded), negative
+    and zero balances are excluded from the average but still compared
+    against it, a customer with only non-open orders qualifies, and one open
+    order disqualifies regardless of balance."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational
+
+    d = tmp_path_factory.mktemp("edge_cold")
+    # positive balances: 100.00, 200.00, 300.00 -> avg 200.00 exactly
+    cust = [  # (ckey, nation, acctbal)
+        (1, 10, 100.00),   # below avg
+        (2, 10, 200.00),   # EXACTLY avg: strict > excludes
+        (3, 20, 300.00),   # above avg, no open orders -> qualifies
+        (4, 20, 300.005),  # half-cent: rounds to 30001 cents -> qualifies
+        (5, 20, -50.00),   # negative: out of the avg AND below it
+        (6, 30, 0.00),     # zero: out of the avg, below it
+        (7, 30, 250.00),   # above avg but has an OPEN order -> excluded
+    ]
+    orders = [  # (ckey, status)
+        (7, "O"),          # disqualifies 7
+        (3, "F"),          # finished order does NOT disqualify 3
+        (4, "P"),
+    ]
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([c[0] for c in cust], pa.int64()),
+        "c_nationkey": pa.array([c[1] for c in cust], pa.int32()),
+        "c_acctbal": pa.array([c[2] for c in cust], pa.float64()),
+    }), str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([o[0] for o in orders], pa.int64()),
+        "o_orderstatus": pa.array([o[1] for o in orders], pa.string()),
+    }), str(d / "orders.parquet"))
+    eng = relational.cold_customers(
+        rd.read_parquet(str(d / "customer.parquet")),
+        rd.read_parquet(str(d / "orders.parquet"))).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    orc = con.sql(relational.cold_customers_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    by = dict(zip(eng["c_nationkey"], eng["n_cust"]))
+    assert by == {20: 2}  # customers 3 and 4 only
+
+
+def test_edge_running_order_total(ray_session, tmp_path_factory):
+    """Window hostiles: same-date ties break by orderkey, negative and
+    half-cent totals accumulate exactly, single-order customers get rn=1,
+    and a customer spanning shards cannot exist (shard key = custkey)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational
+
+    d = tmp_path_factory.mktemp("edge_running")
+    t0 = np.datetime64("2024-03-01T00:00:00", "us")
+    day = np.timedelta64(86_400_000_000, "us")
+    orders = [  # (okey, ckey, odate, total)
+        (10, 1, t0, 100.00),
+        (11, 1, t0, 50.005),        # SAME date as 10: orderkey breaks the tie
+        (12, 1, t0 + day, -30.00),  # refund: running sum decreases
+        (20, 2, t0, 9.99),          # singleton customer
+        (31, 65, t0, 1.00),         # ckey 65 = shard 1 (same as ckey 1):
+        (30, 65, t0 - day, 2.00),   # co-sharded users stay independent
+    ]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+        "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+        "o_orderdate": pa.array([o[2] for o in orders], pa.timestamp("us")),
+        "o_totalprice": pa.array([o[3] for o in orders], pa.float64()),
+    }), str(d / "orders.parquet"))
+    eng = relational.running_order_total(
+        rd.read_parquet(str(d / "orders.parquet"))).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')")
+    orc = con.sql(relational.running_order_total_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    r = eng.set_index("o_orderkey")
+    assert r.loc[11, "running_cents"] == 10000 + 5001  # tie order + half-cent up
+    assert r.loc[12, "running_cents"] == 15001 - 3000
+    assert list(r.loc[[10, 11, 12], "rn"]) == [1, 2, 3]
+    assert r.loc[20, "rn"] == 1 and r.loc[20, "running_cents"] == 999
+    assert list(r.loc[[30, 31], "rn"]) == [1, 2]  # earlier DATE outranks lower key
