@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     "paragraph_dedup",      # corpus-level boilerplate scrub (session-8)
     "quality_rank",         # exact global order statistics (session-8)
     "jsonl_pages",          # vectorized NDJSON.gz ingest (session-8)
+    "scrub_dup_ngrams",     # exact-substring scrub transform (session-9)
+    "big_orders",           # Q18 HAVING join-back (session-9)
+    "events_rollup",        # GROUP BY ROLLUP cube (session-9)
+    "cold_customers",       # Q22 scalar-subquery broadcast anti-join (session-9)
+    "running_order_total",  # cumulative window function (session-9)
 ]
 
 
