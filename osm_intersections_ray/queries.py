@@ -175,6 +175,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text", "lang"]))
     q["quality_score"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.quality_score_batch, batch_format="pyarrow")
+    q["linear_fit"] = lambda sf: text.linear_fit(
+        _tbl(sf, "documents", ["doc_id", "text"]))
     q["fingerprint"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.fingerprint_batch, batch_format="pyarrow")
     q["normalize_unicode"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
@@ -465,6 +467,7 @@ def oracle_sql() -> dict:
         "lang_id": text.lang_id_sql(),
         "lang_confusion": text.lang_confusion_sql(),
         "quality_score": text.quality_score_sql(),
+        "linear_fit": text.linear_fit_sql(),
         "fingerprint": text.fingerprint_sql(),
         "normalize_unicode": text.normalize_unicode_sql(),
         "quality_rank": text.quality_rank_sql(),

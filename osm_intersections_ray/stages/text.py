@@ -1732,3 +1732,132 @@ SELECT doc_id, quality,
        row_number() OVER (ORDER BY quality DESC, doc_id ASC)::BIGINT AS rank
 FROM q
 """
+
+
+# --- distributed least squares (exact integer normal equations) ----------------
+def linear_fit(ds):
+    """Per-PREDICTED-language simple linear regression of quality score on
+    token count — the one-pass sufficient-statistics ML aggregate (the shape
+    every distributed trainer's eval loop needs: regression / covariance /
+    correlation all reduce to it).
+
+    Scale shape: ONE tokenize pass computes (lang_pred, x=n_tokens,
+    y=quality) per doc — the lang-ID marker scores and the quality heuristic
+    are fused over the same token list — and immediately folds each batch to
+    per-lang int64 partials (n, Sx, Sy, Sxx, Sxy): the shuffle carries
+    |langs| rows per batch; one tiny groupby merges them; the closed-form
+    fold runs on the world-bounded |langs|-row result with PYTHON ints
+    (unbounded), so the rational slope/intercept are exact.  Slope and
+    intercept are reported in ppm with DuckDB's truncate-toward-zero integer
+    division mirrored exactly.
+
+    int64 bound: the groupby sums stay int64 (x <= doc tokens ~ 1e4,
+    Sxy <= 1e6 * docs) — safe through ~1e12 docs; past that promote the
+    partials to decimal128 / hi-lo int64 pairs."""
+    from ray.data.aggregate import Sum
+
+    _FIT_PARTIAL_SCHEMA = pa.schema([
+        ("lang_pred", pa.string()), ("n_docs", pa.int64()),
+        ("sx", pa.int64()), ("sy", pa.int64()),
+        ("sxx", pa.int64()), ("sxy", pa.int64())])
+
+    stops = set(STOPWORDS_EN)
+    markers = [(lang, set(ws)) for lang, ws in LANG_MARKERS]
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        langs, xs, ys = [], [], []
+        for t in texts:
+            toks = _tokens(t)
+            n = len(toks)
+            # quality_score_batch's exact scoring, fused into the same pass
+            s = 0
+            if 20 <= n <= 1000:
+                s += 40
+            elif 5 <= n:
+                s += 20
+            punct_cnt = sum(t.count(c) for c in PUNCT)
+            if n > 0 and punct_cnt * 10 <= n * 3:
+                s += 30
+            stop_cnt = sum(1 for x in toks if x in stops)
+            if n > 0 and stop_cnt * 100 >= n * 2:
+                s += 30
+            # lang_id_batch's first-max marker vote over the same tokens
+            best, besti = -1, 0
+            for i, (_, ws) in enumerate(markers):
+                sc = sum(1 for x in toks if x in ws)
+                if sc > best:
+                    best, besti = sc, i
+            langs.append(markers[besti][0])
+            xs.append(n)
+            ys.append(s)
+        df = pd.DataFrame({"lang_pred": langs,
+                           "x": np.asarray(xs, np.int64),
+                           "y": np.asarray(ys, np.int64)})
+        df["xx"] = df["x"] * df["x"]
+        df["xy"] = df["x"] * df["y"]
+        g = df.groupby("lang_pred", sort=False).agg(
+            n_docs=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), sxy=("xy", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_FIT_PARTIAL_SCHEMA
+                                    ).replace_schema_metadata(None)
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("lang_pred").aggregate(
+                  Sum("n_docs", alias_name="n_docs"),
+                  Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+                  Sum("sxx", alias_name="sxx"), Sum("sxy", alias_name="sxy")))
+
+    def _trunc_div(num: int, den: int) -> int:
+        # DuckDB's // truncates toward zero; Python's floors.  den > 0 here.
+        return -((-num) // den) if num < 0 else num // den
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in df.itertuples(index=False):
+            n, sx, sy = int(r.n_docs), int(r.sx), int(r.sy)
+            sxx, sxy = int(r.sxx), int(r.sxy)
+            den = n * sxx - sx * sx  # >= 0 by Cauchy-Schwarz
+            num = n * sxy - sx * sy
+            if den == 0:
+                slope = 0
+                icept = _trunc_div(sy * 1_000_000, n)
+            else:
+                slope = _trunc_div(num * 1_000_000, den)
+                icept = _trunc_div((sy * den - num * sx) * 1_000_000, n * den)
+            rows.append((r.lang_pred, n, slope, icept))
+        out = pd.DataFrame(rows, columns=["lang_pred", "n_docs",
+                                          "slope_ppm", "intercept_ppm"])
+        return out.astype({"n_docs": np.int64, "slope_ppm": np.int64,
+                           "intercept_ppm": np.int64})
+
+    # |langs| rows total: fold in one block
+    return merged.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None)
+
+
+def linear_fit_sql(table: str = "documents") -> str:
+    """HUGEINT mirror of the exact rational fold (DuckDB // truncates like
+    the engine's _trunc_div)."""
+    return f"""
+WITH q AS ({quality_score_sql(table, cte_prefix="lfq_")}),
+p AS ({lang_id_sql(table)}),
+t AS (SELECT doc_id, len({TOKS_SQL})::BIGINT AS x FROM {table}),
+agg AS (
+  SELECT p.lang_pred, count(*)::HUGEINT AS n,
+         sum(t.x)::HUGEINT AS sx, sum(q.quality)::HUGEINT AS sy,
+         sum(t.x * t.x)::HUGEINT AS sxx, sum(t.x * q.quality)::HUGEINT AS sxy
+  FROM t JOIN q USING (doc_id) JOIN p USING (doc_id)
+  GROUP BY 1
+)
+SELECT lang_pred, n::BIGINT AS n_docs,
+       CASE WHEN n * sxx - sx * sx = 0 THEN 0
+            ELSE ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+       END::BIGINT AS slope_ppm,
+       CASE WHEN n * sxx - sx * sx = 0 THEN (sy * 1000000) // n
+            ELSE ((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx)
+                  * 1000000) // (n * (n * sxx - sx * sx))
+       END::BIGINT AS intercept_ppm
+FROM agg
+"""

@@ -57,7 +57,7 @@ DOC_QUERIES = [
     "cluster_representatives", "lm_score", "inverted_index",
     "image_decode_gif", "image_decode_jpeg", "video_frame_sample",
     "normalize_unicode", "quality_rank", "paragraph_dedup",
-    "scrub_dup_ngrams",
+    "scrub_dup_ngrams", "linear_fit",
 ]
 
 
@@ -714,3 +714,40 @@ def test_edge_running_order_total(ray_session, tmp_path_factory):
     assert list(r.loc[[10, 11, 12], "rn"]) == [1, 2, 3]
     assert r.loc[20, "rn"] == 1 and r.loc[20, "running_cents"] == 999
     assert list(r.loc[[30, 31], "rn"]) == [1, 2]  # earlier DATE outranks lower key
+
+
+def test_edge_linear_fit_degenerate(ray_session, tmp_path_factory):
+    """Regression hostiles: a constant-x language group (den = 0 -> slope 0,
+    intercept = mean), a negative-slope group, and truncate-toward-zero
+    division on negative numerators (DuckDB // semantics)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import text as T
+
+    d = tmp_path_factory.mktemp("edge_linfit")
+    # 'en' docs: constant 3 tokens (den=0); quality varies via punctuation
+    # 'de' docs: quality FALLS as tokens rise -> negative slope numerator
+    rows = [
+        (1, "the of and"),                       # en, x=3
+        (2, "the of ..........!!!"),             # en, x=3 (punct-heavy)
+        (3, "und " * 6),                         # de, x=6
+        (4, "und " + ". " * 39),                 # de, x=40, punct kills 30pts
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }), str(d / "documents.parquet"))
+    eng = T.linear_fit(rd.read_parquet(str(d / "documents.parquet"))).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    orc = con.sql(T.linear_fit_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    by = eng.set_index("lang_pred")
+    assert by.loc["en", "slope_ppm"] == 0          # den=0 path
+    assert by.loc["de", "slope_ppm"] < 0           # negative, trunc toward 0
