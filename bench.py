@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "events_rollup",        # GROUP BY ROLLUP cube (session-9)
     "cold_customers",       # Q22 scalar-subquery broadcast anti-join (session-9)
     "running_order_total",  # cumulative window function (session-9)
+    "linear_fit",           # one-pass sufficient-statistics regression (session-10)
+    "bpe_train",            # iterative tokenizer merge learning (session-10)
+    "small_qty_revenue",    # Q17 correlated per-group average (session-10)
+    "embedding_centroids",  # exact integer vector centroids (session-10)
 ]
 
 

@@ -214,6 +214,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text"]))
     q["bpe_token_count"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.bpe_token_count_batch, batch_format="pyarrow")
+    q["bpe_train"] = lambda sf: text.bpe_train(
+        _tbl(sf, "documents", ["text"]))
     q["sample_docs"] = lambda sf: _tbl(sf, "documents", ["doc_id"]).map_batches(
         text.sample_docs_batch, batch_format="pyarrow")
     q["token_quantiles"] = lambda sf: text.token_quantiles(
@@ -283,6 +285,8 @@ def queries() -> dict:
     q["rrf_fusion"] = rrf_fusion
     q["embedding_near_dup"] = lambda sf: similarity.near_dup_pairs(
         _tbl(sf, "embeddings", ["vec_id", "embedding"]))
+    q["embedding_centroids"] = lambda sf: similarity.embedding_centroids(
+        _tbl(sf, "embeddings", ["embedding", "label"]))
     q["embedding_dup_clusters"] = lambda sf: similarity.embedding_dup_clusters(
         _tbl(sf, "embeddings", ["vec_id", "embedding"]))
 
@@ -417,6 +421,14 @@ def queries() -> dict:
                                   "l_extendedprice", "l_discount"]), part)
 
     q["promo_revenue"] = promo_rev
+    def small_qty(sf):
+        part = pq.read_table(os.path.join(sf, "part.parquet"),
+                             columns=["p_partkey", "p_brand"])
+        return relational.small_qty_revenue(
+            _tbl(sf, "lineitem", ["l_partkey", "l_quantity",
+                                  "l_extendedprice"]), part)
+
+    q["small_qty_revenue"] = small_qty
     q["top_parts"] = lambda sf: relational.top_parts(
         _tbl(sf, "part", ["p_partkey", "p_name", "p_retailprice"]))
     q["top_parts_per_brand"] = lambda sf: relational.top_parts_per_brand(
@@ -484,6 +496,7 @@ def oracle_sql() -> dict:
         "paragraph_dedup": dedup.paragraph_dedup_sql(),
         "scrub_dup_ngrams": dedup.scrub_dup_ngrams_sql(),
         "bpe_token_count": text.bpe_token_count_sql(),
+        "bpe_train": text.bpe_train_sql(),
         "sample_docs": text.sample_docs_sql(),
         "token_quantiles": text.token_quantiles_sql(),
         "top_terms_per_lang": text.top_terms_per_lang_sql(),
@@ -520,6 +533,7 @@ def oracle_sql() -> dict:
         "knn_cosine": similarity.knn_sql(),
         "rrf_fusion": similarity.rrf_fusion_sql(),
         "embedding_near_dup": similarity.near_dup_sql(),
+        "embedding_centroids": similarity.embedding_centroids_sql(),
         "embedding_dup_clusters": similarity.embedding_dup_clusters_sql(),
         "events_hourly": events.hourly_window_sql(),
         "sessions": events.sessionize_sql(),
@@ -539,6 +553,7 @@ def oracle_sql() -> dict:
         "running_order_total": relational.running_order_total_sql(),
         "late_shipment_priority": relational.late_shipment_priority_sql(),
         "promo_revenue": relational.promo_revenue_sql(),
+        "small_qty_revenue": relational.small_qty_revenue_sql(),
         "top_parts": relational.top_parts_sql(),
         "top_parts_per_brand": relational.top_parts_per_brand_sql(),
         "customers_without_orders": filters.customers_without_orders_sql(),

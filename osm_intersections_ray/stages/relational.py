@@ -849,3 +849,106 @@ SELECT o_custkey, o_orderkey, epoch_us(o_orderdate)::BIGINT AS o_orderdate_us,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+
+# --- TPC-H Q17-shaped: correlated per-group average ----------------------------
+SMALL_QTY_NUM = 1   # the "small" threshold is qty < (NUM/DEN) * avg(qty)
+SMALL_QTY_DEN = 5   # i.e. 0.2 x the part's average, as in Q17
+
+
+def small_qty_revenue(lineitem_ds, part_tbl: pa.Table):
+    """TPC-H Q17 shape — the correlated per-group scalar subquery: revenue
+    from line items whose quantity is below 0.2x their OWN part's average
+    quantity, rolled up per brand.
+
+    Scale shape: pass 1 folds lineitem to per-part (n, sum_qty) via
+    per-batch partials + ONE partkey groupby (output bounded by |part|, the
+    declared-small dim in this schema); the stats collect as three sorted
+    int64 arrays and ship once via ``ray.put``.  Pass 2 streams lineitem
+    again: a vectorized searchsorted gather evaluates the correlated
+    predicate as the EXACT integer cross-multiplication
+    ``qty * SMALL_QTY_DEN * n < sum_qty`` (no float division on either
+    side), the brand attaches through the same broadcast, and per-brand
+    (count, cents) partials feed one tiny groupby.  At planet-scale part
+    cardinality route both lookups through a partkey hash ``Dataset.join``
+    exactly like shipping_priority's customer side."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .common import cached_get
+
+    _STATS_PARTIAL_SCHEMA = pa.schema([
+        ("l_partkey", pa.int64()), ("n", pa.int64()), ("sq", pa.int64())])
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        key = b["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = round_half_away_np(b["l_quantity"].to_numpy(zero_copy_only=False))
+        u, inv = np.unique(key, return_inverse=True)
+        n = np.zeros(u.size, dtype=np.int64)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(s, inv, qty)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(np.int64)), pa.array(n), pa.array(s)],
+            schema=_STATS_PARTIAL_SCHEMA)
+
+    stats = (lineitem_ds.map_batches(qty_partial, batch_format="pyarrow")
+             .groupby("l_partkey").aggregate(
+                 Sum("n", alias_name="n"), Sum("sq", alias_name="sq"))
+             .to_pandas())  # <= |part| rows: the declared-small dim
+    order = np.argsort(stats["l_partkey"].to_numpy(), kind="stable")
+    pkeys = stats["l_partkey"].to_numpy(dtype=np.int64)[order]
+    ns = stats["n"].to_numpy(dtype=np.int64)[order]
+    sqs = stats["sq"].to_numpy(dtype=np.int64)[order]
+    brand = pd.Series(part_tbl["p_brand"].to_pylist(),
+                      index=part_tbl["p_partkey"].to_numpy(zero_copy_only=False))
+    ref = ray.put((pkeys, ns, sqs))
+
+    _REV_PARTIAL_SCHEMA = pa.schema([
+        ("p_brand", pa.string()), ("n_small", pa.int64()),
+        ("revenue_cents", pa.int64())])
+
+    def small_partial(b: pa.Table) -> pa.Table:
+        pkeys, ns, sqs = cached_get(ref)
+        pk = np.asarray(b["l_partkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        qty = round_half_away_np(b["l_quantity"].to_numpy(zero_copy_only=False))
+        cents = round_half_away_np(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        if pkeys.size == 0:
+            return _REV_PARTIAL_SCHEMA.empty_table()
+        pos = np.searchsorted(pkeys, pk).clip(0, pkeys.size - 1)
+        hit = pkeys[pos] == pk  # every lineitem partkey has stats; belt only
+        small = hit & (qty * SMALL_QTY_DEN * ns[pos] < SMALL_QTY_NUM * sqs[pos])
+        g = (pd.DataFrame({
+            "p_brand": pd.Series(pk[small]).map(brand).to_numpy(dtype=object),
+            "cents": cents[small]})
+            .groupby("p_brand", sort=False).agg(
+                n_small=("cents", "size"),
+                revenue_cents=("cents", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_REV_PARTIAL_SCHEMA
+                                    ).replace_schema_metadata(None)
+
+    return (lineitem_ds.map_batches(small_partial, batch_format="pyarrow")
+            .groupby("p_brand").aggregate(
+                Sum("n_small", alias_name="n_small"),
+                Sum("revenue_cents", alias_name="revenue_cents")))
+
+
+def small_qty_revenue_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT l_partkey, count(*)::BIGINT AS n,
+         sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sq
+  FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand, count(*)::BIGINT AS n_small,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS revenue_cents
+FROM lineitem l
+JOIN s ON s.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE CAST(round(l.l_quantity) AS BIGINT) * {SMALL_QTY_DEN} * s.n
+      < {SMALL_QTY_NUM} * s.sq
+GROUP BY 1
+"""

@@ -509,3 +509,76 @@ reach AS (
 )
 SELECT node::BIGINT AS vec_id, MIN(r)::BIGINT AS cluster_id FROM reach GROUP BY node
 """
+
+
+# --- per-label vector centroids (exact integer aggregate) ----------------------
+CENTROID_QUANT = 1_000_000  # micro-units: float32 components quantized so the
+                            # distributed sum is order-insensitive and exact
+
+
+def embedding_centroids(ds):
+    """Per-label centroid of the embedding column as an EXACT integer
+    aggregate — the vector-average building block (class prototypes,
+    cluster centers, bias probes) made hash-reproducible: each float32
+    component quantizes to micro-units (round-half-away of v*1e6 in
+    float64, DuckDB ``round()`` identical), so the distributed sum is
+    order-insensitive and the mean an exact truncating division.
+
+    Scale shape: per batch, ONE zero-copy flatten -> (rows, d) matrix,
+    per-label ``np.add.at`` fold to (labels x d) partial sums; the shuffle
+    carries |labels| x d rows per batch and the final (label, dim) groupby
+    is bounded by the same — embeddings never move.  Returns
+    (label, dim, n_vecs, sum_q, mean_q)."""
+    from ray.data.aggregate import Sum
+
+    _P = pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                    ("n_vecs", pa.int64()), ("sum_q", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _P.empty_table()
+        from ..functions.scalar import round_half_away_np
+
+        m = _mat(b)  # float64 view of the float32 lists
+        q = round_half_away_np(m * CENTROID_QUANT)  # DuckDB round() identical
+        labels = np.asarray(b["label"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        u, inv = np.unique(labels, return_inverse=True)
+        d = m.shape[1]
+        sums = np.zeros((u.size, d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=u.size).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(u, d)),
+             pa.array(np.tile(np.arange(d, dtype=np.int64), u.size)),
+             pa.array(np.repeat(counts, d)),
+             pa.array(sums.ravel())], schema=_P)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "dim"]).aggregate(
+               Sum("n_vecs", alias_name="n_vecs"),
+               Sum("sum_q", alias_name="sum_q")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["sum_q"].to_numpy(zero_copy_only=False), np.int64)
+        n = np.asarray(b["n_vecs"].to_numpy(zero_copy_only=False), np.int64)
+        n = np.maximum(n, 1)
+        mean = np.where(s < 0, -((-s) // n), s // n)  # trunc toward zero (//)
+        return b.append_column("mean_q", pa.array(mean, pa.int64()))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def embedding_centroids_sql(table: str = "embeddings") -> str:
+    return f"""
+WITH e AS (
+  SELECT label::BIGINT AS label,
+         (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {CENTROID_QUANT})
+              AS BIGINT) AS q
+  FROM {table}
+)
+SELECT label, dim, count(*)::BIGINT AS n_vecs, sum(q)::BIGINT AS sum_q,
+       (sum(q) // count(*))::BIGINT AS mean_q
+FROM e GROUP BY 1, 2
+"""

@@ -1861,3 +1861,162 @@ SELECT lang_pred, n::BIGINT AS n_docs,
        END::BIGINT AS intercept_ppm
 FROM agg
 """
+
+
+# --- BPE tokenizer training (distributed merge learning) -----------------------
+BPE_MERGES = 8  # merge rounds learned (the oracle chains one recursive CTE
+                # per round, so the default stays modest; the engine takes any n)
+
+
+def _bpe_segment(word: str, merges: list) -> list:
+    """Apply learned merges to a word, in learn order, each left-to-right
+    non-overlapping — the standard BPE apply rule (Sennrich et al. 2016).
+    Exact on ANY unicode input: DuckDB string subscripts are codepoints
+    (probed, incl. NFD combining marks), same as Python ``list(word)``, and
+    UTF-8 byte order == codepoint order so tie-breaks agree too."""
+    syms = list(word)
+    for a, b in merges:
+        i, out = 0, []
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_train(ds, n_merges: int = BPE_MERGES):
+    """Learn the top-``n_merges`` BPE merges over the corpus — tokenizer
+    training as a first-class distributed op.
+
+    Scale shape: ONE corpus-wide pass folds documents to (word, count)
+    partials and a single (word) groupby builds the weighted vocabulary —
+    the only exchange that sees corpus-scale data; it is bounded by the
+    DISTINCT-word count, so it materializes once and every merge round
+    re-reads it (the graph_pagerank move: per-round state is regenerated
+    from the bounded table + the merges-so-far list, never carried as an
+    evolving column).  Each round: per-batch adjacent-pair counts (every
+    adjacent position, so 'aaa' contributes (a,a) twice), one
+    (lft, rgt) groupby bounded by |symbol pairs|, a per-block local top-1,
+    and a <= 1-row-per-block driver merge picks the argmax with the
+    (count DESC, lft ASC, rgt ASC) tie order DuckDB's binary-collation
+    ORDER BY reproduces exactly (UTF-8 byte order == codepoint order).
+    The winning pair joins the
+    broadcast merge list (n_merges entries, closure-shipped) and the next
+    round re-segments.  Driver state: n_merges tuples — never vocabulary.
+
+    Stops early when no adjacent pair remains (all-single-char vocabulary);
+    the chained-CTE oracle degrades identically (empty m_r empties every
+    later round).  Returns (merge_rank, lft, rgt, n) as a tiny DataFrame."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    _W = pa.schema([("word", pa.string()), ("cnt", pa.int64())])
+    _P = pa.schema([("lft", pa.string()), ("rgt", pa.string()),
+                    ("n", pa.int64())])
+
+    def word_partial(b: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in b["text"].to_pylist():
+            c.update(_tokens(t))
+        words = list(c.keys())
+        return pa.Table.from_arrays(
+            [pa.array(words, pa.string()),
+             pa.array([c[w] for w in words], pa.int64())], schema=_W)
+
+    vocab = (ds.map_batches(word_partial, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+             .materialize())  # bounded by |distinct words|; reused n_merges x
+
+    merges: list = []
+    out_rows = []
+    for _ in range(n_merges):
+        cur = tuple(merges)
+
+        def pair_partial(b: pa.Table, cur=cur) -> pa.Table:
+            if b.num_rows == 0 or "word" not in b.column_names:
+                return _P.empty_table()
+            pc_ = Counter()
+            cnts = b["cnt"].to_numpy(zero_copy_only=False)
+            for w, c in zip(b["word"].to_pylist(), cnts):
+                syms = _bpe_segment(w, cur)
+                ci = int(c)
+                for i in range(len(syms) - 1):
+                    pc_[(syms[i], syms[i + 1])] += ci
+            keys = list(pc_.keys())
+            return pa.Table.from_arrays(
+                [pa.array([k[0] for k in keys], pa.string()),
+                 pa.array([k[1] for k in keys], pa.string()),
+                 pa.array([pc_[k] for k in keys], pa.int64())], schema=_P)
+
+        def local_top1(df: pd.DataFrame) -> pa.Table:
+            if df.empty or "lft" not in df.columns:
+                return _P.empty_table()
+            df = df.sort_values(["n", "lft", "rgt"],
+                                ascending=[False, True, True],
+                                kind="stable").head(1)
+            return pa.Table.from_pandas(df[["lft", "rgt", "n"]],
+                                        preserve_index=False,
+                                        schema=_P).replace_schema_metadata(None)
+
+        top = (vocab.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["lft", "rgt"]).aggregate(Sum("n", alias_name="n"))
+               .map_batches(local_top1, batch_format="pandas",
+                            batch_size=None)
+               .to_pandas())  # <= 1 row per block
+        if top.empty:
+            break
+        best = top.sort_values(["n", "lft", "rgt"],
+                               ascending=[False, True, True],
+                               kind="stable").iloc[0]
+        merges.append((str(best["lft"]), str(best["rgt"])))
+        out_rows.append((len(merges), str(best["lft"]), str(best["rgt"]),
+                         int(best["n"])))
+
+    return pd.DataFrame(out_rows, columns=["merge_rank", "lft", "rgt", "n"]
+                        ).astype({"merge_rank": "int64", "n": "int64"})
+
+
+def bpe_train_sql(table: str = "documents", n_merges: int = BPE_MERGES) -> str:
+    """Chained recursive-CTE mirror: one recursive left-to-right merge walk
+    per round (probed: DuckDB string subscripts are 1-based characters,
+    aligned unnests of equal-length list_slices produce positional bigrams,
+    and empty m_r CTEs empty all later rounds exactly like the engine's
+    early stop)."""
+    ctes = [
+        f"""w AS (SELECT token AS word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest({TOKS_SQL}) AS token FROM {table}) GROUP BY 1)""",
+        """s0 AS (SELECT word, cnt,
+  list_transform(range(1, length(word)+1), i -> word[i]) AS syms FROM w)""",
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        ctes.append(f"""p{r} AS (
+  SELECT unnest(list_slice(syms, 1, len(syms)-1)) AS lft,
+         unnest(list_slice(syms, 2, len(syms))) AS rgt, cnt FROM s{p})""")
+        ctes.append(f"""m{r} AS (
+  SELECT lft, rgt, sum(cnt)::BIGINT AS n FROM p{r} GROUP BY 1, 2
+  ORDER BY n DESC, lft ASC, rgt ASC LIMIT 1)""")
+        if r < n_merges:  # the last round's re-segmentation is never read
+            ctes.append(f"""r{r} AS (
+  SELECT word, cnt, syms, m.lft AS ml, m.rgt AS mr, 1 AS i,
+         CAST([] AS VARCHAR[]) AS out
+  FROM s{p} CROSS JOIN m{r} m
+  UNION ALL
+  SELECT word, cnt, syms, ml, mr,
+    CASE WHEN i < len(syms) AND syms[i] = ml AND syms[i+1] = mr
+         THEN i+2 ELSE i+1 END,
+    CASE WHEN i < len(syms) AND syms[i] = ml AND syms[i+1] = mr
+         THEN list_append(out, ml || mr) ELSE list_append(out, syms[i]) END
+  FROM r{r} WHERE i <= len(syms))""")
+            ctes.append(f"""s{r} AS (
+  SELECT word, cnt, out AS syms FROM r{r} WHERE i = len(syms)+1)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r}::BIGINT AS merge_rank, lft, rgt, n FROM m{r}"
+        for r in range(1, n_merges + 1))
+    return ("WITH RECURSIVE\n" + ",\n".join(ctes) + "\n" + selects)

@@ -57,7 +57,7 @@ DOC_QUERIES = [
     "cluster_representatives", "lm_score", "inverted_index",
     "image_decode_gif", "image_decode_jpeg", "video_frame_sample",
     "normalize_unicode", "quality_rank", "paragraph_dedup",
-    "scrub_dup_ngrams", "linear_fit",
+    "scrub_dup_ngrams", "linear_fit", "bpe_train",
 ]
 
 
@@ -751,3 +751,138 @@ def test_edge_linear_fit_degenerate(ray_session, tmp_path_factory):
     by = eng.set_index("lang_pred")
     assert by.loc["en", "slope_ppm"] == 0          # den=0 path
     assert by.loc["de", "slope_ppm"] < 0           # negative, trunc toward 0
+
+
+def test_edge_bpe_train_hostiles(ray_session, tmp_path_factory):
+    """BPE merge-learning hostiles vs the chained-recursive-CTE oracle:
+    overlapping pairs ('aaaa' counts (a,a) x3 but merges to [aa,aa]),
+    single-char words (no pairs), and the early-stop when the vocabulary
+    runs out of mergeable pairs before n_merges rounds."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import text as T
+
+    d = tmp_path_factory.mktemp("edge_bpe")
+    rows = [
+        (1, "aaaa aaaa aa b b b"),   # overlap counting + merged-symbol reuse
+        (2, "x y z"),                # single-char words: no pairs from these
+        (3, "abab abab cd"),         # competing pairs; (a,b) wins on count
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }), str(d / "documents.parquet"))
+    eng = T.bpe_train(rd.read_parquet(str(d / "documents.parquet")))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    orc = con.sql(T.bpe_train_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    # semantic pins: round 1 merges the highest-count pair; 'aaaa' counted
+    # (a,a) at all 3 adjacent positions (2 words) + 'aa' 1 -> 7 before any merge
+    r1 = eng.set_index("merge_rank").loc[1]
+    assert (r1["lft"], r1["rgt"], r1["n"]) == ("a", "a", 7)
+    # early stop: this tiny vocab exhausts mergeable pairs before 8 rounds
+    assert 0 < len(eng) <= T.BPE_MERGES
+
+
+def test_edge_bpe_train_all_single_chars(ray_session, tmp_path_factory):
+    """A vocabulary of only 1-char words yields ZERO merges on both sides."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import text as T
+
+    d = tmp_path_factory.mktemp("edge_bpe0")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["a b c a b"], pa.string()),
+    }), str(d / "documents.parquet"))
+    eng = T.bpe_train(rd.read_parquet(str(d / "documents.parquet")))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    orc = con.sql(T.bpe_train_sql()).df()
+    assert len(eng) == 0 and len(orc) == 0
+
+
+def test_edge_small_qty_boundary(ray_session, tmp_path_factory):
+    """Q17-shape strictness: a line item EXACTLY at 0.2x its part's average
+    (qty*5*n == sum) is excluded on both sides; a part with one line item
+    can never qualify (qty*5*1 < qty is false for qty > 0)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d = tmp_path_factory.mktemp("edge_q17")
+    # part 1: qtys 1,1,1,1,46 -> n=5 sum=50; threshold qty*25 < 50 -> qty < 2
+    #   so the four qty=1 rows qualify; qty=2 would sit EXACTLY at the cut
+    # part 2: qtys 2,2,2,2,42 -> n=5 sum=50; qty=2 -> 2*25 == 50: excluded
+    # part 3: single row -> never qualifies
+    li = [(1, 1.0), (1, 1.0), (1, 1.0), (1, 1.0), (1, 46.0),
+          (2, 2.0), (2, 2.0), (2, 2.0), (2, 2.0), (2, 42.0),
+          (3, 9.0)]
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([r[0] for r in li], pa.int64()),
+        "l_quantity": pa.array([r[1] for r in li], pa.float64()),
+        "l_extendedprice": pa.array([10.0 * (i + 1) for i in range(len(li))],
+                                    pa.float64()),
+    }), str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["B1", "B2", "B1"], pa.string()),
+    }), str(d / "part.parquet"))
+    part = pq.read_table(str(d / "part.parquet"))
+    eng = R.small_qty_revenue(
+        rd.read_parquet(str(d / "lineitem.parquet")), part).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    orc = con.sql(R.small_qty_revenue_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    by = eng.set_index("p_brand")
+    assert by.loc["B1", "n_small"] == 4      # part 1's qty=1 rows only
+    assert "B2" not in by.index              # the exact-boundary part drops out
+
+
+def test_edge_embedding_centroids_negative_trunc(ray_session, tmp_path_factory):
+    """Centroid mean uses truncate-toward-zero division on NEGATIVE sums
+    (DuckDB //), and half-way components round half-AWAY like round()."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import similarity as S
+
+    d = tmp_path_factory.mktemp("edge_cent")
+    # label 7: sums to a negative non-divisible total in dim 0;
+    # 0.0000005 quantizes to 1 (half-away), -0.0000005 to -1
+    vecs = [[-1.0, 0.0000005], [-0.5, -0.0000005], [0.0, 2.0]]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([7, 7, 7], pa.int32()),
+    }), str(d / "embeddings.parquet"))
+    eng = S.embedding_centroids(
+        rd.read_parquet(str(d / "embeddings.parquet"))).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')")
+    orc = con.sql(S.embedding_centroids_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    d0 = eng.set_index("dim").loc[0]
+    assert d0["sum_q"] == -1_500_000 and d0["mean_q"] == -500_000
