@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "bpe_train",            # iterative tokenizer merge learning (session-10)
     "small_qty_revenue",    # Q17 correlated per-group average (session-10)
     "embedding_centroids",  # exact integer vector centroids (session-10)
+    "pareto_parts",         # skyline dominance filter (session-10)
 ]
 
 

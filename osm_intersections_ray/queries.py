@@ -426,9 +426,13 @@ def queries() -> dict:
                              columns=["p_partkey", "p_brand"])
         return relational.small_qty_revenue(
             _tbl(sf, "lineitem", ["l_partkey", "l_quantity",
-                                  "l_extendedprice"]), part)
+                                  "l_extendedprice"]), part,
+            stats_lineitem_ds=_tbl(sf, "lineitem",
+                                   ["l_partkey", "l_quantity"]))
 
     q["small_qty_revenue"] = small_qty
+    q["pareto_parts"] = lambda sf: relational.pareto_parts(
+        _tbl(sf, "part", ["p_partkey", "p_retailprice", "p_size"]))
     q["top_parts"] = lambda sf: relational.top_parts(
         _tbl(sf, "part", ["p_partkey", "p_name", "p_retailprice"]))
     q["top_parts_per_brand"] = lambda sf: relational.top_parts_per_brand(
@@ -554,6 +558,7 @@ def oracle_sql() -> dict:
         "late_shipment_priority": relational.late_shipment_priority_sql(),
         "promo_revenue": relational.promo_revenue_sql(),
         "small_qty_revenue": relational.small_qty_revenue_sql(),
+        "pareto_parts": relational.pareto_parts_sql(),
         "top_parts": relational.top_parts_sql(),
         "top_parts_per_brand": relational.top_parts_per_brand_sql(),
         "customers_without_orders": filters.customers_without_orders_sql(),

@@ -856,10 +856,14 @@ SMALL_QTY_NUM = 1   # the "small" threshold is qty < (NUM/DEN) * avg(qty)
 SMALL_QTY_DEN = 5   # i.e. 0.2 x the part's average, as in Q17
 
 
-def small_qty_revenue(lineitem_ds, part_tbl: pa.Table):
+def small_qty_revenue(lineitem_ds, part_tbl: pa.Table, stats_lineitem_ds=None):
     """TPC-H Q17 shape — the correlated per-group scalar subquery: revenue
     from line items whose quantity is below 0.2x their OWN part's average
     quantity, rolled up per brand.
+
+    ``stats_lineitem_ds``: optional separate read for the stats pass, pruned
+    to (l_partkey, l_quantity) — the extendedprice column never leaves
+    storage on pass 1 (prune-at-the-read; defaults to ``lineitem_ds``).
 
     Scale shape: pass 1 folds lineitem to per-part (n, sum_qty) via
     per-batch partials + ONE partkey groupby (output bounded by |part|, the
@@ -892,10 +896,21 @@ def small_qty_revenue(lineitem_ds, part_tbl: pa.Table):
             [pa.array(u.astype(np.int64)), pa.array(n), pa.array(s)],
             schema=_STATS_PARTIAL_SCHEMA)
 
-    stats = (lineitem_ds.map_batches(qty_partial, batch_format="pyarrow")
-             .groupby("l_partkey").aggregate(
-                 Sum("n", alias_name="n"), Sum("sq", alias_name="sq"))
-             .to_pandas())  # <= |part| rows: the declared-small dim
+    stats_src = (stats_lineitem_ds if stats_lineitem_ds is not None
+                 else lineitem_ds)
+    partials = stats_src.map_batches(qty_partial, batch_format="pyarrow")
+    if part_tbl.num_rows <= BROADCAST_CUST_MAX:
+        # part is the declared-small dim and the folded stats broadcast
+        # anyway — fold the (blocks x <=|part|)-row partials on the driver
+        # instead of paying a sort exchange for a table we then collect
+        # (measured 5-10 s -> ~1 s at sf0.1's 20k parts x 48 blocks)
+        stats = (partials.to_pandas().groupby("l_partkey", sort=True)
+                 .sum().reset_index())
+    else:  # planet-scale part: distributed groupby; the broadcast below
+        # then needs the hash-join route instead (shipping_priority's move)
+        stats = (partials.groupby("l_partkey").aggregate(
+            Sum("n", alias_name="n"), Sum("sq", alias_name="sq"))
+            .to_pandas())
     order = np.argsort(stats["l_partkey"].to_numpy(), kind="stable")
     pkeys = stats["l_partkey"].to_numpy(dtype=np.int64)[order]
     ns = stats["n"].to_numpy(dtype=np.int64)[order]
@@ -951,4 +966,89 @@ JOIN part p ON p.p_partkey = l.l_partkey
 WHERE CAST(round(l.l_quantity) AS BIGINT) * {SMALL_QTY_DEN} * s.n
       < {SMALL_QTY_NUM} * s.sq
 GROUP BY 1
+"""
+
+
+# --- skyline / Pareto frontier (dominance filter) ------------------------------
+
+
+def _skyline_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean mask of Pareto-optimal rows minimizing (price, size): a row is
+    dominated iff some other row is <= on both axes and strictly < on one.
+    Exact duplicates of a surviving pair all survive (no strict difference).
+    Vectorized: lexsort by (price, size), per-price-group min-s, running min
+    across groups — O(n log n), no pairwise compare."""
+    n = price.size
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((size, price))
+    sp, ss = price[order], size[order]
+    starts = np.ones(n, dtype=bool)
+    starts[1:] = sp[1:] != sp[:-1]
+    gid = np.cumsum(starts) - 1
+    group_min = ss[starts]  # sorted by s within a price group: first is min
+    prev_min = np.concatenate((
+        [np.iinfo(np.int64).max],
+        np.minimum.accumulate(group_min)[:-1]))
+    keep_sorted = (group_min < prev_min)[gid] & (ss == group_min[gid])
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def pareto_parts(ds):
+    """Skyline query — the Pareto frontier of parts minimizing
+    (retail price, size): no other part is cheaper-or-equal AND
+    smaller-or-equal with one strict.
+
+    Scale shape: dominance is transitive, so every GLOBAL skyline point is
+    also a LOCAL skyline point of whatever batch holds it — each batch
+    emits only its local frontier (frontier-sized, typically O(log n) of
+    the batch for independent dims), the union repartitions into one block
+    (frontier-of-frontiers is tiny by the same argument), and the SAME
+    vectorized kernel finishes.  Nothing corpus-sized moves or
+    materializes; the only all-to-all is over local-frontier rows."""
+
+    _F = pa.schema([("p_partkey", pa.int64()), ("price_cents", pa.int64()),
+                    ("p_size", pa.int64())])
+
+    def local_front(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "p_partkey" not in b.column_names:
+            return _F.empty_table()
+        price = round_half_away_np(
+            b["p_retailprice"].to_numpy(zero_copy_only=False) * 100)
+        size = np.asarray(b["p_size"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        m = _skyline_mask(price, size)
+        return pa.Table.from_arrays(
+            [pa.array(b["p_partkey"].to_numpy(zero_copy_only=False)[m]
+                      .astype(np.int64)),
+             pa.array(price[m]), pa.array(size[m])], schema=_F)
+
+    def final_front(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "p_partkey" not in b.column_names:
+            return _F.empty_table()
+        m = _skyline_mask(
+            np.asarray(b["price_cents"].to_numpy(zero_copy_only=False)),
+            np.asarray(b["p_size"].to_numpy(zero_copy_only=False)))
+        return b.filter(pa.array(m))
+
+    return (ds.map_batches(local_front, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final_front, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def pareto_parts_sql() -> str:
+    return """
+WITH q AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         p_size::BIGINT AS p_size
+  FROM part
+)
+SELECT p_partkey, price_cents, p_size FROM q p1
+WHERE NOT EXISTS (
+  SELECT 1 FROM q p2
+  WHERE p2.price_cents <= p1.price_cents AND p2.p_size <= p1.p_size
+    AND (p2.price_cents < p1.price_cents OR p2.p_size < p1.p_size))
 """

@@ -1929,9 +1929,18 @@ def bpe_train(ds, n_merges: int = BPE_MERGES):
             [pa.array(words, pa.string()),
              pa.array([c[w] for w in words], pa.int64())], schema=_W)
 
+    # bounded by |distinct words|; reused n_merges times.  The aggregate
+    # exchange emits many small blocks — compacting once keeps every round
+    # at a handful of map tasks instead of hundreds (measured ~2x/round at
+    # sandbox vocab sizes; at web-scale vocabularies raise the block count
+    # with the data, the rounds stay bounded by |vocab| either way).
+    import ray as _ray
+
+    n_blocks = max(4, int(_ray.cluster_resources().get("CPU", 8)) // 2)
     vocab = (ds.map_batches(word_partial, batch_format="pyarrow")
              .groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
-             .materialize())  # bounded by |distinct words|; reused n_merges x
+             .repartition(n_blocks)
+             .materialize())
 
     merges: list = []
     out_rows = []

@@ -886,3 +886,44 @@ def test_edge_embedding_centroids_negative_trunc(ray_session, tmp_path_factory):
         assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
     d0 = eng.set_index("dim").loc[0]
     assert d0["sum_q"] == -1_500_000 and d0["mean_q"] == -500_000
+
+
+def test_edge_pareto_parts(ray_session, tmp_path_factory):
+    """Skyline hostiles vs the NOT-EXISTS dominance oracle: exact-duplicate
+    frontier pairs BOTH survive, equal-price ties keep only the min size,
+    a globally-dominating point prunes everything behind it, and the
+    local-frontier -> final-frontier split is exercised across blocks."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d = tmp_path_factory.mktemp("edge_sky")
+    # (partkey, price, size)
+    rows = [
+        (1, 10.00, 5), (2, 10.00, 5),   # duplicate pair on the frontier: both
+        (3, 10.00, 7),                  # same price, bigger size: dominated
+        (4, 5.00, 9),                   # cheapest overall: frontier
+        (5, 20.00, 1),                  # smallest overall: frontier
+        (6, 20.00, 1),                  # duplicate of 5: both survive
+        (7, 21.00, 1),                  # same size as 5, pricier: dominated
+        (8, 9.99, 6),                   # cheaper + bigger than 1: frontier
+        (9, 50.00, 50),                 # dominated by everything
+    ]
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "p_retailprice": pa.array([r[1] for r in rows], pa.float64()),
+        "p_size": pa.array([r[2] for r in rows], pa.int32()),
+    }), str(d / "part.parquet"))
+    eng = R.pareto_parts(
+        rd.read_parquet(str(d / "part.parquet"),
+                        override_num_blocks=4)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM read_parquet('{d}/part.parquet')")
+    orc = con.sql(R.pareto_parts_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    assert sorted(eng["p_partkey"]) == [1, 2, 4, 5, 6, 8]
