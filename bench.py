@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "small_qty_revenue",    # Q17 correlated per-group average (session-10)
     "embedding_centroids",  # exact integer vector centroids (session-10)
     "pareto_parts",         # skyline dominance filter (session-10)
+    "events_pivot",         # long->wide conditional aggregation (session-10)
+    "user_streaks",         # gaps-and-islands consecutive-day streaks (session-10)
 ]
 
 

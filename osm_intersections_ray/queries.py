@@ -371,6 +371,10 @@ def queries() -> dict:
         _tbl(sf, "events", ["event_type", "props"]))
     q["events_rollup"] = lambda sf: events.events_rollup(
         _tbl(sf, "events", ["event_type", "ts", "value"]))
+    q["events_pivot"] = lambda sf: events.events_pivot(
+        _tbl(sf, "events", ["event_type", "ts", "value"]))
+    q["user_streaks"] = lambda sf: events.user_streaks(
+        _tbl(sf, "events", ["user_id", "ts"]))
 
     # --- relational building blocks
     q["pricing_summary"] = lambda sf: relational.pricing_summary(
@@ -549,6 +553,8 @@ def oracle_sql() -> dict:
         "props_kv_stats": events.props_kv_stats_sql(),
         "retention_cohorts": events.retention_cohorts_sql(),
         "events_rollup": events.events_rollup_sql(),
+        "events_pivot": events.events_pivot_sql(),
+        "user_streaks": events.user_streaks_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "shipping_priority": relational.shipping_priority_sql(),

@@ -631,3 +631,142 @@ SELECT CASE WHEN GROUPING(event_type) = 1 THEN '{ROLLUP_ALL}' ELSE event_type EN
 FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS d, value FROM {table})
 GROUP BY ROLLUP(event_type, d)
 """
+
+
+# --- pivot / conditional aggregation (static column contract) ------------------
+PIVOT_TYPES = ("view", "click", "purchase", "signup", "error")
+_DAY_US = 86_400_000_000
+
+
+def _day_trunc(ts_us: np.ndarray) -> np.ndarray:
+    """epoch-us -> day index with DuckDB's truncate-toward-zero division
+    (numpy // floors, which diverges on pre-1970 timestamps)."""
+    ts_us = np.asarray(ts_us, dtype=np.int64)
+    return np.where(ts_us < 0, -((-ts_us) // _DAY_US), ts_us // _DAY_US)
+
+
+def events_pivot(ds):
+    """Pivot (long -> wide conditional aggregation): per event DAY, one count
+    column per known event type + purchase revenue cents.  The pivot contract
+    is a STATIC column set — Arrow schemas can't depend on data — so unknown
+    types fold into ``n_other`` (the scale-safe form of SQL PIVOT; a dynamic
+    pivot would need a driver pass over distinct types first).
+
+    Scale shape: per-batch (day x fixed columns) partials via vectorized
+    type-indicator sums, one tiny (day) groupby bounded by distinct days."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.scalar import round_half_away_np
+
+    cols = [f"n_{t}" for t in PIVOT_TYPES] + ["n_other", "purchase_cents"]
+    _P = pa.schema([("day", pa.int64())] +
+                   [(c, pa.int64()) for c in cols])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = _day_trunc(ts_us)
+        et = b["event_type"].to_pandas().to_numpy(dtype=object)
+        cents = round_half_away_np(
+            b["value"].to_numpy(zero_copy_only=False) * 100)
+        u, inv = np.unique(day, return_inverse=True)
+        arrs = [pa.array(u.astype(np.int64))]
+        seen = np.zeros(day.size, dtype=bool)
+        for t in PIVOT_TYPES:
+            m = et == t
+            seen |= m
+            arrs.append(pa.array(np.bincount(
+                inv[m], minlength=u.size).astype(np.int64)))
+        arrs.append(pa.array(np.bincount(
+            inv[~seen], minlength=u.size).astype(np.int64)))
+        pm = et == "purchase"  # int64 add.at: exact at any scale (bincount
+        s = np.zeros(u.size, dtype=np.int64)  # weights accumulate in float64)
+        np.add.at(s, inv[pm], cents[pm])
+        arrs.append(pa.array(s))
+        return pa.Table.from_arrays(arrs, schema=_P)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(
+                *[Sum(c, alias_name=c) for c in cols]))
+
+
+def events_pivot_sql(table: str = "events") -> str:
+    known = ", ".join(f"'{t}'" for t in PIVOT_TYPES)
+    counts = ",\n       ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}')::BIGINT AS n_{t}"
+        for t in PIVOT_TYPES)
+    return f"""
+SELECT (epoch_us(ts) // {_DAY_US})::BIGINT AS day,
+       {counts},
+       count(*) FILTER (WHERE event_type NOT IN ({known}))::BIGINT AS n_other,
+       coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE event_type = 'purchase'), 0)::BIGINT AS purchase_cents
+FROM {table} GROUP BY 1
+"""
+
+
+# --- gaps-and-islands: consecutive-day activity streaks ------------------------
+
+
+def user_streaks(ds):
+    """Per-user activity streaks over consecutive DAYS — the classic
+    gaps-and-islands window shape (SQL: day - row_number() island key),
+    expressed on the engine's sharded layout: shuffle key is
+    ``user_id % N_USER_SHARDS`` so a user's whole history is shard-local;
+    within a shard ONE pass builds distinct (user, day) pairs, breaks
+    islands where the day step != 1, and reduces streak lengths per user —
+    all vectorized (np.unique + cumsum island ids + bincount lengths).
+    Returns (user_id, n_active_days, n_streaks, max_streak)."""
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        ts_us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = _day_trunc(ts_us)
+        # pre-dedupe (user, day) per batch: the exchange carries at most one
+        # row per (batch, user, active day), never raw events
+        pairs = np.unique(np.stack([uid, day], axis=1), axis=0)
+        return pa.table({
+            "ushard": pa.array((pairs[:, 0] % N_USER_SHARDS).astype(np.int64)),
+            "user_id": pa.array(pairs[:, 0]),
+            "day": pa.array(pairs[:, 1])})
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        pairs = np.unique(np.stack(
+            [df["user_id"].to_numpy(dtype=np.int64),
+             df["day"].to_numpy(dtype=np.int64)], axis=1), axis=0)
+        uid, day = pairs[:, 0], pairs[:, 1]
+        n = uid.size
+        new_island = np.ones(n, dtype=bool)
+        new_island[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)
+        island = np.cumsum(new_island) - 1
+        lengths = np.bincount(island).astype(np.int64)
+        island_user = uid[new_island]
+        g = (pd.DataFrame({"user_id": island_user, "len": lengths})
+             .groupby("user_id", sort=False)
+             .agg(n_active_days=("len", "sum"), n_streaks=("len", "size"),
+                  max_streak=("len", "max")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False, schema=pa.schema([
+            ("user_id", pa.int64()), ("n_active_days", pa.int64()),
+            ("n_streaks", pa.int64()), ("max_streak", pa.int64()),
+        ])).replace_schema_metadata(None)
+
+    return (ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("ushard").map_groups(per_shard, batch_format="pandas"))
+
+
+def user_streaks_sql(table: str = "events") -> str:
+    return f"""
+WITH d AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // {_DAY_US})::BIGINT AS day
+  FROM {table}
+), i AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+), s AS (
+  SELECT user_id, grp, count(*)::BIGINT AS len FROM i GROUP BY 1, 2
+)
+SELECT user_id, sum(len)::BIGINT AS n_active_days,
+       count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS max_streak
+FROM s GROUP BY 1
+"""

@@ -168,7 +168,8 @@ def edge_events_dir(tmp_path_factory):
 @pytest.mark.parametrize("name", ["events_hourly", "sessions", "events_sliding",
                                   "asof_prev_purchase", "post_purchase_window",
                                   "funnel_stages", "props_kv_stats",
-                                  "events_rollup"])
+                                  "events_rollup", "events_pivot",
+                                  "user_streaks"])
 def test_edge_events_vs_oracle(ray_session, edge_events_dir, name):
     _compare(ray_session, edge_events_dir, "events", name)
 
@@ -927,3 +928,50 @@ def test_edge_pareto_parts(ray_session, tmp_path_factory):
     for c in e.columns:
         assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
     assert sorted(eng["p_partkey"]) == [1, 2, 4, 5, 6, 8]
+
+
+def test_edge_user_streaks_islands(ray_session, tmp_path_factory):
+    """Gaps-and-islands hostiles: multi-day streaks with gaps, duplicate
+    events on one day, co-sharded users (1 and 65) whose sorted day ranges
+    ABUT (the island break on user change must fire even when day continues
+    by +1), and a pre-1970 timestamp (truncating day division)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import events as E
+
+    d = tmp_path_factory.mktemp("edge_streaks")
+    D = E._DAY_US
+    rows = []  # (user, day or raw us)
+    for day in (10, 11, 12, 14, 15, 16, 16):   # u1: streaks 3 + 3, dup day
+        rows.append((1, day * D + 5))
+    rows.append((65, 13 * D + 1))              # same shard as u1; day 13
+    #   abuts u1's 12 and 14 — must NOT bridge u1's islands
+    rows.append((2, -3 * D // 2))              # pre-1970: day -1 by trunc
+    rows.append((2, 0))                        # day 0: NOT consecutive with -1?
+    #   trunc(-1.5d) = -1; -1 + 1 == 0 -> consecutive on BOTH sides (pins
+    #   that engine and oracle at least AGREE on the negative-day bucketing)
+    rows.append((3, 100 * D))                  # single-day user
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array(["a"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(d / "events.parquet"))
+    eng = E.user_streaks(
+        rd.read_parquet(str(d / "events.parquet"))).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    orc = con.sql(E.user_streaks_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    by = eng.set_index("user_id")
+    assert (by.loc[1, "n_active_days"], by.loc[1, "n_streaks"],
+            by.loc[1, "max_streak"]) == (6, 2, 3)
+    assert by.loc[65, "max_streak"] == 1       # not bridged into u1
+    assert by.loc[2, "max_streak"] == 2        # days -1, 0 consecutive
