@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "pareto_parts",         # skyline dominance filter (session-10)
     "events_pivot",         # long->wide conditional aggregation (session-10)
     "user_streaks",         # gaps-and-islands consecutive-day streaks (session-10)
+    "bpe_apply",            # corpus-scale subword segmentation pass (session-10)
 ]
 
 

@@ -1994,9 +1994,23 @@ def bpe_train(ds, n_merges: int = BPE_MERGES):
 def bpe_train_sql(table: str = "documents", n_merges: int = BPE_MERGES) -> str:
     """Chained recursive-CTE mirror: one recursive left-to-right merge walk
     per round (probed: DuckDB string subscripts are 1-based characters,
-    aligned unnests of equal-length list_slices produce positional bigrams,
-    and empty m_r CTEs empty all later rounds exactly like the engine's
-    early stop)."""
+    aligned unnests of equal-length list_slices produce positional bigrams;
+    an exhausted round's sentinel pass-through leaves all later m_r empty
+    exactly like the engine's early stop — see _bpe_chain_ctes)."""
+    ctes = _bpe_chain_ctes(table, n_merges, final_seg=False)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r}::BIGINT AS merge_rank, lft, rgt, n FROM m{r}"
+        for r in range(1, n_merges + 1))
+    return ("WITH RECURSIVE\n" + ",\n".join(ctes) + "\n" + selects)
+
+
+def _bpe_chain_ctes(table: str, n_merges: int, final_seg: bool) -> list:
+    """Shared CTE chain for the BPE oracles.  The segmentation walk CROSS
+    JOINs a SENTINEL-coalesced merge row (ml = mr = '' when m_r is empty —
+    the empty string can never equal a symbol, so an exhausted round passes
+    every word through unchanged instead of emptying the chain; this is
+    exactly the engine's early stop).  ``final_seg`` adds the last round's
+    re-segmentation, which bpe_train never reads but bpe_apply does."""
     ctes = [
         f"""w AS (SELECT token AS word, count(*)::BIGINT AS cnt
   FROM (SELECT unnest({TOKS_SQL}) AS token FROM {table}) GROUP BY 1)""",
@@ -2011,11 +2025,12 @@ def bpe_train_sql(table: str = "documents", n_merges: int = BPE_MERGES) -> str:
         ctes.append(f"""m{r} AS (
   SELECT lft, rgt, sum(cnt)::BIGINT AS n FROM p{r} GROUP BY 1, 2
   ORDER BY n DESC, lft ASC, rgt ASC LIMIT 1)""")
-        if r < n_merges:  # the last round's re-segmentation is never read
+        if r < n_merges or final_seg:
             ctes.append(f"""r{r} AS (
-  SELECT word, cnt, syms, m.lft AS ml, m.rgt AS mr, 1 AS i,
+  SELECT word, cnt, syms, m.ml, m.mr, 1 AS i,
          CAST([] AS VARCHAR[]) AS out
-  FROM s{p} CROSS JOIN m{r} m
+  FROM s{p} CROSS JOIN (SELECT coalesce(max(lft), '') AS ml,
+                               coalesce(max(rgt), '') AS mr FROM m{r}) m
   UNION ALL
   SELECT word, cnt, syms, ml, mr,
     CASE WHEN i < len(syms) AND syms[i] = ml AND syms[i+1] = mr
@@ -2025,7 +2040,63 @@ def bpe_train_sql(table: str = "documents", n_merges: int = BPE_MERGES) -> str:
   FROM r{r} WHERE i <= len(syms))""")
             ctes.append(f"""s{r} AS (
   SELECT word, cnt, out AS syms FROM r{r} WHERE i = len(syms)+1)""")
-    selects = "\nUNION ALL\n".join(
-        f"SELECT {r}::BIGINT AS merge_rank, lft, rgt, n FROM m{r}"
-        for r in range(1, n_merges + 1))
-    return ("WITH RECURSIVE\n" + ",\n".join(ctes) + "\n" + selects)
+    return ctes
+
+
+def bpe_apply(ds, n_merges: int = BPE_MERGES):
+    """Apply the learned BPE merges to the corpus and build the SUBWORD
+    frequency table — the tokenizer-training complement of :func:`bpe_train`
+    (train learns the merges; this is the corpus-scale APPLY pass every
+    pipeline runs afterwards).
+
+    Scale shape: the merge list (n_merges pairs — tokenizer-sized by
+    definition) learns first and ships by closure; the corpus then streams
+    through ONE segmentation pass emitting per-batch (subword, count)
+    partials — segmentation caches per distinct word within a batch, so the
+    per-row cost is a dict hit — and a single (subword) groupby bounded by
+    the subword vocabulary finishes.  Returns (subword, n) rows.
+
+    The oracle reuses the train oracle's chained CTEs with the final
+    segmentation included, then unnests it weighted by word count —
+    per-word determinism makes corpus-stream and vocab-fold results
+    identical."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    merges = [(r.lft, r.rgt) for r in
+              bpe_train(ds, n_merges).itertuples(index=False)]
+
+    _S = pa.schema([("subword", pa.string()), ("n", pa.int64())])
+
+    def seg_partial(b: pa.Table) -> pa.Table:
+        c = Counter()
+        seg_cache: dict = {}
+        for t in b["text"].to_pylist():
+            for w in _tokens(t):
+                syms = seg_cache.get(w)
+                if syms is None:
+                    syms = _bpe_segment(w, merges)
+                    seg_cache[w] = syms
+                c.update(syms)
+        keys = list(c.keys())
+        return pa.Table.from_arrays(
+            [pa.array(keys, pa.string()),
+             pa.array([c[k] for k in keys], pa.int64())], schema=_S)
+
+    return (ds.map_batches(seg_partial, batch_format="pyarrow")
+            .groupby("subword").aggregate(Sum("n", alias_name="n")))
+
+
+def bpe_apply_sql(table: str = "documents",
+                  n_merges: int = BPE_MERGES) -> str:
+    """Train chain with the final segmentation included, then a weighted
+    unnest: each symbol-position row contributes its word's count, so a
+    subword occurring twice in a word counts twice — exactly the engine's
+    corpus-stream fold."""
+    ctes = _bpe_chain_ctes(table, n_merges, final_seg=True)
+    return ("WITH RECURSIVE\n" + ",\n".join(ctes) + f"""
+SELECT subword, sum(cnt)::BIGINT AS n FROM (
+  SELECT unnest(syms) AS subword, cnt FROM s{n_merges}
+) GROUP BY 1
+""")

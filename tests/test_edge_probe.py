@@ -57,7 +57,7 @@ DOC_QUERIES = [
     "cluster_representatives", "lm_score", "inverted_index",
     "image_decode_gif", "image_decode_jpeg", "video_frame_sample",
     "normalize_unicode", "quality_rank", "paragraph_dedup",
-    "scrub_dup_ngrams", "linear_fit", "bpe_train",
+    "scrub_dup_ngrams", "linear_fit", "bpe_train", "bpe_apply",
 ]
 
 
@@ -811,6 +811,13 @@ def test_edge_bpe_train_all_single_chars(ray_session, tmp_path_factory):
             f"read_parquet('{d}/documents.parquet')")
     orc = con.sql(T.bpe_train_sql()).df()
     assert len(eng) == 0 and len(orc) == 0
+    # the APPLY oracle's sentinel pass-through: zero merges -> pure char
+    # frequencies on both sides (an empty m_r must not empty the chain)
+    ap = T.bpe_apply(rd.read_parquet(str(d / "documents.parquet"))).to_pandas()
+    ap_o = con.sql(T.bpe_apply_sql()).df()
+    e, o = _canon(ap), _canon(ap_o)
+    assert len(e) == len(o) and (e.values == o.values).all(), (e, o)
+    assert dict(zip(ap["subword"], ap["n"])) == {"a": 2, "b": 2, "c": 1}
 
 
 def test_edge_small_qty_boundary(ray_session, tmp_path_factory):
