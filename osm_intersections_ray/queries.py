@@ -20,6 +20,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from .sources import csvsrc as csv_src
 from .sources import jsonl as jsonl_src
 from .sources import warc as warc_src
 from .sources.synthetic import ensure_fixtures
@@ -165,6 +166,7 @@ def queries() -> dict:
 
     q["warc_pages"] = lambda sf: warc_src.read_warc_pages(warc_src.ensure_warc(sf))
     q["jsonl_pages"] = lambda sf: jsonl_src.read_jsonl_pages(jsonl_src.ensure_jsonl(sf))
+    q["csv_events"] = lambda sf: csv_src.read_csv_events(csv_src.ensure_csv(sf))
 
     # --- text analysis over documents
     q["doc_stats"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
@@ -485,6 +487,7 @@ def oracle_sql() -> dict:
         "mixture_resample": pages.mixture_resample_sql(pages_tbl),
         "warc_pages": warc_src.warc_pages_sql(pages_tbl),
         "jsonl_pages": jsonl_src.jsonl_pages_sql(pages_tbl),
+        "csv_events": csv_src.csv_events_sql("events"),
         "doc_stats": text.doc_stats_sql(),
         "lang_id": text.lang_id_sql(),
         "lang_confusion": text.lang_confusion_sql(),

@@ -982,3 +982,42 @@ def test_edge_user_streaks_islands(ray_session, tmp_path_factory):
             by.loc[1, "max_streak"]) == (6, 2, 3)
     assert by.loc[65, "max_streak"] == 1       # not bridged into u1
     assert by.loc[2, "max_streak"] == 2        # days -1, 0 consecutive
+
+
+def test_edge_csv_source_quoting(ray_session, tmp_path_factory):
+    """CSV ingest hostiles: props with embedded commas, double quotes,
+    NEWLINES inside a quoted field (RFC 4180), unicode, empty string, and a
+    float whose repr round-trip must stay bit-exact through strtod."""
+    import duckdb
+
+    import shutil
+
+    from osm_intersections_ray.sources import csvsrc as C
+
+    d = tmp_path_factory.mktemp("edge_csv")
+    props = ['{"a": "x,y"}', '{"q": "he said \\"hi\\""}',
+             'line1\nline2,with,commas', 'ünïcødé "値"', "", "plain"]
+    vals = [0.1, -0.125, 99.994999, 1e-7, -1234567.89, 2.675]
+    tbl = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000 + i for i in range(6)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 3, 1, 2, 3], pa.int64()),
+        "event_type": pa.array(["a,b", 'say "x"', "c\nd", "e", "", "f"],
+                               pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(props, pa.string()),
+    })
+    pq.write_table(tbl, str(d / "events.parquet"))
+    shard_dir = str(d / "csv")
+    C.write_csv_gz(tbl, shard_dir)
+    eng = C.read_csv_events(shard_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    orc = con.sql(C.csv_events_sql("events")).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    # the newline-in-quotes row survived as ONE row with exact char count
+    assert eng.set_index("event_id").loc[2, "props_chars"] == len(props[2])
