@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "events_pivot",         # long->wide conditional aggregation (session-10)
     "user_streaks",         # gaps-and-islands consecutive-day streaks (session-10)
     "bpe_apply",            # corpus-scale subword segmentation pass (session-10)
+    "disjunctive_revenue",  # Q19 OR-of-ANDs single-pass predicate join (session-10)
 ]
 
 

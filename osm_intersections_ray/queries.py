@@ -439,6 +439,14 @@ def queries() -> dict:
                                    ["l_partkey", "l_quantity"]))
 
     q["small_qty_revenue"] = small_qty
+    def disj_rev(sf):
+        part = pq.read_table(os.path.join(sf, "part.parquet"),
+                             columns=["p_partkey", "p_brand", "p_size"])
+        return relational.disjunctive_revenue(
+            _tbl(sf, "lineitem", ["l_partkey", "l_quantity",
+                                  "l_extendedprice"]), part)
+
+    q["disjunctive_revenue"] = disj_rev
     q["pareto_parts"] = lambda sf: relational.pareto_parts(
         _tbl(sf, "part", ["p_partkey", "p_retailprice", "p_size"]))
     q["top_parts"] = lambda sf: relational.top_parts(
@@ -571,6 +579,7 @@ def oracle_sql() -> dict:
         "promo_revenue": relational.promo_revenue_sql(),
         "small_qty_revenue": relational.small_qty_revenue_sql(),
         "pareto_parts": relational.pareto_parts_sql(),
+        "disjunctive_revenue": relational.disjunctive_revenue_sql(),
         "top_parts": relational.top_parts_sql(),
         "top_parts_per_brand": relational.top_parts_per_brand_sql(),
         "customers_without_orders": filters.customers_without_orders_sql(),

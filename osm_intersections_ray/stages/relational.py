@@ -1052,3 +1052,90 @@ WHERE NOT EXISTS (
   WHERE p2.price_cents <= p1.price_cents AND p2.p_size <= p1.p_size
     AND (p2.price_cents < p1.price_cents OR p2.p_size < p1.p_size))
 """
+
+
+# --- TPC-H Q19-shaped: disjunctive multi-predicate broadcast join --------------
+Q19_CASES = (  # (brand, qty_lo, qty_hi, size_hi) OR-branches, as in Q19
+    ("Brand#12", 1, 11, 5),
+    ("Brand#23", 10, 20, 10),
+    ("Brand#21", 20, 30, 15),  # testdata brands run #1-#25 (Q19's #34 is absent)
+)
+
+
+def disjunctive_revenue(lineitem_ds, part_tbl: pa.Table):
+    """TPC-H Q19 shape — the disjunctive (OR-of-ANDs) predicate join:
+    revenue from line items matching ANY of the ``Q19_CASES`` branches,
+    each a conjunction over part attributes (brand, size) and line-item
+    quantity; reported per branch plus the overall distinct-match rollup
+    (a row matching two branches counts once in ``total``).
+
+    Scale shape: part ships once as two broadcast Series (partkey ->
+    branch-relevant brand id, size); lineitem streams ONE pass evaluating
+    all branches vectorized — the OR never becomes a union of scans (the
+    classic Q19 trap: three scans + union re-reads the fact table three
+    times).  Per-batch (branch, count, cents) partials, one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    brand_ids = {b: i for i, (b, *_rest) in enumerate(Q19_CASES)}
+    bid = pd.Series(
+        np.fromiter((brand_ids.get(b, -1)
+                     for b in part_tbl["p_brand"].to_pylist()), np.int64,
+                    part_tbl.num_rows),
+        index=part_tbl["p_partkey"].to_numpy(zero_copy_only=False))
+    psize = pd.Series(
+        part_tbl["p_size"].to_numpy(zero_copy_only=False).astype(np.int64),
+        index=part_tbl["p_partkey"].to_numpy(zero_copy_only=False))
+
+    _P = pa.schema([("branch", pa.string()), ("n", pa.int64()),
+                    ("revenue_cents", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = pd.Series(b["l_partkey"].to_numpy(zero_copy_only=False))
+        qty = round_half_away_np(b["l_quantity"].to_numpy(zero_copy_only=False))
+        cents = round_half_away_np(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        row_bid = pk.map(bid).to_numpy(dtype=np.int64)
+        row_size = pk.map(psize).to_numpy(dtype=np.int64)
+        rows = []
+        any_m = np.zeros(len(pk), dtype=bool)
+        for i, (name, lo, hi, size_hi) in enumerate(Q19_CASES):
+            m = (row_bid == i) & (qty >= lo) & (qty <= hi) & (row_size <= size_hi)
+            any_m |= m
+            rows.append((name, int(m.sum()), int(cents[m].sum())))
+        rows.append(("total", int(any_m.sum()), int(cents[any_m].sum())))
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.string()),
+             pa.array([r[1] for r in rows], pa.int64()),
+             pa.array([r[2] for r in rows], pa.int64())], schema=_P)
+
+    return (lineitem_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("branch").aggregate(
+                Sum("n", alias_name="n"),
+                Sum("revenue_cents", alias_name="revenue_cents")))
+
+
+def disjunctive_revenue_sql() -> str:
+    branch_case = []
+    conds = []
+    for name, lo, hi, size_hi in Q19_CASES:
+        c = (f"(p.p_brand = '{name}' AND q.qty BETWEEN {lo} AND {hi} "
+             f"AND p.p_size <= {size_hi})")
+        conds.append(c)
+        branch_case.append(
+            f"SELECT '{name}' AS branch, count(*) FILTER (WHERE {c})::BIGINT AS n, "
+            f"coalesce(sum(q.cents) FILTER (WHERE {c}), 0)::BIGINT AS revenue_cents "
+            f"FROM q JOIN part p ON p.p_partkey = q.l_partkey")
+    any_c = " OR ".join(conds)
+    branch_case.append(
+        f"SELECT 'total' AS branch, count(*) FILTER (WHERE {any_c})::BIGINT AS n, "
+        f"coalesce(sum(q.cents) FILTER (WHERE {any_c}), 0)::BIGINT AS revenue_cents "
+        f"FROM q JOIN part p ON p.p_partkey = q.l_partkey")
+    stack = "\nUNION ALL\n".join(branch_case)
+    return f"""
+WITH q AS (
+  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+)
+{stack}
+"""

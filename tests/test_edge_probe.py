@@ -1021,3 +1021,50 @@ def test_edge_csv_source_quoting(ray_session, tmp_path_factory):
         assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
     # the newline-in-quotes row survived as ONE row with exact char count
     assert eng.set_index("event_id").loc[2, "props_chars"] == len(props[2])
+
+
+def test_edge_disjunctive_revenue_boundaries(ray_session, tmp_path_factory):
+    """Q19-shape hostiles: quantity exactly at BETWEEN bounds (inclusive both
+    ends), size exactly at the cap, a row matching TWO branches counted once
+    in total, and an absent-brand branch staying all-zero."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d = tmp_path_factory.mktemp("edge_q19")
+    # parts: 1 -> Brand#12 size 5 (at cap), 2 -> Brand#23 size 10 (at cap),
+    #        3 -> Brand#12 size 6 (over cap), 4 -> Brand#21 size 15
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "p_brand": pa.array(["Brand#12", "Brand#23", "Brand#12", "Brand#21"],
+                            pa.string()),
+        "p_size": pa.array([5, 10, 6, 15], pa.int32()),
+    }), str(d / "part.parquet"))
+    li = [  # (partkey, qty, price)
+        (1, 1.0, 100.0),    # at qty lo bound: IN
+        (1, 11.0, 100.0),   # at qty hi bound: IN
+        (1, 12.0, 100.0),   # over hi: OUT
+        (3, 5.0, 100.0),    # size over cap: OUT
+        (2, 10.0, 200.0),   # Brand#23 at both caps: IN
+        (4, 20.0, 400.0),   # Brand#21 at lo: IN
+    ]
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([r[0] for r in li], pa.int64()),
+        "l_quantity": pa.array([r[1] for r in li], pa.float64()),
+        "l_extendedprice": pa.array([r[2] for r in li], pa.float64()),
+    }), str(d / "lineitem.parquet"))
+    part = pq.read_table(str(d / "part.parquet"))
+    eng = R.disjunctive_revenue(
+        rd.read_parquet(str(d / "lineitem.parquet")), part).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    orc = con.sql(R.disjunctive_revenue_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    by = eng.set_index("branch")
+    assert by.loc["Brand#12", "n"] == 2 and by.loc["total", "n"] == 4
