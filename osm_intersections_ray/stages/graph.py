@@ -10,8 +10,8 @@ against a rank Dataset.
 
 Scale notes (10^12 docs): edges are generated inside ``map_batches`` (3 rows
 out per row in, outdeg computed batch-locally — never a degree shuffle);
-each iteration is ONE hash join (edges x ranks, partitions clamped to the
-cluster) plus ONE (node) groupby-sum whose input partial-combines; ranks are
+each iteration is ONE node-sharded exchange folded per shard by a C hash
+groupby (the sessionize layout; no full-key sort exchange); ranks are
 integer (exact, order-insensitive sums).  The driver never holds a rank
 table — the final top-k is per-block local top-k + a k-rows-per-block merge.
 """
@@ -76,15 +76,14 @@ def graph_pagerank(ds):
 
     Iteration shape: a node's outlinks are a pure function of its id, so the
     per-round map REGENERATES each rank row's links locally and a round is
-    ONE (node) groupby-sum — no edge table and no per-round hash join ever
+    ONE node-sharded exchange + per-shard hash fold — no edge table and no
+    per-round hash join ever
     materializes (a join-per-round formulation measured ~2.3 s/round of pure
     exchange overhead at sandbox scale).  With a STORED link table the same
     loop needs one edges x ranks hash join in front of the groupby — that
     kernel shape lives in :func:`dedup.hash_min_components`.  The
     zero-contribution row each node emits for itself rides the same
     exchange, so in-degree-0 nodes never drop out of the rank table."""
-    from ray.data.aggregate import Max, Sum
-
     _RANK_SCHEMA = pa.schema([("node", pa.int64()), ("pr", pa.int64())])
 
     base = ds.materialize()
@@ -125,26 +124,36 @@ def graph_pagerank(ds):
                                                      dtype=np.int64)])),
         }, schema=_MSG_SCHEMA)
 
-    def damp(b: pa.Table) -> pa.Table:
+    def add_shard(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return _RANK_SCHEMA.empty_table()
-        keep = np.asarray(b["real"].to_numpy(zero_copy_only=False),
-                          dtype=np.int64) > 0
-        inc = np.asarray(b["inc"].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)[keep]
-        return pa.table({"node": b["node"].filter(pa.array(keep)),
+            return _MSG_SCHEMA.insert(0, pa.field("nshard", pa.int64())
+                                      ).empty_table()
+        shard = (np.asarray(b["node"].to_numpy(zero_copy_only=False))
+                 % 64).astype(np.int64)
+        return b.add_column(0, "nshard", pa.array(shard))
+
+    def shard_fold(df: pd.DataFrame) -> pa.Table:
+        # per-shard C hash groupby replaces the global node sort exchange
+        # (the big_orders / sessionize move: the exchange sorts 64 shard
+        # ids, not the full node domain — measured 6.7 -> ~4 s for the
+        # 5-round loop at sf0.1); damping folds in (keep = any real row)
+        g = (df.groupby("node", sort=False)
+             .agg(inc=("inc", "sum"), real=("real", "max")).reset_index())
+        g = g[g["real"] > 0]
+        inc = g["inc"].to_numpy(dtype=np.int64)
+        return pa.table({"node": pa.array(g["node"].to_numpy(), pa.int64()),
                          "pr": pa.array(PR_BASE + (85 * inc) // 100)},
                         schema=_RANK_SCHEMA)
 
     # the whole PR_ITERS-round loop is ONE lazy lineage — no per-round
     # materialize (no joins anywhere, and the kernels guard the schema-less
-    # empty blocks the aggregate exchanges emit), so the streaming executor
-    # runs all rounds in a single execution
-    for _ in range(PR_ITERS):
+    # empty blocks the exchanges emit), so the streaming executor runs all
+    # rounds in a single execution
+    for _i in range(PR_ITERS):
         ranks = (ranks.map_batches(msgs, batch_format="pyarrow")
-                 .groupby("node").aggregate(Sum("inc", alias_name="inc"),
-                                            Max("real", alias_name="real"))
-                 .map_batches(damp, batch_format="pyarrow"))
+                 .map_batches(add_shard, batch_format="pyarrow")
+                 .groupby("nshard").map_groups(shard_fold,
+                                               batch_format="pandas"))
 
     def local_topk(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

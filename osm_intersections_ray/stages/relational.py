@@ -602,16 +602,28 @@ def big_orders(orders_ds, lineitem_ds, customer_tbl: pa.Table):
         return pa.Table.from_arrays([pa.array(u.astype(np.int64)), pa.array(s)],
                                     schema=_QTY_PARTIAL_SCHEMA)
 
-    totals = (lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
-              .groupby("o_orderkey").aggregate(Sum("qty", alias_name="total_qty")))
+    # the HAVING groupby shards by orderkey % 64 instead of sorting the full
+    # orderkey domain through Ray's sort-based aggregate exchange: same ONE
+    # all-to-all, but the exchange sorts 64 shard ids and each shard folds
+    # its orderkeys with a C hash groupby + applies HAVING locally (the
+    # sessionize layout; measured 7.0 -> ~4 s at sf0.1's 5.3M partial rows)
+    def add_shard(b: pa.Table) -> pa.Table:
+        shard = (np.asarray(b["o_orderkey"].to_numpy(zero_copy_only=False))
+                 % 64).astype(np.int64)
+        return b.append_column("oshard", pa.array(shard))
 
-    def having(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def shard_having(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby("o_orderkey", sort=False)["qty"].sum().reset_index())
+        g = g[g["qty"] > BIG_ORDER_QTY]
+        return pa.table({
+            "o_orderkey": pa.array(g["o_orderkey"].to_numpy(), pa.int64()),
+            "total_qty": pa.array(g["qty"].to_numpy(), pa.int64())})
 
-        return b.filter(pc.greater(b["total_qty"], BIG_ORDER_QTY))
-
-    big = drop_empty_blocks(totals.map_batches(
-        having, batch_format="pyarrow").materialize())
+    big = drop_empty_blocks(
+        lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("oshard").map_groups(shard_having, batch_format="pandas")
+        .materialize())
 
     cname = pd.Series(customer_tbl["c_name"].to_pylist(),
                       index=customer_tbl["c_custkey"].to_numpy(zero_copy_only=False))
