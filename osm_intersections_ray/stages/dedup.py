@@ -1416,9 +1416,27 @@ def paragraph_dedup(ds):
     def hash_key_only(b: pa.Table) -> pa.Table:
         return b.select(["phash", "key"]).replace_schema_metadata(None)
 
+    def add_pshard(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "phash" not in b.column_names:
+            return pa.schema([("pshard", pa.int64()), ("phash", pa.int64()),
+                              ("key", pa.int64())]).empty_table()
+        shard = (np.asarray(b["phash"].to_numpy(zero_copy_only=False))
+                 % 64).astype(np.int64)
+        return b.add_column(0, "pshard", pa.array(shard))
+
+    def shard_min(df: pd.DataFrame) -> pa.Table:
+        # phash % 64 shard exchange + per-shard C hash min (the big_orders
+        # move — no sort over the distinct-paragraph domain)
+        g = df.groupby("phash", sort=False)["key"].min().reset_index()
+        g = g.rename(columns={"key": "minkey"})
+        return pa.Table.from_pandas(g, preserve_index=False, schema=pa.schema(
+            [("phash", pa.int64()), ("minkey", pa.int64())])
+        ).replace_schema_metadata(None)
+
     winners = drop_empty_blocks(
         pars.map_batches(hash_key_only, batch_format="pyarrow")
-        .groupby("phash").aggregate(Min("key", alias_name="minkey"))
+        .map_batches(add_pshard, batch_format="pyarrow")
+        .groupby("pshard").map_groups(shard_min, batch_format="pandas")
         .materialize())
     joined = pars.join(winners, join_type="inner",
                        num_partitions=cap_join_partitions(16), on=("phash",))

@@ -787,8 +787,28 @@ def tile_pyramid(pages_ds):
                          "n_pages": pa.array(c.astype(np.int64), pa.int64())}
                         ).cast(_PYR_PARTIAL_SCHEMA)
 
+    _ = Sum  # sort-aggregate formulation the shard fold replaced
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "tile" not in b.column_names:
+            return pa.schema([("tshard", pa.int64()), ("tile", pa.int64()),
+                              ("n_pages", pa.int64())]).empty_table()
+        shard = (np.asarray(b["tile"].to_numpy(zero_copy_only=False))
+                 % 64).astype(np.int64)
+        return b.add_column(0, "tshard", pa.array(shard))
+
+    def shard_fold(df: pd.DataFrame) -> pa.Table:
+        # exchange keyed on tile % 64, per-shard C hash fold — the
+        # big_orders move: a 64-value sort instead of the distinct-tile
+        # domain (~89k tiles x blocks partial rows at sf0.1)
+        gg = df.groupby("tile", sort=False)["n_pages"].sum().reset_index()
+        return pa.Table.from_pandas(gg, preserve_index=False, schema=pa.schema(
+            [("tile", pa.int64()), ("n_pages", pa.int64())])
+        ).replace_schema_metadata(None)
+
     agg = (g.map_batches(partial, batch_format="pyarrow")
-           .groupby("tile").aggregate(Sum("n_pages", alias_name="n_pages")))
+           .map_batches(add_shard, batch_format="pyarrow")
+           .groupby("tshard").map_groups(shard_fold, batch_format="pandas"))
 
     def finalize(b: pa.Table) -> pa.Table:
         t = np.asarray(b["tile"].to_numpy(zero_copy_only=False),
@@ -866,9 +886,28 @@ def way_page_density(pages_ds, ways_ds):
                          "n_pages": pa.array(c.astype(np.int64), pa.int64())}
                         ).cast(_DENSITY_PARTIAL_SCHEMA)
 
+    _ = Sum  # sort-aggregate formulation the shard fold replaced
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "way_id" not in b.column_names:
+            return pa.schema([("wshard", pa.int64()), ("way_id", pa.int64()),
+                              ("n_pages", pa.int64())]).empty_table()
+        shard = (np.asarray(b["way_id"].to_numpy(zero_copy_only=False))
+                 % 64).astype(np.int64)
+        return b.add_column(0, "wshard", pa.array(shard))
+
+    def shard_fold(df: pd.DataFrame) -> pa.Table:
+        # way_id % 64 shard exchange + per-shard C hash fold (the
+        # big_orders move — no sort over the way-id domain)
+        gg = df.groupby("way_id", sort=False)["n_pages"].sum().reset_index()
+        return pa.Table.from_pandas(gg, preserve_index=False, schema=pa.schema(
+            [("way_id", pa.int64()), ("n_pages", pa.int64())])
+        ).replace_schema_metadata(None)
+
     counts = drop_empty_blocks(
         joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("way_id").aggregate(Sum("n_pages", alias_name="n_pages"))
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("wshard").map_groups(shard_fold, batch_format="pandas")
         .materialize())
 
     meta = ways_ds.map_batches(

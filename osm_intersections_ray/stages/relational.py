@@ -295,15 +295,33 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds, k: int = 10,
                      num_partitions=cap_join_partitions(8),
                      on=("o_orderkey",))
 
-    from ray.data.aggregate import Min, Sum
-
     # o_orderdate_us / o_orderpriority are functionally dependent on the
-    # orderkey (Min over a per-key constant is exact), so the exchange sorts
-    # ONE int64 key instead of a 3-key string-bearing composite
-    rev = joined.groupby("o_orderkey").aggregate(
-        Sum("cents", alias_name="revenue_cents"),
-        Min("o_orderdate_us", alias_name="o_orderdate_us"),
-        Min("o_orderpriority", alias_name="o_orderpriority"))
+    # orderkey (Min over a per-key constant is exact).  The fold shards by
+    # orderkey % 64 (the big_orders move): the exchange sorts 64 shard ids
+    # instead of the joined orderkey domain, each shard folds with a C hash
+    # groupby.
+    def add_shard(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_orderkey" not in b.column_names:
+            return pa.schema([
+                ("oshard", pa.int64()), ("o_orderkey", pa.int64()),
+                ("cents", pa.int64()), ("o_orderdate_us", pa.int64()),
+                ("o_orderpriority", pa.string())]).empty_table()
+        shard = (np.asarray(b["o_orderkey"].to_numpy(zero_copy_only=False))
+                 % 64).astype(np.int64)
+        return b.add_column(0, "oshard", pa.array(shard))
+
+    def shard_fold(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby("o_orderkey", sort=False)
+             .agg(revenue_cents=("cents", "sum"),
+                  o_orderdate_us=("o_orderdate_us", "min"),
+                  o_orderpriority=("o_orderpriority", "min")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False, schema=pa.schema([
+            ("o_orderkey", pa.int64()), ("revenue_cents", pa.int64()),
+            ("o_orderdate_us", pa.int64()), ("o_orderpriority", pa.string()),
+        ])).replace_schema_metadata(None)
+
+    rev = (joined.map_batches(add_shard, batch_format="pyarrow")
+           .groupby("oshard").map_groups(shard_fold, batch_format="pandas"))
 
     def local_topk(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -417,10 +435,18 @@ def late_shipment_priority(orders_ds, lineitem_ds,
         _P = pa.schema([("o_orderpriority", pa.string()),
                         ("n_late", pa.int64())])
 
-        def count_prio(b: pa.Table) -> pa.Table:
+        def add_shard(b: pa.Table) -> pa.Table:
+            shard = (np.asarray(b["okey"].to_numpy(zero_copy_only=False))
+                     % 64).astype(np.int64)
+            return b.append_column("oshard", pa.array(shard))
+
+        def shard_dedup_count(df: pd.DataFrame) -> pa.Table:
+            # the LATE-orderkey dedup folds per okey%64 shard (exchange
+            # sorts 64 shard ids, not the late-order domain — the
+            # big_orders move) and collapses straight to per-priority
+            # partial counts inside the shard
             okeys, _, prios = cached_get(ref)
-            ok = np.asarray(b["okey"].to_numpy(zero_copy_only=False),
-                            dtype=np.int64)
+            ok = np.unique(df["okey"].to_numpy(dtype=np.int64))
             pos = np.searchsorted(okeys, ok)
             g = (pd.DataFrame({"o_orderpriority": prios[pos]})
                  .groupby("o_orderpriority", sort=False).size()
@@ -428,13 +454,10 @@ def late_shipment_priority(orders_ds, lineitem_ds,
             return pa.Table.from_pandas(g, preserve_index=False,
                                         schema=_P).replace_schema_metadata(None)
 
-        from ray.data.aggregate import Count
-
         return (lineitem_ds.map_batches(late_keys, batch_format="pyarrow")
-                .groupby("okey").aggregate(Count(alias_name="_n"))
-                .map_batches(lambda b: b.select(["okey"]),
-                             batch_format="pyarrow")
-                .map_batches(count_prio, batch_format="pyarrow")
+                .map_batches(add_shard, batch_format="pyarrow")
+                .groupby("oshard").map_groups(shard_dedup_count,
+                                              batch_format="pandas")
                 .groupby("o_orderpriority")
                 .aggregate(Sum("n_late", alias_name="n_late")))
 
