@@ -67,9 +67,23 @@ def minhash_signature(shingles: set[str] | list[str], num_perm: int) -> list[int
     return sig
 
 
+# DuckDB/utf8proc ``lower()`` parity: Python str.lower applies two FULL-case
+# mappings that DuckDB's simple mapping does not — U+0130 'İ' -> 'i' + U+0307
+# and the Final_Sigma context rule 'Σ' -> 'ς' at word end.  Probed across all
+# of Unicode (tools-free: pc.utf8_lower vs str.lower on every codepoint):
+# these are the ONLY divergences.  Translating them BEFORE .lower() makes
+# Python lowering byte-identical to DuckDB lower() on ANY input.
+DUCK_LOWER_TRANS = str.maketrans({0x0130: "i", 0x03A3: "σ"})
+
+
+def duck_lower(s: str) -> str:
+    """Lowercase exactly as DuckDB/utf8proc's simple mapping does."""
+    return s.translate(DUCK_LOWER_TRANS).lower()
+
+
 def char_shingles(text: str, k: int) -> list[str]:
     """Distinct character k-shingles of a document (lowercased)."""
-    t = text.lower()
+    t = duck_lower(text)
     if len(t) < k:
         return [t] if t else []
     return list({t[i : i + k] for i in range(len(t) - k + 1)})
@@ -77,7 +91,7 @@ def char_shingles(text: str, k: int) -> list[str]:
 
 def word_shingles(text: str, k: int) -> list[str]:
     """Distinct word k-shingles (whitespace tokens, lowercased, space-joined)."""
-    toks = text.lower().split()
+    toks = duck_lower(text).split()
     if len(toks) < k:
         return [" ".join(toks)] if toks else []
     return list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})

@@ -29,7 +29,7 @@ import pyarrow as pa
 
 from .common import cap_join_partitions
 
-from ..functions.hashing import h60
+from ..functions.hashing import duck_lower, h60
 from .text import ascii_tokens
 
 NUM_PERM = 32
@@ -562,7 +562,7 @@ def char_ngram_verified_pairs(ds, ckpt_key: str | None = None):
         # exact against the oracle's DISTINCT substr() per char position
         sets = {}
         for i, t in zip(uniq["doc_id"], uniq["text"]):
-            tl = t.lower()
+            tl = duck_lower(t)
             sets[int(i)] = ({tl[j:j + K] for j in range(len(tl) - K + 1)}
                             if len(tl) >= K else set())
         pairs = df.drop_duplicates(["doc_a", "doc_b"])

@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.cells import compacted_cover, tile_of, tile_parent, tile_res
+from ..functions.hashing import DUCK_LOWER_TRANS
 from .intersections_node import SEP
 
 TILE_RES_MIN = 14
@@ -558,9 +559,9 @@ def url_canonical_dedup(pages_ds):
 
         # canonicalize
         g = url.str.extract(_CANON_RE)
-        scheme = g[0].str.lower()
+        scheme = g[0].str.translate(DUCK_LOWER_TRANS).str.lower()
         ok = scheme.isin(["http", "https"])
-        scheme, host = scheme[ok], g[1][ok].str.lower()
+        scheme, host = scheme[ok], g[1][ok].str.translate(DUCK_LOWER_TRANS).str.lower()
         path, query = g[2][ok], g[3][ok].fillna("")
         url, ts = url[ok], ts[ok]
         host = host.mask((scheme == "http") & host.str.endswith(":80"),

@@ -30,6 +30,8 @@ import pyarrow as pa
 
 from .common import cap_join_partitions
 
+from ..functions.hashing import DUCK_LOWER_TRANS, duck_lower
+
 STOPWORDS_EN = ["the", "and", "of", "a", "to", "is", "in", "that", "it", "on"]
 PUNCT = ".,;:!?"
 
@@ -42,7 +44,7 @@ LANG_MARKERS = [
 
 
 def _norm(text: str) -> str:
-    return text.strip(" ").lower()
+    return duck_lower(text.strip(" "))
 
 
 # RE2 '\s' as DuckDB interprets it (probed: tab/nl/ff/cr/space only).  Using
@@ -56,30 +58,71 @@ TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''
 
 
 def _tokens(text: str) -> list[str]:
-    return [t for t in _WS_SPLIT.split(text.lower()) if t]
+    # duck_lower, not str.lower: DuckDB's simple case mapping (see hashing)
+    return [t for t in _WS_SPLIT.split(duck_lower(text)) if t]
 
 
 ascii_tokens = _tokens  # public name for the dedup kernels (shared tokenizer)
 
 
+def _token_stats_arrow(texts) -> dict:
+    """Fully vectorized per-doc token statistics — the hot core the stateless
+    text kernels share.  Arrow's ``utf8_lower`` IS DuckDB's simple case
+    mapping (both utf8proc — the duck_lower parity, natively), the split is
+    the probed RE2 whitespace class, and every per-doc fold is offsets math
+    (``list_parent_indices`` + bincount/add.at) — no Python token loop.
+
+    Returns numpy arrays: ``n_tokens``, ``stop_cnt``, ``tok_chars``,
+    ``punct_cnt`` (counted on the RAW text, like the oracle), and
+    ``marker`` — the (n_docs x n_langs) LANG_MARKERS score matrix."""
+    import pyarrow.compute as pc
+
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    n_docs = len(arr)
+    lst = pc.split_pattern_regex(pc.utf8_lower(arr), _WS_SPLIT.pattern)
+    vals = pc.list_flatten(lst)
+    parent = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+    lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = lens > 0  # the split emits '' at edges; _tokens drops them
+    n_tokens = np.bincount(parent[nonempty], minlength=n_docs).astype(np.int64)
+    stop_m = pc.is_in(vals, value_set=pa.array(STOPWORDS_EN)).to_numpy(
+        zero_copy_only=False)
+    stop_cnt = np.bincount(parent[stop_m & nonempty],
+                           minlength=n_docs).astype(np.int64)
+    tok_chars = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(tok_chars, parent, lens)  # empties contribute 0 by definition
+    punct_cnt = np.zeros(n_docs, dtype=np.int64)
+    for ch in PUNCT:
+        punct_cnt += pc.count_substring(arr, ch).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    marker = np.zeros((n_docs, len(LANG_MARKERS)), dtype=np.int64)
+    for i, (_, ws) in enumerate(LANG_MARKERS):
+        m = pc.is_in(vals, value_set=pa.array(list(ws))).to_numpy(
+            zero_copy_only=False)
+        marker[:, i] = np.bincount(parent[m & nonempty], minlength=n_docs)
+    return {"n_tokens": n_tokens, "stop_cnt": stop_cnt,
+            "tok_chars": tok_chars, "punct_cnt": punct_cnt, "marker": marker}
+
+
+def _quality_from_stats(st: dict) -> np.ndarray:
+    """quality_score_batch's exact integer scoring, vectorized."""
+    n, punct, stop = st["n_tokens"], st["punct_cnt"], st["stop_cnt"]
+    s = np.where((n >= 20) & (n <= 1000), 40, np.where(n >= 5, 20, 0))
+    s = s + np.where((n > 0) & (punct * 10 <= n * 3), 30, 0)
+    s = s + np.where((n > 0) & (stop * 100 >= n * 2), 30, 0)
+    return s.astype(np.int64)
+
+
 def doc_stats_batch(b: pa.Table) -> pa.Table:
     """n_tokens, punct_cnt, stop_cnt, tok_chars per document."""
-    texts = b["text"].to_pylist()
-    n_tokens, punct, stop, tok_chars = [], [], [], []
-    stops = set(STOPWORDS_EN)
-    for t in texts:
-        toks = _tokens(t)
-        n_tokens.append(len(toks))
-        punct.append(sum(t.count(c) for c in PUNCT))
-        stop.append(sum(1 for x in toks if x in stops))
-        tok_chars.append(sum(len(x) for x in toks))
+    st = _token_stats_arrow(b["text"])
     return pa.table(
         {
             "doc_id": b["doc_id"],
-            "n_tokens": pa.array(n_tokens, pa.int64()),
-            "punct_cnt": pa.array(punct, pa.int64()),
-            "stop_cnt": pa.array(stop, pa.int64()),
-            "tok_chars": pa.array(tok_chars, pa.int64()),
+            "n_tokens": pa.array(st["n_tokens"]),
+            "punct_cnt": pa.array(st["punct_cnt"]),
+            "stop_cnt": pa.array(st["stop_cnt"]),
+            "tok_chars": pa.array(st["tok_chars"]),
         }
     )
 
@@ -101,19 +144,13 @@ FROM toks
 
 
 def lang_id_batch(b: pa.Table) -> pa.Table:
-    """Marker-token counting language ID; ties resolve in LANG_MARKERS order."""
-    texts = b["text"].to_pylist()
-    preds = []
-    markers = [(lang, set(ws)) for lang, ws in LANG_MARKERS]
-    for t in texts:
-        toks = _tokens(t)
-        scores = [(sum(1 for x in toks if x in ws)) for _, ws in markers]
-        best, besti = -1, 0
-        for i, s in enumerate(scores):
-            if s > best:
-                best, besti = s, i
-        preds.append(markers[besti][0])
-    return pa.table({"doc_id": b["doc_id"], "lang_pred": pa.array(preds, pa.string())})
+    """Marker-token counting language ID; ties resolve in LANG_MARKERS order
+    (np.argmax returns the FIRST maximum)."""
+    st = _token_stats_arrow(b["text"])
+    names = np.array([lang for lang, _ in LANG_MARKERS], dtype=object)
+    preds = names[np.argmax(st["marker"], axis=1)]
+    return pa.table({"doc_id": b["doc_id"],
+                     "lang_pred": pa.array(preds, pa.string())})
 
 
 def lang_id_sql(table: str = "documents") -> str:
@@ -146,25 +183,9 @@ FROM sc
 def quality_score_batch(b: pa.Table) -> pa.Table:
     """Integer quality score in [0, 100]: length band + stopword presence +
     punctuation sanity (a simple, exactly-reproducible heuristic)."""
-    texts = b["text"].to_pylist()
-    stops = set(STOPWORDS_EN)
-    scores = []
-    for t in texts:
-        toks = _tokens(t)
-        n = len(toks)
-        s = 0
-        if 20 <= n <= 1000:
-            s += 40
-        elif 5 <= n:
-            s += 20
-        punct_cnt = sum(t.count(c) for c in PUNCT)
-        if n > 0 and punct_cnt * 10 <= n * 3:
-            s += 30
-        stop_cnt = sum(1 for x in toks if x in stops)
-        if n > 0 and stop_cnt * 100 >= n * 2:
-            s += 30
-        scores.append(s)
-    return pa.table({"doc_id": b["doc_id"], "quality": pa.array(scores, pa.int64())})
+    st = _token_stats_arrow(b["text"])
+    return pa.table({"doc_id": b["doc_id"],
+                     "quality": pa.array(_quality_from_stats(st))})
 
 
 def quality_score_sql(table: str = "documents", cte_prefix: str = "") -> str:
@@ -348,7 +369,7 @@ def top_terms_per_lang(ds):
 
     def partial(b: pa.Table) -> pa.Table:
         ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
         df = (pd.DataFrame({"lang": b["lang"].to_pandas(), "token": toks})
               .explode("token").dropna(subset=["token"]))
         g = df.groupby(["lang", "token"], sort=False).size().reset_index(name="n")
@@ -403,7 +424,7 @@ def distinct_tokens_per_lang(ds):
 
     def partial(b: pa.Table) -> pa.Table:
         ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
         df = (pd.DataFrame({"lang": b["lang"].to_pandas(), "token": toks})
               .explode("token").dropna(subset=["token"])
               .drop_duplicates(["lang", "token"]))
@@ -734,7 +755,7 @@ def tfidf_top_terms(ds):
 
     def tf_rows(b: pa.Table) -> pa.Table:
         ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
         df = (pd.DataFrame({"doc_id": b["doc_id"].to_pandas(), "tok": toks})
               .explode("tok").dropna(subset=["tok"]))
         g = df.groupby(["doc_id", "tok"], sort=False).size().reset_index(name="tf")
@@ -816,7 +837,7 @@ def repetition_stats_batch(b: pa.Table) -> pa.Table:
 
     # hottest token bigram (lowercased tokens, space-joined — tokens can
     # never contain an ASCII space, so the join key is unambiguous)
-    toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+    toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
     tdf = (pd.DataFrame({"d": d, "tok": toks}).explode("tok")
            .dropna(subset=["tok"]))
     tdf["nxt"] = tdf.groupby("d", sort=False)["tok"].shift(-1)
@@ -1086,7 +1107,7 @@ def token_freq_histogram(ds):
 
     def partial(b: pa.Table) -> pa.Table:
         ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
         df = pd.DataFrame({"token": toks}).explode("token").dropna()
         g = df.groupby("token", sort=False).size().reset_index(name="n")
         return pa.Table.from_pandas(g[["token", "n"]], preserve_index=False,
@@ -1158,7 +1179,7 @@ def cms_token_counts(ds):
 
     def partial(b: pa.Table) -> pa.Table:
         ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
         df = pd.DataFrame({"token": toks}).explode("token").dropna()
         if len(df) == 0:
             return _REG.empty_table()
@@ -1308,7 +1329,7 @@ def collocations(ds, vocab_broadcast_max: int = None):
         # (n(w) = n_as_bigram_first(w) + n_as_doc_last(w)) and the second
         # corpus tokenization disappears.
         ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
         df = pd.DataFrame({"rid": np.arange(len(toks), dtype=np.int64),
                            "w1": toks}).explode("w1").dropna(subset=["w1"])
         if len(df) == 0:
@@ -1512,7 +1533,7 @@ def lm_score(ds):
 
     def _bigram_frame(b: pa.Table) -> pd.DataFrame:
         ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.lower().str.findall(r"[^\t\n\f\r ]+")
+        toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
         df = pd.DataFrame({"doc_id": b["doc_id"].to_pandas(),
                            "w1": toks}).explode("w1").dropna(subset=["w1"])
         if len(df) == 0:
@@ -1761,39 +1782,13 @@ def linear_fit(ds):
         ("sx", pa.int64()), ("sy", pa.int64()),
         ("sxx", pa.int64()), ("sxy", pa.int64())])
 
-    stops = set(STOPWORDS_EN)
-    markers = [(lang, set(ws)) for lang, ws in LANG_MARKERS]
-
     def partial(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        langs, xs, ys = [], [], []
-        for t in texts:
-            toks = _tokens(t)
-            n = len(toks)
-            # quality_score_batch's exact scoring, fused into the same pass
-            s = 0
-            if 20 <= n <= 1000:
-                s += 40
-            elif 5 <= n:
-                s += 20
-            punct_cnt = sum(t.count(c) for c in PUNCT)
-            if n > 0 and punct_cnt * 10 <= n * 3:
-                s += 30
-            stop_cnt = sum(1 for x in toks if x in stops)
-            if n > 0 and stop_cnt * 100 >= n * 2:
-                s += 30
-            # lang_id_batch's first-max marker vote over the same tokens
-            best, besti = -1, 0
-            for i, (_, ws) in enumerate(markers):
-                sc = sum(1 for x in toks if x in ws)
-                if sc > best:
-                    best, besti = sc, i
-            langs.append(markers[besti][0])
-            xs.append(n)
-            ys.append(s)
-        df = pd.DataFrame({"lang_pred": langs,
-                           "x": np.asarray(xs, np.int64),
-                           "y": np.asarray(ys, np.int64)})
+        # ONE vectorized stats pass feeds quality, lang-ID and token count
+        st = _token_stats_arrow(b["text"])
+        names = np.array([lang for lang, _ in LANG_MARKERS], dtype=object)
+        df = pd.DataFrame({"lang_pred": names[np.argmax(st["marker"], axis=1)],
+                           "x": st["n_tokens"],
+                           "y": _quality_from_stats(st)})
         df["xx"] = df["x"] * df["x"]
         df["xy"] = df["x"] * df["y"]
         g = df.groupby("lang_pred", sort=False).agg(

@@ -41,6 +41,9 @@ EDGE_TEXTS = [
     "Sentence one. Sentence two. Trailing dot. ",
     ". leading split. double..  dots... and ellipsis .. end.",
     "email@at.end.of.doc@not-an-email 4155551234567 j@k.lm",
+    # DuckDB-lower parity hostiles: U+0130 İ (simple 'i' vs Python 'i̇') and
+    # final-sigma ΑΣ (simple 'ασ' vs Python's context 'ας')
+    "İstanbul ΑΣ ΣΟΦΙΑ İİ the ΒΑΣΙΣ walks σς İstanbul",
 ]
 
 DOC_QUERIES = [
@@ -1068,3 +1071,47 @@ def test_edge_disjunctive_revenue_boundaries(ray_session, tmp_path_factory):
         assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
     by = eng.set_index("branch")
     assert by.loc["Brand#12", "n"] == 2 and by.loc["total", "n"] == 4
+
+
+def test_vectorized_token_stats_fuzz():
+    """The Arrow-vectorized token-stats core vs an independent per-doc Python
+    reference over random unicode docs (incl. U+0130/sigma, \\x0b non-
+    separators, CJK, empty/whitespace docs) — no Ray needed."""
+    import random
+    import re
+
+    from osm_intersections_ray.functions.hashing import duck_lower
+    from osm_intersections_ray.stages import text as T
+
+    WS = re.compile(r"[\t\n\f\r ]+")
+
+    def ref_stats(t):
+        toks = [x for x in WS.split(duck_lower(t)) if x]
+        stops = set(T.STOPWORDS_EN)
+        return (len(toks), sum(t.count(c) for c in T.PUNCT),
+                sum(1 for x in toks if x in stops), sum(len(x) for x in toks))
+
+    def ref_lang(t):
+        toks = [x for x in WS.split(duck_lower(t)) if x]
+        best, besti = -1, 0
+        for i, (_, ws) in enumerate(T.LANG_MARKERS):
+            s = sum(1 for x in toks if x in set(ws))
+            if s > best:
+                best, besti = s, i
+        return T.LANG_MARKERS[besti][0]
+
+    rng = random.Random(7)
+    alphabet = (list("abc deü .!,\t\n\x0bİΣσς的 il der und the und le et el y")
+                + [" ", " "])
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+             for _ in range(400)]
+    texts += ["", " ", "\t\n", "the und le el", "İΣ" * 5]
+    b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds_out = T.doc_stats_batch(b)
+    li_out = T.lang_id_batch(b)["lang_pred"].to_pylist()
+    for i, t in enumerate(texts):
+        assert (ds_out["n_tokens"][i].as_py(), ds_out["punct_cnt"][i].as_py(),
+                ds_out["stop_cnt"][i].as_py(),
+                ds_out["tok_chars"][i].as_py()) == ref_stats(t), repr(t)
+        assert li_out[i] == ref_lang(t), repr(t)
