@@ -1916,13 +1916,14 @@ def bpe_train(ds, n_merges: int = BPE_MERGES):
                     ("n", pa.int64())])
 
     def word_partial(b: pa.Table) -> pa.Table:
-        c = Counter()
-        for t in b["text"].to_pylist():
-            c.update(_tokens(t))
-        words = list(c.keys())
+        # vectorized corpus pass: C-regex findall + explode + value_counts
+        ser = b["text"].cast(pa.string()).to_pandas()
+        toks = (ser.str.translate(DUCK_LOWER_TRANS).str.lower()
+                .str.findall(r"[^\t\n\f\r ]+"))
+        vc = toks.explode().dropna().value_counts()
         return pa.Table.from_arrays(
-            [pa.array(words, pa.string()),
-             pa.array([c[w] for w in words], pa.int64())], schema=_W)
+            [pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+             pa.array(vc.to_numpy(dtype=np.int64))], schema=_W)
 
     # bounded by |distinct words|; reused n_merges times.  The aggregate
     # exchange emits many small blocks — compacting once keeps every round
