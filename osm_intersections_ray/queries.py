@@ -324,23 +324,25 @@ def queries() -> dict:
     q["image_decode_gif"] = lambda sf: (
         _tbl(sf, "documents", ["doc_id"])
         .map_batches(multimodal.gif_media_batch, batch_format="pyarrow", batch_size=512)
+        # the encode stage FUSES into this actor pool, so the pool cap is the
+        # pipeline's parallelism — size it to the node, not a fraction of it
         .map_batches(multimodal.GIFDecode, batch_format="pyarrow",
-                     batch_size=256, concurrency=(1, 8)))
+                     batch_size=128, concurrency=(1, 12)))
     q["image_decode_jpeg"] = lambda sf: (
         _tbl(sf, "documents", ["doc_id"])
         .map_batches(multimodal.jpeg_media_batch, batch_format="pyarrow", batch_size=512)
         .map_batches(multimodal.JPEGDecode, batch_format="pyarrow",
-                     batch_size=256, concurrency=(1, 8)))
+                     batch_size=128, concurrency=(1, 12)))
     q["video_frame_sample"] = lambda sf: (
         _tbl(sf, "documents", ["doc_id"])
         .map_batches(multimodal.avi_media_batch, batch_format="pyarrow", batch_size=256)
         .map_batches(multimodal.MJPEGFrameSample, batch_format="pyarrow",
-                     batch_size=128, concurrency=(1, 8)))
+                     batch_size=128, concurrency=(1, 12)))
     q["audio_decode_flac"] = lambda sf: (
         _tbl(sf, "documents", ["doc_id"])
         .map_batches(multimodal.flac_media_batch, batch_format="pyarrow", batch_size=256)
         .map_batches(multimodal.FLACDecode, batch_format="pyarrow",
-                     batch_size=128, concurrency=(1, 8)))
+                     batch_size=128, concurrency=(1, 12)))
     q["audio_decode_wav"] = lambda sf: (
         _tbl(sf, "documents", ["doc_id"])
         .map_batches(multimodal.wav_media_batch, batch_format="pyarrow", batch_size=512)
