@@ -417,6 +417,9 @@ def queries() -> dict:
     q["cold_customers"] = lambda sf: relational.cold_customers(
         _tbl(sf, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
         _tbl(sf, "orders", ["o_custkey", "o_orderstatus"]))
+    q["rolling_order_sum"] = lambda sf: relational.rolling_order_sum(
+        _tbl(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"]))
     q["running_order_total"] = lambda sf: relational.running_order_total(
         _tbl(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
                             "o_totalprice"]))
@@ -577,6 +580,7 @@ def oracle_sql() -> dict:
         "big_orders": relational.big_orders_sql(),
         "cold_customers": relational.cold_customers_sql(),
         "running_order_total": relational.running_order_total_sql(),
+        "rolling_order_sum": relational.rolling_order_sum_sql(),
         "late_shipment_priority": relational.late_shipment_priority_sql(),
         "promo_revenue": relational.promo_revenue_sql(),
         "small_qty_revenue": relational.small_qty_revenue_sql(),

@@ -1174,3 +1174,75 @@ WITH q AS (
 )
 {stack}
 """
+
+
+# --- bounded-frame window (ROWS BETWEEN k PRECEDING AND CURRENT ROW) -----------
+ROLLING_FRAME = 3  # window width in rows (current + 2 preceding)
+
+
+def rolling_order_sum(orders_ds):
+    """The bounded-frame analytic window — ``SUM(cents) OVER (PARTITION BY
+    custkey ORDER BY orderdate, orderkey ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW)`` — completing the window family next to the lag
+    (user_event_gaps), unbounded-cumulative (running_order_total) and rank
+    (quality_rank) shapes.
+
+    Scale shape: the running_order_total layout (custkey % 64 shard
+    exchange, one sort per shard) with the frame computed as a cumsum
+    DIFFERENCE — ``csum[i] - csum[i-k]`` with the lagged index clamped to
+    each customer's segment start — fully vectorized, no per-customer
+    Python."""
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        shard = (np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False))
+                 % N_CUST_SHARDS).astype(np.int64)
+        cents = round_half_away_np(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100)
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "cshard": pa.array(shard), "o_custkey": b["o_custkey"],
+            "o_orderkey": b["o_orderkey"],
+            "o_orderdate_us": pa.array(d, pa.int64()),
+            "cents": pa.array(cents)})
+
+    k = ROLLING_FRAME
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["o_custkey", "o_orderdate_us", "o_orderkey"],
+                            kind="stable")
+        cust = df["o_custkey"].to_numpy()
+        cents = df["cents"].to_numpy()
+        n = len(df)
+        csum = np.cumsum(cents)
+        start_mask = np.ones(n, dtype=bool)
+        start_mask[1:] = cust[1:] != cust[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(start_mask, idx, 0))
+        lo = np.maximum(idx - k + 1, seg_start)  # frame start, clamped
+        # sum over [lo, i] = csum[i] - csum[lo-1]; csum[-1] treated as 0
+        base = np.where(lo > 0, csum[np.maximum(lo - 1, 0)], 0)
+        base[lo == 0] = 0
+        rolling = csum - base
+        return pa.table({
+            "o_custkey": pa.array(cust, pa.int64()),
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
+            "o_orderdate_us": pa.array(df["o_orderdate_us"].to_numpy(),
+                                       pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "rolling_cents": pa.array(rolling, pa.int64())})
+
+    return (orders_ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("cshard").map_groups(per_shard, batch_format="pandas"))
+
+
+def rolling_order_sum_sql() -> str:
+    return f"""
+SELECT o_custkey, o_orderkey, epoch_us(o_orderdate)::BIGINT AS o_orderdate_us,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN {ROLLING_FRAME - 1} PRECEDING AND CURRENT ROW
+       )::BIGINT AS rolling_cents
+FROM orders
+"""

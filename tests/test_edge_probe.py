@@ -1115,3 +1115,46 @@ def test_vectorized_token_stats_fuzz():
                 ds_out["stop_cnt"][i].as_py(),
                 ds_out["tok_chars"][i].as_py()) == ref_stats(t), repr(t)
         assert li_out[i] == ref_lang(t), repr(t)
+
+
+def test_edge_rolling_order_sum_frame(ray_session, tmp_path_factory):
+    """Bounded-frame hostiles: the 3-row frame clamps at each customer's
+    segment start (orders 1..4 give frames of 1, 2, 3, 3 rows), same-date
+    ties order by orderkey, refunds shrink the frame sum, and co-sharded
+    customers (1 and 65) stay independent."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d = tmp_path_factory.mktemp("edge_rolling")
+    t0 = np.datetime64("2024-03-01T00:00:00", "us")
+    day = np.timedelta64(86_400_000_000, "us")
+    orders = [  # (okey, ckey, odate, total)
+        (10, 1, t0, 1.00),
+        (11, 1, t0, 2.00),           # same date: tie by orderkey
+        (12, 1, t0 + day, 4.00),
+        (13, 1, t0 + 2 * day, -8.00),  # refund inside the frame
+        (20, 65, t0, 100.00),        # shard-mate of ckey 1: independent
+        (21, 65, t0 + day, 100.00),
+    ]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+        "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+        "o_orderdate": pa.array([o[2] for o in orders], pa.timestamp("us")),
+        "o_totalprice": pa.array([o[3] for o in orders], pa.float64()),
+    }), str(d / "orders.parquet"))
+    eng = R.rolling_order_sum(
+        rd.read_parquet(str(d / "orders.parquet"))).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')")
+    orc = con.sql(R.rolling_order_sum_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    r = eng.set_index("o_orderkey")
+    assert list(r.loc[[10, 11, 12, 13], "rolling_cents"]) == [
+        100, 300, 700, -200]  # frames: [10], [10,11], [10,11,12], [11,12,13]
+    assert list(r.loc[[20, 21], "rolling_cents"]) == [10000, 20000]
