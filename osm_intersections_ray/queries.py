@@ -220,6 +220,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["text"]))
     q["bpe_apply"] = lambda sf: text.bpe_apply(
         _tbl(sf, "documents", ["text"]))
+    q["bpe_train_filtered"] = lambda sf: text.bpe_train_filtered(
+        _tbl(sf, "documents", ["doc_id", "text", "lang"]))
     q["sample_docs"] = lambda sf: _tbl(sf, "documents", ["doc_id"]).map_batches(
         text.sample_docs_batch, batch_format="pyarrow")
     q["token_quantiles"] = lambda sf: text.token_quantiles(
@@ -524,6 +526,7 @@ def oracle_sql() -> dict:
         "bpe_token_count": text.bpe_token_count_sql(),
         "bpe_train": text.bpe_train_sql(),
         "bpe_apply": text.bpe_apply_sql(),
+        "bpe_train_filtered": text.bpe_train_filtered_sql(),
         "sample_docs": text.sample_docs_sql(),
         "token_quantiles": text.token_quantiles_sql(),
         "top_terms_per_lang": text.top_terms_per_lang_sql(),

