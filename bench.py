@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "user_streaks",         # gaps-and-islands consecutive-day streaks (session-10)
     "bpe_apply",            # corpus-scale subword segmentation pass (session-10)
     "disjunctive_revenue",  # Q19 OR-of-ANDs single-pass predicate join (session-10)
+    "rolling_order_sum",    # bounded-frame window via clamped cumsum diff (session-10)
+    "bpe_train_filtered",   # quality-floor -> BPE composite (session-10)
+    "csv_events",           # RFC-4180 CSV.gz ingest (session-10)
 ]
 
 

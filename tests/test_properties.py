@@ -105,3 +105,37 @@ def test_round_half_away_matches_sql(a, b):
     for v, g in zip(x, got):
         expect = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
         assert g == expect
+
+
+_UNI_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),  # any non-surrogate
+    max_size=60)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_UNI_TEXT)
+def test_duck_lower_matches_duckdb(s):
+    """duck_lower == DuckDB lower() on arbitrary unicode (incl. U+0130 and
+    Σ/ς contexts — the two Python full-case divergences it pre-translates)."""
+    import duckdb
+
+    from osm_intersections_ray.functions.hashing import duck_lower
+
+    got = duckdb.execute("SELECT lower(?)", [s]).fetchone()[0]
+    assert duck_lower(s) == got, (s, duck_lower(s), got)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_UNI_TEXT)
+def test_tokens_match_toks_sql(s):
+    """The engine tokenizer == the shared TOKS_SQL expression on arbitrary
+    unicode text (whitespace classes, empty-token dropping, case mapping)."""
+    import duckdb
+
+    from osm_intersections_ray.stages.text import TOKS_SQL, _tokens
+
+    if "\x00" in s:  # DuckDB VARCHAR cannot carry NUL
+        s = s.replace("\x00", "")
+    got = duckdb.execute(f"SELECT {TOKS_SQL} FROM (SELECT ? AS text)",
+                         [s]).fetchone()[0]
+    assert _tokens(s) == list(got), (s, _tokens(s), got)
