@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "rolling_order_sum",    # bounded-frame window via clamped cumsum diff (session-10)
     "bpe_train_filtered",   # quality-floor -> BPE composite (session-10)
     "csv_events",           # RFC-4180 CSV.gz ingest (session-10)
+    "top_supplier",         # Q15 view-max equality (session-10)
+    "waiting_suppliers",    # Q21 correlated-EXISTS per-order stats (session-10)
 ]
 
 

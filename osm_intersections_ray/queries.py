@@ -454,6 +454,26 @@ def queries() -> dict:
                                   "l_extendedprice"]), part)
 
     q["disjunctive_revenue"] = disj_rev
+
+    def top_supp(sf):
+        supp = pq.read_table(os.path.join(sf, "supplier.parquet"),
+                             columns=["s_suppkey", "s_name"])
+        return relational.top_supplier(
+            _tbl(sf, "lineitem", ["l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"]), supp)
+
+    q["top_supplier"] = top_supp
+
+    def wait_supp(sf):
+        orders = pq.read_table(os.path.join(sf, "orders.parquet"),
+                               columns=["o_orderkey", "o_orderdate"])
+        supp = pq.read_table(os.path.join(sf, "supplier.parquet"),
+                             columns=["s_suppkey", "s_name"])
+        return relational.waiting_suppliers(
+            _tbl(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]),
+            orders, supp)
+
+    q["waiting_suppliers"] = wait_supp
     q["pareto_parts"] = lambda sf: relational.pareto_parts(
         _tbl(sf, "part", ["p_partkey", "p_retailprice", "p_size"]))
     q["top_parts"] = lambda sf: relational.top_parts(
@@ -589,6 +609,8 @@ def oracle_sql() -> dict:
         "small_qty_revenue": relational.small_qty_revenue_sql(),
         "pareto_parts": relational.pareto_parts_sql(),
         "disjunctive_revenue": relational.disjunctive_revenue_sql(),
+        "top_supplier": relational.top_supplier_sql(),
+        "waiting_suppliers": relational.waiting_suppliers_sql(),
         "top_parts": relational.top_parts_sql(),
         "top_parts_per_brand": relational.top_parts_per_brand_sql(),
         "customers_without_orders": filters.customers_without_orders_sql(),

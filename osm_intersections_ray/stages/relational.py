@@ -1246,3 +1246,197 @@ SELECT o_custkey, o_orderkey, epoch_us(o_orderdate)::BIGINT AS o_orderdate_us,
        )::BIGINT AS rolling_cents
 FROM orders
 """
+
+
+# --- TPC-H Q15-shaped: aggregate + scalar-max equality (top supplier) ----------
+Q15_T0_US = int(np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64))
+Q15_T1_US = int(np.datetime64("1997-04-01T00:00:00", "us").astype(np.int64))
+
+
+def top_supplier(lineitem_ds, supplier_tbl: pa.Table):
+    """TPC-H Q15 shape — the view-max equality: per-supplier revenue inside
+    a shipping quarter, keeping every supplier whose revenue EQUALS the
+    global maximum (ties survive, as in the spec).
+
+    Scale shape: per-batch (suppkey, cents) partials -> one suppkey%64
+    shard fold (supplier-domain bounded); the scalar max is a per-block
+    local max + a <=1-row-per-block driver merge (never a global sort), and
+    the equality filter streams with the max broadcast by closure.  The
+    supplier dim ships once as a name Series; at planet scale route it
+    through a suppkey hash join like shipping_priority's customer side."""
+    from ray.data.aggregate import Sum
+
+    _ = Sum
+
+    _P = pa.schema([("sshard", pa.int64()), ("l_suppkey", pa.int64()),
+                    ("cents", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        m = (d >= Q15_T0_US) & (d < Q15_T1_US)
+        sk = np.asarray(b["l_suppkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)[m]
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)[m]
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        cents = round_half_away_np(px * (1 - disc) * 100)
+        u, inv = np.unique(sk, return_inverse=True)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.Table.from_arrays(
+            [pa.array((u % 64).astype(np.int64)), pa.array(u), pa.array(s)],
+            schema=_P)
+
+    def shard_fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("l_suppkey", sort=False)["cents"].sum().reset_index()
+        return pa.Table.from_pandas(g.rename(columns={"cents": "total_cents"}),
+                                    preserve_index=False, schema=pa.schema([
+                                        ("l_suppkey", pa.int64()),
+                                        ("total_cents", pa.int64()),
+                                    ])).replace_schema_metadata(None)
+
+    rev = (lineitem_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("sshard").map_groups(shard_fold, batch_format="pandas")
+           .materialize())  # supplier-domain bounded; read twice below
+
+    def local_max(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "total_cents" not in b.column_names:
+            return pa.schema([("m", pa.int64())]).empty_table()
+        return pa.table({"m": pa.array(
+            [int(np.max(b["total_cents"].to_numpy(zero_copy_only=False)))],
+            pa.int64())})
+
+    tops = rev.map_batches(local_max, batch_format="pyarrow").to_pandas()
+    best = int(tops["m"].max()) if len(tops) else 0
+
+    sname = pd.Series(supplier_tbl["s_name"].to_pylist(),
+                      index=supplier_tbl["s_suppkey"].to_numpy(
+                          zero_copy_only=False))
+
+    def keep_best(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["total_cents"], best))
+        names = pd.Series(
+            b["l_suppkey"].to_numpy(zero_copy_only=False)).map(sname)
+        return pa.table({
+            "s_suppkey": b["l_suppkey"],
+            "s_name": pa.array(names.to_numpy(dtype=object), pa.string()),
+            "total_cents": b["total_cents"]})
+
+    return rev.map_batches(keep_best, batch_format="pyarrow")
+
+
+def top_supplier_sql() -> str:
+    return f"""
+WITH r AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             )::BIGINT AS total_cents
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) >= {Q15_T0_US} AND epoch_us(l_shipdate) < {Q15_T1_US}
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_cents
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_cents = (SELECT max(total_cents) FROM r)
+"""
+
+
+# --- TPC-H Q21-shaped: multi-correlated EXISTS via per-group stats -------------
+
+
+def waiting_suppliers(lineitem_ds, orders_tbl: pa.Table,
+                      supplier_tbl: pa.Table):
+    """TPC-H Q21 shape — suppliers who kept multi-supplier orders waiting:
+    count, per supplier, the orders where that supplier shipped late
+    (shipdate > orderdate + {LATE_SHIP_DAYS}d), at least one OTHER supplier
+    participated, and NO other supplier was late.
+
+    The three correlated (NOT) EXISTS of Q21 collapse to per-order STATS —
+    (distinct suppliers, distinct late suppliers) — so the engine never
+    evaluates a correlated subquery: per-batch (orderkey, suppkey,
+    any_late) dedup partials, ONE okey%64 shard exchange, and inside each
+    shard a hash fold derives the stats and the qualification
+    (late AND n_supp >= 2 AND n_late == 1) in one pass, emitting
+    per-supplier partial counts.  The orderdate lookup broadcasts (orders
+    is the declared-small header side here; at planet scale ship it
+    through the orderkey hash join exactly like late_shipment_priority's
+    above-crossover route)."""
+    from ray.data.aggregate import Sum
+
+    okeys = orders_tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(okeys, kind="stable")
+    okeys_s = okeys[order].astype(np.int64)
+    odates_s = orders_tbl["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").astype(np.int64)[order]
+
+    _P = pa.schema([("oshard", pa.int64()), ("ok", pa.int64()),
+                    ("sk", pa.int64()), ("late", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        sk = np.asarray(b["l_suppkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        pos = np.searchsorted(okeys_s, ok).clip(0, max(okeys_s.size - 1, 0))
+        late = (ship > odates_s[pos] + _LATE_US).astype(np.int64)
+        df = (pd.DataFrame({"ok": ok, "sk": sk, "late": late})
+              .groupby(["ok", "sk"], sort=False)["late"].max().reset_index())
+        return pa.Table.from_arrays(
+            [pa.array((df["ok"].to_numpy() % 64).astype(np.int64)),
+             pa.array(df["ok"].to_numpy(), pa.int64()),
+             pa.array(df["sk"].to_numpy(), pa.int64()),
+             pa.array(df["late"].to_numpy(), pa.int64())], schema=_P)
+
+    _W = pa.schema([("s_suppkey", pa.int64()), ("numwait", pa.int64())])
+
+    def shard_fold(df: pd.DataFrame) -> pa.Table:
+        ls = df.groupby(["ok", "sk"], sort=False)["late"].max().reset_index()
+        os_ = ls.groupby("ok", sort=False)["late"].agg(
+            n_supp="size", n_late="sum").reset_index()
+        m = ls.merge(os_, on="ok")
+        q = m[(m["late"] == 1) & (m["n_supp"] >= 2) & (m["n_late"] == 1)]
+        g = q.groupby("sk", sort=False).size().reset_index(name="numwait")
+        return pa.Table.from_arrays(
+            [pa.array(g["sk"].to_numpy(), pa.int64()),
+             pa.array(g["numwait"].to_numpy(), pa.int64())], schema=_W)
+
+    agg = (lineitem_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("oshard").map_groups(shard_fold, batch_format="pandas")
+           .groupby("s_suppkey").aggregate(Sum("numwait",
+                                               alias_name="numwait")))
+
+    sname = pd.Series(supplier_tbl["s_name"].to_pylist(),
+                      index=supplier_tbl["s_suppkey"].to_numpy(
+                          zero_copy_only=False))
+
+    def attach(b: pa.Table) -> pa.Table:
+        names = pd.Series(
+            b["s_suppkey"].to_numpy(zero_copy_only=False)).map(sname)
+        return pa.table({
+            "s_suppkey": b["s_suppkey"],
+            "s_name": pa.array(names.to_numpy(dtype=object), pa.string()),
+            "numwait": b["numwait"]})
+
+    return agg.map_batches(attach, batch_format="pyarrow")
+
+
+def waiting_suppliers_sql() -> str:
+    return f"""
+WITH l AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+         CASE WHEN epoch_us(l_shipdate) > epoch_us(o.o_orderdate) + {_LATE_US}
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders o ON o.o_orderkey = l_orderkey
+),
+ls AS (SELECT ok, sk, max(late) AS late FROM l GROUP BY 1, 2),
+os AS (SELECT ok, count(*)::BIGINT AS n_supp, sum(late)::BIGINT AS n_late
+       FROM ls GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS numwait
+FROM ls JOIN os USING (ok) JOIN supplier s ON s.s_suppkey = ls.sk
+WHERE ls.late = 1 AND os.n_supp >= 2 AND os.n_late = 1
+GROUP BY 1, 2
+"""

@@ -1200,3 +1200,102 @@ def test_edge_bpe_train_filtered_changes_merges(ray_session, tmp_path_factory):
         len(raw) > 0  # raw corpus sees the pair at all
     assert not any((r.lft, r.rgt) == ("z", "q")
                    for r in filt.itertuples()), filt
+
+
+def test_edge_top_supplier_ties_and_window(ray_session, tmp_path_factory):
+    """Q15 hostiles: two suppliers TIED at the max both survive; shipments
+    exactly AT the window start count, exactly AT the end do not."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d = tmp_path_factory.mktemp("edge_q15")
+    t0 = np.datetime64(R.Q15_T0_US, "us")
+    t1 = np.datetime64(R.Q15_T1_US, "us")
+    li = [  # (suppkey, shipdate, price, disc)
+        (1, t0, 100.0, 0.0),                       # at start: IN
+        (2, t1 - np.timedelta64(1, "us"), 100.0, 0.0),  # just inside: IN
+        (2, t1, 999.0, 0.0),                       # at end: OUT
+        (3, t0, 50.0, 0.0),                        # below max
+        (3, t1 - np.timedelta64(1, "D"), 999.0, 1.0),   # fully discounted: 0
+    ]
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([r[0] for r in li], pa.int64()),
+        "l_shipdate": pa.array([r[1] for r in li], pa.timestamp("us")),
+        "l_extendedprice": pa.array([r[2] for r in li], pa.float64()),
+        "l_discount": pa.array([r[3] for r in li], pa.float64()),
+    }), str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["SA", "SB", "SC"], pa.string()),
+    }), str(d / "supplier.parquet"))
+    supp = pq.read_table(str(d / "supplier.parquet"))
+    eng = R.top_supplier(
+        rd.read_parquet(str(d / "lineitem.parquet"), override_num_blocks=3),
+        supp).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    orc = con.sql(R.top_supplier_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    assert sorted(eng["s_suppkey"]) == [1, 2]  # tied at 10000 cents: BOTH
+
+
+def test_edge_waiting_suppliers_exists_logic(ray_session, tmp_path_factory):
+    """Q21 hostiles: a single-supplier late order does NOT count, two late
+    suppliers on one order cancel each other, exactly-one-late on a
+    multi-supplier order counts — and (ok, sk) rows split across input
+    blocks re-merge in the shard fold."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d = tmp_path_factory.mktemp("edge_q21")
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    late = t0 + np.timedelta64((R.LATE_SHIP_DAYS + 1) * 86_400_000_000, "us")
+    ontime = t0 + np.timedelta64(1, "D")
+    li = [  # (orderkey, suppkey, shipdate)
+        (1, 10, late),      # order 1: supp 10 late, supp 11 on time -> counts
+        (1, 11, ontime),
+        (2, 10, late),      # order 2: single supplier -> excluded
+        (3, 10, late),      # order 3: BOTH late -> excluded
+        (3, 11, late),
+        (4, 11, ontime),    # order 4: supp 11 has an on-time AND a late line
+        (4, 11, late),      #   (max(late)=1) + supp 12 on time -> counts for 11
+        (4, 12, ontime),
+    ]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in li], pa.int64()),
+        "l_shipdate": pa.array([r[2] for r in li], pa.timestamp("us")),
+    }), str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array([t0] * 4, pa.timestamp("us")),
+    }), str(d / "orders.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10, 11, 12], pa.int64()),
+        "s_name": pa.array(["SJ", "SK", "SL"], pa.string()),
+    }), str(d / "supplier.parquet"))
+    eng = R.waiting_suppliers(
+        rd.read_parquet(str(d / "lineitem.parquet"), override_num_blocks=4),
+        pq.read_table(str(d / "orders.parquet")),
+        pq.read_table(str(d / "supplier.parquet"))).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "supplier"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    orc = con.sql(R.waiting_suppliers_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    by = eng.set_index("s_suppkey")
+    assert by.loc[10, "numwait"] == 1 and by.loc[11, "numwait"] == 1
+    assert 12 not in by.index
