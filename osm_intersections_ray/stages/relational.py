@@ -1375,13 +1375,15 @@ def waiting_suppliers(lineitem_ds, orders_tbl: pa.Table,
                     ("sk", pa.int64()), ("late", pa.int64())])
 
     def partial(b: pa.Table) -> pa.Table:
+        if okeys_s.size == 0:  # no order headers: nothing can qualify
+            return _P.empty_table()
         ok = np.asarray(b["l_orderkey"].to_numpy(zero_copy_only=False),
                         dtype=np.int64)
         sk = np.asarray(b["l_suppkey"].to_numpy(zero_copy_only=False),
                         dtype=np.int64)
         ship = b["l_shipdate"].to_numpy(zero_copy_only=False).astype(
             "datetime64[us]").astype(np.int64)
-        pos = np.searchsorted(okeys_s, ok).clip(0, max(okeys_s.size - 1, 0))
+        pos = np.searchsorted(okeys_s, ok).clip(0, okeys_s.size - 1)
         late = (ship > odates_s[pos] + _LATE_US).astype(np.int64)
         df = (pd.DataFrame({"ok": ok, "sk": sk, "late": late})
               .groupby(["ok", "sk"], sort=False)["late"].max().reset_index())
