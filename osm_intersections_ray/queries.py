@@ -171,6 +171,8 @@ def queries() -> dict:
     # --- text analysis over documents
     q["doc_stats"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.doc_stats_batch, batch_format="pyarrow")
+    q["doc_stats_melt"] = lambda sf: text.doc_stats_melt(
+        _tbl(sf, "documents", ["doc_id", "text"]))
     q["lang_id"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.lang_id_batch, batch_format="pyarrow")
     q["lang_confusion"] = lambda sf: text.lang_confusion(
@@ -524,6 +526,7 @@ def oracle_sql() -> dict:
         "jsonl_pages": jsonl_src.jsonl_pages_sql(pages_tbl),
         "csv_events": csv_src.csv_events_sql("events"),
         "doc_stats": text.doc_stats_sql(),
+        "doc_stats_melt": text.doc_stats_melt_sql(),
         "lang_id": text.lang_id_sql(),
         "lang_confusion": text.lang_confusion_sql(),
         "quality_score": text.quality_score_sql(),

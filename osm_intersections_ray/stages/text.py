@@ -2136,3 +2136,42 @@ def bpe_train_filtered_sql(table: str = "documents",
     sub = (f"(SELECT d.text FROM {table} d JOIN ({filt}) fq USING (doc_id)) "
            f"fdocs")
     return bpe_train_sql(sub, n_merges)
+
+
+# --- unpivot / melt (wide -> long) ---------------------------------------------
+MELT_STATS = ("n_tokens", "punct_cnt", "stop_cnt", "tok_chars")
+
+
+def doc_stats_melt(ds):
+    """UNPIVOT (melt) — the wide->long inverse of the pivot contract: each
+    document's stat columns explode to (doc_id, stat, value) rows.  A pure
+    per-batch transform (rows out = rows in x |stats|, zero exchanges):
+    the stats compute via the shared vectorized core and the explode is a
+    numpy repeat/tile — no per-row Python."""
+
+    _M = pa.schema([("doc_id", pa.int64()), ("stat", pa.string()),
+                    ("value", pa.int64())])
+
+    def melt(b: pa.Table) -> pa.Table:
+        st = _token_stats_arrow(b["text"])
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        k = len(MELT_STATS)
+        vals = np.stack([st[c] for c in MELT_STATS], axis=1).ravel()
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(ids, k)),
+             pa.array(np.tile(np.array(MELT_STATS, dtype=object), ids.size),
+                      pa.string()),
+             pa.array(vals)], schema=_M)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def doc_stats_melt_sql(table: str = "documents") -> str:
+    inner = doc_stats_sql(table).strip()
+    cols = ", ".join(MELT_STATS)
+    return f"""
+SELECT doc_id, stat, value::BIGINT AS value
+FROM ({inner}) s
+UNPIVOT (value FOR stat IN ({cols}))
+"""
