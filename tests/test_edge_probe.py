@@ -1300,3 +1300,63 @@ def test_edge_waiting_suppliers_exists_logic(ray_session, tmp_path_factory):
     by = eng.set_index("s_suppkey")
     assert by.loc[10, "numwait"] == 1 and by.loc[11, "numwait"] == 1
     assert 12 not in by.index
+
+
+def test_edge_shard_fold_hot_key(ray_session, tmp_path_factory):
+    """Skew hostility for the shard-fold rewrites: ONE orderkey carries 90%
+    of the line items and spans every input block — its per-batch partials
+    must re-merge exactly in the okey%64 shard (big_orders HAVING) and the
+    Q15 revenue fold must match the oracle despite the hot supplier."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d = tmp_path_factory.mktemp("edge_hot")
+    hot_n = 900
+    li_ok = [1] * hot_n + list(range(2, 102))
+    li_qty = [1.0] * hot_n + [2.0] * 100
+    t_in = np.datetime64(R.Q15_T0_US, "us")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(li_ok, pa.int64()),
+        "l_quantity": pa.array(li_qty, pa.float64()),
+        "l_suppkey": pa.array([7] * hot_n + [8] * 100, pa.int64()),
+        "l_shipdate": pa.array([t_in] * (hot_n + 100), pa.timestamp("us")),
+        "l_extendedprice": pa.array([1.0] * (hot_n + 100), pa.float64()),
+        "l_discount": pa.array([0.0] * (hot_n + 100), pa.float64()),
+    }), str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(1, 102)), pa.int64()),
+        "o_custkey": pa.array([5] * 101, pa.int64()),
+        "o_orderdate": pa.array([t_in] * 101, pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0] * 101, pa.float64()),
+    }), str(d / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([5], pa.int64()),
+        "c_name": pa.array(["C5"], pa.string()),
+    }), str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([7, 8], pa.int64()),
+        "s_name": pa.array(["S7", "S8"], pa.string()),
+    }), str(d / "supplier.parquet"))
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    li = rd.read_parquet(str(d / "lineitem.parquet"), override_num_blocks=8)
+    # big_orders: the hot order totals 900 > 250 -> survives HAVING exactly once
+    eng = R.big_orders(
+        rd.read_parquet(str(d / "orders.parquet")), li,
+        pq.read_table(str(d / "customer.parquet"))).to_pandas()
+    orc = con.sql(R.big_orders_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) == 1 and (e.values == o.values).all(), (e, o)
+    assert eng.iloc[0]["total_qty"] == hot_n
+    # top_supplier: hot supplier 7 wins with exactly hot_n * 100 cents
+    li2 = rd.read_parquet(str(d / "lineitem.parquet"), override_num_blocks=8)
+    eng2 = R.top_supplier(li2, pq.read_table(str(d / "supplier.parquet"))
+                          ).to_pandas()
+    orc2 = con.sql(R.top_supplier_sql()).df()
+    e2, o2 = _canon(eng2), _canon(orc2)
+    assert len(e2) == len(o2) == 1 and (e2.values == o2.values).all(), (e2, o2)
+    assert eng2.iloc[0]["total_cents"] == hot_n * 100
