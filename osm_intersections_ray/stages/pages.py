@@ -768,8 +768,6 @@ def tile_pyramid(pages_ds):
     crosses the shuffle.  At 10^12 pages the rollup never touches a page
     twice; skewed urban tiles cost one partial row per batch like any other.
     """
-    from ray.data.aggregate import Sum
-
     g = pages_ds.map_batches(geotag_batch, batch_format="pyarrow",
                              batch_size=4096)
 
@@ -787,8 +785,6 @@ def tile_pyramid(pages_ds):
         return pa.table({"tile": pa.array(u, pa.int64()),
                          "n_pages": pa.array(c.astype(np.int64), pa.int64())}
                         ).cast(_PYR_PARTIAL_SCHEMA)
-
-    _ = Sum  # sort-aggregate formulation the shard fold replaced
 
     def add_shard(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "tile" not in b.column_names:
@@ -873,8 +869,6 @@ def way_page_density(pages_ds, ways_ds):
     carries way-count rows, not page-count rows; (county, name) then attach
     via a way_id-keyed hash ``Dataset.join`` against the projected ways
     table — both sides are O(ways), the 10^12 pages never re-shuffle."""
-    from ray.data.aggregate import Sum
-
     from .common import cap_join_partitions, drop_empty_blocks
 
     joined = pages_way_join(pages_ds, ways_ds)
@@ -886,8 +880,6 @@ def way_page_density(pages_ds, ways_ds):
         return pa.table({"way_id": pa.array(u, pa.int64()),
                          "n_pages": pa.array(c.astype(np.int64), pa.int64())}
                         ).cast(_DENSITY_PARTIAL_SCHEMA)
-
-    _ = Sum  # sort-aggregate formulation the shard fold replaced
 
     def add_shard(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "way_id" not in b.column_names:

@@ -1264,10 +1264,6 @@ def top_supplier(lineitem_ds, supplier_tbl: pa.Table):
     the equality filter streams with the max broadcast by closure.  The
     supplier dim ships once as a name Series; at planet scale route it
     through a suppkey hash join like shipping_priority's customer side."""
-    from ray.data.aggregate import Sum
-
-    _ = Sum
-
     _P = pa.schema([("sshard", pa.int64()), ("l_suppkey", pa.int64()),
                     ("cents", pa.int64())])
 
