@@ -476,6 +476,8 @@ def queries() -> dict:
             orders, supp)
 
     q["waiting_suppliers"] = wait_supp
+    q["acctbal_quantiles"] = lambda sf: relational.acctbal_quantiles(
+        _tbl(sf, "customer", ["c_acctbal"]))
     q["pareto_parts"] = lambda sf: relational.pareto_parts(
         _tbl(sf, "part", ["p_partkey", "p_retailprice", "p_size"]))
     q["top_parts"] = lambda sf: relational.top_parts(
@@ -614,6 +616,7 @@ def oracle_sql() -> dict:
         "disjunctive_revenue": relational.disjunctive_revenue_sql(),
         "top_supplier": relational.top_supplier_sql(),
         "waiting_suppliers": relational.waiting_suppliers_sql(),
+        "acctbal_quantiles": relational.acctbal_quantiles_sql(),
         "top_parts": relational.top_parts_sql(),
         "top_parts_per_brand": relational.top_parts_per_brand_sql(),
         "customers_without_orders": filters.customers_without_orders_sql(),

@@ -1438,3 +1438,94 @@ FROM ls JOIN os USING (ok) JOIN supplier s ON s.s_suppkey = ls.sk
 WHERE ls.late = 1 AND os.n_supp >= 2 AND os.n_late = 1
 GROUP BY 1, 2
 """
+
+
+# --- exact continuous quantiles (unbounded domain, no global sort) -------------
+QUANT_PCTS = (50, 90, 99)   # percentile_disc targets, as integer percents
+QUANT_SHIFT = 10            # bucket = cents >> SHIFT (~$10.24 buckets)
+
+
+def acctbal_quantiles(customer_ds):
+    """EXACT percentile_disc over a CONTINUOUS unbounded column (account
+    balance cents, negatives included) with no global sort — the order-
+    statistics shape token_quantiles can't cover (its histogram needs a
+    bounded integer domain).
+
+    Two passes:
+
+    1. per-batch sparse bucket histogram (``cents >> QUANT_SHIFT`` —
+       arithmetic shift keeps bucket order == value order for negatives),
+       one (bucket) groupby bounded by the VALUE RANGE / 2^shift, and a
+       driver fold locates the bucket + within-bucket offset of each target
+       (percentile_disc rule: smallest value with cum*100 >= pct*N, the
+       token_quantiles convention);
+    2. ONLY the <=len(QUANT_PCTS) target buckets' values collect (bucket
+       population sized — the histogram proves the bound before the
+       collect), sort locally, and the offsets read off the answer.
+
+    Pathological mass concentration (one bucket holding ~everything) would
+    make pass 2 collect large: recurse with a finer shift on just that
+    bucket in that case (asserted here, implemented when a real
+    distribution needs it)."""
+    from ray.data.aggregate import Sum
+
+    _H = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        cents = round_half_away_np(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100)
+        bucket = cents >> QUANT_SHIFT
+        u, c = np.unique(bucket, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(np.int64)), pa.array(c.astype(np.int64))],
+            schema=_H)
+
+    hist = (customer_ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("bucket", kind="stable"))
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    buckets = hist["bucket"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1]) if len(cum) else 0
+    targets = {}  # bucket -> [(pct, offset_within_bucket)]
+    for pct in QUANT_PCTS:
+        # smallest value whose cumulative count*100 >= pct*N
+        k = int(np.searchsorted(cum * 100, pct * total, side="left"))
+        before = int(cum[k - 1]) if k > 0 else 0
+        # percentile_disc = the ceil(pct*N/100)-th smallest (1-based), i.e.
+        # the first value whose cumulative fraction reaches pct
+        gidx = 0 if total == 0 else max(
+            (pct * total + 99) // 100 - 1, 0)
+        targets.setdefault(int(buckets[k]), []).append(
+            (pct, int(gidx - before)))
+    want = sorted(targets)
+    bound = int(sum(counts[np.isin(buckets, want)])) if total else 0
+    assert bound <= max(1_000_000, total // 10 + 1), \
+        "degenerate mass concentration: recurse with a finer QUANT_SHIFT"
+
+    def in_targets(b: pa.Table) -> pa.Table:
+        cents = round_half_away_np(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100)
+        m = np.isin(cents >> QUANT_SHIFT, np.asarray(want, dtype=np.int64))
+        return pa.table({"cents": pa.array(cents[m], pa.int64())})
+
+    vals = np.sort(customer_ds.map_batches(
+        in_targets, batch_format="pyarrow").to_pandas()["cents"].to_numpy())
+    # map each target's (bucket, offset) onto the collected sorted values
+    out = []
+    vb = vals >> QUANT_SHIFT
+    for bk in want:
+        seg = vals[vb == bk]
+        for pct, off in targets[bk]:
+            out.append((pct, int(seg[off]) if seg.size else 0))
+    out.sort()
+    return pd.DataFrame(out, columns=["pct", "value_cents"]).astype(
+        {"pct": "int64", "value_cents": "int64"})
+
+
+def acctbal_quantiles_sql() -> str:
+    cols = ",\n".join(
+        f"SELECT {p}::BIGINT AS pct, percentile_disc({p / 100}) WITHIN GROUP "
+        f"(ORDER BY CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS "
+        f"value_cents FROM customer" for p in QUANT_PCTS)
+    return "\nUNION ALL\n".join(cols.split(",\n"))

@@ -1360,3 +1360,51 @@ def test_edge_shard_fold_hot_key(ray_session, tmp_path_factory):
     e2, o2 = _canon(eng2), _canon(orc2)
     assert len(e2) == len(o2) == 1 and (e2.values == o2.values).all(), (e2, o2)
     assert eng2.iloc[0]["total_cents"] == hot_n * 100
+
+
+def test_edge_acctbal_quantiles_boundaries(ray_session, tmp_path_factory):
+    """Continuous-quantile hostiles vs percentile_disc: pct*N exactly on the
+    integer boundary, duplicated values AT the percentile, negative
+    balances (arithmetic-shift buckets), and multiple targets landing in
+    ONE bucket."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d = tmp_path_factory.mktemp("edge_quant")
+    # N=10: p50 -> 5th smallest, p90 -> 9th, p99 -> 10th (ceil rule);
+    # values cluster so p90/p99 share a bucket; duplicates at the median
+    vals = [-9.94, -9.94, 0.0, 1.23, 1.23, 1.23, 5.00, 5.01, 5.02, 99.99]
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(10), pa.int64()),
+        "c_acctbal": pa.array(vals, pa.float64()),
+    }), str(d / "customer.parquet"))
+    eng = R.acctbal_quantiles(
+        rd.read_parquet(str(d / "customer.parquet"), override_num_blocks=3))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM read_parquet('{d}/customer.parquet')")
+    orc = con.sql(R.acctbal_quantiles_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    by = eng.set_index("pct")
+    assert by.loc[50, "value_cents"] == 123     # 5th smallest: the dup value
+    assert by.loc[99, "value_cents"] == 9999    # ceil(9.9)=10th -> max
+
+    # N=1 and N=2 degenerate tables
+    for n, vs in ((1, [-3.33]), (2, [-3.33, 7.77])):
+        d2 = tmp_path_factory.mktemp(f"edge_quant{n}")
+        pq.write_table(pa.table({
+            "c_custkey": pa.array(range(n), pa.int64()),
+            "c_acctbal": pa.array(vs, pa.float64()),
+        }), str(d2 / "customer.parquet"))
+        e2 = _canon(R.acctbal_quantiles(
+            rd.read_parquet(str(d2 / "customer.parquet"))))
+        con2 = duckdb.connect()
+        con2.sql(f"CREATE VIEW customer AS SELECT * FROM "
+                 f"read_parquet('{d2}/customer.parquet')")
+        o2 = _canon(con2.sql(R.acctbal_quantiles_sql()).df())
+        assert (e2.values == o2.values).all(), (n, e2, o2)
