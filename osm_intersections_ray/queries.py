@@ -181,6 +181,8 @@ def queries() -> dict:
         text.quality_score_batch, batch_format="pyarrow")
     q["linear_fit"] = lambda sf: text.linear_fit(
         _tbl(sf, "documents", ["doc_id", "text"]))
+    q["corpus_diff"] = lambda sf: text.corpus_diff(
+        _tbl(sf, "documents", ["doc_id", "text"]))
     q["fingerprint"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.fingerprint_batch, batch_format="pyarrow")
     q["normalize_unicode"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
@@ -534,6 +536,7 @@ def oracle_sql() -> dict:
         "quality_score": text.quality_score_sql(),
         "linear_fit": text.linear_fit_sql(),
         "fingerprint": text.fingerprint_sql(),
+        "corpus_diff": text.corpus_diff_sql(),
         "normalize_unicode": text.normalize_unicode_sql(),
         "quality_rank": text.quality_rank_sql(),
         "exact_dedup": dedup.exact_dedup_sql(),

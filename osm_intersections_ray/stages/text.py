@@ -2175,3 +2175,109 @@ SELECT doc_id, stat, value::BIGINT AS value
 FROM ({inner}) s
 UNPIVOT (value FOR stat IN ({cols}))
 """
+
+
+# --- corpus snapshot diff (full outer join) ------------------------------------
+DIFF_DROP_MOD = 7    # doc_id % 7 == 3 -> absent from snapshot B
+DIFF_EDIT_MOD = 11   # doc_id % 11 == 5 -> text changed in snapshot B
+DIFF_ADD_MOD = 13    # doc_id % 13 == 1 -> a NEW doc (doc_id + 10^6) in B
+
+
+def corpus_diff(ds):
+    """Incremental-ingest snapshot diff — the FULL OUTER join shape: compare
+    corpus snapshot A (the documents table) against snapshot B (a
+    deterministic mutation derived identically in engine and oracle: some
+    docs dropped, some edited, some added) and emit one row per CHANGED
+    document: (doc_id, status in added|removed|changed).  Unchanged docs —
+    the overwhelming mass at 100 TB — never leave the join.
+
+    Scale shape: both sides reduce to (doc_id, fp) fingerprint rows BEFORE
+    the join (text never shuffles), the single all-to-all is a hash
+    ``Dataset.join(full_outer)`` on the int key, and classification is a
+    vectorized null/equality test per batch."""
+    import pyarrow.compute as pc
+
+    from .common import cap_join_partitions, drop_empty_blocks
+
+    def fp_a(b: pa.Table) -> pa.Table:
+        t = fingerprint_batch(b)
+        return pa.table({"doc_id": t["doc_id"], "fp_a": t["fp"]})
+
+    def derive_b(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        texts = b["text"].to_pylist()
+        out_ids, out_txt = [], []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            if i % DIFF_DROP_MOD == 3:
+                pass  # dropped from B
+            elif i % DIFF_EDIT_MOD == 5:
+                out_ids.append(i)
+                out_txt.append(t + " [rev2]")
+            else:
+                out_ids.append(i)
+                out_txt.append(t)
+            if i % DIFF_ADD_MOD == 1:  # B gains a derived new doc
+                out_ids.append(i + 1_000_000)
+                out_txt.append("added doc " + str(i))
+        t2 = fingerprint_batch(pa.table({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "text": pa.array(out_txt, pa.string())}))
+        return pa.table({"doc_id": t2["doc_id"], "fp_b": t2["fp"]})
+
+    a = drop_empty_blocks(
+        ds.map_batches(fp_a, batch_format="pyarrow").materialize())
+    bsnap = drop_empty_blocks(
+        ds.map_batches(derive_b, batch_format="pyarrow").materialize())
+    joined = a.join(bsnap, join_type="full_outer",
+                    num_partitions=cap_join_partitions(8), on=("doc_id",))
+
+    def classify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("status", pa.string())]).empty_table()
+        fa, fb = b["fp_a"], b["fp_b"]
+        a_null = pc.is_null(fa).to_numpy(zero_copy_only=False)
+        b_null = pc.is_null(fb).to_numpy(zero_copy_only=False)
+        changed = (~a_null & ~b_null &
+                   np.asarray(pc.not_equal(fa, fb).fill_null(False)
+                              .to_numpy(zero_copy_only=False)))
+        status = np.full(b.num_rows, "", dtype=object)
+        status[a_null] = "added"
+        status[b_null] = "removed"
+        status[changed] = "changed"
+        keep = status != ""
+        return pa.table({
+            "doc_id": b["doc_id"].filter(pa.array(keep)),
+            "status": pa.array(status[keep], pa.string())})
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def corpus_diff_sql(table: str = "documents") -> str:
+    """Oracle: the same derivation + FULL OUTER JOIN in SQL (md5 of the
+    normalized text on both sides, like fingerprint_batch)."""
+    norm = "md5(lower(trim(text, ' ')))"
+    # _norm == duck_lower(strip(' ')) and DuckDB lower == duck_lower
+    return f"""
+WITH a AS (SELECT doc_id, {norm} AS fp_a FROM {table}),
+b0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DIFF_EDIT_MOD} = 5 THEN text || ' [rev2]'
+              ELSE text END AS text
+  FROM {table} WHERE doc_id % {DIFF_DROP_MOD} <> 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'added doc ' || doc_id AS text
+  FROM {table} WHERE doc_id % {DIFF_ADD_MOD} = 1
+),
+b AS (SELECT doc_id, {norm} AS fp_b FROM b0),
+j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.fp_a, b.fp_b
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT doc_id,
+       CASE WHEN fp_a IS NULL THEN 'added'
+            WHEN fp_b IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM j
+WHERE fp_a IS NULL OR fp_b IS NULL OR fp_a <> fp_b
+"""

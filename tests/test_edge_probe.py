@@ -61,7 +61,7 @@ DOC_QUERIES = [
     "image_decode_gif", "image_decode_jpeg", "video_frame_sample",
     "normalize_unicode", "quality_rank", "paragraph_dedup",
     "scrub_dup_ngrams", "linear_fit", "bpe_train", "bpe_apply",
-    "doc_stats_melt",
+    "doc_stats_melt", "corpus_diff",
 ]
 
 
