@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "csv_events",           # RFC-4180 CSV.gz ingest (session-10)
     "top_supplier",         # Q15 view-max equality (session-10)
     "waiting_suppliers",    # Q21 correlated-EXISTS per-order stats (session-10)
+    "acctbal_quantiles",    # exact continuous percentile_disc, 2-pass (session-10)
+    "corpus_diff",          # full-outer snapshot diff (session-10)
+    "doc_stats_melt",       # unpivot/melt explode (session-10)
 ]
 
 
@@ -108,7 +111,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     _quiet_ray_data()
     from ray.data import DataContext
 
@@ -203,7 +207,8 @@ def run_scaling_workload(num_cpus: int) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     _quiet_ray_data()
     from ray.data import DataContext
 

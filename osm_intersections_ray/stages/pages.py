@@ -984,7 +984,7 @@ def bloom_url_filter(pages_ds):
     def bit_partial(b: pa.Table) -> pa.Table:
         urls = b["url"].to_pylist()
         if not urls:
-            return pa.table([], schema=_BLOOM_BIT_SCHEMA)
+            return _BLOOM_BIT_SCHEMA.empty_table()
         pos = _bloom_positions(urls).ravel()
         u, c = np.unique(pos, return_counts=True)
         return pa.table({"bit": pa.array(u, pa.int64()),
@@ -1010,7 +1010,7 @@ def bloom_url_filter(pages_ds):
                   in "01"]
         probes = probes + [p + "#absent" for p in probes]
         if not probes:
-            return pa.table([], schema=_BLOOM_PROBE_SCHEMA)
+            return _BLOOM_PROBE_SCHEMA.empty_table()
         pos = _bloom_positions(probes)
         idx = np.searchsorted(filt, pos)
         idx[idx >= len(filt)] = max(len(filt) - 1, 0)
