@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "acctbal_quantiles",    # exact continuous percentile_disc, 2-pass (session-10)
     "corpus_diff",          # full-outer snapshot diff (session-10)
     "doc_stats_melt",       # unpivot/melt explode (session-10)
+    "embedding_moments",    # exact vector variance, Python-int fold (session-10)
 ]
 
 

@@ -297,6 +297,8 @@ def queries() -> dict:
         _tbl(sf, "embeddings", ["vec_id", "embedding"]))
     q["embedding_centroids"] = lambda sf: similarity.embedding_centroids(
         _tbl(sf, "embeddings", ["embedding", "label"]))
+    q["embedding_moments"] = lambda sf: similarity.embedding_moments(
+        _tbl(sf, "embeddings", ["embedding", "label"]))
     q["embedding_dup_clusters"] = lambda sf: similarity.embedding_dup_clusters(
         _tbl(sf, "embeddings", ["vec_id", "embedding"]))
 
@@ -592,6 +594,7 @@ def oracle_sql() -> dict:
         "rrf_fusion": similarity.rrf_fusion_sql(),
         "embedding_near_dup": similarity.near_dup_sql(),
         "embedding_centroids": similarity.embedding_centroids_sql(),
+        "embedding_moments": similarity.embedding_moments_sql(),
         "embedding_dup_clusters": similarity.embedding_dup_clusters_sql(),
         "events_hourly": events.hourly_window_sql(),
         "sessions": events.sessionize_sql(),

@@ -582,3 +582,80 @@ SELECT label, dim, count(*)::BIGINT AS n_vecs, sum(q)::BIGINT AS sum_q,
        (sum(q) // count(*))::BIGINT AS mean_q
 FROM e GROUP BY 1, 2
 """
+
+
+def embedding_moments(ds):
+    """Per-(label, dim) exact SECOND moments of the quantized embeddings —
+    the variance/covariance building block next to the centroid op.  The
+    same micro-unit quantization makes (n, Σq, Σq²) order-insensitive
+    int64 partials (Σq² ~ 1e17 at sandbox scale; past ~10^10 rows promote
+    the partial to decimal128 / hi-lo pairs); the variance NUMERATOR
+    n·Σq² − (Σq)² (~5e20) exceeds int64, so the final fold runs on the
+    world-bounded (label x dim) rows with PYTHON ints and reports the
+    exact truncated variance ``var_q2 = (n·Σq² − (Σq)²) // n²`` in
+    micro-unit² — the HUGEINT oracle mirrors the same division."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.scalar import round_half_away_np
+
+    _P = pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                    ("n_vecs", pa.int64()), ("sum_q", pa.int64()),
+                    ("sum_q2", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _P.empty_table()
+        m = _mat(b)
+        q = round_half_away_np(m * 1_000_000)
+        labels = np.asarray(b["label"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        u, inv = np.unique(labels, return_inverse=True)
+        d = m.shape[1]
+        s1 = np.zeros((u.size, d), dtype=np.int64)
+        s2 = np.zeros((u.size, d), dtype=np.int64)
+        np.add.at(s1, inv, q)
+        np.add.at(s2, inv, q * q)
+        counts = np.bincount(inv, minlength=u.size).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(u, d)),
+             pa.array(np.tile(np.arange(d, dtype=np.int64), u.size)),
+             pa.array(np.repeat(counts, d)),
+             pa.array(s1.ravel()), pa.array(s2.ravel())], schema=_P)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "dim"]).aggregate(
+               Sum("n_vecs", alias_name="n_vecs"),
+               Sum("sum_q", alias_name="sum_q"),
+               Sum("sum_q2", alias_name="sum_q2")))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in df.itertuples(index=False):
+            n, s1, s2 = int(r.n_vecs), int(r.sum_q), int(r.sum_q2)
+            var = (n * s2 - s1 * s1) // (n * n) if n else 0  # >= 0: trunc==floor
+            rows.append((r.label, r.dim, n, s1, s2, var))
+        out = pd.DataFrame(rows, columns=["label", "dim", "n_vecs", "sum_q",
+                                          "sum_q2", "var_q2"])
+        return out.astype({c: "int64" for c in out.columns})
+
+    return agg.map_batches(fold, batch_format="pandas", batch_size=None)
+
+
+def embedding_moments_sql(table: str = "embeddings") -> str:
+    return f"""
+WITH e AS (
+  SELECT label::BIGINT AS label,
+         (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM {table}
+), a AS (
+  SELECT label, dim, count(*)::HUGEINT AS n, sum(q)::HUGEINT AS s1,
+         sum(q::HUGEINT * q)::HUGEINT AS s2
+  FROM e GROUP BY 1, 2
+)
+SELECT label, dim, n::BIGINT AS n_vecs, s1::BIGINT AS sum_q,
+       s2::BIGINT AS sum_q2,
+       ((n * s2 - s1 * s1) // (n * n))::BIGINT AS var_q2
+FROM a
+"""
