@@ -480,6 +480,19 @@ def queries() -> dict:
             orders, supp)
 
     q["waiting_suppliers"] = wait_supp
+    def local_supp(sf):
+        t = lambda n, cols: pq.read_table(os.path.join(sf, f"{n}.parquet"),
+                                          columns=cols)
+        return relational.local_supplier_revenue(
+            _tbl(sf, "lineitem", ["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"]),
+            t("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            t("customer", ["c_custkey", "c_nationkey"]),
+            t("supplier", ["s_suppkey", "s_nationkey"]),
+            t("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+            t("region", ["r_regionkey", "r_name"]))
+
+    q["local_supplier_revenue"] = local_supp
     q["acctbal_quantiles"] = lambda sf: relational.acctbal_quantiles(
         _tbl(sf, "customer", ["c_acctbal"]))
     q["pareto_parts"] = lambda sf: relational.pareto_parts(
@@ -623,6 +636,7 @@ def oracle_sql() -> dict:
         "top_supplier": relational.top_supplier_sql(),
         "waiting_suppliers": relational.waiting_suppliers_sql(),
         "acctbal_quantiles": relational.acctbal_quantiles_sql(),
+        "local_supplier_revenue": relational.local_supplier_revenue_sql(),
         "top_parts": relational.top_parts_sql(),
         "top_parts_per_brand": relational.top_parts_per_brand_sql(),
         "customers_without_orders": filters.customers_without_orders_sql(),

@@ -1529,3 +1529,107 @@ def acctbal_quantiles_sql() -> str:
         f"(ORDER BY CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS "
         f"value_cents FROM customer" for p in QUANT_PCTS)
     return "\nUNION ALL\n".join(cols.split(",\n"))
+
+
+# --- TPC-H Q5-shaped: local-supplier revenue per nation in a region ------------
+Q5_REGION = "ASIA"
+Q5_T0_US = int(np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64))
+Q5_T1_US = int(np.datetime64("1998-01-01T00:00:00", "us").astype(np.int64))
+
+
+def local_supplier_revenue(lineitem_ds, orders_tbl: pa.Table,
+                           customer_tbl: pa.Table, supplier_tbl: pa.Table,
+                           nation_tbl: pa.Table, region_tbl: pa.Table):
+    """TPC-H Q5 — the six-table chain with the query's distinctive twist:
+    revenue counts only when the CUSTOMER and the SUPPLIER sit in the SAME
+    nation (local fulfilment), rolled up per nation of one region inside an
+    order-date window.
+
+    Scale shape: every non-fact side is a broadcast header/dim — region ->
+    nation set (a handful of ints), nation names, customer -> nationkey,
+    supplier -> nationkey, and the (orderkey -> custkey, orderdate) header
+    arrays (the late_shipment broadcast move; above the crossover route
+    the header through an orderkey hash join).  Lineitem streams ONCE:
+    three vectorized searchsorted/map gathers resolve both nationkeys and
+    the date filter, the same-nation equality is a vector compare, and
+    (nation) partials feed one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    rkey = {r: k for k, r in zip(
+        region_tbl["r_regionkey"].to_pylist(),
+        region_tbl["r_name"].to_pylist())}[Q5_REGION]
+    nk = np.asarray(nation_tbl["n_nationkey"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    nreg = np.asarray(nation_tbl["n_regionkey"].to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    in_region = set(nk[nreg == rkey].tolist())
+    nname = pd.Series(nation_tbl["n_name"].to_pylist(), index=nk)
+
+    cust_nat = pd.Series(
+        customer_tbl["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64),
+        index=customer_tbl["c_custkey"].to_numpy(zero_copy_only=False))
+    supp_nat = pd.Series(
+        supplier_tbl["s_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64),
+        index=supplier_tbl["s_suppkey"].to_numpy(zero_copy_only=False))
+
+    okeys = orders_tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(okeys, kind="stable")
+    okeys_s = okeys[order].astype(np.int64)
+    ocust_s = orders_tbl["o_custkey"].to_numpy(zero_copy_only=False).astype(
+        np.int64)[order]
+    odate_s = orders_tbl["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").astype(np.int64)[order]
+
+    _P = pa.schema([("n_name", pa.string()), ("n_orders", pa.int64()),
+                    ("revenue_cents", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if okeys_s.size == 0:
+            return _P.empty_table()
+        ok = np.asarray(b["l_orderkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        pos = np.searchsorted(okeys_s, ok).clip(0, okeys_s.size - 1)
+        m = (okeys_s[pos] == ok) & (odate_s[pos] >= Q5_T0_US) & \
+            (odate_s[pos] < Q5_T1_US)
+        cnat = pd.Series(ocust_s[pos][m]).map(cust_nat).to_numpy(np.int64)
+        snat = pd.Series(np.asarray(
+            b["l_suppkey"].to_numpy(zero_copy_only=False),
+            dtype=np.int64)[m]).map(supp_nat).to_numpy(np.int64)
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)[m]
+        cents = round_half_away_np(px * (1 - disc) * 100)
+        keep = (cnat == snat) & np.isin(cnat, list(in_region))
+        g = (pd.DataFrame({
+            "n_name": pd.Series(cnat[keep]).map(nname).to_numpy(object),
+            "cents": cents[keep]})
+            .groupby("n_name", sort=False).agg(
+                n_orders=("cents", "size"),
+                revenue_cents=("cents", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_P).replace_schema_metadata(None)
+
+    return (lineitem_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_name").aggregate(
+                Sum("n_orders", alias_name="n_orders"),
+                Sum("revenue_cents", alias_name="revenue_cents")))
+
+
+def local_supplier_revenue_sql() -> str:
+    return f"""
+SELECT n.n_name, count(*)::BIGINT AS n_orders,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT))::BIGINT AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE s.s_nationkey = c.c_nationkey
+  AND r.r_name = '{Q5_REGION}'
+  AND epoch_us(o.o_orderdate) >= {Q5_T0_US}
+  AND epoch_us(o.o_orderdate) < {Q5_T1_US}
+GROUP BY 1
+"""

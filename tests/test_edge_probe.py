@@ -1408,3 +1408,71 @@ def test_edge_acctbal_quantiles_boundaries(ray_session, tmp_path_factory):
                  f"read_parquet('{d2}/customer.parquet')")
         o2 = _canon(con2.sql(R.acctbal_quantiles_sql()).df())
         assert (e2.values == o2.values).all(), (n, e2, o2)
+
+
+def test_edge_local_supplier_same_nation(ray_session, tmp_path_factory):
+    """Q5 hostiles: the SAME-NATION constraint (cross-nation fulfilment
+    never counts even inside the region/window), region exclusion, and
+    window bound inclusivity (>= start, < end)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d = tmp_path_factory.mktemp("edge_q5")
+    t_in = np.datetime64(R.Q5_T0_US, "us")
+    t_out = np.datetime64(R.Q5_T1_US, "us")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 2], pa.int64()),
+        "r_name": pa.array(["AFRICA", "ASIA"], pa.string()),
+    }), str(d / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1, 2, 3], pa.int64()),
+        "n_name": pa.array(["N1", "N2", "N3"], pa.string()),
+        "n_regionkey": pa.array([2, 2, 0], pa.int32()),  # N3 outside ASIA
+    }), str(d / "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 11, 12], pa.int64()),
+        "c_nationkey": pa.array([1, 2, 3], pa.int32()),
+    }), str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([20, 21, 22], pa.int64()),
+        "s_nationkey": pa.array([1, 2, 3], pa.int32()),
+    }), str(d / "supplier.parquet"))
+    orders = [(100, 10, t_in),                     # at window start: IN
+              (101, 11, t_out),                    # at window end: OUT
+              (102, 12, t_in),                     # non-ASIA customer
+              (103, 10, t_in)]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+        "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+        "o_orderdate": pa.array([o[2] for o in orders], pa.timestamp("us")),
+    }), str(d / "orders.parquet"))
+    li = [(100, 20, 100.0),   # cust N1 + supp N1: COUNTS
+          (100, 21, 100.0),   # cust N1 + supp N2: cross-nation, OUT
+          (101, 21, 100.0),   # window end: OUT
+          (102, 22, 100.0),   # same nation but region AFRICA: OUT
+          (103, 20, 50.0)]    # second qualifying order for N1
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in li], pa.int64()),
+        "l_extendedprice": pa.array([r[2] for r in li], pa.float64()),
+        "l_discount": pa.array([0.0] * len(li), pa.float64()),
+    }), str(d / "lineitem.parquet"))
+    t = lambda n: pq.read_table(str(d / f"{n}.parquet"))
+    eng = R.local_supplier_revenue(
+        rd.read_parquet(str(d / "lineitem.parquet"), override_num_blocks=2),
+        t("orders"), t("customer"), t("supplier"), t("nation"),
+        t("region")).to_pandas()
+    con = duckdb.connect()
+    for name in ("lineitem", "orders", "customer", "supplier", "nation",
+                 "region"):
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM "
+                f"read_parquet('{d}/{name}.parquet')")
+    orc = con.sql(R.local_supplier_revenue_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns), (e, o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    assert list(eng["n_name"]) == ["N1"] and int(eng["revenue_cents"].iloc[0]) == 15000
