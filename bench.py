@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "doc_stats_melt",       # unpivot/melt explode (session-10)
     "embedding_moments",    # exact vector variance, Python-int fold (session-10)
     "local_supplier_revenue",  # faithful Q5 same-nation 6-table chain (session-10)
+    "session_cooccurrence", # market-basket association over sessions (session-10)
 ]
 
 

@@ -389,6 +389,8 @@ def queries() -> dict:
         _tbl(sf, "events", ["event_type", "ts", "value"]))
     q["user_streaks"] = lambda sf: events.user_streaks(
         _tbl(sf, "events", ["user_id", "ts"]))
+    q["session_cooccurrence"] = lambda sf: events.session_cooccurrence(
+        _tbl(sf, "events", ["user_id", "event_id", "ts", "event_type"]))
 
     # --- relational building blocks
     q["pricing_summary"] = lambda sf: relational.pricing_summary(
@@ -621,6 +623,7 @@ def oracle_sql() -> dict:
         "events_rollup": events.events_rollup_sql(),
         "events_pivot": events.events_pivot_sql(),
         "user_streaks": events.user_streaks_sql(),
+        "session_cooccurrence": events.session_cooccurrence_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "shipping_priority": relational.shipping_priority_sql(),

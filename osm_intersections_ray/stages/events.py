@@ -770,3 +770,82 @@ SELECT user_id, sum(len)::BIGINT AS n_active_days,
        count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS max_streak
 FROM s GROUP BY 1
 """
+
+
+# --- session co-occurrence (market-basket association) -------------------------
+
+
+def session_cooccurrence(ds):
+    """Market-basket association over sessions: for every unordered pair of
+    event types, in how many (user, session) baskets do both occur — the
+    support table association mining starts from.
+
+    Scale shape: the sessionize shard layout (one user%64 exchange); each
+    shard assigns session ids with the same vectorized cumulative scan,
+    reduces to DISTINCT (user, session, type) rows, and builds pairs with
+    one C-speed self-merge per shard (baskets hold at most |event types|
+    distinct items, so the pair explosion is bounded at types² per
+    basket); per-shard (type_a, type_b) partial counts feed a final
+    groupby bounded by the type vocabulary."""
+    from ray.data.aggregate import Sum
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        shard = (np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
+                 % N_USER_SHARDS).astype(np.int64)
+        return (b.replace_schema_metadata(None)
+                .append_column("ushard", pa.array(shard)))
+
+    _P = pa.schema([("type_a", pa.string()), ("type_b", pa.string()),
+                    ("n_sessions", pa.int64())])
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        ts_us = df["ts"].astype("int64").to_numpy()
+        n = len(df)
+        new = np.ones(n, dtype=bool)
+        same_user = uid[1:] == uid[:-1]
+        new[1:] = (~same_user) | ((ts_us[1:] - ts_us[:-1]) > SESSION_GAP_US)
+        g = np.cumsum(new)  # shard-global session id (user runs contiguous)
+        d = (pd.DataFrame({"sid": g, "t": df["event_type"].to_numpy()})
+             .drop_duplicates())
+        p = d.merge(d, on="sid")
+        p = p[p["t_x"] < p["t_y"]]
+        out = (p.groupby(["t_x", "t_y"], sort=False).size()
+               .reset_index(name="n_sessions")
+               .rename(columns={"t_x": "type_a", "t_y": "type_b"}))
+        return pa.Table.from_pandas(out, preserve_index=False,
+                                    schema=_P).replace_schema_metadata(None)
+
+    return (ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("ushard").map_groups(per_shard, batch_format="pandas")
+            .groupby(["type_a", "type_b"]).aggregate(
+                Sum("n_sessions", alias_name="n_sessions")))
+
+
+def session_cooccurrence_sql(table: str = "events") -> str:
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM {table}
+), m AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN prev_ts IS NULL
+                   OR (epoch_us(ts) - epoch_us(prev_ts)) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM o
+), s AS (
+  SELECT user_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM m
+), d AS (
+  SELECT DISTINCT user_id, session_idx, event_type FROM s
+)
+SELECT d1.event_type AS type_a, d2.event_type AS type_b,
+       count(*)::BIGINT AS n_sessions
+FROM d d1 JOIN d d2 USING (user_id, session_idx)
+WHERE d1.event_type < d2.event_type
+GROUP BY 1, 2
+"""

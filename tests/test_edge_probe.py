@@ -173,7 +173,7 @@ def edge_events_dir(tmp_path_factory):
                                   "asof_prev_purchase", "post_purchase_window",
                                   "funnel_stages", "props_kv_stats",
                                   "events_rollup", "events_pivot",
-                                  "user_streaks"])
+                                  "user_streaks", "session_cooccurrence"])
 def test_edge_events_vs_oracle(ray_session, edge_events_dir, name):
     _compare(ray_session, edge_events_dir, "events", name)
 
