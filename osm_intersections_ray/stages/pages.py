@@ -559,9 +559,9 @@ def url_canonical_dedup(pages_ds):
 
         # canonicalize
         g = url.str.extract(_CANON_RE)
-        scheme = g[0].str.translate(DUCK_LOWER_TRANS).str.lower()
+        scheme = g[0].str.translate(DUCK_LOWER_TRANS)
         ok = scheme.isin(["http", "https"])
-        scheme, host = scheme[ok], g[1][ok].str.translate(DUCK_LOWER_TRANS).str.lower()
+        scheme, host = scheme[ok], g[1][ok].str.translate(DUCK_LOWER_TRANS)
         path, query = g[2][ok], g[3][ok].fillna("")
         url, ts = url[ok], ts[ok]
         host = host.mask((scheme == "http") & host.str.endswith(":80"),

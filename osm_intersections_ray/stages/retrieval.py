@@ -67,7 +67,7 @@ def _tok_frame(b: pa.Table) -> pd.DataFrame:
     """(doc_id, token) rows for this batch plus the per-doc token count —
     the shared vectorized tokenize (C regex, matches TOKS_SQL exactly)."""
     ser = b["text"].to_pandas().fillna("")
-    toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
+    toks = ser.str.translate(DUCK_LOWER_TRANS).str.findall(r"[^\t\n\f\r ]+")
     dl = toks.str.len().to_numpy(dtype=np.int64)
     df = (pd.DataFrame({"doc_id": b["doc_id"].to_pandas(), "token": toks})
           .explode("token").dropna(subset=["token"]))
@@ -229,7 +229,7 @@ def inverted_index(ds):
 
     def td_partial(b: pa.Table) -> pa.Table:
         ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
+        toks = ser.str.translate(DUCK_LOWER_TRANS).str.findall(r"[^\t\n\f\r ]+")
         df = (pd.DataFrame({"doc_id": b["doc_id"].to_pandas(),
                             "token": toks})
               .explode("token").dropna(subset=["token"])

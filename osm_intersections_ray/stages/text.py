@@ -65,12 +65,37 @@ def _tokens(text: str) -> list[str]:
 ascii_tokens = _tokens  # public name for the dedup kernels (shared tokenizer)
 
 
+# Arrow's utf8_lower is ALSO utf8proc, but a NEWER Unicode version than the
+# oracle DuckDB's: 43 codepoints (probed — tools/gen_duck_lower.py) are
+# lowercased by Arrow and left unchanged by DuckDB 1.0.0.  The fast path
+# stays pc.utf8_lower; rows containing any divergent codepoint (a one-regex
+# vectorized check, ~never true on real corpora) detour through the exact
+# scalar duck_lower.
+from ..functions.hashing import ARROW_DIVERGENT as _ARROW_DIV  # noqa: E402
+
+_ARROW_DIV_RE = "[" + "".join(re.escape(chr(c)) for c in _ARROW_DIV) + "]"
+
+
+def _lower_arr(arr: pa.Array) -> pa.Array:
+    """DuckDB-exact lowercase of a string array (hashing.duck_lower parity)."""
+    import pyarrow.compute as pc
+
+    low = pc.utf8_lower(arr)
+    m = pc.fill_null(pc.match_substring_regex(arr, _ARROW_DIV_RE), False)
+    if pc.any(m).as_py():
+        idx = np.flatnonzero(m.to_numpy(zero_copy_only=False))
+        fixed = pa.array([duck_lower(arr[int(i)].as_py()) for i in idx],
+                         pa.string())
+        low = pc.replace_with_mask(low, m, fixed)
+    return low
+
+
 def _token_stats_arrow(texts) -> dict:
     """Fully vectorized per-doc token statistics — the hot core the stateless
-    text kernels share.  Arrow's ``utf8_lower`` IS DuckDB's simple case
-    mapping (both utf8proc — the duck_lower parity, natively), the split is
-    the probed RE2 whitespace class, and every per-doc fold is offsets math
-    (``list_parent_indices`` + bincount/add.at) — no Python token loop.
+    text kernels share.  The lowercase is ``_lower_arr`` (DuckDB-exact), the
+    split is the probed RE2 whitespace class, and every per-doc fold is
+    offsets math (``list_parent_indices`` + bincount/add.at) — no Python
+    token loop.
 
     Returns numpy arrays: ``n_tokens``, ``stop_cnt``, ``tok_chars``,
     ``punct_cnt`` (counted on the RAW text, like the oracle), and
@@ -79,7 +104,7 @@ def _token_stats_arrow(texts) -> dict:
 
     arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
     n_docs = len(arr)
-    lst = pc.split_pattern_regex(pc.utf8_lower(arr), _WS_SPLIT.pattern)
+    lst = pc.split_pattern_regex(_lower_arr(arr), _WS_SPLIT.pattern)
     vals = pc.list_flatten(lst)
     parent = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
     lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -369,7 +394,7 @@ def top_terms_per_lang(ds):
 
     def partial(b: pa.Table) -> pa.Table:
         ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
+        toks = ser.str.translate(DUCK_LOWER_TRANS).str.findall(r"[^\t\n\f\r ]+")
         df = (pd.DataFrame({"lang": b["lang"].to_pandas(), "token": toks})
               .explode("token").dropna(subset=["token"]))
         g = df.groupby(["lang", "token"], sort=False).size().reset_index(name="n")
@@ -424,7 +449,7 @@ def distinct_tokens_per_lang(ds):
 
     def partial(b: pa.Table) -> pa.Table:
         ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
+        toks = ser.str.translate(DUCK_LOWER_TRANS).str.findall(r"[^\t\n\f\r ]+")
         df = (pd.DataFrame({"lang": b["lang"].to_pandas(), "token": toks})
               .explode("token").dropna(subset=["token"])
               .drop_duplicates(["lang", "token"]))
@@ -760,7 +785,7 @@ def tfidf_top_terms(ds):
 
     def tf_rows(b: pa.Table) -> pa.Table:
         ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
+        toks = ser.str.translate(DUCK_LOWER_TRANS).str.findall(r"[^\t\n\f\r ]+")
         df = (pd.DataFrame({"doc_id": b["doc_id"].to_pandas(), "tok": toks})
               .explode("tok").dropna(subset=["tok"]))
         g = df.groupby(["doc_id", "tok"], sort=False).size().reset_index(name="tf")
@@ -842,7 +867,7 @@ def repetition_stats_batch(b: pa.Table) -> pa.Table:
 
     # hottest token bigram (lowercased tokens, space-joined — tokens can
     # never contain an ASCII space, so the join key is unambiguous)
-    toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
+    toks = ser.str.translate(DUCK_LOWER_TRANS).str.findall(r"[^\t\n\f\r ]+")
     tdf = (pd.DataFrame({"d": d, "tok": toks}).explode("tok")
            .dropna(subset=["tok"]))
     tdf["nxt"] = tdf.groupby("d", sort=False)["tok"].shift(-1)
@@ -1112,7 +1137,7 @@ def token_freq_histogram(ds):
 
     def partial(b: pa.Table) -> pa.Table:
         ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
+        toks = ser.str.translate(DUCK_LOWER_TRANS).str.findall(r"[^\t\n\f\r ]+")
         df = pd.DataFrame({"token": toks}).explode("token").dropna()
         g = df.groupby("token", sort=False).size().reset_index(name="n")
         return pa.Table.from_pandas(g[["token", "n"]], preserve_index=False,
@@ -1184,7 +1209,7 @@ def cms_token_counts(ds):
 
     def partial(b: pa.Table) -> pa.Table:
         ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
+        toks = ser.str.translate(DUCK_LOWER_TRANS).str.findall(r"[^\t\n\f\r ]+")
         df = pd.DataFrame({"token": toks}).explode("token").dropna()
         if len(df) == 0:
             return _REG.empty_table()
@@ -1334,7 +1359,7 @@ def collocations(ds, vocab_broadcast_max: int = None):
         # (n(w) = n_as_bigram_first(w) + n_as_doc_last(w)) and the second
         # corpus tokenization disappears.
         ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
+        toks = ser.str.translate(DUCK_LOWER_TRANS).str.findall(r"[^\t\n\f\r ]+")
         df = pd.DataFrame({"rid": np.arange(len(toks), dtype=np.int64),
                            "w1": toks}).explode("w1").dropna(subset=["w1"])
         if len(df) == 0:
@@ -1538,7 +1563,7 @@ def lm_score(ds):
 
     def _bigram_frame(b: pa.Table) -> pd.DataFrame:
         ser = b["text"].to_pandas().fillna("")
-        toks = ser.str.translate(DUCK_LOWER_TRANS).str.lower().str.findall(r"[^\t\n\f\r ]+")
+        toks = ser.str.translate(DUCK_LOWER_TRANS).str.findall(r"[^\t\n\f\r ]+")
         df = pd.DataFrame({"doc_id": b["doc_id"].to_pandas(),
                            "w1": toks}).explode("w1").dropna(subset=["w1"])
         if len(df) == 0:
@@ -1923,7 +1948,7 @@ def bpe_train(ds, n_merges: int = BPE_MERGES):
     def word_partial(b: pa.Table) -> pa.Table:
         # vectorized corpus pass: C-regex findall + explode + value_counts
         ser = b["text"].cast(pa.string()).to_pandas()
-        toks = (ser.str.translate(DUCK_LOWER_TRANS).str.lower()
+        toks = (ser.str.translate(DUCK_LOWER_TRANS)
                 .str.findall(r"[^\t\n\f\r ]+"))
         vc = toks.explode().dropna().value_counts()
         return pa.Table.from_arrays(
