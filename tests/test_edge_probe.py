@@ -1476,3 +1476,32 @@ def test_edge_local_supplier_same_nation(ray_session, tmp_path_factory):
     for c in e.columns:
         assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
     assert list(eng["n_name"]) == ["N1"] and int(eng["revenue_cents"].iloc[0]) == 15000
+
+
+def test_edge_events_pivot_null_type(ray_session, tmp_path_factory):
+    """NULL event_type folds into n_other on BOTH sides (ADVICE r3: the
+    oracle's NOT IN dropped NULL rows while the engine counted them)."""
+    d = tmp_path_factory.mktemp("edge_pivot_null")
+    base = 1_700_000_000_000_000
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([base, base + 1, base + 2, base + 3],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["view", None, "weird", None], pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        "props": pa.array(["{}"] * 4, pa.string()),
+    })
+    pq.write_table(tbl, str(d / "events.parquet"))
+    _compare(ray_session, str(d), "events", "events_pivot")
+
+
+def test_edge_acctbal_quantiles_empty(ray_session, tmp_path_factory):
+    """Empty customer table: percentile_disc is NULL per pct row in the
+    oracle; the engine short-circuits to the same shape (ADVICE r3: the
+    fall-through indexed an empty histogram)."""
+    d = tmp_path_factory.mktemp("edge_empty_cust")
+    pq.write_table(pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "c_acctbal": pa.array([], pa.float64())}),
+                   str(d / "customer.parquet"))
+    _compare(ray_session, str(d), "customer", "acctbal_quantiles")
