@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "embedding_moments",    # exact vector variance, Python-int fold (session-10)
     "local_supplier_revenue",  # faithful Q5 same-nation 6-table chain (session-10)
     "session_cooccurrence", # market-basket association over sessions (session-10)
+    "pages_nearest_way",    # full-table kNN spatial join via supercell index (round 4)
 ]
 
 

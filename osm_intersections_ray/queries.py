@@ -74,7 +74,8 @@ DRIVER_SAMPLE_50 = [
     "pack_sequences", "redact_pii", "quality_filtered_docs",  # text aggregates
     "clean_corpus",                        # composite pipeline
     "customers_without_orders",            # anti-join
-    "sample_docs", "token_freq_histogram",  # sampling / histogram
+    "sample_docs",                         # deterministic sampling
+    "pages_nearest_way",                   # kNN spatial join (round 4)
 ]
 
 
@@ -128,6 +129,8 @@ def queries() -> dict:
     q["geom_candidate_pairs"] = lambda sf: qs.geom_candidate_pairs(_ways(sf))
     q["nearest_way"] = lambda sf: knn.nearest_way_queries(_ways(sf))
     q["nearest_two"] = lambda sf: knn.nearest_two_queries(_ways(sf))
+    q["pages_nearest_way"] = lambda sf: knn.pages_nearest_way(
+        _pages(sf, columns=["url", "html"]), _ways(sf))
     q["block_gps"] = lambda sf: qs.block_gps_lookup(_ways(sf))
     q["vectorize_raster"] = lambda sf: qs.vectorize_raster(_ways(sf))
     q["way_l1_lengths"] = lambda sf: qs.way_l1_lengths(_ways(sf))
@@ -584,6 +587,7 @@ def oracle_sql() -> dict:
         "geom_candidate_pairs": qs.geom_candidate_pairs_sql(ways_path),
         "nearest_way": knn.nearest_way_sql(ways_path),
         "nearest_two": knn.nearest_two_sql(ways_path),
+        "pages_nearest_way": knn.pages_nearest_way_sql(pages_tbl, ways_path),
         "block_gps": qs.block_gps_sql(ways_path),
         "vectorize_raster": qs.vectorize_raster_sql(ways_path),
         "way_l1_lengths": qs.way_l1_lengths_sql(ways_path),

@@ -71,13 +71,17 @@ def augment_near_batch(b: pa.Table) -> pa.Table:
     for i, t in zip(ids, texts):
         if i % NEAR_DUP_MOD == 0:
             out_i.append(i + 1000000)
-            out_t.append(t + NEAR_DUP_SUFFIX)
+            # NULL || suffix is NULL in the oracle's augmentation
+            out_t.append(None if t is None else t + NEAR_DUP_SUFFIX)
     return pa.table({"doc_id": pa.array(out_i, pa.int64()), "text": pa.array(out_t)})
 
 
 def content_hash_batch(b: pa.Table) -> pa.Table:
     texts = b["text"].to_pylist()
-    hs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    # md5(NULL) is NULL in the oracle; GROUP BY then keeps one NULL-hash
+    # group (SQL groups NULLs together), which the engine's groupby mirrors
+    hs = [None if t is None else hashlib.md5(t.encode("utf-8")).hexdigest()
+          for t in texts]
     return pa.table({"doc_id": b["doc_id"], "content_hash": pa.array(hs, pa.string())})
 
 
@@ -1646,8 +1650,10 @@ def scrub_dup_ngrams(ds):
                 kept = [x for x, c in zip(toks, covered) if not c]
             else:
                 kept = toks
-            n_tok.append(n)
-            n_rm.append(n - len(kept))
+            # NULL text: len(NULL)=NULL in the oracle, so n_tokens and
+            # n_removed emit NULL; clean_md5 coalesces to md5('')
+            n_tok.append(None if t is None else n)
+            n_rm.append(None if t is None else n - len(kept))
             md.append(hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest())
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),

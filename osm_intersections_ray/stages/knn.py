@@ -443,3 +443,151 @@ SELECT m1.k,
             ELSE m1.nm1 || '/' || m2.nm2 END AS closest
 FROM m1 LEFT JOIN m2 ON m2.k = m1.k
 """
+
+
+class PagesNearestWay(NearestWay):
+    """Actor for the full-table kNN spatial JOIN: nearest named way per
+    geotagged PAGE (url-keyed), same ring order + (dist, way_id) tie rule
+    as :class:`NearestWay`, but vectorized PER QUERY CELL: pages cluster
+    (many queries share a 0.01-degree cell), so the ring walk runs once per
+    distinct cell and each visited cell's vertex arrays are scored against
+    ALL of the cell's queries in one numpy broadcast.  Expansion stops when
+    EVERY query in the cell beats the next ring's L1 lower bound (a
+    straggler costs its cellmates at most its own ring count — the walk
+    stays O(populated cells round the answers))."""
+
+    def _sc_arrays(self, sc: int):
+        # per-actor cache of each supercell's CONCATENATED vertex arrays
+        # (the exhaustive path scores whole supercells, not cells)
+        cached = getattr(self, "_sc_cat", None)
+        if cached is None:
+            cached = self._sc_cat = {}
+        a = cached.get(sc)
+        if a is None:
+            p = self.idx.payload(sc)
+            las, los, wis = [], [], []
+            for la, lo, wi, *_ in p["cells"].values():
+                las.append(la); los.append(lo); wis.append(wi)
+            a = cached[sc] = (np.concatenate(las), np.concatenate(los),
+                              np.concatenate(wis).astype(np.int64))
+        return a
+
+    @staticmethod
+    def _score(best_d, best_w, la, lo, wi, qlat, qlon):
+        # (nq x nv) distance block; per query the (dist, way_id) argmin:
+        # min dist, then min way_id — the oracle's ORDER BY
+        d = METERS_PER_DEGREE * (np.abs(la[None, :] - qlat[:, None])
+                                 + np.abs(lo[None, :] - qlon[:, None]))
+        dmin = d.min(axis=1)
+        wmin = np.where(d == dmin[:, None], wi[None, :],
+                        np.iinfo(np.int64).max).min(axis=1)
+        better = (dmin < best_d) | ((dmin == best_d) & (wmin < best_w))
+        return (np.where(better, dmin, best_d),
+                np.where(better, wmin, best_w))
+
+    def _query_cell(self, cx: int, cy: int, qlat: np.ndarray,
+                    qlon: np.ndarray) -> np.ndarray:
+        nq = qlat.size
+        best_d = np.full(nq, np.inf)
+        best_w = np.full(nq, -1, dtype=np.int64)
+        max_r = self.idx.max_rings(cx, cy)
+        r = 0
+        while True:
+            for key in _ring_cells(cx, cy, r):
+                hit = self.idx.cell(*key)
+                if hit is None or hit[1] is None:
+                    continue
+                best_d, best_w = self._score(
+                    best_d, best_w, hit[1][0], hit[1][1], hit[1][2],
+                    qlat, qlon)
+            lb = r * DELTA_M
+            if (best_w != -1).all() and (best_d < lb).all():
+                break
+            r += 1
+            if r > _EXHAUST_RINGS:
+                # desert query cell (no road within ~0.2 deg): the cell-by-
+                # cell walk would probe O(span^2) empty cells — scan every
+                # supercell wholesale instead (superset visiting cannot
+                # change an exact full-min answer; same move as NearestTwo)
+                for sc in self.idx.refs:
+                    la, lo, wi = self._sc_arrays(sc)
+                    best_d, best_w = self._score(best_d, best_w, la, lo, wi,
+                                                 qlat, qlon)
+                break
+            if r > max_r + 2:  # empty index guard
+                break
+        return best_w
+
+    def __call__(self, b: pa.Table) -> pa.Table:  # noqa: D102
+        urls = b["url"].to_pylist()
+        qlat = np.asarray(b["lat"].to_numpy(zero_copy_only=False))
+        qlon = np.asarray(b["lon"].to_numpy(zero_copy_only=False))
+        cx = np.floor(qlon * 100).astype(np.int64)
+        cy = np.floor(qlat * 100).astype(np.int64)
+        out = np.full(len(urls), -1, dtype=np.int64)
+        key = cx * 1_000_000 + cy  # cy bounded by +-18000: collision-free
+        order = np.argsort(key, kind="stable")
+        bnd = np.concatenate([[0], np.flatnonzero(np.diff(key[order])) + 1,
+                              [key.size]])
+        for s0, s1 in zip(bnd[:-1], bnd[1:]):
+            idx = order[s0:s1]
+            out[idx] = self._query_cell(int(cx[idx[0]]), int(cy[idx[0]]),
+                                        qlat[idx], qlon[idx])
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "way_id": pa.array(out, pa.int64())})
+
+
+def pages_nearest_way(pages_ds, ways_ds):
+    """Reverse-geocode EVERY page to its nearest named way — the kNN JOIN
+    form of the J11 reverse geocoder (nearest_way answers broadcast probe
+    points; this one runs the corpus side of the north-star join through
+    the same region-sharded supercell index).
+
+    Scale shape: the ways side builds the supercell index distributedly and
+    ships as {supercell: ObjectRef} (pages NEVER shuffle); each actor-pool
+    task geotags its page batch and ring-walks the lazily-fetched
+    supercells it actually touches.  Per-query cost is O(populated cells in
+    the answer's rings), independent of corpus size; the pages stream keeps
+    Ray's backpressure.  Pages without a parseable geotag drop exactly like
+    pages_geotag."""
+    import ray
+
+    from .pages import geotag_batch
+
+    vertices = ways_ds.map_batches(_explode_named_ways, batch_format="pyarrow")
+    idx_ref = ray.put(build_region_index_refs(vertices))
+    pts = pages_ds.map_batches(geotag_batch, batch_format="pyarrow",
+                               batch_size=4096)
+    return pts.map_batches(PagesNearestWay, batch_format="pyarrow",
+                           batch_size=2048, concurrency=(1, 8),
+                           fn_constructor_args=(idx_ref,))
+
+
+def pages_nearest_way_sql(pages_tbl: str, ways_path: str) -> str:
+    """Brute-force argmin oracle: same geotag parse as pages_geotag, same
+    L1 metric and (dist, way_id) tie order as nearest_way."""
+    from .queries_spatial import NM_SQL
+
+    return f"""
+WITH g0 AS (
+  SELECT url,
+         TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
+  FROM {pages_tbl}
+), g AS (
+  SELECT * FROM g0
+  WHERE lat IS NOT NULL AND lon IS NOT NULL AND isfinite(lat) AND isfinite(lon)
+),
+raw AS (SELECT *, {NM_SQL} AS nm FROM read_parquet('{ways_path}') WHERE tagged),
+named AS (SELECT way_id, lats, lons FROM raw WHERE nm <> ''),
+v AS (SELECT way_id, unnest(lats) AS vlat, unnest(lons) AS vlon FROM named),
+d AS (SELECT g.url, v.way_id,
+             {METERS_PER_DEGREE} * (abs(v.vlat - g.lat) + abs(v.vlon - g.lon)) AS dist
+      FROM g, v),
+r AS (SELECT url, way_id,
+             row_number() OVER (PARTITION BY url ORDER BY dist, way_id) AS rn
+      FROM d)
+SELECT url, way_id FROM r WHERE rn = 1
+"""

@@ -13,10 +13,12 @@ class — measured on this DuckDB build to be exactly ``[\\t\\n\\f\\r ]`` (no
 ``\\v``, no Unicode whitespace) — dropping empty tokens.  The engine splits
 on that SAME explicit class (:data:`_WS_SPLIT`), so engine == oracle for ANY
 input text: leading/trailing/run whitespace, empty and all-whitespace docs,
-embedded ``\\v``/NBSP (which BOTH sides keep inside tokens).  Verified by
-``tests/test_edge_probe.py`` over an adversarial table.  Sole remaining
-caveat: NULL text yields 0 counts here (fillna) vs NULL in SQL; the fixtures
-carry no NULLs (``tests/test_invariants.py``).
+embedded ``\\v``/NBSP (which BOTH sides keep inside tokens), and NULL text
+(round 4: every kernel masks NULL through to the output exactly where its
+oracle yields NULL — per-doc stats go NULL, token-level explodes emit no
+rows, coalesced columns keep their SQL defaults).  Verified by
+``tests/test_edge_probe.py`` over an adversarial table that includes a
+NULL-text row.
 """
 
 from __future__ import annotations
@@ -57,8 +59,12 @@ _WS_SPLIT = re.compile(r"[\t\n\f\r ]+")
 TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
 
-def _tokens(text: str) -> list[str]:
-    # duck_lower, not str.lower: DuckDB's simple case mapping (see hashing)
+def _tokens(text: str | None) -> list[str]:
+    # duck_lower, not str.lower: DuckDB's simple case mapping (see hashing).
+    # NULL text tokenizes to [] — the engine-side mirror of unnest(NULL)
+    # producing no rows in the oracles.
+    if text is None:
+        return []
     return [t for t in _WS_SPLIT.split(duck_lower(text)) if t]
 
 
@@ -104,6 +110,11 @@ def _token_stats_arrow(texts) -> dict:
 
     arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
     n_docs = len(arr)
+    # NULL text: every count computes on '' (well-defined zeros) and the
+    # returned ``is_null`` mask lets each kernel emit SQL's NULL where its
+    # oracle does (round-4 parity; see the per-kernel mask sites)
+    is_null = arr.is_null().to_numpy(zero_copy_only=False)
+    arr = pc.fill_null(arr, "")
     lst = pc.split_pattern_regex(_lower_arr(arr), _WS_SPLIT.pattern)
     vals = pc.list_flatten(lst)
     parent = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
@@ -126,7 +137,8 @@ def _token_stats_arrow(texts) -> dict:
             zero_copy_only=False)
         marker[:, i] = np.bincount(parent[m & nonempty], minlength=n_docs)
     return {"n_tokens": n_tokens, "stop_cnt": stop_cnt,
-            "tok_chars": tok_chars, "punct_cnt": punct_cnt, "marker": marker}
+            "tok_chars": tok_chars, "punct_cnt": punct_cnt, "marker": marker,
+            "is_null": is_null}
 
 
 def _quality_from_stats(st: dict) -> np.ndarray:
@@ -141,12 +153,14 @@ def _quality_from_stats(st: dict) -> np.ndarray:
 def doc_stats_batch(b: pa.Table) -> pa.Table:
     """n_tokens, punct_cnt, stop_cnt, tok_chars per document."""
     st = _token_stats_arrow(b["text"])
+    nul = st["is_null"]
     return pa.table(
         {
             "doc_id": b["doc_id"],
-            "n_tokens": pa.array(st["n_tokens"]),
-            "punct_cnt": pa.array(st["punct_cnt"]),
-            "stop_cnt": pa.array(st["stop_cnt"]),
+            # len(NULL) etc. are NULL in the oracle; tok_chars coalesces to 0
+            "n_tokens": pa.array(st["n_tokens"], mask=nul),
+            "punct_cnt": pa.array(st["punct_cnt"], mask=nul),
+            "stop_cnt": pa.array(st["stop_cnt"], mask=nul),
             "tok_chars": pa.array(st["tok_chars"]),
         }
     )
@@ -175,7 +189,8 @@ def lang_id_batch(b: pa.Table) -> pa.Table:
     names = np.array([lang for lang, _ in LANG_MARKERS], dtype=object)
     preds = names[np.argmax(st["marker"], axis=1)]
     return pa.table({"doc_id": b["doc_id"],
-                     "lang_pred": pa.array(preds, pa.string())})
+                     "lang_pred": pa.array(preds, pa.string(),
+                                           mask=st["is_null"])})
 
 
 def lang_id_sql(table: str = "documents") -> str:
@@ -241,7 +256,9 @@ def fingerprint_batch(b: pa.Table) -> pa.Table:
     """md5 content fingerprint of the normalized text (rolling-hash analogue
     of the reference's per-record identity; md5 so DuckDB reproduces it)."""
     texts = b["text"].to_pylist()
-    fps = [hashlib.md5(_norm(t).encode("utf-8")).hexdigest() for t in texts]
+    # md5(lower(trim(NULL))) is NULL in the oracle
+    fps = [None if t is None else
+           hashlib.md5(_norm(t).encode("utf-8")).hexdigest() for t in texts]
     return pa.table({"doc_id": b["doc_id"], "fp": pa.array(fps, pa.string())})
 
 
@@ -268,13 +285,14 @@ def bpe_token_count_batch(b: pa.Table) -> pa.Table:
 
         _BPE_RE = re.compile(BPE_PATTERN)
     ser = b["text"].to_pandas()
+    nul = ser.isna().to_numpy()  # len(regexp_*(NULL)) is NULL in the oracle
     n_bpe = ser.str.count(BPE_PATTERN).fillna(0).astype("int64")
     # one match per maximal non-ASCII-whitespace run == the SQL split count
     n_ws = ser.str.count(r"[^\t\n\f\r ]+").fillna(0).astype("int64")
     return pa.table({
         "doc_id": b["doc_id"],
-        "n_ws_tokens": pa.array(n_ws.to_numpy()),
-        "n_bpe_tokens": pa.array(n_bpe.to_numpy()),
+        "n_ws_tokens": pa.array(n_ws.to_numpy(), mask=nul),
+        "n_bpe_tokens": pa.array(n_bpe.to_numpy(), mask=nul),
     })
 
 
@@ -610,15 +628,16 @@ def redact_pii_batch(b: pa.Table) -> pa.Table:
     import pandas as pd
 
     ser = b["text"].to_pandas()
+    nul = ser.isna().to_numpy()  # regexp_replace/extract of NULL stay NULL
     n_emails = ser.str.count(EMAIL_PATTERN).fillna(0).astype("int64")
     e = ser.str.replace(EMAIL_PATTERN, "[EMAIL]", regex=True)
     n_longnums = e.str.count(LONGNUM_PATTERN).fillna(0).astype("int64")
     clean = e.str.replace(LONGNUM_PATTERN, "[NUM]", regex=True)
     return pa.table({
         "doc_id": b["doc_id"],
-        "clean_text": pa.array(clean.fillna("").to_numpy(), pa.string()),
-        "n_emails": pa.array(n_emails.to_numpy()),
-        "n_longnums": pa.array(n_longnums.to_numpy()),
+        "clean_text": pa.array(clean.to_numpy(dtype=object), pa.string()),
+        "n_emails": pa.array(n_emails.to_numpy(), mask=nul),
+        "n_longnums": pa.array(n_longnums.to_numpy(), mask=nul),
     })
 
 
@@ -879,7 +898,10 @@ def repetition_stats_batch(b: pa.Table) -> pa.Table:
         bg = key.groupby([bdf["d"], key]).size()
         top = bg.groupby(level=0).max().reindex(d, fill_value=0)
 
-    n_tok = toks.str.len().to_numpy()
+    n_tok = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+    # NULL text: string_split(NULL) unnests to no rows, so the oracle's
+    # inner join on the sentence aggregate DROPS the doc — mirror that
+    keep = ~ser.isna().to_numpy()
     return pa.table({
         "doc_id": pa.array(ids, pa.int64()),
         "n_sents": pa.array(per["n_sents"].reindex(d, fill_value=0).to_numpy(), pa.int64()),
@@ -889,7 +911,7 @@ def repetition_stats_batch(b: pa.Table) -> pa.Table:
         "dup_chars": pa.array(dup_chars.reindex(d, fill_value=0).to_numpy(), pa.int64()),
         "n_bigrams": pa.array(np.maximum(n_tok - 1, 0), pa.int64()),
         "top_bigram_n": pa.array(top.to_numpy(), pa.int64()),
-    })
+    }).filter(pa.array(keep, pa.bool_()))
 
 
 def repetition_stats_sql(table: str = "documents") -> str:
@@ -948,9 +970,11 @@ def pack_sequences(ds):
 
     def counts(b: pa.Table) -> pa.Table:
         ser = b["text"].to_pandas()
+        nul = ser.isna().to_numpy()  # len(NULL) is NULL; SUM skips it
         n = ser.str.count(r"[^\t\n\f\r ]+").fillna(0).astype("int64")
         return pa.table({"doc_id": b["doc_id"],
-                         "n_tokens": pa.array(n.to_numpy(), pa.int64())})
+                         "n_tokens": pa.array(n.to_numpy(), pa.int64(),
+                                              mask=nul)})
 
     tc = ds.map_batches(counts, batch_format="pyarrow").materialize()
     max_id = tc.max("doc_id")
@@ -971,15 +995,19 @@ def pack_sequences(ds):
     def per_shard(g: "pd.DataFrame") -> pa.Table:
         base = cached_get(bref)[int(g["shard"].iloc[0])]
         g = g.sort_values("doc_id", kind="stable")
-        n = g["n_tokens"].to_numpy()
+        # NULL-text docs ride as NaN: they add 0 to the running sum (SQL SUM
+        # skips NULL) and their n/offset/chunk emit as NULL; straddle's CASE
+        # is not-true on NULL -> 0
+        nulm = g["n_tokens"].isna().to_numpy()
+        n = g["n_tokens"].fillna(0).to_numpy(dtype=np.int64)
         off = base + np.concatenate([[0], np.cumsum(n[:-1])]) if len(n) else np.empty(0, np.int64)
         chunk = off // PACK_BUDGET
         end_chunk = (off + np.maximum(n, 1) - 1) // PACK_BUDGET
         return pa.table({
             "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
-            "n_tokens": pa.array(n, pa.int64()),
-            "tok_offset": pa.array(off, pa.int64()),
-            "chunk_id": pa.array(chunk, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64(), mask=nulm),
+            "tok_offset": pa.array(off, pa.int64(), mask=nulm),
+            "chunk_id": pa.array(chunk, pa.int64(), mask=nulm),
             "straddle": pa.array(((n > 0) & (end_chunk != chunk)).astype(np.int64),
                                  pa.int64()),
         })
@@ -1299,7 +1327,9 @@ def lang_confusion(ds):
     def partial(b: pa.Table) -> pa.Table:
         pred = lang_id_batch(b)["lang_pred"].to_pandas()
         df = pd.DataFrame({"lang": b["lang"].to_pandas(), "lang_pred": pred})
-        g = df.groupby(["lang", "lang_pred"], sort=False).size().reset_index(name="n")
+        # dropna=False: SQL GROUP BY keeps the NULL-prediction group
+        g = (df.groupby(["lang", "lang_pred"], sort=False, dropna=False)
+             .size().reset_index(name="n"))
         return pa.Table.from_pandas(g, preserve_index=False,
                                     schema=_P).replace_schema_metadata(None)
 
@@ -1819,7 +1849,12 @@ def linear_fit(ds):
         # ONE vectorized stats pass feeds quality, lang-ID and token count
         st = _token_stats_arrow(b["text"])
         names = np.array([lang for lang, _ in LANG_MARKERS], dtype=object)
-        df = pd.DataFrame({"lang_pred": names[np.argmax(st["marker"], axis=1)],
+        preds = names[np.argmax(st["marker"], axis=1)]
+        # NULL text: pred NULL, x NULL -> one all-NULL group whose sums the
+        # SQL leaves NULL.  The NULL key rides the exchange as a sentinel
+        # (Ray's sort-groupby cannot order None vs str); the fold decodes it.
+        preds[st["is_null"]] = "\x00null"
+        df = pd.DataFrame({"lang_pred": preds,
                            "x": st["n_tokens"],
                            "y": _quality_from_stats(st)})
         df["xx"] = df["x"] * df["x"]
@@ -1844,6 +1879,11 @@ def linear_fit(ds):
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for r in df.itertuples(index=False):
+            if r.lang_pred == "\x00null":
+                # the NULL-pred group is exactly the NULL-text docs: its SQL
+                # sums are NULL, so slope/intercept are NULL
+                rows.append((None, int(r.n_docs), None, None))
+                continue
             n, sx, sy = int(r.n_docs), int(r.sx), int(r.sy)
             sxx, sxy = int(r.sxx), int(r.sxy)
             den = n * sxx - sx * sx  # >= 0 by Cauchy-Schwarz
@@ -1855,10 +1895,21 @@ def linear_fit(ds):
                 slope = _trunc_div(num * 1_000_000, den)
                 icept = _trunc_div((sy * den - num * sx) * 1_000_000, n * den)
             rows.append((r.lang_pred, n, slope, icept))
-        out = pd.DataFrame(rows, columns=["lang_pred", "n_docs",
-                                          "slope_ppm", "intercept_ppm"])
-        return out.astype({"n_docs": np.int64, "slope_ppm": np.int64,
-                           "intercept_ppm": np.int64})
+        # Arrow output with explicit null masks (pandas nullable Int64
+        # would leak an extension dtype into consumers)
+        lp = [r[0] for r in rows]
+        nd = np.array([r[1] for r in rows], dtype=np.int64)
+        sl = np.array([0 if r[2] is None else r[2] for r in rows],
+                      dtype=np.int64)
+        ic = np.array([0 if r[3] is None else r[3] for r in rows],
+                      dtype=np.int64)
+        nul = np.array([r[2] is None for r in rows], dtype=bool)
+        return pa.table({
+            "lang_pred": pa.array(lp, pa.string()),
+            "n_docs": pa.array(nd),
+            "slope_ppm": pa.array(sl, mask=nul),
+            "intercept_ppm": pa.array(ic, mask=nul),
+        })
 
     # |langs| rows total: fold in one block
     return merged.repartition(1).map_batches(
@@ -2195,11 +2246,17 @@ def doc_stats_melt(ds):
                          dtype=np.int64)
         k = len(MELT_STATS)
         vals = np.stack([st[c] for c in MELT_STATS], axis=1).ravel()
+        # UNPIVOT excludes NULL cells: a NULL-text doc keeps only its
+        # coalesced tok_chars=0 row (doc_stats NULL parity)
+        dropped = np.outer(st["is_null"],
+                           np.array([c != "tok_chars" for c in MELT_STATS])
+                           ).ravel()
+        keep = ~dropped
         return pa.Table.from_arrays(
-            [pa.array(np.repeat(ids, k)),
-             pa.array(np.tile(np.array(MELT_STATS, dtype=object), ids.size),
-                      pa.string()),
-             pa.array(vals)], schema=_M)
+            [pa.array(np.repeat(ids, k)[keep]),
+             pa.array(np.tile(np.array(MELT_STATS, dtype=object),
+                              ids.size)[keep], pa.string()),
+             pa.array(vals[keep])], schema=_M)
 
     return ds.map_batches(melt, batch_format="pyarrow")
 
@@ -2238,7 +2295,10 @@ def corpus_diff(ds):
 
     def fp_a(b: pa.Table) -> pa.Table:
         t = fingerprint_batch(b)
-        return pa.table({"doc_id": t["doc_id"], "fp_a": t["fp"]})
+        # in_a marks PRESENCE: fp NULL-ness cannot (a NULL-text doc is
+        # present with a NULL fingerprint, round-4 parity)
+        return pa.table({"doc_id": t["doc_id"], "fp_a": t["fp"],
+                         "in_a": pa.array(np.ones(len(t), np.int64))})
 
     def derive_b(b: pa.Table) -> pa.Table:
         ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False),
@@ -2251,7 +2311,8 @@ def corpus_diff(ds):
                 pass  # dropped from B
             elif i % DIFF_EDIT_MOD == 5:
                 out_ids.append(i)
-                out_txt.append(t + " [rev2]")
+                # NULL || suffix stays NULL, like the oracle's CASE arm
+                out_txt.append(None if t is None else t + " [rev2]")
             else:
                 out_ids.append(i)
                 out_txt.append(t)
@@ -2261,7 +2322,8 @@ def corpus_diff(ds):
         t2 = fingerprint_batch(pa.table({
             "doc_id": pa.array(out_ids, pa.int64()),
             "text": pa.array(out_txt, pa.string())}))
-        return pa.table({"doc_id": t2["doc_id"], "fp_b": t2["fp"]})
+        return pa.table({"doc_id": t2["doc_id"], "fp_b": t2["fp"],
+                         "in_b": pa.array(np.ones(len(t2), np.int64))})
 
     a = drop_empty_blocks(
         ds.map_batches(fp_a, batch_format="pyarrow").materialize())
@@ -2275,11 +2337,16 @@ def corpus_diff(ds):
             return pa.schema([("doc_id", pa.int64()),
                               ("status", pa.string())]).empty_table()
         fa, fb = b["fp_a"], b["fp_b"]
-        a_null = pc.is_null(fa).to_numpy(zero_copy_only=False)
-        b_null = pc.is_null(fb).to_numpy(zero_copy_only=False)
-        changed = (~a_null & ~b_null &
-                   np.asarray(pc.not_equal(fa, fb).fill_null(False)
-                              .to_numpy(zero_copy_only=False)))
+        a_null = pc.is_null(b["in_a"]).to_numpy(zero_copy_only=False)
+        b_null = pc.is_null(b["in_b"]).to_numpy(zero_copy_only=False)
+        # null-safe inequality (IS DISTINCT FROM): NULL == NULL here, so a
+        # NULL-text doc present unchanged on both sides is NOT churn
+        fan = pc.is_null(fa).to_numpy(zero_copy_only=False)
+        fbn = pc.is_null(fb).to_numpy(zero_copy_only=False)
+        neq = (fan != fbn) | (~fan & ~fbn &
+                              np.asarray(pc.not_equal(fa, fb).fill_null(False)
+                                         .to_numpy(zero_copy_only=False)))
+        changed = ~a_null & ~b_null & neq
         status = np.full(b.num_rows, "", dtype=object)
         status[a_null] = "added"
         status[b_null] = "removed"
@@ -2298,7 +2365,7 @@ def corpus_diff_sql(table: str = "documents") -> str:
     norm = "md5(lower(trim(text, ' ')))"
     # _norm == duck_lower(strip(' ')) and DuckDB lower == duck_lower
     return f"""
-WITH a AS (SELECT doc_id, {norm} AS fp_a FROM {table}),
+WITH a AS (SELECT doc_id, {norm} AS fp_a, 1 AS in_a FROM {table}),
 b0 AS (
   SELECT doc_id,
          CASE WHEN doc_id % {DIFF_EDIT_MOD} = 5 THEN text || ' [rev2]'
@@ -2308,13 +2375,14 @@ b0 AS (
   SELECT doc_id + 1000000 AS doc_id, 'added doc ' || doc_id AS text
   FROM {table} WHERE doc_id % {DIFF_ADD_MOD} = 1
 ),
-b AS (SELECT doc_id, {norm} AS fp_b FROM b0),
-j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.fp_a, b.fp_b
+b AS (SELECT doc_id, {norm} AS fp_b, 1 AS in_b FROM b0),
+j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.fp_a, b.fp_b,
+             a.in_a, b.in_b
       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
 SELECT doc_id,
-       CASE WHEN fp_a IS NULL THEN 'added'
-            WHEN fp_b IS NULL THEN 'removed'
+       CASE WHEN in_a IS NULL THEN 'added'
+            WHEN in_b IS NULL THEN 'removed'
             ELSE 'changed' END AS status
 FROM j
-WHERE fp_a IS NULL OR fp_b IS NULL OR fp_a <> fp_b
+WHERE in_a IS NULL OR in_b IS NULL OR fp_a IS DISTINCT FROM fp_b
 """

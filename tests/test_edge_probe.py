@@ -44,6 +44,9 @@ EDGE_TEXTS = [
     # DuckDB-lower parity hostiles: U+0130 İ (simple 'i' vs Python 'i̇') and
     # final-sigma ΑΣ (simple 'ασ' vs Python's context 'ας')
     "İstanbul ΑΣ ΣΟΦΙΑ İİ the ΒΑΣΙΣ walks σς İstanbul",
+    # NULL text (round-4 parity: engine must mask NULL through to the
+    # output wherever the SQL does, not fold it to 0-counts)
+    None,
 ]
 
 DOC_QUERIES = [
@@ -81,7 +84,8 @@ def edge_dir(tmp_path_factory):
         "text": pa.array(EDGE_TEXTS, pa.string()),
         "lang": pa.array(["xx"] * len(EDGE_TEXTS), pa.string()),
         "source": pa.array(["edge"] * len(EDGE_TEXTS), pa.string()),
-        "n_chars": pa.array([len(t) for t in EDGE_TEXTS], pa.int64()),
+        "n_chars": pa.array([len(t) if t is not None else None
+                             for t in EDGE_TEXTS], pa.int64()),
     })
     pq.write_table(tbl, str(d / "documents.parquet"))
     return str(d)
@@ -1505,3 +1509,61 @@ def test_edge_acctbal_quantiles_empty(ray_session, tmp_path_factory):
                              "c_acctbal": pa.array([], pa.float64())}),
                    str(d / "customer.parquet"))
     _compare(ray_session, str(d), "customer", "acctbal_quantiles")
+
+
+def test_edge_pages_nearest_way(ray_session, tmp_path_factory):
+    """kNN spatial join hostiles vs the brute-force argmin oracle: a page
+    EXACTLY equidistant between two ways (tie -> min way_id), a page on a
+    shared vertex (distance 0), a desert page beyond the exhaustive-scan
+    radius, and unparseable geotags (dropped like pages_geotag)."""
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import knn
+
+    d = tmp_path_factory.mktemp("edge_knn_join")
+
+    def way(wid, name, lats, lons):
+        return {"county": "K", "way_id": wid, "way_rank": wid,
+                "minlat": min(lats), "minlon": min(lons),
+                "maxlat": max(lats), "maxlon": max(lons),
+                "nodes": [wid * 10 + i for i in range(len(lats))],
+                "lats": lats, "lons": lons, "tagged": True,
+                "name": name, "ref": "", "highway": "residential",
+                "bridge": "", "junction": ""}
+
+    rows = [
+        way(1, "A St", [10.000, 10.010], [20.000, 20.000]),
+        way(2, "B St", [10.000, 10.010], [20.020, 20.020]),  # tie line x=20.01
+        way(3, "C St", [10.005, 10.005], [20.005, 20.006]),
+    ]
+    import pandas as pd
+    wt = pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+    pq.write_table(wt, str(d / "ways.parquet"))
+
+    def geo(lat, lon):
+        return (f'<meta name="geo.position" content="{lat};{lon}">'
+                .encode())
+
+    pages = [
+        ("tie", geo("10.0", "20.01")),       # equidistant ways 1 and 2
+        ("on-vertex", geo("10.005", "20.005")),  # d=0 on way 3
+        ("desert", geo("-60.0", "-120.0")),  # exhaustive-scan path
+        ("badgeo", b"<html>no tag</html>"),  # dropped
+        ("near-a", geo("10.002", "20.001")),
+    ]
+    pq.write_table(pa.table({
+        "url": pa.array([u for u, _ in pages], pa.string()),
+        "html": pa.array([h for _, h in pages], pa.binary()),
+    }), str(d / "pages.parquet"))
+
+    eng = knn.pages_nearest_way(
+        rd.read_parquet(str(d / "pages.parquet")),
+        rd.read_parquet(str(d / "ways.parquet"))).to_pandas()
+    sql = knn.pages_nearest_way_sql(
+        f"read_parquet('{d}/pages.parquet')", str(d / "ways.parquet"))
+    _pages_compare(str(d), eng, sql)
+    got = dict(zip(eng["url"], eng["way_id"]))
+    # "tie" is only a tie in decimal: in binary |20.01-20.005| < 0.005, so
+    # way 3 is strictly nearest on BOTH engines (the probe pins that the
+    # engine reproduces the oracle's float arithmetic, not decimal ideals)
+    assert got == {"tie": 3, "on-vertex": 3, "desert": 1, "near-a": 1}
