@@ -92,6 +92,12 @@ BENCH_QUERIES = [
     "local_supplier_revenue",  # faithful Q5 same-nation 6-table chain (session-10)
     "session_cooccurrence", # market-basket association over sessions (session-10)
     "pages_nearest_way",    # full-table kNN spatial join via supercell index (round 4)
+    "anchor_text_index",    # big-big url-sharded semi-join over the link graph (round 4)
+    "link_frontier",        # anti-join frontier discovery (round 4)
+    "returned_item_revenue",  # Q10 join + sharded top-k (round 4)
+    "nation_market_share",  # Q8 region/nation revenue share (round 4)
+    "min_cost_supplier",    # Q2 groupwise argmin over derived bridge (round 4)
+    "order_count_distribution",  # Q13 left-join histogram (round 4)
 ]
 
 

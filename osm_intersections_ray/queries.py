@@ -74,7 +74,7 @@ DRIVER_SAMPLE_50 = [
     "pack_sequences", "redact_pii", "quality_filtered_docs",  # text aggregates
     "clean_corpus",                        # composite pipeline
     "customers_without_orders",            # anti-join
-    "sample_docs",                         # deterministic sampling
+    "anchor_text_index",                   # link graph (round 4)
     "pages_nearest_way",                   # kNN spatial join (round 4)
 ]
 
@@ -205,6 +205,12 @@ def queries() -> dict:
         _pages(sf, columns=["url"]))
     q["mixture_resample"] = lambda sf: pages.mixture_resample(
         _pages(sf, columns=["url", "text"]))
+    q["page_links"] = lambda sf: pages.page_links(
+        _pages(sf, columns=["url", "html"]))
+    q["anchor_text_index"] = lambda sf: pages.anchor_text_index(
+        _pages(sf, columns=["url", "html"]))
+    q["link_frontier"] = lambda sf: pages.link_frontier(
+        _pages(sf, columns=["url", "html"]))
 
     q["warc_pages"] = lambda sf: warc_src.read_warc_pages(warc_src.ensure_warc(sf))
     q["jsonl_pages"] = lambda sf: jsonl_src.read_jsonl_pages(jsonl_src.ensure_jsonl(sf))
@@ -537,6 +543,46 @@ def queries() -> dict:
             t("region", ["r_regionkey", "r_name"]))
 
     q["local_supplier_revenue"] = local_supp
+    def min_cost_supp(sf):
+        t = lambda n, cols: pq.read_table(os.path.join(sf, f"{n}.parquet"),
+                                          columns=cols)
+        return relational.min_cost_supplier(
+            _tbl(sf, "lineitem", ["l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"]),
+            t("part", ["p_partkey", "p_brand", "p_size"]),
+            t("supplier", ["s_suppkey", "s_name", "s_nationkey"]),
+            t("nation", ["n_nationkey", "n_name"]))
+
+    q["min_cost_supplier"] = min_cost_supp
+
+    def ret_rev(sf):
+        t = lambda n, cols: pq.read_table(os.path.join(sf, f"{n}.parquet"),
+                                          columns=cols)
+        return relational.returned_item_revenue(
+            _tbl(sf, "lineitem", ["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"]),
+            _tbl(sf, "orders", ["o_orderkey", "o_custkey"]),
+            t("customer", ["c_custkey", "c_name", "c_nationkey"]),
+            t("nation", ["n_nationkey", "n_name"]))
+
+    q["returned_item_revenue"] = ret_rev
+    q["order_count_distribution"] = lambda sf: relational.order_count_distribution(
+        _tbl(sf, "customer", ["c_custkey"]),
+        _tbl(sf, "orders", ["o_custkey", "o_orderpriority"]))
+
+    def mkt_share(sf):
+        t = lambda n, cols: pq.read_table(os.path.join(sf, f"{n}.parquet"),
+                                          columns=cols)
+        return relational.nation_market_share(
+            _tbl(sf, "lineitem", ["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"]),
+            _tbl(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            t("customer", ["c_custkey", "c_nationkey"]),
+            t("supplier", ["s_suppkey", "s_nationkey"]),
+            t("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+            t("region", ["r_regionkey", "r_name"]))
+
+    q["nation_market_share"] = mkt_share
     q["acctbal_quantiles"] = lambda sf: relational.acctbal_quantiles(
         _tbl(sf, "customer", ["c_acctbal"]))
     q["pareto_parts"] = lambda sf: relational.pareto_parts(
@@ -597,6 +643,9 @@ def oracle_sql() -> dict:
         "pages_geotag": pages.geotag_sql(pages_tbl),
         "pages_way_join": pages.pages_way_join_sql(pages_tbl, ways_path),
         "host_section_stats": pages.host_section_stats_sql(pages_tbl),
+        "page_links": pages.page_links_sql(pages_tbl),
+        "anchor_text_index": pages.anchor_text_index_sql(pages_tbl),
+        "link_frontier": pages.link_frontier_sql(pages_tbl),
         "url_canonical_dedup": pages.url_canonical_dedup_sql(pages_tbl),
         "domain_mix_weights": pages.domain_mix_weights_sql(pages_tbl),
         "tile_pyramid": pages.tile_pyramid_sql(pages_tbl),
@@ -699,6 +748,10 @@ def oracle_sql() -> dict:
         "top_supplier": relational.top_supplier_sql(),
         "waiting_suppliers": relational.waiting_suppliers_sql(),
         "acctbal_quantiles": relational.acctbal_quantiles_sql(),
+        "min_cost_supplier": relational.min_cost_supplier_sql(),
+        "returned_item_revenue": relational.returned_item_revenue_sql(),
+        "order_count_distribution": relational.order_count_distribution_sql(),
+        "nation_market_share": relational.nation_market_share_sql(),
         "local_supplier_revenue": relational.local_supplier_revenue_sql(),
         "top_parts": relational.top_parts_sql(),
         "top_parts_per_brand": relational.top_parts_per_brand_sql(),

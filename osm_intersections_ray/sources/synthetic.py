@@ -36,7 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-FIXTURE_ROOT = "/tmp/osmray_fixtures_v3"
+FIXTURE_ROOT = "/tmp/osmray_fixtures_v4"  # v4: pages html gains the outlink
+                                          # <p class="links"> section
 # v2: parquet written with small row groups so block-split reads parallelize
 
 WORLD = {
@@ -481,6 +482,10 @@ def build_pages(scale: float) -> pa.Table:
     word_choices = {L: rng.integers(0, len(_WORD_POOLS[L]), size=int(n_words.sum()))
                     for L in _WORD_POOLS}
     offs = {L: 0 for L in _WORD_POOLS}
+    # outlink space: targets beyond n are FRONTIER urls (never crawled);
+    # pages link with a deterministic LCG walk so the link graph (and every
+    # anchor-text / frontier oracle over it) is reproducible from the html
+    m_link = n + n // 8 + 1
     for i in range(n):
         L = langs[lang_idx[i]]
         pool = _WORD_POOLS[L]
@@ -489,12 +494,20 @@ def build_pages(scale: float) -> pa.Table:
         offs[L] += k
         text = " ".join(pool[w] for w in idx)
         url = f"https://example.org/{L}/page-{i:07d}"
+        links = []
+        for t in range(1, (i % 4) + 1):
+            j = (i * 48271 + 7919 * t) % m_link
+            lj = langs[lang_idx[j]] if j < n else "xx"
+            anchor = f"{pool[(i + 13 * t) % len(pool)]} {pool[(j + 7) % len(pool)]}"
+            links.append(
+                f'<a href="https://example.org/{lj}/page-{j:07d}">{anchor}</a>')
         html = (
             f"<html><head><title>Page {i}</title>\n"
             f'<meta name="geo.position" content="{float(lat[i])!r};{float(lon[i])!r}">\n'
             f'<meta name="language" content="{L}">\n'
             f"</head><body>\n<nav>home | about | contact | archive</nav>\n"
             f"<article>{text}</article>\n"
+            f'<p class="links">{"".join(links)}</p>\n'
             f"<footer>(c) example.org crawl corpus</footer></body></html>"
         )
         urls.append(url)

@@ -129,11 +129,14 @@ FROM g
 # ~76 s — the native route is strictly a memory-bound escape hatch.
 BROADCAST_WAYS_MAX = 800_000
 BROADCAST_COVER_ROWS_MAX = 8_000_000  # ~384 MB index: one object-store copy
+BROADCAST_COVER_SHARDED_MIN = 1_000_000  # above this, sorted-block-refs index
+                                         # (driver-side build stops scaling)
 # per NODE — trivial against a worker node's memory, and measured 8-20x
 # faster than the native shuffle route at every size this sandbox can hold
 
 
-def pages_way_join(pages_ds, ways_ds, broadcast_ways_max: int = BROADCAST_WAYS_MAX):
+def pages_way_join(pages_ds, ways_ds, broadcast_ways_max: int = BROADCAST_WAYS_MAX,
+                   sharded_min: int | None = None):
     """Cell-keyed join of geotagged pages against way-bbox tile covers,
     refined by exact bbox containment.  Returns (url, way_id).
 
@@ -142,18 +145,28 @@ def pages_way_join(pages_ds, ways_ds, broadcast_ways_max: int = BROADCAST_WAYS_M
 
     * ways <= ``broadcast_ways_max`` (the declared-small regime): a TRUE
       map-side broadcast join — the (cellkey -> way, bbox) cover index is
-      built distributedly (vectorized :func:`_cover_explode_index`),
-      collected once (48 B/cover row, double-checked against
-      ``BROADCAST_COVER_ROWS_MAX`` before broadcasting), sorted, ``ray.put``
-      once, and every pages task does searchsorted lookup + bbox refine
-      inside ``map_batches``.  NO all-to-all: the join is embarrassingly
-      parallel over pages, which is what the N->4N scaling criterion
-      measures (the previous union+groupby formulation spent its time in a
-      4x-replicated page-row sort that was bandwidth-, not compute-, bound).
-    * ways > ``broadcast_ways_max``: route to
+      built distributedly (vectorized :func:`_cover_explode_index`) and
+      every pages task does searchsorted lookup + bbox refine inside
+      ``map_batches``.  NO all-to-all: the join is embarrassingly parallel
+      over pages, which is what the N->4N scaling criterion measures.  The
+      index SHIPPING route splits again by cover count:
+
+      - covers <= ``BROADCAST_COVER_SHARDED_MIN``: collected once to the
+        driver (48 B/cover row, Arrow-native assembly), argsorted, ONE
+        ``ray.put``.
+      - covers above that: the driver-side collect+sort+put is
+        single-threaded and was the parallelism-independent floor of the
+        4x-workload scaling draw (~30 s flat at 8M covers) — instead the
+        cover rows are sorted DISTRIBUTEDLY by cellkey and only the sorted
+        block refs + per-block key fences broadcast; workers read blocks
+        zero-copy from plasma (once per NODE) and two-level searchsorted
+        (:func:`_sharded_probe`, straddle-safe across block fences).
+
+    * ways > ``broadcast_ways_max`` or covers past
+      ``BROADCAST_COVER_ROWS_MAX``: route to
       :func:`pages_way_join_native` — bboxes ride a salted hash-join
-      shuffle, no driver collect, no per-worker O(ways) structure.  Both
-      variants produce the identical (url, way_id) set
+      shuffle, no driver collect, no per-worker O(ways) structure.  All
+      three routes produce the identical (url, way_id) set
       (``test_native_join_matches_broadcast``).
 
     A page's ancestor cells are distinct resolutions of one point and a
@@ -172,34 +185,67 @@ def pages_way_join(pages_ds, ways_ds, broadcast_ways_max: int = BROADCAST_WAYS_M
             pa.array(idx, pa.int64()))
         return sub.add_column(0, "cellkey", pa.array(cells, pa.int64()))
 
-    # Arrow-native index assembly: collect the cover blocks zero-copy from
-    # the object store and gather straight from the concatenated columns —
-    # `to_pandas` consolidation doubled the copies, and on this
-    # ballooned-memory hypervisor fresh-page first-touch is the real cost
-    # (measured: the assembly was ~60% of the join leg's fixed time).
-    _COV_SCHEMA = pa.schema([
-        ("cellkey", pa.int64()), ("way_id", pa.int64()),
-        ("minlat", pa.float64()), ("minlon", pa.float64()),
-        ("maxlat", pa.float64()), ("maxlon", pa.float64())])
-    blocks = [t for t in ray.get(
-        ways_ds.map_batches(cover_rows, batch_format="pyarrow")
-        .to_arrow_refs()) if t.num_rows > 0]  # empty blocks can be schema-less
-    cov = (pa.concat_tables(blocks) if blocks else _COV_SCHEMA.empty_table())
-    if cov.num_rows > BROADCAST_COVER_ROWS_MAX:
+    cover_ds = (ways_ds.map_batches(cover_rows, batch_format="pyarrow")
+                .materialize())
+    ncov = cover_ds.count()  # metadata only after materialize
+    if ncov > BROADCAST_COVER_ROWS_MAX:
         # pathological bboxes exploded past the broadcast budget: fall back
-        # (the collect was wasted but bounded; at real scale the ways-count
-        # pre-screen routes to the native variant before ever getting here)
+        # (at real scale the ways-count pre-screen routes to the native
+        # variant before ever getting here)
         return pages_way_join_native(pages_ds, ways_ds)
-    cells = cov["cellkey"].to_numpy(zero_copy_only=False)
-    order = np.argsort(cells, kind="stable")
-    idx_ref = ray.put({
-        "cells": cells[order],
-        "way_id": cov["way_id"].to_numpy(zero_copy_only=False)[order].astype(np.int64),
-        "minlat": cov["minlat"].to_numpy(zero_copy_only=False)[order],
-        "minlon": cov["minlon"].to_numpy(zero_copy_only=False)[order],
-        "maxlat": cov["maxlat"].to_numpy(zero_copy_only=False)[order],
-        "maxlon": cov["maxlon"].to_numpy(zero_copy_only=False)[order],
-    })
+
+    if ncov > (BROADCAST_COVER_SHARDED_MIN if sharded_min is None
+               else sharded_min):
+        # Sharded sorted-block index: the driver-side collect + argsort +
+        # ray.put of the whole index is single-threaded AND pays this
+        # hypervisor's fresh-page first-touch cost twice (measured ~30 s
+        # flat at 8M covers — it was the parallelism-independent floor of
+        # the r64 scaling draw).  Instead, sort the cover rows
+        # DISTRIBUTEDLY by cellkey and broadcast only the list of sorted
+        # block refs + per-block key fences; workers read the blocks
+        # zero-copy from plasma (once per NODE, not per worker) and
+        # searchsorted within the fenced block.  Nothing index-sized ever
+        # passes through the driver.
+        sorted_ds = cover_ds.sort("cellkey").materialize()
+        refs = sorted_ds.to_arrow_refs()
+
+        @ray.remote(num_cpus=0)
+        def _fences(t: pa.Table):
+            if t.num_rows == 0 or "cellkey" not in t.column_names:
+                return None
+            c = t["cellkey"]
+            return int(c[0].as_py()), int(c[-1].as_py())
+
+        stats = ray.get([_fences.remote(r) for r in refs])
+        keep = [(r, s) for r, s in zip(refs, stats) if s is not None]
+        idx_ref = ray.put({
+            "mode": "sharded",
+            "refs": [r for r, _ in keep],
+            "mins": np.array([s[0] for _, s in keep], dtype=np.int64),
+            "maxs": np.array([s[1] for _, s in keep], dtype=np.int64),
+        })
+    else:
+        # small regime: one driver pass is cheaper than a distributed sort.
+        # Arrow-native assembly — gather straight from the concatenated
+        # columns (`to_pandas` consolidation doubled the copies).
+        _COV_SCHEMA = pa.schema([
+            ("cellkey", pa.int64()), ("way_id", pa.int64()),
+            ("minlat", pa.float64()), ("minlon", pa.float64()),
+            ("maxlat", pa.float64()), ("maxlon", pa.float64())])
+        blocks = [t for t in ray.get(cover_ds.to_arrow_refs())
+                  if t.num_rows > 0]  # empty blocks can be schema-less
+        cov = (pa.concat_tables(blocks) if blocks else _COV_SCHEMA.empty_table())
+        cells = cov["cellkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cells, kind="stable")
+        idx_ref = ray.put({
+            "mode": "flat",
+            "cells": cells[order],
+            "way_id": cov["way_id"].to_numpy(zero_copy_only=False)[order].astype(np.int64),
+            "minlat": cov["minlat"].to_numpy(zero_copy_only=False)[order],
+            "minlon": cov["minlon"].to_numpy(zero_copy_only=False)[order],
+            "maxlat": cov["maxlat"].to_numpy(zero_copy_only=False)[order],
+            "maxlon": cov["maxlon"].to_numpy(zero_copy_only=False)[order],
+        })
 
     def lookup(b: pa.Table) -> pa.Table:
         """Map-side join: ancestor-chain cell keys -> searchsorted ranges in
@@ -219,30 +265,127 @@ def pages_way_join(pages_ds, ways_ds, broadcast_ways_max: int = BROADCAST_WAYS_M
         k = len(keys)
         all_keys = np.concatenate(keys)
         pidx = np.tile(np.arange(n, dtype=np.int64), k)
-        lo = np.searchsorted(ix["cells"], all_keys, side="left")
-        hi = np.searchsorted(ix["cells"], all_keys, side="right")
-        cnt = hi - lo
-        tot = int(cnt.sum())
-        if tot == 0:
+        if ix["mode"] == "sharded":
+            pg, way = _sharded_probe(ix, all_keys, pidx, lat, lon)
+        else:
+            pg, way = _flat_probe(ix, all_keys, pidx, lat, lon)
+        if pg.size == 0:
             return pa.table({"url": pa.array([], pa.string()),
                              "way_id": pa.array([], pa.int64())})
-        expand = np.arange(tot, dtype=np.int64) - np.repeat(
-            np.cumsum(cnt) - cnt, cnt)
-        pos = np.repeat(lo, cnt) + expand          # cover-index row
-        pg = np.repeat(pidx, cnt)                  # page row
-        plat = lat[pg]
-        plon = lon[pg]
-        hit = ((plat >= ix["minlat"][pos]) & (plat <= ix["maxlat"][pos])
-               & (plon >= ix["minlon"][pos]) & (plon <= ix["maxlon"][pos]))
         url = g["url"].combine_chunks()
         if isinstance(url, pa.ChunkedArray):
             url = url.chunk(0) if url.num_chunks else pa.array([], pa.string())
         return pa.table({
-            "url": url.take(pa.array(pg[hit])),    # Arrow gather, no Python strings
-            "way_id": pa.array(ix["way_id"][pos[hit]]),
+            "url": url.take(pa.array(pg)),         # Arrow gather, no Python strings
+            "way_id": pa.array(way),
         })
 
     return pages_ds.map_batches(lookup, batch_format="pyarrow")
+
+
+def _flat_probe(ix, all_keys, pidx, lat, lon):
+    """Probe the single-object sorted index: (page rows, way ids) of every
+    bbox-refined hit."""
+    lo = np.searchsorted(ix["cells"], all_keys, side="left")
+    hi = np.searchsorted(ix["cells"], all_keys, side="right")
+    cnt = hi - lo
+    tot = int(cnt.sum())
+    if tot == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    expand = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt)
+    pos = np.repeat(lo, cnt) + expand          # cover-index row
+    pg = np.repeat(pidx, cnt)                  # page row
+    plat = lat[pg]
+    plon = lon[pg]
+    hit = ((plat >= ix["minlat"][pos]) & (plat <= ix["maxlat"][pos])
+           & (plon >= ix["minlon"][pos]) & (plon <= ix["maxlon"][pos]))
+    return pg[hit], ix["way_id"][pos[hit]]
+
+
+_COVER_BLOCK_CACHE: dict = {}
+
+
+def _cover_block(ref):
+    """Zero-copy per-process view of one sorted cover block (plasma-backed;
+    the Arrow table is pinned in the cache so the numpy views stay valid)."""
+    import ray
+
+    key = ref.hex()
+    v = _COVER_BLOCK_CACHE.get(key)
+    if v is None:
+        t = ray.get(ref)
+        v = _COVER_BLOCK_CACHE[key] = {
+            "_pin": t,
+            "cells": t["cellkey"].to_numpy(zero_copy_only=False),
+            "way_id": t["way_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False),
+            "minlat": t["minlat"].to_numpy(zero_copy_only=False),
+            "minlon": t["minlon"].to_numpy(zero_copy_only=False),
+            "maxlat": t["maxlat"].to_numpy(zero_copy_only=False),
+            "maxlon": t["maxlon"].to_numpy(zero_copy_only=False),
+        }
+    return v
+
+
+def _sharded_probe(ix, all_keys, pidx, lat, lon):
+    """Probe the sorted-block-refs index.  A query key's run of equal
+    cellkeys normally lives in ONE block (range-partitioned sort) but can
+    straddle block boundaries; round r probes block ``first + r`` for the
+    keys whose run could continue there (mins fence check), so every row of
+    every matching run is visited exactly once."""
+    mins, maxs, refs = ix["mins"], ix["maxs"], ix["refs"]
+    nb = mins.size
+    if nb == 0 or all_keys.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    first = np.searchsorted(maxs, all_keys, side="left")
+    out_pg: list = []
+    out_way: list = []
+    r = 0
+    act = np.flatnonzero(first < nb)
+    while act.size:
+        blk = first[act] + r
+        ok = blk < nb
+        act, blk = act[ok], blk[ok]
+        if r:  # continue into the next block only if its fence admits the key
+            ok = mins[blk] <= all_keys[act]
+            act, blk = act[ok], blk[ok]
+        if act.size == 0:
+            break
+        order = np.argsort(blk, kind="stable")
+        act_o, blk_o = act[order], blk[order]
+        bounds = np.flatnonzero(np.diff(blk_o)) + 1
+        for s0, s1 in zip(np.concatenate([[0], bounds]),
+                          np.concatenate([bounds, [blk_o.size]])):
+            bi = int(blk_o[s0])
+            v = _cover_block(refs[bi])
+            qk = all_keys[act_o[s0:s1]]
+            qp = pidx[act_o[s0:s1]]
+            lo = np.searchsorted(v["cells"], qk, side="left")
+            hi = np.searchsorted(v["cells"], qk, side="right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            expand = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt)
+            pos = np.repeat(lo, cnt) + expand
+            pg = np.repeat(qp, cnt)
+            plat = lat[pg]
+            plon = lon[pg]
+            hit = ((plat >= v["minlat"][pos]) & (plat <= v["maxlat"][pos])
+                   & (plon >= v["minlon"][pos]) & (plon <= v["maxlon"][pos]))
+            if hit.any():
+                out_pg.append(pg[hit])
+                out_way.append(v["way_id"][pos[hit]])
+        # every key continues to round r+1; the NEXT block's min fence at
+        # the top of the loop prunes the (overwhelmingly common) keys whose
+        # run cannot straddle into it
+        r += 1
+        act = act_o
+    if not out_pg:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_pg), np.concatenate(out_way)
 
 
 def _cover_explode_index(b: pa.Table):
@@ -1150,4 +1293,223 @@ SELECT pg.url, pg.site,
                     % 1000000 < f.factor_ppm % 1000000
                THEN 1 ELSE 0 END)::BIGINT AS repeats
 FROM pg JOIN f USING (site)
+"""
+
+
+# --- outlink extraction + anchor-text index + frontier discovery -----------
+# The fixture html carries a deterministic <p class="links"> section (one
+# <a href>anchor</a> per outlink; see sources/synthetic.py build_pages) —
+# the crawl-graph surface a web-scale training pipeline mines for anchor
+# text and frontier URLs.
+_LINK_RE = re.compile(r'<a href="([^"]+)">([^<]*)</a>')
+_LINK_SQL_RE = '<a href="([^"]+)">([^<]*)</a>'
+_SECTION_RE = r"^https://[^/]+/([^/]+)/"
+
+
+def _link_rows(b: pa.Table) -> tuple:
+    """Per-batch outlink explode: (src urls repeated, dst_url, anchor)."""
+    urls = b["url"].to_pylist()
+    htmls = b["html"].to_pylist()
+    src, dst, anc = [], [], []
+    for u, h in zip(urls, htmls):
+        for m in _LINK_RE.finditer(h.decode("utf-8")):
+            src.append(u)
+            dst.append(m.group(1))
+            anc.append(m.group(2))
+    return src, dst, anc
+
+
+def page_links(pages_ds):
+    """Outlink extraction: one row per <a href> in every page — (url,
+    dst_url, anchor).  Stateless compiled-regex flat map; zero shuffle.
+    At 100 TB this is the link-graph edge dump that feeds anchor_text_index
+    and link_frontier (both re-extract rather than materializing the edge
+    table — regenerate-don't-carry, like graph_pagerank's edges)."""
+
+    def extract(b: pa.Table) -> pa.Table:
+        src, dst, anc = _link_rows(b)
+        return pa.table({"url": pa.array(src, pa.string()),
+                         "dst_url": pa.array(dst, pa.string()),
+                         "anchor": pa.array(anc, pa.string())})
+
+    return pages_ds.map_batches(extract, batch_format="pyarrow")
+
+
+def page_links_sql(table: str = "pages") -> str:
+    # parallel unnests zip positionally; both lists come from the same
+    # regexp so they are always the same length
+    return f"""
+SELECT url,
+       unnest(regexp_extract_all(decode(html), '{_LINK_SQL_RE}', 1)) AS dst_url,
+       unnest(regexp_extract_all(decode(html), '{_LINK_SQL_RE}', 2)) AS anchor
+FROM {table}
+"""
+
+
+_ANCHOR_PARTIAL_SCHEMA = pa.schema([
+    ("ushard", pa.int64()), ("dst_url", pa.string()), ("anchor", pa.string()),
+    ("n", pa.int64()), ("is_page", pa.int8()),
+])
+
+
+def _url_shard(s, ns: int):
+    import pandas as pd
+
+    return (pd.util.hash_pandas_object(s, index=False).to_numpy()
+            % ns).astype(np.int64)
+
+
+def anchor_text_index(pages_ds):
+    """Anchor-text aggregation — the classic search/LLM training signal:
+    for every page IN the corpus, the number of inbound links and the most
+    common inbound anchor text (ties -> lexicographically smallest).
+
+    This is a big-big semi-join (the link table and the corpus are both
+    corpus-sized), done as ONE url-hash-sharded exchange: link partials
+    (dst_url, anchor, n) and page-presence rows ride the same union keyed
+    by hash(url) % n_shards, and each shard folds locally — counts by
+    (dst, anchor), the (n desc, anchor asc) argmax, and the presence
+    filter.  No broadcast, no driver state, nothing corpus-sized in any
+    single process."""
+    import pandas as pd
+
+    NS = n_shards()
+
+    def link_partial(b: pa.Table) -> pa.Table:
+        _, dst, anc = _link_rows(b)
+        df = pd.DataFrame({"dst_url": dst, "anchor": anc})
+        g = (df.groupby(["dst_url", "anchor"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        g["ushard"] = _url_shard(g["dst_url"], NS)
+        g["is_page"] = np.int8(0)
+        return pa.Table.from_pandas(
+            g[["ushard", "dst_url", "anchor", "n", "is_page"]],
+            preserve_index=False,
+            schema=_ANCHOR_PARTIAL_SCHEMA).replace_schema_metadata(None)
+
+    def page_marker(b: pa.Table) -> pa.Table:
+        u = b["url"].to_pandas()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"ushard": _url_shard(u, NS), "dst_url": u,
+                          "anchor": "", "n": np.int64(0),
+                          "is_page": np.int8(1)}),
+            preserve_index=False,
+            schema=_ANCHOR_PARTIAL_SCHEMA).replace_schema_metadata(None)
+
+    links = pages_ds.map_batches(link_partial, batch_format="pyarrow")
+    marks = pages_ds.map_batches(page_marker, batch_format="pyarrow")
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        present = df.loc[df["is_page"] == 1, "dst_url"]
+        l = df[df["is_page"] == 0]
+        l = l[l["dst_url"].isin(set(present))]
+        if not len(l):
+            return pa.schema([("url", pa.string()),
+                              ("n_inlinks", pa.int64()),
+                              ("top_anchor", pa.string())]).empty_table()
+        g = (l.groupby(["dst_url", "anchor"], sort=False)["n"]
+             .sum().reset_index())
+        tot = g.groupby("dst_url", sort=False)["n"].sum()
+        g = g.sort_values(["dst_url", "n", "anchor"],
+                          ascending=[True, False, True], kind="stable")
+        top = g.drop_duplicates("dst_url", keep="first")
+        return pa.table({
+            "url": pa.array(top["dst_url"].to_numpy(dtype=object), pa.string()),
+            "n_inlinks": pa.array(top["dst_url"].map(tot).to_numpy(
+                dtype=np.int64), pa.int64()),
+            "top_anchor": pa.array(top["anchor"].to_numpy(dtype=object),
+                                   pa.string())})
+
+    return (links.union(marks)
+            .groupby("ushard").map_groups(per_shard, batch_format="pandas"))
+
+
+def anchor_text_index_sql(table: str = "pages") -> str:
+    return f"""
+WITH l AS (
+  SELECT unnest(regexp_extract_all(decode(html), '{_LINK_SQL_RE}', 1)) AS dst_url,
+         unnest(regexp_extract_all(decode(html), '{_LINK_SQL_RE}', 2)) AS anchor
+  FROM {table}
+),
+agg AS (SELECT dst_url, anchor, count(*)::BIGINT AS n FROM l GROUP BY 1, 2),
+r AS (
+  SELECT dst_url, anchor, n,
+         sum(n) OVER (PARTITION BY dst_url)::BIGINT AS n_inlinks,
+         row_number() OVER (PARTITION BY dst_url
+                            ORDER BY n DESC, anchor) AS rn
+  FROM agg
+)
+SELECT r.dst_url AS url, r.n_inlinks, r.anchor AS top_anchor
+FROM r JOIN {table} p ON p.url = r.dst_url
+WHERE r.rn = 1
+"""
+
+
+def link_frontier(pages_ds):
+    """Frontier discovery: distinct outlink targets NOT in the corpus,
+    counted per url section (the crawl scheduler's next-fetch manifest).
+    Same one-exchange union shape as anchor_text_index but an ANTI join per
+    shard; distinct-per-shard == globally distinct because the shard key is
+    a function of dst_url."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    NS = n_shards()
+
+    def link_partial(b: pa.Table) -> pa.Table:
+        _, dst, _ = _link_rows(b)
+        df = pd.DataFrame({"dst_url": dst}).drop_duplicates()
+        df["ushard"] = _url_shard(df["dst_url"], NS)
+        df["anchor"] = ""
+        df["n"] = np.int64(0)
+        df["is_page"] = np.int8(0)
+        return pa.Table.from_pandas(
+            df[["ushard", "dst_url", "anchor", "n", "is_page"]],
+            preserve_index=False,
+            schema=_ANCHOR_PARTIAL_SCHEMA).replace_schema_metadata(None)
+
+    def page_marker(b: pa.Table) -> pa.Table:
+        u = b["url"].to_pandas()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"ushard": _url_shard(u, NS), "dst_url": u,
+                          "anchor": "", "n": np.int64(0),
+                          "is_page": np.int8(1)}),
+            preserve_index=False,
+            schema=_ANCHOR_PARTIAL_SCHEMA).replace_schema_metadata(None)
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        present = set(df.loc[df["is_page"] == 1, "dst_url"])
+        l = df[df["is_page"] == 0].drop_duplicates("dst_url")
+        l = l[~l["dst_url"].isin(present)]
+        sec = l["dst_url"].str.extract(_SECTION_RE)[0].dropna()
+        g = sec.value_counts()
+        return pa.table({
+            "section": pa.array(g.index.to_numpy(dtype=object), pa.string()),
+            "n_frontier": pa.array(g.to_numpy(dtype=np.int64), pa.int64())})
+
+    links = pages_ds.map_batches(link_partial, batch_format="pyarrow")
+    marks = pages_ds.map_batches(page_marker, batch_format="pyarrow")
+    return (links.union(marks)
+            .groupby("ushard").map_groups(per_shard, batch_format="pandas")
+            .groupby("section").aggregate(Sum("n_frontier",
+                                              alias_name="n_frontier")))
+
+
+def link_frontier_sql(table: str = "pages") -> str:
+    return f"""
+WITH l AS (
+  SELECT DISTINCT unnest(regexp_extract_all(decode(html), '{_LINK_SQL_RE}', 1)) AS dst_url
+  FROM {table}
+),
+f AS (
+  SELECT l.dst_url FROM l LEFT JOIN {table} p ON p.url = l.dst_url
+  WHERE p.url IS NULL
+)
+SELECT regexp_extract(dst_url, '{_SECTION_RE}', 1) AS section,
+       count(*)::BIGINT AS n_frontier
+FROM f
+WHERE coalesce(regexp_extract(dst_url, '{_SECTION_RE}', 1), '') <> ''
+GROUP BY 1
 """

@@ -1648,3 +1648,435 @@ WHERE s.s_nationkey = c.c_nationkey
   AND epoch_us(o.o_orderdate) < {Q5_T1_US}
 GROUP BY 1
 """
+
+
+# --- TPC-H Q2-shaped: groupwise argmin over a derived part-supplier bridge -----
+Q2_SIZE_MOD = 10  # parts with p_size % 10 == 0 (the Q2 size predicate stand-in)
+
+
+def min_cost_supplier(lineitem_ds, part_tbl: pa.Table, supplier_tbl: pa.Table,
+                      nation_tbl: pa.Table):
+    """TPC-H Q2 shape — the correlated-min subquery: for each qualifying
+    part, the supplier offering the minimum observed unit cost, ties broken
+    by the smaller suppkey (the spec's deterministic ORDER BY stand-in).
+    The testdata carries no partsupp table, so the part<->supplier bridge is
+    DERIVED from lineitem: cost(part, supp) = min discounted-price cents
+    over their lineitems (reference parity note: the reference engine's
+    min-distance "closest pair" scan in geo.js:788-816 is the same
+    groupwise-argmin shape over a derived pair table).
+
+    Scale shape: per-batch (partkey, suppkey, min-cents) partials collapse
+    duplicate pairs before the exchange; ONE partkey-sharded fold computes
+    the per-part argmin locally (never a global sort of the pair domain);
+    the part filter and the supplier/nation attach are broadcast dims
+    (part and supplier are the declared-small sides; at planet scale route
+    them through partkey/suppkey hash joins like shipping_priority)."""
+    NS = n_shards()  # cluster-derived
+    keep_parts = part_tbl.to_pandas()
+    keep_parts = keep_parts[keep_parts["p_size"] % Q2_SIZE_MOD == 0]
+    part_keys = np.sort(keep_parts["p_partkey"].to_numpy(dtype=np.int64))
+    brand = pd.Series(keep_parts["p_brand"].to_numpy(dtype=object),
+                      index=keep_parts["p_partkey"].to_numpy())
+    sup = supplier_tbl.to_pandas().set_index("s_suppkey")
+    nname = pd.Series(nation_tbl["n_name"].to_pylist(),
+                      index=nation_tbl["n_nationkey"].to_numpy(zero_copy_only=False))
+
+    _P = pa.schema([("pshard", pa.int64()), ("p_partkey", pa.int64()),
+                    ("s_suppkey", pa.int64()), ("cost_cents", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b["l_partkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        pos = np.searchsorted(part_keys, pk)
+        m = ((pos < part_keys.size)
+             & (part_keys[np.minimum(pos, part_keys.size - 1)] == pk))
+        pk = pk[m]
+        sk = np.asarray(b["l_suppkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)[m]
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)[m]
+        cents = round_half_away_np(px * (1 - disc) * 100)
+        df = pd.DataFrame({"p": pk, "s": sk, "c": cents})
+        g = df.groupby(["p", "s"], sort=False)["c"].min().reset_index()
+        return pa.Table.from_arrays(
+            [pa.array((g["p"].to_numpy() % NS).astype(np.int64)),
+             pa.array(g["p"].to_numpy(), pa.int64()),
+             pa.array(g["s"].to_numpy(), pa.int64()),
+             pa.array(g["c"].to_numpy(), pa.int64())], schema=_P)
+
+    def shard_argmin(df: pd.DataFrame) -> pa.Table:
+        # per (part, supp) the true min, then per part the (cost, suppkey)
+        # lexicographic argmin — the oracle's ORDER BY cost, suppkey LIMIT 1
+        ps = df.groupby(["p_partkey", "s_suppkey"], sort=False)[
+            "cost_cents"].min().reset_index()
+        ps = ps.sort_values(["p_partkey", "cost_cents", "s_suppkey"],
+                            kind="stable")
+        best = ps.drop_duplicates("p_partkey", keep="first")
+        return pa.table({
+            "p_partkey": pa.array(best["p_partkey"].to_numpy(), pa.int64()),
+            "s_suppkey": pa.array(best["s_suppkey"].to_numpy(), pa.int64()),
+            "cost_cents": pa.array(best["cost_cents"].to_numpy(), pa.int64())})
+
+    def attach(b: pa.Table) -> pa.Table:
+        pk = pd.Series(b["p_partkey"].to_numpy(zero_copy_only=False))
+        sk = pd.Series(b["s_suppkey"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "p_partkey": b["p_partkey"],
+            "p_brand": pa.array(pk.map(brand).to_numpy(dtype=object), pa.string()),
+            "s_suppkey": b["s_suppkey"],
+            "s_name": pa.array(sk.map(sup["s_name"]).to_numpy(dtype=object),
+                               pa.string()),
+            "n_name": pa.array(sk.map(sup["s_nationkey"]).map(nname)
+                               .to_numpy(dtype=object), pa.string()),
+            "cost_cents": b["cost_cents"]})
+
+    return (lineitem_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("pshard").map_groups(shard_argmin, batch_format="pandas")
+            .map_batches(attach, batch_format="pyarrow"))
+
+
+def min_cost_supplier_sql() -> str:
+    return f"""
+WITH cost AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         min(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             )::BIGINT AS cost_cents
+  FROM lineitem
+  JOIN part p ON p.p_partkey = l_partkey AND p.p_size % {Q2_SIZE_MOD} = 0
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT p_partkey, s_suppkey, cost_cents,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY cost_cents, s_suppkey) AS rn
+  FROM cost
+)
+SELECT b.p_partkey, p.p_brand, b.s_suppkey, s.s_name, n.n_name, b.cost_cents
+FROM best b
+JOIN part p ON p.p_partkey = b.p_partkey
+JOIN supplier s ON s.s_suppkey = b.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE b.rn = 1
+"""
+
+
+# --- TPC-H Q10-shaped: returned-item revenue, top-k customers -------------------
+Q10_TOP_K = 20
+
+
+def returned_item_revenue(lineitem_ds, orders_ds, customer_tbl: pa.Table,
+                          nation_tbl: pa.Table, k: int = Q10_TOP_K):
+    """TPC-H Q10 shape — revenue lost to returns, per customer, top ``k``:
+    lineitems with ``l_returnflag = 'R'`` roll up to their order, join to
+    the order header for the customer, roll up per customer, keep the k
+    biggest (ties by the smaller custkey).
+
+    Scale shape: the lineitem side pre-aggregates per (batch, orderkey)
+    before its ONE hash join against the orderkey-projected orders stream;
+    the per-customer rollup is a custkey-sharded fold; top-k is per-shard
+    k rows then a (shards x k)-row driver merge — never a global sort.
+    Customer/nation attach is a broadcast dim lookup."""
+    NS = n_shards()
+    from .common import drop_empty_blocks
+
+    _L = pa.schema([("o_orderkey", pa.int64()), ("rev_cents", pa.int64())])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        key = np.asarray(b["l_orderkey"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        cents = round_half_away_np(px * (1 - disc) * 100)
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.Table.from_arrays([pa.array(u), pa.array(s)], schema=_L)
+
+    def ord_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"]})
+
+    li = drop_empty_blocks(
+        lineitem_ds.map_batches(li_partial, batch_format="pyarrow").materialize())
+    joined = li.join(orders_ds.map_batches(ord_proj, batch_format="pyarrow"),
+                     join_type="inner", num_partitions=cap_join_partitions(8),
+                     on=("o_orderkey",))
+
+    _C = pa.schema([("cshard", pa.int64()), ("c_custkey", pa.int64()),
+                    ("rev_cents", pa.int64())])
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        rv = b["rev_cents"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(ck, return_inverse=True)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, rv)
+        return pa.Table.from_arrays(
+            [pa.array((u % NS).astype(np.int64)), pa.array(u), pa.array(s)],
+            schema=_C)
+
+    def shard_topk(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("c_custkey", sort=False)["rev_cents"].sum().reset_index()
+        g = g.sort_values(["rev_cents", "c_custkey"],
+                          ascending=[False, True], kind="stable").head(k)
+        return pa.table({
+            "c_custkey": pa.array(g["c_custkey"].to_numpy(), pa.int64()),
+            "rev_cents": pa.array(g["rev_cents"].to_numpy(), pa.int64())})
+
+    cand = (joined.map_batches(cust_partial, batch_format="pyarrow")
+            .groupby("cshard").map_groups(shard_topk, batch_format="pandas")
+            .to_pandas())  # <= NS * k rows: the bounded driver merge
+    cand = cand.sort_values(["rev_cents", "c_custkey"],
+                            ascending=[False, True], kind="stable").head(k)
+
+    cust = customer_tbl.to_pandas().set_index("c_custkey")
+    nname = pd.Series(nation_tbl["n_name"].to_pylist(),
+                      index=nation_tbl["n_nationkey"].to_numpy(zero_copy_only=False))
+    ck = cand["c_custkey"]
+    out = pa.table({
+        "c_custkey": pa.array(ck.to_numpy(), pa.int64()),
+        "c_name": pa.array(ck.map(cust["c_name"]).to_numpy(dtype=object),
+                           pa.string()),
+        "n_name": pa.array(ck.map(cust["c_nationkey"]).map(nname)
+                           .to_numpy(dtype=object), pa.string()),
+        "rev_cents": pa.array(cand["rev_cents"].to_numpy(), pa.int64())})
+    import ray.data as rd
+
+    return rd.from_arrow(out)
+
+
+def returned_item_revenue_sql(k: int = Q10_TOP_K) -> str:
+    return f"""
+WITH r AS (
+  SELECT o.o_custkey AS c_custkey,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+             AS BIGINT))::BIGINT AS rev_cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1
+  ORDER BY rev_cents DESC, c_custkey ASC
+  LIMIT {k}
+)
+SELECT r.c_custkey, c.c_name, n.n_name, r.rev_cents
+FROM r
+JOIN customer c ON c.c_custkey = r.c_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+"""
+
+
+# --- TPC-H Q13-shaped: order-count distribution (left join + double groupby) ---
+Q13_EXCLUDE_PRIORITY = "1-URGENT"
+
+
+def order_count_distribution(customer_ds, orders_ds):
+    """TPC-H Q13 shape — the customer-order distribution: per customer the
+    number of non-urgent orders (zero included via the left join), then the
+    histogram (order_count, n_customers).
+
+    Scale shape: orders pre-count per (batch, custkey) then fold through
+    ONE custkey-sharded exchange into per-customer totals; the per-shard
+    fold emits LOCAL histogram rows (count -> n_cust), so the second
+    groupby sees at most shards x distinct-counts tiny rows.  The zero
+    bucket = total customers (one scalar partial-sum) minus customers with
+    any qualifying order (per-shard distinct tally riding the same fold) —
+    the left join never materializes."""
+    NS = n_shards()
+    from ray.data.aggregate import Sum
+
+    from .common import drop_empty_blocks
+
+    _O = pa.schema([("cshard", pa.int64()), ("c_custkey", pa.int64()),
+                    ("n", pa.int64())])
+
+    def ord_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.not_equal(b["o_orderpriority"], Q13_EXCLUDE_PRIORITY))
+        ck = np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        u, inv = np.unique(ck, return_inverse=True)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, 1)
+        return pa.Table.from_arrays(
+            [pa.array((u % NS).astype(np.int64)), pa.array(u), pa.array(s)],
+            schema=_O)
+
+    _H = pa.schema([("order_count", pa.int64()), ("n_customers", pa.int64())])
+
+    def shard_hist(df: pd.DataFrame) -> pa.Table:
+        per_cust = df.groupby("c_custkey", sort=False)["n"].sum()
+        h = per_cust.value_counts()
+        return pa.Table.from_arrays(
+            [pa.array(h.index.to_numpy(), pa.int64()),
+             pa.array(h.to_numpy(), pa.int64())], schema=_H)
+
+    hist = (orders_ds.map_batches(ord_partial, batch_format="pyarrow")
+            .groupby("cshard").map_groups(shard_hist, batch_format="pandas")
+            .groupby("order_count").aggregate(
+                Sum("n_customers", alias_name="n_customers"))
+            .to_pandas())  # |distinct counts| rows — tiny by construction
+
+    def cust_count(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([np.int64(b.num_rows)], pa.int64())})
+
+    total = int(sum(r["n"] for r in drop_empty_blocks(
+        customer_ds.map_batches(cust_count, batch_format="pyarrow"))
+        .take_all()))
+    zero = total - int(hist["n_customers"].sum())
+    if zero > 0:
+        hist = pd.concat([hist, pd.DataFrame(
+            {"order_count": [0], "n_customers": [zero]})], ignore_index=True)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "order_count": pa.array(hist["order_count"].to_numpy(), pa.int64()),
+        "n_customers": pa.array(hist["n_customers"].to_numpy(), pa.int64())}))
+
+
+def order_count_distribution_sql() -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS order_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '{Q13_EXCLUDE_PRIORITY}'
+  GROUP BY 1
+)
+SELECT order_count, count(*)::BIGINT AS n_customers
+FROM per_cust GROUP BY 1
+"""
+
+
+# --- TPC-H Q8-shaped: market share of a nation inside a region, per year -------
+Q8_REGION = "AMERICA"
+Q8_NATION = "NATION_6"  # a nation inside Q8_REGION
+
+
+def nation_market_share(lineitem_ds, orders_ds, customer_tbl: pa.Table,
+                        supplier_tbl: pa.Table, nation_tbl: pa.Table,
+                        region_tbl: pa.Table):
+    """TPC-H Q8 shape — market share: among orders placed by customers in
+    ``Q8_REGION``, the fraction of line-item revenue supplied by
+    ``Q8_NATION``, per order year.  The share is reported as exact integer
+    cents (numerator + denominator), not a float division, so the oracle
+    matches bit-for-bit.
+
+    Scale shape: the supplier->is-target-nation map and the
+    customer->in-region set are broadcast dims (both declared-small; at
+    planet scale the customer side routes through a custkey hash join like
+    shipping_priority); lineitem pre-aggregates per (batch, orderkey) into
+    (total, target) cent pairs before its ONE hash join against the
+    region-filtered orders projection; the per-year rollup is a tiny
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    from .common import drop_empty_blocks
+
+    nat = nation_tbl.to_pandas()
+    reg = region_tbl.to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == Q8_REGION, "r_regionkey"].iloc[0])
+    region_nations = set(nat.loc[nat["n_regionkey"] == rkey,
+                                 "n_nationkey"].tolist())
+    target_nkey = int(nat.loc[nat["n_name"] == Q8_NATION,
+                              "n_nationkey"].iloc[0])
+
+    cust = customer_tbl.to_pandas()
+    in_region = np.fromiter(
+        (ck for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"])
+         if int(nk) in region_nations), dtype=np.int64)
+    in_region.sort()
+    sup = supplier_tbl.to_pandas()
+    target_sups = np.fromiter(
+        (sk for sk, nk in zip(sup["s_suppkey"], sup["s_nationkey"])
+         if int(nk) == target_nkey), dtype=np.int64)
+    target_sups.sort()
+
+    _L = pa.schema([("o_orderkey", pa.int64()), ("total_cents", pa.int64()),
+                    ("target_cents", pa.int64())])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        key = np.asarray(b["l_orderkey"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        sk = np.asarray(b["l_suppkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        cents = round_half_away_np(px * (1 - disc) * 100)
+        is_t = np.zeros(sk.size, dtype=np.int64)
+        pos = np.searchsorted(target_sups, sk)
+        ok = (pos < target_sups.size) & (target_sups[np.minimum(
+            pos, target_sups.size - 1)] == sk)
+        is_t[ok] = 1
+        u, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(u.size, dtype=np.int64)
+        tgt = np.zeros(u.size, dtype=np.int64)
+        np.add.at(tot, inv, cents)
+        np.add.at(tgt, inv, cents * is_t)
+        return pa.Table.from_arrays(
+            [pa.array(u), pa.array(tot), pa.array(tgt)], schema=_L)
+
+    def ord_proj(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        pos = np.searchsorted(in_region, ck)
+        keep = (pos < in_region.size) & (in_region[np.minimum(
+            pos, in_region.size - 1)] == ck)
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False)[keep].astype(
+            "datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "o_orderkey": pa.array(np.asarray(
+                b["o_orderkey"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)[keep]),
+            "o_year": pa.array(d, pa.int64())})
+
+    li = drop_empty_blocks(
+        lineitem_ds.map_batches(li_partial, batch_format="pyarrow").materialize())
+    joined = li.join(
+        drop_empty_blocks(orders_ds.map_batches(
+            ord_proj, batch_format="pyarrow").materialize()),
+        join_type="inner", num_partitions=cap_join_partitions(8),
+        on=("o_orderkey",))
+
+    _Y = pa.schema([("o_year", pa.int64()), ("total_cents", pa.int64()),
+                    ("target_cents", pa.int64())])
+
+    def year_partial(b: pa.Table) -> pa.Table:
+        y = np.asarray(b["o_year"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        u, inv = np.unique(y, return_inverse=True)
+        tot = np.zeros(u.size, dtype=np.int64)
+        tgt = np.zeros(u.size, dtype=np.int64)
+        np.add.at(tot, inv, b["total_cents"].to_numpy(zero_copy_only=False))
+        np.add.at(tgt, inv, b["target_cents"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays(
+            [pa.array(u), pa.array(tot), pa.array(tgt)], schema=_Y)
+
+    return (joined.map_batches(year_partial, batch_format="pyarrow")
+            .groupby("o_year").aggregate(
+                Sum("total_cents", alias_name="total_cents"),
+                Sum("target_cents", alias_name="target_cents")))
+
+
+def nation_market_share_sql() -> str:
+    return f"""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+           AS BIGINT))::BIGINT AS total_cents,
+       sum(CASE WHEN sn.n_name = '{Q8_NATION}'
+                THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT) ELSE 0 END)::BIGINT AS target_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = '{Q8_REGION}'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+GROUP BY 1
+"""

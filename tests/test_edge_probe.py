@@ -1567,3 +1567,227 @@ def test_edge_pages_nearest_way(ray_session, tmp_path_factory):
     # way 3 is strictly nearest on BOTH engines (the probe pins that the
     # engine reproduces the oracle's float arithmetic, not decimal ideals)
     assert got == {"tie": 3, "on-vertex": 3, "desert": 1, "near-a": 1}
+
+
+def _tpch_edge_world(tmp_path_factory, name: str):
+    """Tiny hostile TPC-H world shared by the round-4 relational probes."""
+    d = tmp_path_factory.mktemp(name)
+    ts = lambda s: np.datetime64(s, "us")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": pa.array(["AFRICA", "AMERICA"], pa.string())}),
+        str(d / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 6, 7], pa.int64()),
+        "n_name": pa.array(["NATION_0", "NATION_6", "NATION_7"], pa.string()),
+        "n_regionkey": pa.array([0, 1, 1], pa.int64())}),
+        str(d / "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(["C1", "C2", "C3", "C4"], pa.string()),
+        "c_nationkey": pa.array([6, 0, 6, 7], pa.int64())}),
+        str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10, 11, 12], pa.int64()),
+        "s_name": pa.array(["S10", "S11", "S12"], pa.string()),
+        "s_nationkey": pa.array([6, 0, 6], pa.int64())}),
+        str(d / "supplier.parquet"))
+    pq.write_table(pa.table({
+        # part 100: size qualifies (20 % 10 == 0); part 101: size 7 filtered;
+        # part 102: qualifies but appears in no lineitem
+        "p_partkey": pa.array([100, 101, 102], pa.int64()),
+        "p_brand": pa.array(["B#1", "B#2", "B#3"], pa.string()),
+        "p_size": pa.array([20, 7, 30], pa.int64())}),
+        str(d / "part.parquet"))
+    pq.write_table(pa.table({
+        # cust 1 (in-region): orders 1, 2; cust 2 (out-region): order 3;
+        # cust 3 (in-region): no orders at all; cust 4: only URGENT orders
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 4], pa.int64()),
+        "o_orderdate": pa.array([ts("1995-06-01"), ts("1996-06-01"),
+                                 ts("1995-06-01"), ts("1995-06-01")],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["5-LOW", "5-LOW", "5-LOW", "1-URGENT"],
+                                    pa.string())}),
+        str(d / "orders.parquet"))
+    li = [
+        # (okey, pkey, skey, returnflag, extprice, disc)
+        (1, 100, 10, "R", 100.00, 0.0),   # q2 pair (100,10) line A
+        (1, 100, 10, "N", 50.00, 0.0),    # same pair, cheaper -> its min
+        (1, 100, 12, "R", 50.00, 0.0),    # cost TIE with (100,10) -> suppkey 10 wins
+        (2, 101, 11, "R", 999.00, 0.0),   # part filtered by size on q2
+        (3, 100, 11, "R", 70.00, 0.5),    # out-region cust for q8; R-revenue for cust 2
+        (4, 100, 10, "N", 10.00, 0.0),    # no R flag -> q10 ignores
+        (4, 100, 12, "N", 10.00, 0.0),    # min-cost TIE (100,10)=(100,12)=1000
+    ]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in li], pa.int64()),
+        "l_returnflag": pa.array([r[3] for r in li], pa.string()),
+        "l_extendedprice": pa.array([r[4] for r in li], pa.float64()),
+        "l_discount": pa.array([r[5] for r in li], pa.float64()),
+    }), str(d / "lineitem.parquet"))
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    return d, con
+
+
+def _rel_compare(eng, con, sql):
+    orc = con.sql(sql).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o), f"rows {len(e)} vs {len(o)}\n{e}\n{o}"
+    assert list(e.columns) == list(o.columns), (e.columns, o.columns)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+            f"col {c}\n{e}\n{o}"
+    return e
+
+
+def test_edge_min_cost_supplier(ray_session, tmp_path_factory):
+    """Q2 hostiles: duplicate (part, supp) pairs collapse to their min, a
+    cost tie resolves to the smaller suppkey, the size filter drops parts,
+    and a qualifying part with no lineitems emits nothing."""
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d, con = _tpch_edge_world(tmp_path_factory, "edge_q2")
+    eng = R.min_cost_supplier(
+        rd.read_parquet(str(d / "lineitem.parquet"), override_num_blocks=3),
+        pq.read_table(str(d / "part.parquet")),
+        pq.read_table(str(d / "supplier.parquet")),
+        pq.read_table(str(d / "nation.parquet"))).to_pandas()
+    e = _rel_compare(eng, con, R.min_cost_supplier_sql())
+    assert len(e) == 1  # only part 100 survives
+    row = eng.iloc[0]
+    assert row["p_partkey"] == 100 and row["s_suppkey"] == 10
+    assert row["cost_cents"] == 1000  # suppliers 10 and 12 tie -> smaller key
+
+
+def test_edge_returned_item_revenue(ray_session, tmp_path_factory):
+    """Q10 hostiles: only R-flagged lines count, discounts hit the cents
+    rounding, fewer qualifying customers than k."""
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d, con = _tpch_edge_world(tmp_path_factory, "edge_q10")
+    eng = R.returned_item_revenue(
+        rd.read_parquet(str(d / "lineitem.parquet"), override_num_blocks=3),
+        rd.read_parquet(str(d / "orders.parquet"), override_num_blocks=2),
+        pq.read_table(str(d / "customer.parquet")),
+        pq.read_table(str(d / "nation.parquet"))).to_pandas()
+    e = _rel_compare(eng, con, R.returned_item_revenue_sql())
+    by = eng.set_index("c_custkey")
+    assert by.loc[1, "rev_cents"] == 114900  # orders 1+2: 100.00+50.00+999.00 R
+    assert by.loc[2, "rev_cents"] == 3500   # 70.00 * 0.5 R
+    assert 4 not in by.index                # its only line is N-flagged
+
+
+def test_edge_order_count_distribution(ray_session, tmp_path_factory):
+    """Q13 hostiles: the zero bucket includes both the order-less customer
+    AND the all-URGENT customer (its orders are filtered)."""
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d, con = _tpch_edge_world(tmp_path_factory, "edge_q13")
+    eng = R.order_count_distribution(
+        rd.read_parquet(str(d / "customer.parquet"), override_num_blocks=2),
+        rd.read_parquet(str(d / "orders.parquet"), override_num_blocks=2)).to_pandas()
+    _rel_compare(eng, con, R.order_count_distribution_sql())
+    by = eng.set_index("order_count")["n_customers"]
+    assert by.loc[0] == 2  # cust 3 (no orders) + cust 4 (urgent-only)
+    assert by.loc[1] == 1 and by.loc[2] == 1
+
+
+def test_edge_nation_market_share(ray_session, tmp_path_factory):
+    """Q8 hostiles: out-region customers excluded entirely, target vs
+    non-target supplier split inside one order, per-year buckets."""
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d, con = _tpch_edge_world(tmp_path_factory, "edge_q8")
+    eng = R.nation_market_share(
+        rd.read_parquet(str(d / "lineitem.parquet"), override_num_blocks=3),
+        rd.read_parquet(str(d / "orders.parquet"), override_num_blocks=2),
+        pq.read_table(str(d / "customer.parquet")),
+        pq.read_table(str(d / "supplier.parquet")),
+        pq.read_table(str(d / "nation.parquet")),
+        pq.read_table(str(d / "region.parquet"))).to_pandas()
+    _rel_compare(eng, con, R.nation_market_share_sql())
+    by = eng.set_index("o_year")
+    # 1995: order 1 (cust 1, lines 10000+5000+5000, all target-nation supps)
+    #       + order 4 (cust 4 in-region, 1000c+1000c, target supps 10 and 12)
+    assert by.loc[1995, "total_cents"] == 22000
+    assert by.loc[1995, "target_cents"] == 22000
+    # 1996: order 2 = one 99900c line via supp 11 (NATION_0, non-target)
+    assert by.loc[1996, "total_cents"] == 99900
+    assert by.loc[1996, "target_cents"] == 0
+    # order 3 (cust 2, NATION_0 -> out-region) contributes nowhere
+    assert len(by) == 2
+
+
+def test_edge_link_graph_ops(ray_session, tmp_path_factory):
+    """Link-graph hostiles: a page with zero links emits no edge rows, a
+    self-link counts, anchor ties resolve lexicographically, duplicate
+    identical links accumulate, frontier targets (absent from the corpus)
+    are excluded from the anchor index but counted by link_frontier, and
+    empty anchors survive extraction."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages as P
+
+    d = tmp_path_factory.mktemp("edge_links")
+    u = lambda i: f"https://example.org/en/page-{i:07d}"
+
+    def html(*links):
+        body = "".join(f'<a href="{t}">{a}</a>' for t, a in links)
+        return (f'<html><body><p class="links">{body}</p></body></html>'
+                .encode())
+
+    rows = [
+        (u(0), html((u(1), "beta"), (u(1), "alpha"), (u(1), "alpha"),
+                    (u(9), "gone"))),          # dup anchors + frontier target
+        (u(1), html((u(1), "self"), (u(2), ""))),  # self-link + empty anchor
+        (u(2), html()),                         # zero links
+        (u(3), html((u(1), "beta"), ("https://other.net/misc/x", "offsite"),
+                    ("https://other.net/nosection", "dropped"))),
+    ]
+    pq.write_table(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "html": pa.array([r[1] for r in rows], pa.binary()),
+    }), str(d / "pages.parquet"))
+
+    con = duckdb.connect()
+    tbl = f"read_parquet('{d}/pages.parquet')"
+    ds = lambda: rd.read_parquet(str(d / "pages.parquet"),
+                                 override_num_blocks=2)
+
+    links = P.page_links(ds()).to_pandas()
+    _rel_compare(links, con, P.page_links_sql(tbl))
+    assert len(links) == 9  # 4 + 2 + 0 + 3
+
+    idx = P.anchor_text_index(ds()).to_pandas()
+    _rel_compare(idx, con, P.anchor_text_index_sql(tbl))
+    by = idx.set_index("url")
+    # page 1: inlinks = 3 from page 0 + 1 self + 1 from page 3 = 5;
+    # anchor counts: alpha 2, beta 2, self 1 -> tie alpha/beta -> alpha
+    assert by.loc[u(1), "n_inlinks"] == 5
+    assert by.loc[u(1), "top_anchor"] == "alpha"
+    assert by.loc[u(2), "top_anchor"] == ""  # the empty anchor
+    assert u(9) not in by.index              # frontier target excluded
+
+    fr = P.link_frontier(ds()).to_pandas()
+    _rel_compare(fr, con, P.link_frontier_sql(tbl))
+    # frontier = u(9) (en) + other.net/misc/x (misc); the section-less
+    # other.net/nosection drops on both sides
+    assert dict(zip(fr["section"], fr["n_frontier"])) == {"en": 1, "misc": 1}

@@ -273,6 +273,12 @@ def test_native_join_matches_broadcast(ray_session, fixtures_dir):
     b = sorted((r["url"], r["way_id"])
                for r in pages_way_join_native(p(), w(), num_partitions=4).take_all())
     assert a == b and len(a) > 0
+    # third route: the sorted-block-refs sharded index (forced by a tiny
+    # threshold) must produce the identical pair set, including any runs of
+    # equal cellkeys that the distributed sort splits across block fences
+    c = sorted((r["url"], r["way_id"])
+               for r in pages_way_join(p(), w(), sharded_min=0).take_all())
+    assert a == c
 
 
 def test_extract_regex_edge_cases():
