@@ -600,6 +600,72 @@ def queries() -> dict:
 
     q["customers_without_orders"] = anti_join
 
+    def pri_counts(sf):
+        return relational.order_priority_counts(
+            _tbl(sf, "orders", ["o_orderkey", "o_orderdate",
+                                "o_orderpriority"]),
+            _tbl(sf, "lineitem", ["l_orderkey", "l_shipdate"]))
+
+    q["order_priority_counts"] = pri_counts
+    q["forecast_revenue"] = lambda sf: relational.forecast_revenue(
+        _tbl(sf, "lineitem", ["l_shipdate", "l_discount", "l_quantity",
+                              "l_extendedprice"]))
+
+    def vol_ship(sf):
+        t = lambda n, cols: pq.read_table(os.path.join(sf, f"{n}.parquet"),
+                                          columns=cols)
+        return relational.volume_shipping(
+            _tbl(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"]),
+            _tbl(sf, "orders", ["o_orderkey", "o_custkey"]),
+            t("customer", ["c_custkey", "c_nationkey"]),
+            t("supplier", ["s_suppkey", "s_nationkey"]),
+            t("nation", ["n_nationkey", "n_name"]))
+
+    q["volume_shipping"] = vol_ship
+
+    def prod_profit(sf):
+        t = lambda n, cols: pq.read_table(os.path.join(sf, f"{n}.parquet"),
+                                          columns=cols)
+        return relational.product_type_profit(
+            _tbl(sf, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"]),
+            _tbl(sf, "orders", ["o_orderkey", "o_orderdate"]),
+            t("part", ["p_partkey", "p_name"]),
+            t("supplier", ["s_suppkey", "s_nationkey"]),
+            t("nation", ["n_nationkey", "n_name"]))
+
+    q["product_type_profit"] = prod_profit
+    q["late_lineitem_modes"] = lambda sf: relational.late_lineitem_modes(
+        _tbl(sf, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"]),
+        _tbl(sf, "orders", ["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]))
+
+    def psv(sf):
+        t = lambda n, cols: pq.read_table(os.path.join(sf, f"{n}.parquet"),
+                                          columns=cols)
+        return relational.part_supplier_variety(
+            _tbl(sf, "lineitem", ["l_partkey", "l_suppkey"]),
+            t("part", ["p_partkey", "p_brand", "p_type", "p_size"]),
+            t("supplier", ["s_suppkey", "s_acctbal"]))
+
+    q["part_supplier_variety"] = psv
+    q["important_parts"] = lambda sf: relational.important_parts(
+        _tbl(sf, "lineitem", ["l_partkey", "l_extendedprice",
+                              "l_discount"]))
+
+    def promo_supp(sf):
+        t = lambda n, cols: pq.read_table(os.path.join(sf, f"{n}.parquet"),
+                                          columns=cols)
+        return relational.promo_part_suppliers(
+            _tbl(sf, "lineitem", ["l_partkey", "l_suppkey", "l_shipdate",
+                                  "l_quantity"]),
+            t("part", ["p_partkey", "p_name"]),
+            t("supplier", ["s_suppkey", "s_name", "s_nationkey"]),
+            t("nation", ["n_nationkey", "n_name"]))
+
+    q["promo_part_suppliers"] = promo_supp
+
     # Reorder so the driver's first-50 sample spans every family (see
     # DRIVER_SAMPLE_50).  Python dicts preserve insertion order, so this is
     # the entire mechanism.
@@ -756,6 +822,14 @@ def oracle_sql() -> dict:
         "top_parts": relational.top_parts_sql(),
         "top_parts_per_brand": relational.top_parts_per_brand_sql(),
         "customers_without_orders": filters.customers_without_orders_sql(),
+        "order_priority_counts": relational.order_priority_counts_sql(),
+        "forecast_revenue": relational.forecast_revenue_sql(),
+        "volume_shipping": relational.volume_shipping_sql(),
+        "product_type_profit": relational.product_type_profit_sql(),
+        "late_lineitem_modes": relational.late_lineitem_modes_sql(),
+        "part_supplier_variety": relational.part_supplier_variety_sql(),
+        "important_parts": relational.important_parts_sql(),
+        "promo_part_suppliers": relational.promo_part_suppliers_sql(),
         # ann_lsh / ann_ivf: rows-only by design (approximate ANN paths;
         # recall-tested against knn_brute in tests instead)
     }

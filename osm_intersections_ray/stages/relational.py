@@ -2080,3 +2080,777 @@ JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation sn ON sn.n_nationkey = s.s_nationkey
 GROUP BY 1
 """
+
+
+# --- shared: membership test against a sorted int64 array ----------------------
+
+
+def _isin_sorted(sorted_arr: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized ``keys ∈ sorted_arr`` (boolean mask).  Safe on empty sides."""
+    if sorted_arr.size == 0 or keys.size == 0:
+        return np.zeros(keys.size, dtype=bool)
+    pos = np.searchsorted(sorted_arr, keys)
+    return (pos < sorted_arr.size) & (
+        sorted_arr[np.minimum(pos, sorted_arr.size - 1)] == keys)
+
+
+# --- TPC-H Q4-shaped: order priority counts with an EXISTS semi-join -----------
+Q4_T0_US = int(np.datetime64("1996-07-01T00:00:00", "us").astype(np.int64))
+Q4_T1_US = int(np.datetime64("1996-10-01T00:00:00", "us").astype(np.int64))
+
+
+def order_priority_counts(orders_ds, lineitem_ds):
+    """TPC-H Q4 shape — per order priority, count the orders placed in one
+    quarter where EXISTS a late line item (shipdate > orderdate +
+    {LATE_SHIP_DAYS}d; the schema's stand-in for Q4's commitdate <
+    receiptdate).
+
+    Scale shape: the EXISTS collapses to ``max(shipdate) per order`` — a
+    per-batch pre-reduction — so the exchange carries ONE fixed-width row
+    per (batch, orderkey) from each side.  Both sides are corpus-scale
+    (orders AND lineitem), so neither broadcasts: order headers and
+    lineitem partials ride the SAME okey-sharded union exchange (the
+    anchor_text_index big-big layout) and each shard folds the semi-join
+    + priority count locally.  Output is priority-domain bounded."""
+    NS = n_shards()
+    from ray.data.aggregate import Sum
+
+    _U = pa.schema([("oshard", pa.int64()), ("tag", pa.int64()),
+                    ("ok", pa.int64()), ("us", pa.int64()),
+                    ("pri", pa.string())])
+
+    def ord_rows(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        m = (d >= Q4_T0_US) & (d < Q4_T1_US)
+        ok = np.asarray(b["o_orderkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)[m]
+        return pa.Table.from_arrays(
+            [pa.array((ok % NS).astype(np.int64)),
+             pa.array(np.zeros(ok.size, dtype=np.int64)),
+             pa.array(ok), pa.array(d[m]),
+             pa.array(b["o_orderpriority"].to_pandas()[m].to_numpy(
+                 dtype=object), pa.string())], schema=_U)
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        u, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(u.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, ship)
+        return pa.Table.from_arrays(
+            [pa.array((u % NS).astype(np.int64)),
+             pa.array(np.ones(u.size, dtype=np.int64)),
+             pa.array(u), pa.array(mx),
+             pa.array([""] * u.size, pa.string())], schema=_U)
+
+    _O = pa.schema([("o_orderpriority", pa.string()),
+                    ("n_orders", pa.int64())])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        o = df[df["tag"] == 0]
+        if len(o) == 0:
+            return _O.empty_table()
+        li = (df[df["tag"] == 1].groupby("ok", sort=False)["us"]
+              .max().reset_index().rename(columns={"us": "max_ship"}))
+        m = o.merge(li, on="ok", how="inner")
+        late = m[m["max_ship"] > m["us"] + _LATE_US]
+        g = late.groupby("pri", sort=False).size().reset_index(name="n")
+        return pa.Table.from_arrays(
+            [pa.array(g["pri"].to_numpy(dtype=object), pa.string()),
+             pa.array(g["n"].to_numpy(), pa.int64())], schema=_O)
+
+    union = (orders_ds.map_batches(ord_rows, batch_format="pyarrow")
+             .union(lineitem_ds.map_batches(li_rows,
+                                            batch_format="pyarrow")))
+    return (union.groupby("oshard").map_groups(fold, batch_format="pandas")
+            .groupby("o_orderpriority").aggregate(
+                Sum("n_orders", alias_name="n_orders")))
+
+
+def order_priority_counts_sql() -> str:
+    return f"""
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders o
+WHERE epoch_us(o_orderdate) >= {Q4_T0_US}
+  AND epoch_us(o_orderdate) < {Q4_T1_US}
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + {_LATE_US})
+GROUP BY 1
+"""
+
+
+# --- TPC-H Q6-shaped: single-scan predicate revenue --------------------------
+Q6_T0_US = int(np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64))
+Q6_T1_US = int(np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64))
+Q6_DISC_LO_C = 5   # discount window, integer percent (round(l_discount*100))
+Q6_DISC_HI_C = 7
+Q6_QTY_LT = 24
+
+
+def forecast_revenue(lineitem_ds):
+    """TPC-H Q6 shape — the pure filter-aggregate: revenue that would be
+    recovered by eliminating a discount band in one shipping year
+    (sum of extendedprice * discount over the predicate rows).
+
+    Scale shape: one streaming scan, one fixed-width row out per BLOCK
+    (cents + count partials), and a bounded driver fold over the per-block
+    rows — no shuffle at all.  Discounts compare in integer cents so the
+    band predicate is float-free on both engine and oracle."""
+    _P = pa.schema([("cents", pa.int64()), ("n", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        disc_c = round_half_away_np(disc * 100)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        m = ((d >= Q6_T0_US) & (d < Q6_T1_US)
+             & (disc_c >= Q6_DISC_LO_C) & (disc_c <= Q6_DISC_HI_C)
+             & (qty < Q6_QTY_LT))
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        cents = int(np.sum(round_half_away_np(px * disc[m] * 100)))
+        return pa.Table.from_arrays(
+            [pa.array([cents], pa.int64()),
+             pa.array([int(m.sum())], pa.int64())], schema=_P)
+
+    parts = lineitem_ds.map_batches(
+        partial, batch_format="pyarrow").to_pandas()  # one row per block
+    n = int(parts["n"].sum()) if len(parts) else 0
+    rev = int(parts["cents"].sum()) if n else None
+    return pa.table({"revenue_cents": pa.array([rev], pa.int64()),
+                     "n_items": pa.array([n], pa.int64())})
+
+
+def forecast_revenue_sql() -> str:
+    return f"""
+SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)
+           )::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= {Q6_T0_US} AND epoch_us(l_shipdate) < {Q6_T1_US}
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN {Q6_DISC_LO_C} AND {Q6_DISC_HI_C}
+  AND l_quantity < {Q6_QTY_LT}
+"""
+
+
+# --- TPC-H Q7-shaped: bilateral volume shipping between two nations ------------
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_9"
+Q7_T0_US = int(np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64))
+Q7_T1_US = int(np.datetime64("1998-01-01T00:00:00", "us").astype(np.int64))
+
+
+def volume_shipping(lineitem_ds, orders_ds, customer_tbl: pa.Table,
+                    supplier_tbl: pa.Table, nation_tbl: pa.Table):
+    """TPC-H Q7 shape — trade volume between two nations, per direction and
+    ship year: revenue where the supplier sits in one nation of the pair and
+    the ordering customer in the OTHER.
+
+    Scale shape: the supplier->pair-label and customer->pair-label maps
+    broadcast (dims; route the customer side through a custkey hash join
+    above the shipping_priority crossover); lineitem pre-aggregates per
+    (batch, orderkey, supp-nation, ship-year) — only pair-supplier items
+    survive the scan — and rides ONE okey-sharded union exchange against
+    the pair-customer order projection (both sides corpus-scale, nothing
+    broadcast between them).  The output is 2 directions x years."""
+    NS = n_shards()
+    from ray.data.aggregate import Sum
+
+    nat = nation_tbl.to_pandas()
+    nk = {r["n_name"]: int(r["n_nationkey"]) for _, r in nat.iterrows()}
+    ka, kb = nk[Q7_NATION_A], nk[Q7_NATION_B]
+
+    sup = supplier_tbl.to_pandas()
+    sup_a = np.sort(sup.loc[sup["s_nationkey"] == ka,
+                            "s_suppkey"].to_numpy(dtype=np.int64))
+    sup_b = np.sort(sup.loc[sup["s_nationkey"] == kb,
+                            "s_suppkey"].to_numpy(dtype=np.int64))
+    cust = customer_tbl.to_pandas()
+    cust_a = np.sort(cust.loc[cust["c_nationkey"] == ka,
+                              "c_custkey"].to_numpy(dtype=np.int64))
+    cust_b = np.sort(cust.loc[cust["c_nationkey"] == kb,
+                              "c_custkey"].to_numpy(dtype=np.int64))
+
+    _U = pa.schema([("oshard", pa.int64()), ("tag", pa.int64()),
+                    ("ok", pa.int64()), ("yr", pa.int64()),
+                    ("cents", pa.int64()), ("nat", pa.string())])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        d = b["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        win = (d >= Q7_T0_US) & (d < Q7_T1_US)
+        sk = np.asarray(b["l_suppkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        in_a = _isin_sorted(sup_a, sk) & win
+        in_b = _isin_sorted(sup_b, sk) & win
+        keep = in_a | in_b
+        if not keep.any():
+            return _U.empty_table()
+        ok = np.asarray(b["l_orderkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)[keep]
+        yr = (b["l_shipdate"].to_numpy(zero_copy_only=False)[keep]
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        cents = round_half_away_np(px * (1 - disc) * 100)
+        lab = np.where(in_a[keep], 0, 1)  # 0=A supplier, 1=B supplier
+        df = (pd.DataFrame({"ok": ok, "yr": yr, "lab": lab, "cents": cents})
+              .groupby(["ok", "yr", "lab"], sort=False)["cents"].sum()
+              .reset_index())
+        names = np.where(df["lab"].to_numpy() == 0, Q7_NATION_A, Q7_NATION_B)
+        return pa.Table.from_arrays(
+            [pa.array((df["ok"].to_numpy() % NS).astype(np.int64)),
+             pa.array(np.ones(len(df), dtype=np.int64)),
+             pa.array(df["ok"].to_numpy(), pa.int64()),
+             pa.array(df["yr"].to_numpy(), pa.int64()),
+             pa.array(df["cents"].to_numpy(), pa.int64()),
+             pa.array(names, pa.string())], schema=_U)
+
+    def ord_rows(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        in_a = _isin_sorted(cust_a, ck)
+        in_b = _isin_sorted(cust_b, ck)
+        keep = in_a | in_b
+        if not keep.any():
+            return _U.empty_table()
+        ok = np.asarray(b["o_orderkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)[keep]
+        names = np.where(in_a[keep], Q7_NATION_A, Q7_NATION_B)
+        z = np.zeros(ok.size, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array((ok % NS).astype(np.int64)), pa.array(z),
+             pa.array(ok), pa.array(z), pa.array(z),
+             pa.array(names, pa.string())], schema=_U)
+
+    _O = pa.schema([("supp_nation", pa.string()),
+                    ("cust_nation", pa.string()),
+                    ("l_year", pa.int64()), ("revenue_cents", pa.int64())])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        o = df[df["tag"] == 0][["ok", "nat"]].rename(
+            columns={"nat": "cust_nation"})
+        li = df[df["tag"] == 1]
+        if len(o) == 0 or len(li) == 0:
+            return _O.empty_table()
+        m = li.merge(o, on="ok", how="inner")
+        m = m[m["nat"] != m["cust_nation"]]  # cross-pair directions only
+        g = (m.groupby(["nat", "cust_nation", "yr"], sort=False)["cents"]
+             .sum().reset_index())
+        return pa.Table.from_arrays(
+            [pa.array(g["nat"].to_numpy(dtype=object), pa.string()),
+             pa.array(g["cust_nation"].to_numpy(dtype=object), pa.string()),
+             pa.array(g["yr"].to_numpy(), pa.int64()),
+             pa.array(g["cents"].to_numpy(), pa.int64())], schema=_O)
+
+    union = (orders_ds.map_batches(ord_rows, batch_format="pyarrow")
+             .union(lineitem_ds.map_batches(li_partial,
+                                            batch_format="pyarrow")))
+    return (union.groupby("oshard").map_groups(fold, batch_format="pandas")
+            .groupby(["supp_nation", "cust_nation", "l_year"]).aggregate(
+                Sum("revenue_cents", alias_name="revenue_cents")))
+
+
+def volume_shipping_sql() -> str:
+    return f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+           AS BIGINT))::BIGINT AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE epoch_us(l.l_shipdate) >= {Q7_T0_US}
+  AND epoch_us(l.l_shipdate) < {Q7_T1_US}
+  AND ((sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
+    OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}'))
+GROUP BY 1, 2, 3
+"""
+
+
+# --- TPC-H Q9-shaped: product-line profit per nation and order year ------------
+Q9_NAME_TOKEN = "red"
+
+
+def product_type_profit(lineitem_ds, orders_ds, part_tbl: pa.Table,
+                        supplier_tbl: pa.Table, nation_tbl: pa.Table):
+    """TPC-H Q9 shape — profit per (supplier nation, order year) over the
+    parts whose name contains ``{Q9_NAME_TOKEN}`` (the schema carries no
+    partsupp.supplycost, so profit is discounted revenue).
+
+    Scale shape: the matching-partkey set and the supplier->nation-name map
+    broadcast (part is a dim here; above the crossover route it through a
+    partkey hash join); lineitem pre-aggregates per (batch, orderkey,
+    nation) and joins the order-year projection on ONE okey-sharded union
+    exchange — orders never broadcasts.  Output is nations x years."""
+    NS = n_shards()
+    from ray.data.aggregate import Sum
+
+    pnames = part_tbl["p_name"].to_pylist()
+    pkeys = part_tbl["p_partkey"].to_numpy(zero_copy_only=False)
+    red = np.sort(np.asarray(
+        [int(k) for k, nm in zip(pkeys, pnames)
+         if nm is not None and Q9_NAME_TOKEN in nm], dtype=np.int64))
+
+    nat = nation_tbl.to_pandas()
+    nname = pd.Series(nat["n_name"].to_numpy(dtype=object),
+                      index=nat["n_nationkey"].to_numpy())
+    sup = supplier_tbl.to_pandas()
+    sup_sk = sup["s_suppkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(sup_sk, kind="stable")
+    sup_sk_s = sup_sk[order]
+    sup_nat_s = sup["s_nationkey"].map(nname).to_numpy(dtype=object)[order]
+
+    _U = pa.schema([("oshard", pa.int64()), ("tag", pa.int64()),
+                    ("ok", pa.int64()), ("yr", pa.int64()),
+                    ("cents", pa.int64()), ("nat", pa.string())])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b["l_partkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        keep = _isin_sorted(red, pk)
+        if not keep.any():
+            return _U.empty_table()
+        ok = np.asarray(b["l_orderkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)[keep]
+        sk = np.asarray(b["l_suppkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)[keep]
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        cents = round_half_away_np(px * (1 - disc) * 100)
+        pos = np.searchsorted(sup_sk_s, sk).clip(0, sup_sk_s.size - 1)
+        nats = sup_nat_s[pos]
+        df = (pd.DataFrame({"ok": ok, "nat": nats, "cents": cents})
+              .groupby(["ok", "nat"], sort=False)["cents"].sum()
+              .reset_index())
+        return pa.Table.from_arrays(
+            [pa.array((df["ok"].to_numpy() % NS).astype(np.int64)),
+             pa.array(np.ones(len(df), dtype=np.int64)),
+             pa.array(df["ok"].to_numpy(), pa.int64()),
+             pa.array(np.zeros(len(df), dtype=np.int64)),
+             pa.array(df["cents"].to_numpy(), pa.int64()),
+             pa.array(df["nat"].to_numpy(dtype=object), pa.string())],
+            schema=_U)
+
+    def ord_rows(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["o_orderkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        yr = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        z = np.zeros(ok.size, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array((ok % NS).astype(np.int64)), pa.array(z),
+             pa.array(ok), pa.array(yr), pa.array(z),
+             pa.array([""] * ok.size, pa.string())], schema=_U)
+
+    _O = pa.schema([("nation", pa.string()), ("o_year", pa.int64()),
+                    ("profit_cents", pa.int64())])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        li = df[df["tag"] == 1]
+        if len(li) == 0:
+            return _O.empty_table()
+        o = df[df["tag"] == 0][["ok", "yr"]].rename(columns={"yr": "o_year"})
+        m = li.merge(o, on="ok", how="inner")
+        g = (m.groupby(["nat", "o_year"], sort=False)["cents"].sum()
+             .reset_index())
+        return pa.Table.from_arrays(
+            [pa.array(g["nat"].to_numpy(dtype=object), pa.string()),
+             pa.array(g["o_year"].to_numpy(), pa.int64()),
+             pa.array(g["cents"].to_numpy(), pa.int64())], schema=_O)
+
+    union = (orders_ds.map_batches(ord_rows, batch_format="pyarrow")
+             .union(lineitem_ds.map_batches(li_partial,
+                                            batch_format="pyarrow")))
+    return (union.groupby("oshard").map_groups(fold, batch_format="pandas")
+            .groupby(["nation", "o_year"]).aggregate(
+                Sum("profit_cents", alias_name="profit_cents")))
+
+
+def product_type_profit_sql() -> str:
+    return f"""
+SELECT sn.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+           AS BIGINT))::BIGINT AS profit_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%{Q9_NAME_TOKEN}%'
+GROUP BY 1, 2
+"""
+
+
+# --- TPC-H Q12-shaped: late shipments split by order priority ------------------
+Q12_T0_US = int(np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64))
+Q12_T1_US = int(np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64))
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def late_lineitem_modes(lineitem_ds, orders_ds):
+    """TPC-H Q12 shape — per line status (the schema's stand-in for
+    shipmode), count the line items shipped late inside one year, split by
+    whether the owning order was high priority (URGENT/HIGH) or not.
+
+    Scale shape: lateness needs the order date per item, so line items ride
+    raw fixed-width (ok, status, ship) rows against (ok, priority, odate)
+    order rows on ONE okey-sharded union exchange — the same
+    O(fact)-fixed-width exchange the sessionize family uses; nothing
+    corpus-scale broadcasts and the output is status-domain bounded."""
+    NS = n_shards()
+    from ray.data.aggregate import Sum
+
+    _U = pa.schema([("oshard", pa.int64()), ("tag", pa.int64()),
+                    ("ok", pa.int64()), ("us", pa.int64()),
+                    ("s", pa.string())])
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        m = (ship >= Q12_T0_US) & (ship < Q12_T1_US)
+        ok = np.asarray(b["l_orderkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)[m]
+        return pa.Table.from_arrays(
+            [pa.array((ok % NS).astype(np.int64)),
+             pa.array(np.ones(ok.size, dtype=np.int64)),
+             pa.array(ok), pa.array(ship[m]),
+             pa.array(b["l_linestatus"].to_pandas()[m].to_numpy(
+                 dtype=object), pa.string())], schema=_U)
+
+    def ord_rows(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["o_orderkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array((ok % NS).astype(np.int64)),
+             pa.array(np.zeros(ok.size, dtype=np.int64)),
+             pa.array(ok), pa.array(d),
+             pa.array(b["o_orderpriority"].to_pandas().to_numpy(
+                 dtype=object), pa.string())], schema=_U)
+
+    _O = pa.schema([("l_linestatus", pa.string()),
+                    ("high_line_count", pa.int64()),
+                    ("low_line_count", pa.int64())])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        li = df[df["tag"] == 1]
+        if len(li) == 0:
+            return _O.empty_table()
+        o = df[df["tag"] == 0][["ok", "us", "s"]].rename(
+            columns={"us": "odate", "s": "pri"})
+        m = li.merge(o, on="ok", how="inner")
+        m = m[m["us"] > m["odate"] + _LATE_US]
+        if len(m) == 0:
+            return _O.empty_table()
+        hi = m["pri"].isin(Q12_HIGH).astype(np.int64)
+        g = (pd.DataFrame({"s": m["s"].to_numpy(), "hi": hi,
+                           "lo": 1 - hi})
+             .groupby("s", sort=False)[["hi", "lo"]].sum().reset_index())
+        return pa.Table.from_arrays(
+            [pa.array(g["s"].to_numpy(dtype=object), pa.string()),
+             pa.array(g["hi"].to_numpy(), pa.int64()),
+             pa.array(g["lo"].to_numpy(), pa.int64())], schema=_O)
+
+    union = (orders_ds.map_batches(ord_rows, batch_format="pyarrow")
+             .union(lineitem_ds.map_batches(li_rows,
+                                            batch_format="pyarrow")))
+    return (union.groupby("oshard").map_groups(fold, batch_format="pandas")
+            .groupby("l_linestatus").aggregate(
+                Sum("high_line_count", alias_name="high_line_count"),
+                Sum("low_line_count", alias_name="low_line_count")))
+
+
+def late_lineitem_modes_sql() -> str:
+    hi = ", ".join(f"'{p}'" for p in Q12_HIGH)
+    return f"""
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ({hi}) THEN 1 ELSE 0
+           END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority IN ({hi}) THEN 0 ELSE 1
+           END)::BIGINT AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE epoch_us(l.l_shipdate) >= {Q12_T0_US}
+  AND epoch_us(l.l_shipdate) < {Q12_T1_US}
+  AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + {_LATE_US}
+GROUP BY 1
+"""
+
+
+# --- TPC-H Q16-shaped: distinct-supplier variety per part group ----------------
+Q16_EXCL_BRAND = "Brand#13"
+Q16_SIZES = (1, 5, 9, 14, 19, 23, 30, 36)
+
+
+def part_supplier_variety(lineitem_ds, part_tbl: pa.Table,
+                          supplier_tbl: pa.Table):
+    """TPC-H Q16 shape — how many DISTINCT suppliers have shipped each
+    (brand, type, size) part group, excluding one brand, a size whitelist,
+    and suppliers under review (negative account balance — Q16's
+    complaints stand-in).
+
+    Scale shape: the part dim maps partkey -> dense (brand, type, size)
+    group codes and broadcasts with the excluded-supplier set (part is a
+    dim; above the crossover route it through a partkey hash join); each
+    batch emits DISTINCT (group, suppkey) int pairs, and ONE exchange
+    keyed by hash(group, suppkey) makes per-shard distinct == globally
+    distinct, so shard-local group counts sum exactly.  Distinct-count
+    state is never centralized."""
+    NS = n_shards()
+    from ray.data.aggregate import Sum
+
+    pt = part_tbl.to_pandas()
+    keep = ((pt["p_brand"] != Q16_EXCL_BRAND)
+            & (pt["p_size"].isin(Q16_SIZES)))
+    pt = pt[keep].reset_index(drop=True)
+    # dense group codes per (brand, type, size); decode table rides along
+    grp = pt.groupby(["p_brand", "p_type", "p_size"], sort=True)
+    codes = grp.ngroup().to_numpy(dtype=np.int64)
+    decode = (pt.assign(code=codes)
+              .drop_duplicates("code")[["code", "p_brand", "p_type",
+                                        "p_size"]]
+              .set_index("code").sort_index())
+    pk = pt["p_partkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(pk, kind="stable")
+    pk_s, code_s = pk[order], codes[order]
+
+    sup = supplier_tbl.to_pandas()
+    excl = np.sort(sup.loc[sup["s_acctbal"] < 0,
+                           "s_suppkey"].to_numpy(dtype=np.int64))
+
+    _P = pa.schema([("gshard", pa.int64()), ("code", pa.int64()),
+                    ("sk", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pkb = np.asarray(b["l_partkey"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        sk = np.asarray(b["l_suppkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        m = _isin_sorted(pk_s, pkb) & ~_isin_sorted(excl, sk)
+        if not m.any():
+            return _P.empty_table()
+        pos = np.searchsorted(pk_s, pkb[m]).clip(0, pk_s.size - 1)
+        code = code_s[pos]
+        df = pd.DataFrame({"code": code, "sk": sk[m]}).drop_duplicates()
+        shard = ((df["code"].to_numpy() * np.int64(2654435761)
+                  + df["sk"].to_numpy()) % NS)
+        return pa.Table.from_arrays(
+            [pa.array(shard.astype(np.int64)),
+             pa.array(df["code"].to_numpy(), pa.int64()),
+             pa.array(df["sk"].to_numpy(), pa.int64())], schema=_P)
+
+    _O = pa.schema([("p_brand", pa.string()), ("p_type", pa.string()),
+                    ("p_size", pa.int64()), ("supplier_cnt", pa.int64())])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        d = df[["code", "sk"]].drop_duplicates()
+        g = d.groupby("code", sort=False).size().reset_index(name="n")
+        dec = decode.loc[g["code"].to_numpy()]
+        return pa.Table.from_arrays(
+            [pa.array(dec["p_brand"].to_numpy(dtype=object), pa.string()),
+             pa.array(dec["p_type"].to_numpy(dtype=object), pa.string()),
+             pa.array(dec["p_size"].to_numpy(), pa.int64()),
+             pa.array(g["n"].to_numpy(), pa.int64())], schema=_O)
+
+    return (lineitem_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("gshard").map_groups(fold, batch_format="pandas")
+            .groupby(["p_brand", "p_type", "p_size"]).aggregate(
+                Sum("supplier_cnt", alias_name="supplier_cnt")))
+
+
+def part_supplier_variety_sql() -> str:
+    sizes = ", ".join(str(s) for s in Q16_SIZES)
+    return f"""
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+  AND p.p_size IN ({sizes})
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+# --- TPC-H Q11-shaped: parts above a global revenue-share threshold ------------
+Q11_SHARE_DENOM = 1500   # keep parts with revenue > total / this
+
+
+def important_parts(lineitem_ds):
+    """TPC-H Q11 shape — the HAVING-vs-global-scalar: partkeys whose
+    line-item revenue exceeds 1/{Q11_SHARE_DENOM} of TOTAL revenue (the
+    schema carries no partsupp, so revenue stands in for stock value).
+
+    Scale shape: per-batch (partkey, cents) partials -> one pk-sharded
+    fold (part-domain bounded, materialized once, read twice); the global
+    total folds per-block local sums on the driver (<=1 row per block) and
+    ships back by closure.  The share compare is integer cross-multiplied
+    — no float division on either side."""
+    NS = n_shards()
+    _P = pa.schema([("pshard", pa.int64()), ("l_partkey", pa.int64()),
+                    ("cents", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b["l_partkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        cents = round_half_away_np(px * (1 - disc) * 100)
+        u, inv = np.unique(pk, return_inverse=True)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.Table.from_arrays(
+            [pa.array((u % NS).astype(np.int64)), pa.array(u),
+             pa.array(s)], schema=_P)
+
+    def shard_fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("l_partkey", sort=False)["cents"].sum().reset_index()
+        return pa.Table.from_pandas(
+            g.rename(columns={"cents": "value_cents"}),
+            preserve_index=False, schema=pa.schema([
+                ("l_partkey", pa.int64()), ("value_cents", pa.int64()),
+            ])).replace_schema_metadata(None)
+
+    rev = (lineitem_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("pshard").map_groups(shard_fold, batch_format="pandas")
+           .materialize())  # part-domain bounded; read twice below
+
+    def local_sum(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "value_cents" not in b.column_names:
+            return pa.schema([("s", pa.int64())]).empty_table()
+        return pa.table({"s": pa.array(
+            [int(np.sum(b["value_cents"].to_numpy(zero_copy_only=False)))],
+            pa.int64())})
+
+    sums = rev.map_batches(local_sum, batch_format="pyarrow").to_pandas()
+    total = int(sums["s"].sum()) if len(sums) else 0
+
+    def keep_big(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # value * DENOM > total, in Python ints (no int64 overflow risk)
+        v = b["value_cents"].to_numpy(zero_copy_only=False)
+        m = np.fromiter((int(x) * Q11_SHARE_DENOM > total for x in v),
+                        dtype=bool, count=v.size)
+        return b.filter(pa.array(m))
+
+    return rev.map_batches(keep_big, batch_format="pyarrow")
+
+
+def important_parts_sql() -> str:
+    return f"""
+WITH r AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             )::BIGINT AS value_cents
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, value_cents FROM r
+WHERE value_cents * {Q11_SHARE_DENOM} > (SELECT sum(value_cents) FROM r)
+"""
+
+
+# --- TPC-H Q20-shaped: heavy shippers of a promoted part line ------------------
+Q20_NAME_PREFIX = "red"
+Q20_T0_US = int(np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64))
+Q20_T1_US = int(np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64))
+Q20_QTY_GT = 150
+
+
+def promo_part_suppliers(lineitem_ds, part_tbl: pa.Table,
+                         supplier_tbl: pa.Table, nation_tbl: pa.Table):
+    """TPC-H Q20 shape — the nested-aggregate semi-join: suppliers whose
+    shipped quantity of '{Q20_NAME_PREFIX}%'-named parts inside one year
+    exceeds {Q20_QTY_GT} units (the availqty*0.5 threshold of Q20, made
+    absolute — the schema carries no partsupp), decorated with their
+    nation.
+
+    Scale shape: the matching-partkey set broadcasts; per-batch (suppkey,
+    qty-units) partials fold on one sk-sharded exchange
+    (supplier-domain bounded); the threshold filter and the
+    supplier/nation dim decoration stream over the folded rows."""
+    NS = n_shards()
+    pnames = part_tbl["p_name"].to_pylist()
+    pkeys = part_tbl["p_partkey"].to_numpy(zero_copy_only=False)
+    promo = np.sort(np.asarray(
+        [int(k) for k, nm in zip(pkeys, pnames)
+         if nm is not None and nm.startswith(Q20_NAME_PREFIX)],
+        dtype=np.int64))
+
+    _P = pa.schema([("sshard", pa.int64()), ("sk", pa.int64()),
+                    ("qty", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        pk = np.asarray(b["l_partkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        m = (d >= Q20_T0_US) & (d < Q20_T1_US) & _isin_sorted(promo, pk)
+        if not m.any():
+            return _P.empty_table()
+        sk = np.asarray(b["l_suppkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)[m]
+        q = round_half_away_np(b["l_quantity"].to_numpy(
+            zero_copy_only=False)[m])
+        u, inv = np.unique(sk, return_inverse=True)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, q)
+        return pa.Table.from_arrays(
+            [pa.array((u % NS).astype(np.int64)), pa.array(u),
+             pa.array(s)], schema=_P)
+
+    nat = nation_tbl.to_pandas()
+    nname = pd.Series(nat["n_name"].to_numpy(dtype=object),
+                      index=nat["n_nationkey"].to_numpy())
+    sup = supplier_tbl.to_pandas()
+    sname = pd.Series(sup["s_name"].to_numpy(dtype=object),
+                      index=sup["s_suppkey"].to_numpy())
+    snat = pd.Series(sup["s_nationkey"].map(nname).to_numpy(dtype=object),
+                     index=sup["s_suppkey"].to_numpy())
+
+    _O = pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()),
+                    ("n_name", pa.string()), ("qty_units", pa.int64())])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("sk", sort=False)["qty"].sum().reset_index()
+        g = g[g["qty"] > Q20_QTY_GT]
+        if len(g) == 0:
+            return _O.empty_table()
+        sk = g["sk"].to_numpy()
+        return pa.Table.from_arrays(
+            [pa.array(sk, pa.int64()),
+             pa.array(pd.Series(sk).map(sname).to_numpy(dtype=object),
+                      pa.string()),
+             pa.array(pd.Series(sk).map(snat).to_numpy(dtype=object),
+                      pa.string()),
+             pa.array(g["qty"].to_numpy(), pa.int64())], schema=_O)
+
+    return (lineitem_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("sshard").map_groups(fold, batch_format="pandas"))
+
+
+def promo_part_suppliers_sql() -> str:
+    return f"""
+WITH q AS (
+  SELECT l.l_suppkey AS s_suppkey,
+         sum(CAST(round(l.l_quantity) AS BIGINT))::BIGINT AS qty_units
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '{Q20_NAME_PREFIX}%'
+    AND epoch_us(l.l_shipdate) >= {Q20_T0_US}
+    AND epoch_us(l.l_shipdate) < {Q20_T1_US}
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, n.n_name, q.qty_units
+FROM q JOIN supplier s ON s.s_suppkey = q.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE q.qty_units > {Q20_QTY_GT}
+"""

@@ -1791,3 +1791,167 @@ def test_edge_link_graph_ops(ray_session, tmp_path_factory):
     # frontier = u(9) (en) + other.net/misc/x (misc); the section-less
     # other.net/nosection drops on both sides
     assert dict(zip(fr["section"], fr["n_frontier"])) == {"en": 1, "misc": 1}
+
+
+def _tpch_edge_world2(tmp_path_factory, name: str):
+    """Hostile world for the Q4/Q6/Q7/Q9/Q11/Q12/Q16/Q20 shapes: every
+    filter boundary (date windows, discount band, size whitelist, excluded
+    supplier, same-nation pair, prefix-vs-contains name match) has a row
+    sitting exactly on it."""
+    d = tmp_path_factory.mktemp(name)
+    ts = lambda s: np.datetime64(s, "us")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 3, 9], pa.int64()),
+        "n_name": pa.array(["NATION_0", "NATION_3", "NATION_9"],
+                           pa.string()),
+        "n_regionkey": pa.array([0, 0, 1], pa.int64())}),
+        str(d / "nation.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10, 11, 12, 13], pa.int64()),
+        "s_name": pa.array(["S10", "S11", "S12", "S13"], pa.string()),
+        "s_nationkey": pa.array([3, 9, 0, 3], pa.int64()),
+        "s_acctbal": pa.array([5.0, 5.0, 5.0, -5.0], pa.float64())}),
+        str(d / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_nationkey": pa.array([3, 9, 0], pa.int64())}),
+        str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        # 100: red-prefix, group (B#1,T1,5); 101: CONTAINS red but not
+        # prefix, SAME group as 100; 102: excluded brand; 103: size off
+        # the Q16 whitelist
+        "p_partkey": pa.array([100, 101, 102, 103], pa.int64()),
+        "p_name": pa.array(["red widget", "dark red bolt", "blue gear",
+                            "red gizmo"], pa.string()),
+        "p_brand": pa.array(["B#1", "B#1", "Brand#13", "B#2"],
+                            pa.string()),
+        "p_type": pa.array(["T1", "T1", "T1", "T2"], pa.string()),
+        "p_size": pa.array([5, 5, 5, 7], pa.int64())}),
+        str(d / "part.parquet"))
+    pq.write_table(pa.table({
+        # o1: in Q4 window, URGENT, one late item among several on-time;
+        # o2: in window, no late item; o3: OUTSIDE window but late;
+        # o4: window edge (9-30), late item ships in 1997 (off Q12 window)
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 2, 1, 3], pa.int64()),
+        "o_orderdate": pa.array(
+            [ts("1996-07-15"), ts("1996-08-01"), ts("1995-01-01"),
+             ts("1996-09-30")], pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "5-LOW", "2-HIGH", "3-MEDIUM"], pa.string())}),
+        str(d / "orders.parquet"))
+    li = [
+        # (ok, pk, sk, qty, px, disc, status, shipdate)
+        (1, 100, 10, 10, 100.0, 0.05, "O", "1996-10-20"),  # late; Q6 in-band
+        (1, 101, 11, 30, 50.0, 0.06, "F", "1996-09-01"),   # qty>=24 off Q6; Q7 B->A
+        (2, 100, 10, 5, 40.0, 0.07, "O", "1996-09-05"),    # on-time; Q7 A->B
+        (3, 103, 12, 24, 10.0, 0.04, "F", "1995-06-01"),   # late but o3 off-window
+        (4, 100, 13, 100, 100.0, 0.0, "O", "1997-01-15"),  # late; excluded supp Q16
+        (4, 100, 10, 3, 10.0, 0.10, "F", "1996-10-05"),    # on-time (EXISTS already true)
+        (2, 101, 10, 200, 20.0, 0.05, "O", "1996-06-01"),  # not red-PREFIX -> off Q20
+        (1, 100, 10, 160, 5.0, 0.05, "O", "1996-05-01"),   # pushes s10 over Q20 bar
+    ]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in li], pa.int64()),
+        "l_quantity": pa.array([float(r[3]) for r in li], pa.float64()),
+        "l_extendedprice": pa.array([r[4] for r in li], pa.float64()),
+        "l_discount": pa.array([r[5] for r in li], pa.float64()),
+        "l_linestatus": pa.array([r[6] for r in li], pa.string()),
+        "l_shipdate": pa.array([np.datetime64(r[7], "us") for r in li],
+                               pa.timestamp("us")),
+    }), str(d / "lineitem.parquet"))
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("nation", "customer", "supplier", "part", "orders",
+              "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    return d, con
+
+
+def test_edge_q4_q6_q12(ray_session, tmp_path_factory):
+    """Q4: EXISTS counts an order once however many late items; windows are
+    half-open.  Q6: the discount band is integer-cents closed.  Q12: late
+    split rides the ship-year window, not the order window."""
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d, con = _tpch_edge_world2(tmp_path_factory, "edge_q4612")
+    r = lambda t: rd.read_parquet(str(d / f"{t}.parquet"),
+                                  override_num_blocks=2)
+    q4 = R.order_priority_counts(r("orders"), r("lineitem")).to_pandas()
+    _rel_compare(q4, con, R.order_priority_counts_sql())
+    assert dict(zip(q4["o_orderpriority"], q4["n_orders"])) == {
+        "1-URGENT": 1, "3-MEDIUM": 1}
+
+    q6 = R.forecast_revenue(r("lineitem")).to_pandas()
+    _rel_compare(q6, con, R.forecast_revenue_sql())
+    assert int(q6["revenue_cents"].iloc[0]) == 500 + 280
+    assert int(q6["n_items"].iloc[0]) == 2
+
+    q12 = R.late_lineitem_modes(r("lineitem"), r("orders")).to_pandas()
+    _rel_compare(q12, con, R.late_lineitem_modes_sql())
+    assert dict(zip(q12["l_linestatus"], q12["high_line_count"])) == {"O": 1}
+    assert dict(zip(q12["l_linestatus"], q12["low_line_count"])) == {"O": 0}
+
+
+def test_edge_q7_q9(ray_session, tmp_path_factory):
+    """Q7: same-nation flows are excluded, both directions come back.
+    Q9: contains-match includes 'dark red bolt'; year is the ORDER year."""
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d, con = _tpch_edge_world2(tmp_path_factory, "edge_q79")
+    t = lambda n: pq.read_table(str(d / f"{n}.parquet"))
+    r = lambda n: rd.read_parquet(str(d / f"{n}.parquet"),
+                                  override_num_blocks=2)
+    q7 = R.volume_shipping(r("lineitem"), r("orders"), t("customer"),
+                           t("supplier"), t("nation")).to_pandas()
+    _rel_compare(q7, con, R.volume_shipping_sql())
+    got = {(a, b): c for a, b, c in zip(q7["supp_nation"],
+                                        q7["cust_nation"],
+                                        q7["revenue_cents"])}
+    # o1-p100 (s10 N3, cust N3) is same-nation: excluded; A->B carries
+    # BOTH o2 items (3720 + 1900)
+    assert got == {("NATION_3", "NATION_9"): 5620,
+                   ("NATION_9", "NATION_3"): 4700}
+
+    q9 = R.product_type_profit(r("lineitem"), r("orders"), t("part"),
+                               t("supplier"), t("nation")).to_pandas()
+    _rel_compare(q9, con, R.product_type_profit_sql())
+    n0 = q9[(q9["nation"] == "NATION_0") & (q9["o_year"] == 1995)]
+    assert int(n0["profit_cents"].iloc[0]) == 960  # 10.00 * 0.96 on o3
+
+
+def test_edge_q11_q16_q20(ray_session, tmp_path_factory):
+    """Q16: same group over two different parts + one supplier counts ONCE,
+    and the negative-acctbal supplier is excluded.  Q20: prefix match only,
+    window bounds, threshold strict.  Q11: integer cross-multiplied share."""
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import relational as R
+
+    d, con = _tpch_edge_world2(tmp_path_factory, "edge_q111620")
+    t = lambda n: pq.read_table(str(d / f"{n}.parquet"))
+    r = lambda n: rd.read_parquet(str(d / f"{n}.parquet"),
+                                  override_num_blocks=2)
+    q16 = R.part_supplier_variety(r("lineitem"), t("part"),
+                                  t("supplier")).to_pandas()
+    _rel_compare(q16, con, R.part_supplier_variety_sql())
+    assert len(q16) == 1  # only (B#1, T1, 5) survives the filters
+    assert int(q16["supplier_cnt"].iloc[0]) == 2  # s10 once, s11; s13 out
+
+    q20 = R.promo_part_suppliers(r("lineitem"), t("part"), t("supplier"),
+                                 t("nation")).to_pandas()
+    _rel_compare(q20, con, R.promo_part_suppliers_sql())
+    assert q20["s_suppkey"].tolist() == [10]
+    # s10's four in-window red-prefix rows (10+5+3+160); the 1997 row and
+    # the contains-only 'dark red bolt' rows stay out
+    assert int(q20["qty_units"].iloc[0]) == 178
+
+    q11 = R.important_parts(r("lineitem")).to_pandas()
+    _rel_compare(q11, con, R.important_parts_sql())
