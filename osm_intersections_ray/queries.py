@@ -211,6 +211,8 @@ def queries() -> dict:
         _pages(sf, columns=["url", "html"]))
     q["link_frontier"] = lambda sf: pages.link_frontier(
         _pages(sf, columns=["url", "html"]))
+    q["section_link_graph"] = lambda sf: pages.section_link_graph(
+        _pages(sf, columns=["url", "html"]))
 
     q["warc_pages"] = lambda sf: warc_src.read_warc_pages(warc_src.ensure_warc(sf))
     q["jsonl_pages"] = lambda sf: jsonl_src.read_jsonl_pages(jsonl_src.ensure_jsonl(sf))
@@ -341,6 +343,14 @@ def queries() -> dict:
             _tbl(sf, "embeddings", ["vec_id", "embedding"]), qref)
 
     q["rrf_fusion"] = rrf_fusion
+
+    def knn_graph(sf):
+        emb = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        dbref = ray.put(similarity.load_db(emb))
+        return similarity.knn_graph(
+            _tbl(sf, "embeddings", ["vec_id", "embedding"]), dbref)
+
+    q["knn_graph"] = knn_graph
     q["embedding_near_dup"] = lambda sf: similarity.near_dup_pairs(
         _tbl(sf, "embeddings", ["vec_id", "embedding"]))
     q["embedding_centroids"] = lambda sf: similarity.embedding_centroids(
@@ -439,6 +449,10 @@ def queries() -> dict:
         _tbl(sf, "events", ["user_id", "ts"]))
     q["session_cooccurrence"] = lambda sf: events.session_cooccurrence(
         _tbl(sf, "events", ["user_id", "event_id", "ts", "event_type"]))
+    q["event_transitions"] = lambda sf: events.event_transitions(
+        _tbl(sf, "events", ["user_id", "event_id", "ts", "event_type"]))
+    q["daily_active_users"] = lambda sf: events.daily_active_users(
+        _tbl(sf, "events", ["user_id", "ts"]))
 
     # --- relational building blocks
     q["pricing_summary"] = lambda sf: relational.pricing_summary(
@@ -710,6 +724,7 @@ def oracle_sql() -> dict:
         "pages_way_join": pages.pages_way_join_sql(pages_tbl, ways_path),
         "host_section_stats": pages.host_section_stats_sql(pages_tbl),
         "page_links": pages.page_links_sql(pages_tbl),
+        "section_link_graph": pages.section_link_graph_sql(pages_tbl),
         "anchor_text_index": pages.anchor_text_index_sql(pages_tbl),
         "link_frontier": pages.link_frontier_sql(pages_tbl),
         "url_canonical_dedup": pages.url_canonical_dedup_sql(pages_tbl),
@@ -781,6 +796,7 @@ def oracle_sql() -> dict:
         "audio_decode_wav": multimodal.audio_decode_sql(),
         "image_resize_ppm": multimodal.image_resize_sql(),
         "knn_cosine": similarity.knn_sql(),
+        "knn_graph": similarity.knn_graph_sql(),
         "rrf_fusion": similarity.rrf_fusion_sql(),
         "embedding_near_dup": similarity.near_dup_sql(),
         "embedding_centroids": similarity.embedding_centroids_sql(),
@@ -798,6 +814,8 @@ def oracle_sql() -> dict:
         "events_rollup": events.events_rollup_sql(),
         "events_pivot": events.events_pivot_sql(),
         "user_streaks": events.user_streaks_sql(),
+        "event_transitions": events.event_transitions_sql(),
+        "daily_active_users": events.daily_active_users_sql(),
         "session_cooccurrence": events.session_cooccurrence_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),

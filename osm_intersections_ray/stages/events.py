@@ -861,3 +861,127 @@ FROM d d1 JOIN d d2 USING (user_id, session_idx)
 WHERE d1.event_type < d2.event_type
 GROUP BY 1, 2
 """
+
+
+# --- Markov transitions over per-user event sequences --------------------------
+
+
+def event_transitions(ds):
+    """Event-type transition counts (the first-order Markov matrix a
+    behavioral model trains on): for every user, order events by
+    (ts, event_id) and count each consecutive (prev_type, next_type) pair
+    corpus-wide.
+
+    Scale shape: the shuffle key is ``user_id % n_shards()`` so a user's
+    whole history is shard-local (the sessionize layout; raw fixed-width
+    rows — transitions are order-dependent, so nothing can pre-reduce
+    below the exchange); each shard sorts once, shifts once, and emits
+    per-pair partial counts.  The final merge folds a |types|^2-bounded
+    table in one block (the events_rollup pattern), which also keeps NULL
+    event types as real group keys — pandas ``dropna=False`` mirrors SQL
+    GROUP BY; the first event per user drops by row-number (NOT by
+    ``prev IS NULL``, which would also drop transitions out of a NULL-typed
+    event)."""
+    N_USER_SHARDS = n_shards()
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        return pa.table({
+            "ushard": pa.array((uid % N_USER_SHARDS).astype(np.int64)),
+            "user_id": pa.array(uid),
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"]})
+
+    _P = pa.schema([("prev_type", pa.string()), ("next_type", pa.string()),
+                    ("n", pa.int64())])
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        same_user = np.zeros(len(df), dtype=bool)
+        same_user[1:] = uid[1:] == uid[:-1]
+        pairs = pd.DataFrame({
+            "prev_type": df["event_type"].shift(1),
+            "next_type": df["event_type"],
+        })[same_user]
+        g = (pairs.groupby(["prev_type", "next_type"], sort=False,
+                           dropna=False).size().reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_P).replace_schema_metadata(None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["prev_type", "next_type"], sort=False,
+                        dropna=False)["n"].sum().reset_index())
+        return g.astype({"n": np.int64})
+
+    # the pair table is |event types|^2-bounded — one block folds it
+    return (ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("ushard").map_groups(per_shard, batch_format="pandas")
+            .repartition(1).map_batches(merge, batch_format="pandas",
+                                        batch_size=None))
+
+
+def event_transitions_sql(table: str = "events") -> str:
+    return f"""
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER w AS prev_type,
+         row_number() OVER w AS rn
+  FROM {table}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+FROM s WHERE rn > 1 GROUP BY 1, 2
+"""
+
+
+# --- daily active users (exact distinct count per day) --------------------------
+
+
+def daily_active_users(ds):
+    """DAU: per epoch day, the exact distinct-user count and the event
+    count.  Per-batch combiner reduces to one row per (batch, day, user)
+    before the exchange; the shuffle key is the DAY, so each shard's
+    distinct fold is globally exact and final — no second pass.  Output is
+    days-bounded."""
+    N = n_shards()
+
+    _P = pa.schema([("dshard", pa.int64()), ("day", pa.int64()),
+                    ("user_id", pa.int64()), ("n", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = _day_trunc(ts_us)
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        g = (pd.DataFrame({"day": day, "user_id": uid})
+             .groupby(["day", "user_id"], sort=False).size()
+             .reset_index(name="n"))
+        g.insert(0, "dshard", (g["day"].to_numpy() % N).astype(np.int64))
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_P).replace_schema_metadata(None)
+
+    _O = pa.schema([("day", pa.int64()), ("n_users", pa.int64()),
+                    ("n_events", pa.int64())])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby("day", sort=False)
+             .agg(n_users=("user_id", "nunique"), n_events=("n", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_O).replace_schema_metadata(None)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("dshard").map_groups(fold, batch_format="pandas"))
+
+
+def daily_active_users_sql(table: str = "events") -> str:
+    return f"""
+SELECT (epoch_us(ts) // {_DAY_US})::BIGINT AS day,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_events
+FROM {table} GROUP BY 1
+"""

@@ -1513,3 +1513,75 @@ FROM f
 WHERE coalesce(regexp_extract(dst_url, '{_SECTION_RE}', 1), '') <> ''
 GROUP BY 1
 """
+
+
+def section_link_graph(pages_ds):
+    """Crawl section graph: aggregate the page-level outlink edges up to
+    (src_section -> dst_section) with total link count and DISTINCT target
+    count — the contraction a crawl scheduler uses to budget per-silo
+    fetch rates (all fixture pages share one host, so the section is the
+    natural graph node; with multi-host input the same kernel keys on
+    (host, section)).
+
+    Scale shape: edges regenerate inside the batch (regenerate-don't-carry
+    like graph_pagerank); per-batch pre-reduction to one row per (src_sec,
+    dst_sec, dst_url); ONE exchange keyed by hash(src_sec, dst_sec) makes
+    the per-shard distinct-target fold globally exact.  Output is
+    sections^2-bounded."""
+    import pandas as pd
+
+    NS = n_shards()
+    import re as _re
+
+    sec_re = _re.compile(_SECTION_RE)
+
+    _P = pa.schema([("gshard", pa.int64()), ("src_section", pa.string()),
+                    ("dst_section", pa.string()), ("dst_url", pa.string()),
+                    ("n", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        src, dst, _ = _link_rows(b)
+        if not src:
+            return _P.empty_table()
+        df = pd.DataFrame({"src_url": src, "dst_url": dst})
+        df["src_section"] = df["src_url"].str.extract(_SECTION_RE)[0]
+        df["dst_section"] = df["dst_url"].str.extract(_SECTION_RE)[0]
+        df = df.dropna(subset=["src_section", "dst_section"])
+        g = (df.groupby(["src_section", "dst_section", "dst_url"],
+                        sort=False).size().reset_index(name="n"))
+        g.insert(0, "gshard", _url_shard(
+            g["src_section"] + "\x00" + g["dst_section"], NS))
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_P).replace_schema_metadata(None)
+
+    _O = pa.schema([("src_section", pa.string()),
+                    ("dst_section", pa.string()),
+                    ("n_links", pa.int64()), ("n_unique_dst", pa.int64())])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby(["src_section", "dst_section"], sort=False)
+             .agg(n_links=("n", "sum"), n_unique_dst=("dst_url", "nunique"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_O).replace_schema_metadata(None)
+
+    return (pages_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("gshard").map_groups(fold, batch_format="pandas"))
+
+
+def section_link_graph_sql(table: str = "pages") -> str:
+    return f"""
+WITH l AS (
+  SELECT regexp_extract(url, '{_SECTION_RE}', 1) AS src_section,
+         unnest(regexp_extract_all(decode(html), '{_LINK_SQL_RE}', 1)) AS dst_url
+  FROM {table}
+)
+SELECT src_section,
+       regexp_extract(dst_url, '{_SECTION_RE}', 1) AS dst_section,
+       count(*)::BIGINT AS n_links,
+       count(DISTINCT dst_url)::BIGINT AS n_unique_dst
+FROM l
+WHERE coalesce(src_section, '') <> ''
+  AND coalesce(regexp_extract(dst_url, '{_SECTION_RE}', 1), '') <> ''
+GROUP BY 1, 2
+"""

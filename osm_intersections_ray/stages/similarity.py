@@ -659,3 +659,92 @@ SELECT label, dim, n::BIGINT AS n_vecs, s1::BIGINT AS sum_q,
        ((n * s2 - s1 * s1) // (n * n))::BIGINT AS var_q2
 FROM a
 """
+
+
+# --- exact kNN graph over EVERY vector (brute-force baseline) -------------------
+
+
+def load_db(embeddings_tbl: pa.Table) -> dict:
+    """Full-matrix broadcast payload for knn_graph, sorted by vec_id
+    ASCENDING — the sort is load-bearing: a stable argsort of
+    -similarities over id-ascending columns yields exactly the oracle's
+    (cos DESC, nid ASC) order with no per-row tie handling.
+
+    The matrix ships UN-normalized with per-row sqrt-norms alongside:
+    DuckDB's list_cosine_similarity is ``dot / (sqrt(nx) * sqrt(ny))``
+    clamped to [-1, 1] (bit-probed on this build), and pre-normalizing
+    rounds differently — e.g. [1e-30,0,0,0] pre-normalizes to bit-equal
+    with [1,0,0,0] while DuckDB keeps them 1 ulp apart, flipping tie
+    order."""
+    ids = np.asarray(embeddings_tbl["vec_id"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    m = _mat(embeddings_tbl)[order].astype(np.float64)
+    sn = np.sqrt(np.einsum("ij,ij->i", m, m))
+    zero = sn == 0
+    sn[zero] = 1.0
+    return {"ids": ids[order], "mat": m, "sn": sn, "zero": zero}
+
+
+def knn_graph(ds, db_ref, k: int = TOP_K):
+    """Exact cosine kNN GRAPH: top-k neighbors for EVERY vector, not just
+    the query subset — the join that feeds graph-based dedup and curation.
+
+    This is the exact/brute baseline: an exact graph is inherently
+    all-pairs, so each streaming batch does ONE matmul against the
+    broadcast normalized matrix (``ray.put`` once, ``cached_get`` per
+    worker) and extracts its rows' GLOBAL top-k locally — no merge stage,
+    no shuffle at all; cost is O(n^2 d / workers) flops through BLAS.  At
+    10^12 rows the broadcast side no longer fits and the approximate paths
+    (ann_lsh hyperplane buckets / ann_ivf centroid routing) are the scale
+    route — this kernel stays as their recall oracle on sampled slices.
+    Zero vectors rank last (cos = -1.0) exactly like DuckDB's
+    list_cosine_similarity."""
+    from .common import cached_get
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        db = cached_get(db_ref)
+        q = _mat(b).astype(np.float64)
+        qsn = np.sqrt(np.einsum("ij,ij->i", q, q))
+        qzero = qsn == 0
+        qsn[qzero] = 1.0
+        # DuckDB-exact: dot / (sqrt(nx) * sqrt(ny)), clamped to [-1, 1]
+        sims = (q @ db["mat"].T) / (qsn[:, None] * db["sn"][None, :])
+        np.clip(sims, -1.0, 1.0, out=sims)
+        if db["zero"].any():
+            sims[:, db["zero"]] = -1.0
+        if qzero.any():
+            sims[qzero, :] = -1.0
+        qids = np.asarray(b["vec_id"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        # stable argsort over id-ascending columns == (cos desc, nid asc)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :k + 1]
+        nids = db["ids"][order]
+        out_q = np.repeat(qids, k + 1).reshape(-1, k + 1)
+        not_self = nids != out_q
+        # each row keeps its first k non-self entries; rows where self is
+        # outside the (k+1) window keep their first k directly
+        keep = np.cumsum(not_self, axis=1) <= k
+        m = not_self & keep
+        rk = (np.cumsum(not_self, axis=1))[m]
+        return pa.table({"vec_id": pa.array(out_q[m], pa.int64()),
+                         "nid": pa.array(nids[m], pa.int64()),
+                         "rk": pa.array(rk.astype(np.int64), pa.int64())})
+
+    return ds.map_batches(local_topk, batch_format="pyarrow")
+
+
+def knn_graph_sql(table: str = "embeddings", k: int = TOP_K) -> str:
+    return f"""
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM {table}),
+s AS (
+  SELECT q.vec_id, e.vec_id AS nid,
+         list_cosine_similarity(q.embedding, e.embedding) AS c
+  FROM ed q, ed e WHERE e.vec_id != q.vec_id
+),
+r AS (SELECT vec_id, nid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nid ASC) AS rk
+      FROM s)
+SELECT vec_id, nid, rk::BIGINT AS rk FROM r WHERE rk <= {k}
+"""

@@ -177,7 +177,9 @@ def edge_events_dir(tmp_path_factory):
                                   "asof_prev_purchase", "post_purchase_window",
                                   "funnel_stages", "props_kv_stats",
                                   "events_rollup", "events_pivot",
-                                  "user_streaks", "session_cooccurrence"])
+                                  "user_streaks", "session_cooccurrence",
+                                  "event_transitions",
+                                  "daily_active_users"])
 def test_edge_events_vs_oracle(ray_session, edge_events_dir, name):
     _compare(ray_session, edge_events_dir, "events", name)
 
@@ -213,7 +215,7 @@ def edge_emb_dir(tmp_path_factory):
 
 
 @pytest.mark.parametrize("name", ["knn_cosine", "embedding_near_dup",
-                                  "rrf_fusion"])
+                                  "rrf_fusion", "knn_graph"])
 def test_edge_embeddings_vs_oracle(ray_session, edge_emb_dir, name):
     _compare(ray_session, edge_emb_dir, "embeddings", name)
 
@@ -1791,6 +1793,15 @@ def test_edge_link_graph_ops(ray_session, tmp_path_factory):
     # frontier = u(9) (en) + other.net/misc/x (misc); the section-less
     # other.net/nosection drops on both sides
     assert dict(zip(fr["section"], fr["n_frontier"])) == {"en": 1, "misc": 1}
+
+    sg = P.section_link_graph(ds()).to_pandas()
+    _rel_compare(sg, con, P.section_link_graph_sql(tbl))
+    got = {(a, b): (int(n), int(ud)) for a, b, n, ud in zip(
+        sg["src_section"], sg["dst_section"], sg["n_links"],
+        sg["n_unique_dst"])}
+    # en->en: 4 (page0) + 2 (page1) + 1 (page3) links over dst {u1,u9,u2};
+    # en->misc: the offsite link; nosection drops on both sides
+    assert got == {("en", "en"): (7, 3), ("en", "misc"): (1, 1)}
 
 
 def _tpch_edge_world2(tmp_path_factory, name: str):
