@@ -98,6 +98,19 @@ BENCH_QUERIES = [
     "nation_market_share",  # Q8 region/nation revenue share (round 4)
     "min_cost_supplier",    # Q2 groupwise argmin over derived bridge (round 4)
     "order_count_distribution",  # Q13 left-join histogram (round 4)
+    "order_priority_counts",  # Q4 EXISTS semi-join (round 4)
+    "forecast_revenue",     # Q6 pure filter-aggregate (round 4)
+    "volume_shipping",      # Q7 bilateral nation-pair volume (round 4)
+    "product_type_profit",  # Q9 product-line profit (round 4)
+    "important_parts",      # Q11 HAVING vs global scalar (round 4)
+    "late_lineitem_modes",  # Q12 late split by priority (round 4)
+    "part_supplier_variety",  # Q16 distinct-supplier variety (round 4)
+    "promo_part_suppliers",  # Q20 nested-aggregate semi-join (round 4)
+    "section_link_graph",   # crawl section-graph contraction (round 4)
+    "knn_graph",            # exact all-pairs kNN graph, broadcast matmul (round 4)
+    "event_transitions",    # Markov transition matrix over user histories (round 4)
+    "daily_active_users",   # day-sharded exact distinct fold (round 4)
+    "image_dup_pairs",      # perceptual-hash image near-dup band join (round 4)
 ]
 
 

@@ -421,6 +421,10 @@ def queries() -> dict:
                      batch_size=256, concurrency=(1, 8))
         .map_batches(lambda b: b.select(["doc_id", "width", "height", "sum_px"]),
                      batch_format="pyarrow"))
+    q["image_ahash"] = lambda sf: multimodal.image_ahash(
+        _tbl(sf, "documents", ["doc_id"]))
+    q["image_dup_pairs"] = lambda sf: multimodal.image_dup_pairs(
+        _tbl(sf, "documents", ["doc_id"]))
 
     # --- events (stream-shaped)
     q["events_hourly"] = lambda sf: events.hourly_window(
@@ -795,6 +799,8 @@ def oracle_sql() -> dict:
         "audio_decode_flac": multimodal.flac_decode_sql(),
         "audio_decode_wav": multimodal.audio_decode_sql(),
         "image_resize_ppm": multimodal.image_resize_sql(),
+        "image_ahash": multimodal.image_ahash_sql(),
+        "image_dup_pairs": multimodal.image_dup_pairs_sql(),
         "knn_cosine": similarity.knn_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         "rrf_fusion": similarity.rrf_fusion_sql(),

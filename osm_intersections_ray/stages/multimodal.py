@@ -2000,3 +2000,211 @@ FROM dims d JOIN generate_series(0, {_FLAC_SAMPLES_MAX - 1}) s(i)
      ON s.i < d.n
 GROUP BY d.doc_id, d.n
 """
+
+
+# --- perceptual-hash image dedup (aHash + hamming band join) --------------------
+# The image analogue of the SimHash text family: a 64-bit average hash over
+# the REAL decoded raster (8x8 block-mean vs global-mean, exact integer
+# comparisons — no float thresholds, so engine and SQL oracle agree
+# bit-for-bit), then near-dup pairs via the same band-pigeonhole bucket join
+# the text signatures use.  Reference parity: the reference has no image
+# ops; this extends the engine's dedup surface to the multimodal columns a
+# training-data pipeline carries (crawl image near-dup filtering).
+
+AHASH_BANDS = 4          # 4 x 16-bit bands: hamming <= 3 pigeonholes into
+AHASH_HAM_MAX = AHASH_BANDS - 1  # at least one exactly-equal band
+_AHASH_BAND_BITS = 64 // AHASH_BANDS
+_AHASH_BAND_MASK = (1 << _AHASH_BAND_BITS) - 1
+
+
+def ahash64(blob: bytes) -> int:
+    """64-bit average hash of a binary netpbm payload: integer channel-sum
+    luma, 8x8 grid via floor-scaled indices (block of pixel (y, x) is
+    (y*8//h, x*8//w)), bit k=by*8+bx set iff the block's mean luma strictly
+    exceeds the global mean — compared exactly in integers
+    (bsum * gcount > gsum * bcount)."""
+    channels, w, h, _maxval, off = _ppm_header(blob)
+    px = np.frombuffer(blob, np.uint8, count=w * h * channels, offset=off)
+    if channels == 3:
+        luma = px.reshape(h, w, 3).sum(axis=2, dtype=np.int64)
+    else:
+        luma = px.reshape(h, w).astype(np.int64)
+    by = (np.arange(h, dtype=np.int64) * 8) // h
+    bx = (np.arange(w, dtype=np.int64) * 8) // w
+    bsum = np.zeros((8, 8), np.int64)
+    bcnt = np.zeros((8, 8), np.int64)
+    iy = np.repeat(by, w)
+    ix = np.tile(bx, h)
+    np.add.at(bsum, (iy, ix), luma.ravel())
+    np.add.at(bcnt, (iy, ix), 1)
+    gsum = int(luma.sum())
+    gcnt = w * h
+    bits = (bsum * gcnt > gsum * bcnt).astype(np.uint64).ravel()
+    k = np.arange(64, dtype=np.uint64)
+    return int((bits << k).sum())
+
+
+class ImageAHash:
+    """Actor-pool stage: binary image -> (doc_id, ahash_hi, ahash_lo).
+    The 64-bit hash splits into two int64 halves (bits 32..63 / 0..31) so
+    both columns stay non-negative BIGINTs on the SQL side; the pair join
+    recombines them into one uint64 internally."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        hi, lo = [], []
+        for blob in b["image"].to_pylist():
+            hv = ahash64(blob)
+            hi.append(hv >> 32)
+            lo.append(hv & 0xFFFFFFFF)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "ahash_hi": pa.array(np.asarray(hi, np.int64)),
+            "ahash_lo": pa.array(np.asarray(lo, np.int64)),
+        })
+
+
+def image_ahash(docs_ds):
+    """doc_id -> 64-bit aHash over the real decoded PPM raster."""
+    return (docs_ds
+            .map_batches(ppm_media_batch, batch_format="pyarrow", batch_size=512)
+            .map_batches(ImageAHash, batch_format="pyarrow",
+                         batch_size=256, concurrency=(1, 8)))
+
+
+_AHASH_PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                                 ("hamming", pa.int64())])
+
+
+def image_dup_pairs(docs_ds):
+    """(doc_a < doc_b) image pairs with aHash hamming distance <= 3:
+    band explode -> sharded bucket self-join -> vectorized XOR-popcount
+    verify -> pair dedup.  A pair matching in several bands rides several
+    shards; every shard carries BOTH full hashes, so each emits the pair
+    only when its band is the SMALLEST agreeing band — exact dedup with no
+    second exchange (and schema-stable on empty output, where a global
+    aggregate would drop it).
+
+    Scale shape: after the per-image decode+hash (embarrassingly parallel,
+    bytes never shuffle), the exchange carries only (band, bval, doc_id,
+    hash) rows — 32 B/image/band.  aHash bands are lower-entropy than
+    md5-derived SimHash bands (flat images concentrate on all-0/all-1
+    band values), so dense buckets verify vectorized inside their shard;
+    a skew-capped rehash (salt dense buckets into sub-buckets and verify
+    cross-products per salt pair) is the documented escalation if a real
+    corpus concentrates >~10^4 images on one band value."""
+    import pandas as pd
+
+    from .common import n_shards
+    from .dedup import _popcount_u64
+
+    ns = n_shards()
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        hv = (b["ahash_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+              << np.uint64(32)) | \
+            b["ahash_lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(ids)
+        bands = np.tile(np.arange(AHASH_BANDS, dtype=np.int64), n)
+        hv_rep = np.repeat(hv, AHASH_BANDS)
+        bval = ((hv_rep >> (bands.astype(np.uint64) * np.uint64(_AHASH_BAND_BITS)))
+                & np.uint64(_AHASH_BAND_MASK)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.repeat(ids, AHASH_BANDS)),
+                         "hash_i": pa.array(hv_rep.view(np.int64)),
+                         "band": pa.array(bands),
+                         "bval": pa.array(bval),
+                         "shard": pa.array((bval * 131 + bands) % ns)})
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        dup = df[df.duplicated(["band", "bval"], keep=False)]
+        if len(dup) == 0:
+            return _AHASH_PAIRS_SCHEMA.empty_table()
+        m = dup.merge(dup, on=["band", "bval"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if len(m) == 0:
+            return _AHASH_PAIRS_SCHEMA.empty_table()
+        hx = m["hash_i_x"].to_numpy().view(np.uint64)
+        hy = m["hash_i_y"].to_numpy().view(np.uint64)
+        ham = _popcount_u64(np.bitwise_xor(hx, hy))
+        # smallest band where the two hashes agree (>= 1 exists for every
+        # bucket-joined row); this row survives only if it IS that band
+        minband = np.full(len(m), AHASH_BANDS, np.int64)
+        for k in range(AHASH_BANDS - 1, -1, -1):
+            sh = np.uint64(k * _AHASH_BAND_BITS)
+            mk = np.uint64(_AHASH_BAND_MASK)
+            eq = ((hx >> sh) & mk) == ((hy >> sh) & mk)
+            minband[eq] = k
+        keep = (ham <= AHASH_HAM_MAX) & \
+            (m["band"].to_numpy() == minband)
+        return pa.table({"doc_a": pa.array(m["doc_id_x"].to_numpy()[keep], pa.int64()),
+                         "doc_b": pa.array(m["doc_id_y"].to_numpy()[keep], pa.int64()),
+                         "hamming": pa.array(ham[keep])})
+
+    import ray.data as rd
+
+    pairs = (image_ahash(docs_ds)
+             .map_batches(band_rows, batch_format="pyarrow")
+             .groupby("shard").map_groups(per_shard, batch_format="pandas"))
+    # schema seed: Ray drops the schema when EVERY output block is empty
+    # (a corpus with no near-dups); one 0-row block keeps it stable
+    return rd.from_arrow(_AHASH_PAIRS_SCHEMA.empty_table()).union(pairs)
+
+
+_AHASH_PX_MAX = (8 + 23) * (8 + 15)  # widest x tallest fixture raster
+
+
+_AHASH_SIG_SQL = """
+dims AS (
+  SELECT doc_id,
+         8 + doc_id % 24 AS w,
+         8 + (doc_id // 7) % 16 AS h,
+         (doc_id * 2654435761) % 256 AS seed
+  FROM {table}
+),
+px AS (
+  SELECT d.doc_id,
+         ((p.i // d.w) * 8) // d.h AS by,
+         ((p.i % d.w) * 8) // d.w AS bx,
+         ((d.seed + 3 * p.i) % 256) + ((d.seed + 3 * p.i + 1) % 256)
+           + ((d.seed + 3 * p.i + 2) % 256) AS luma
+  FROM dims d JOIN generate_series(0, {px_max}) p(i) ON p.i < d.w * d.h
+),
+blocks AS (
+  SELECT doc_id, by, bx, SUM(luma) AS bsum, COUNT(*) AS bcnt
+  FROM px GROUP BY 1, 2, 3
+),
+tot AS (SELECT doc_id, SUM(luma) AS gsum, COUNT(*) AS gcnt FROM px GROUP BY 1),
+bits AS (
+  SELECT b.doc_id, b.by * 8 + b.bx AS k,
+         CASE WHEN b.bsum * t.gcnt > t.gsum * b.bcnt THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t USING (doc_id)
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS ahash_hi,
+         SUM(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS ahash_lo
+  FROM bits GROUP BY doc_id
+)"""
+
+
+def image_ahash_sql(table: str = "documents") -> str:
+    """Oracle: the aHash in closed form from doc_id (pixel[i] =
+    (seed + i) % 256; luma = 3-channel integer sum; exact-integer
+    block-vs-global mean comparison)."""
+    return ("WITH " + _AHASH_SIG_SQL.format(table=table, px_max=_AHASH_PX_MAX)
+            + "\nSELECT doc_id, ahash_hi, ahash_lo FROM sig")
+
+
+def image_dup_pairs_sql(table: str = "documents") -> str:
+    """Oracle: brute-force all-pairs hamming over the closed-form hashes
+    (the banded engine path must find exactly the same pairs — pigeonhole
+    guarantees recall at hamming <= AHASH_BANDS - 1)."""
+    return ("WITH " + _AHASH_SIG_SQL.format(table=table, px_max=_AHASH_PX_MAX)
+            + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       (bit_count(xor(a.ahash_hi, b.ahash_hi))
+        + bit_count(xor(a.ahash_lo, b.ahash_lo)))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+      + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= {AHASH_HAM_MAX}
+""")

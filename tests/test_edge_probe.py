@@ -64,7 +64,7 @@ DOC_QUERIES = [
     "image_decode_gif", "image_decode_jpeg", "video_frame_sample",
     "normalize_unicode", "quality_rank", "paragraph_dedup",
     "scrub_dup_ngrams", "linear_fit", "bpe_train", "bpe_apply",
-    "doc_stats_melt", "corpus_diff",
+    "doc_stats_melt", "corpus_diff", "image_ahash", "image_dup_pairs",
 ]
 
 
@@ -101,6 +101,11 @@ def _compare(ray_session, sf_dir: str, view: str, name: str):
     res = queries()[name](sf_dir)
     eng = res.to_pandas() if isinstance(res, ray.data.Dataset) else (
         res.to_pandas() if isinstance(res, pa.Table) else res)
+    if (len(eng) == 0 and len(eng.columns) == 0
+            and isinstance(res, ray.data.Dataset)):
+        # this Ray's to_pandas drops the schema of a 0-row dataset even
+        # when Dataset.schema() knows it; recover the columns from there
+        eng = pd.DataFrame(columns=res.schema().names)
     con = duckdb.connect()
     con.sql(f"CREATE VIEW {view} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{view}.parquet')")

@@ -28,7 +28,12 @@ def to_df(res) -> pd.DataFrame:
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if len(df) == 0 and len(df.columns) == 0:
+            # this Ray's to_pandas drops the schema of a 0-row dataset
+            # even when Dataset.schema() knows it
+            df = pd.DataFrame(columns=res.schema().names)
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
