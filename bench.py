@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "event_transitions",    # Markov transition matrix over user histories (round 4)
     "daily_active_users",   # day-sharded exact distinct fold (round 4)
     "image_dup_pairs",      # perceptual-hash image near-dup band join (round 4)
+    "audio_fingerprint",    # energy-delta audio content signature (round 4)
 ]
 
 

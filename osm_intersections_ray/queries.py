@@ -421,6 +421,8 @@ def queries() -> dict:
                      batch_size=256, concurrency=(1, 8))
         .map_batches(lambda b: b.select(["doc_id", "width", "height", "sum_px"]),
                      batch_format="pyarrow"))
+    q["audio_fingerprint"] = lambda sf: multimodal.audio_fingerprint(
+        _tbl(sf, "documents", ["doc_id"]))
     q["image_ahash"] = lambda sf: multimodal.image_ahash(
         _tbl(sf, "documents", ["doc_id"]))
     q["image_dup_pairs"] = lambda sf: multimodal.image_dup_pairs(
@@ -801,6 +803,7 @@ def oracle_sql() -> dict:
         "image_resize_ppm": multimodal.image_resize_sql(),
         "image_ahash": multimodal.image_ahash_sql(),
         "image_dup_pairs": multimodal.image_dup_pairs_sql(),
+        "audio_fingerprint": multimodal.audio_fingerprint_sql(),
         "knn_cosine": similarity.knn_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         "rrf_fusion": similarity.rrf_fusion_sql(),

@@ -2208,3 +2208,83 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
       + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= {AHASH_HAM_MAX}
 """)
+
+
+# --- audio energy-delta fingerprint ---------------------------------------------
+# The audio analogue of document fingerprinting: a compact content signature
+# a pipeline dedups / clusters recordings by without shipping waveforms.
+# 33 equal-span windows over the REAL decoded PCM stream, per-window energy
+# (exact integer sum of squares), bit w set iff window w+1 is strictly more
+# energetic than window w — 32 bits, exact on both engine and SQL side.
+
+AUDIO_FP_WINDOWS = 33  # -> 32 delta bits
+
+
+class WavFingerprint:
+    """Actor-pool stage: binary audio -> (doc_id, fp, sum_sq).  Real RIFF
+    decode; the window of sample j is (j * 33) // n_samples (floor-scaled
+    like the image blocks, so the SQL oracle reproduces it in closed
+    form)."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        fps, sums = [], []
+        for blob in b["audio"].to_pylist():
+            _rate, _ch, _fr, samples = _wav_pcm(blob)
+            s = samples.astype(np.int64)
+            e2 = s * s
+            n = s.size
+            w = (np.arange(n, dtype=np.int64) * AUDIO_FP_WINDOWS) // n
+            energy = np.zeros(AUDIO_FP_WINDOWS, np.int64)
+            np.add.at(energy, w, e2)
+            bits = (energy[1:] > energy[:-1]).astype(np.uint64)
+            k = np.arange(AUDIO_FP_WINDOWS - 1, dtype=np.uint64)
+            fps.append(int((bits << k).sum()))
+            sums.append(int(e2.sum()))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "fp": pa.array(np.asarray(fps, np.int64)),
+            "sum_sq": pa.array(np.asarray(sums, np.int64)),
+        })
+
+
+def audio_fingerprint(docs_ds):
+    """doc_id -> 32-bit energy-delta fingerprint over the real decoded
+    WAV stream, plus the exact total energy."""
+    return (docs_ds
+            .map_batches(wav_media_batch, batch_format="pyarrow", batch_size=512)
+            .map_batches(WavFingerprint, batch_format="pyarrow",
+                         batch_size=256, concurrency=(1, 8)))
+
+
+_WAV_FP_SAMPLES_MAX = (256 + 511) * 2  # longest fixture stream
+
+
+def audio_fingerprint_sql(table: str = "documents") -> str:
+    """Oracle: the fingerprint in closed form from doc_id (sample[j] =
+    (seed + 31j) % 4096 - 2048 over the interleaved stream)."""
+    W = AUDIO_FP_WINDOWS
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         (256 + doc_id % 512) * (1 + doc_id % 2) AS n,
+         (doc_id * 48271) % 4096 AS seed
+  FROM {table}
+),
+sq AS (
+  SELECT d.doc_id, (s.i * {W}) // d.n AS w,
+         ((d.seed + 31 * s.i) % 4096 - 2048)
+           * ((d.seed + 31 * s.i) % 4096 - 2048) AS e2
+  FROM dims d JOIN generate_series(0, {_WAV_FP_SAMPLES_MAX - 1}) s(i)
+       ON s.i < d.n
+),
+win AS (SELECT doc_id, w, SUM(e2) AS energy FROM sq GROUP BY 1, 2),
+fp AS (
+  SELECT a.doc_id,
+         SUM(CASE WHEN b.energy > a.energy
+                  THEN 1::BIGINT << a.w ELSE 0 END)::BIGINT AS fp
+  FROM win a JOIN win b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+  GROUP BY 1
+),
+tot AS (SELECT doc_id, SUM(e2)::BIGINT AS sum_sq FROM sq GROUP BY 1)
+SELECT f.doc_id, f.fp, t.sum_sq FROM fp f JOIN tot t USING (doc_id)
+"""
