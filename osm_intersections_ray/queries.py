@@ -427,6 +427,10 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id"]))
     q["image_dup_pairs"] = lambda sf: multimodal.image_dup_pairs(
         _tbl(sf, "documents", ["doc_id"]))
+    q["image_dup_clusters"] = lambda sf: multimodal.image_dup_clusters(
+        _tbl(sf, "documents", ["doc_id"]))
+    q["image_dedup_survivors"] = lambda sf: multimodal.image_dedup_survivors(
+        _tbl(sf, "documents", ["doc_id"]))
 
     # --- events (stream-shaped)
     q["events_hourly"] = lambda sf: events.hourly_window(
@@ -804,6 +808,8 @@ def oracle_sql() -> dict:
         "image_ahash": multimodal.image_ahash_sql(),
         "image_dup_pairs": multimodal.image_dup_pairs_sql(),
         "audio_fingerprint": multimodal.audio_fingerprint_sql(),
+        "image_dup_clusters": multimodal.image_dup_clusters_sql(),
+        "image_dedup_survivors": multimodal.image_dedup_survivors_sql(),
         "knn_cosine": similarity.knn_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         "rrf_fusion": similarity.rrf_fusion_sql(),

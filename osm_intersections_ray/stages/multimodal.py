@@ -2288,3 +2288,92 @@ fp AS (
 tot AS (SELECT doc_id, SUM(e2)::BIGINT AS sum_sq FROM sq GROUP BY 1)
 SELECT f.doc_id, f.fp, t.sum_sq FROM fp f JOIN tot t USING (doc_id)
 """
+
+
+def image_dup_clusters(docs_ds):
+    """Image near-dup CLUSTER assignment: connected components over the
+    aHash pair graph — cluster_id = smallest doc_id in the component (the
+    keep-one-per-cluster policy's grouping).  Reuses the distributed
+    hash-min CC kernel (pointer-jumped, O(log diameter) rounds); only
+    (doc_id, doc_id) edges and (doc_id, label) rows ever shuffle — never
+    image bytes."""
+    from .common import drop_empty_blocks
+    from .dedup import hash_min_components
+
+    import ray.data as rd
+
+    pairs = drop_empty_blocks(image_dup_pairs(docs_ds).materialize())
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["node"], "cluster_id": b["label"]})
+
+    cc = hash_min_components(pairs, node_col="doc_a", nbr_col="doc_b").map_batches(
+        rename, batch_format="pyarrow")
+    # schema seed (see image_dup_pairs): keeps a no-dup corpus 0-row result
+    # schema-stable through to_pandas
+    seed = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+    return rd.from_arrow(seed.empty_table()).union(cc)
+
+
+def image_dup_clusters_sql(table: str = "documents") -> str:
+    return ("WITH RECURSIVE " + _AHASH_SIG_SQL.format(table=table,
+                                                      px_max=_AHASH_PX_MAX)
+            + f""",
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+        + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= {AHASH_HAM_MAX}
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT node AS doc_id, MIN(r)::BIGINT AS cluster_id FROM reach GROUP BY node
+""")
+
+
+def image_dedup_survivors(docs_ds):
+    """Images that survive perceptual-hash dedup: for each hamming<=3 pair
+    the LARGER doc_id drops (keep-first-by-id, the near_dedup_survivors
+    policy applied to the image column).  Distributed left_outer anti-join
+    on (doc_id) keys — no process holds the drop set."""
+    from .common import cap_join_partitions, drop_empty_blocks
+
+    pairs = drop_empty_blocks(image_dup_pairs(docs_ds).materialize())
+    ids = docs_ds.map_batches(lambda b: b.select(["doc_id"]),
+                              batch_format="pyarrow")
+    if pairs.count() == 0:
+        return ids
+
+    def drop_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_b"],
+                         "dropped": pa.array(np.ones(b.num_rows, np.int8))})
+
+    joined = ids.join(pairs.map_batches(drop_rows, batch_format="pyarrow"),
+                      join_type="left_outer",
+                      num_partitions=cap_join_partitions(16),
+                      on=("doc_id",))
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_null(b["dropped"])).select(["doc_id"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def image_dedup_survivors_sql(table: str = "documents") -> str:
+    return ("WITH " + _AHASH_SIG_SQL.format(table=table, px_max=_AHASH_PX_MAX)
+            + f""",
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+        + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= {AHASH_HAM_MAX}
+)
+SELECT doc_id FROM {table} WHERE doc_id NOT IN (SELECT doc_b FROM p)
+""")

@@ -65,7 +65,7 @@ DOC_QUERIES = [
     "normalize_unicode", "quality_rank", "paragraph_dedup",
     "scrub_dup_ngrams", "linear_fit", "bpe_train", "bpe_apply",
     "doc_stats_melt", "corpus_diff", "image_ahash", "image_dup_pairs",
-    "audio_fingerprint",
+    "audio_fingerprint", "image_dup_clusters", "image_dedup_survivors",
 ]
 
 
