@@ -67,7 +67,7 @@ DRIVER_SAMPLE_50 = [
     "knn_cosine", "rrf_fusion", "embedding_near_dup", "embedding_centroids",
     "embedding_moments",                   # similarity
     "image_decode_png", "image_decode_jpeg", "video_frame_sample",
-    "audio_decode_flac", "image_resize_ppm",  # multimodal
+    "audio_decode_flac", "image_dup_pairs",  # multimodal (decode + phash dedup)
     "graph_pagerank", "bm25_search", "lm_score", "inverted_index",  # retrieval
     "bpe_token_count", "bpe_train", "bpe_apply",  # tokenizer training
     "token_quantiles", "top_terms_per_lang", "hll_distinct_shingles",
