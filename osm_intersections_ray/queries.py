@@ -706,7 +706,9 @@ def oracle_sql() -> dict:
 
     fx = ensure_fixtures(ORACLE_SF_DIR)
     ways_path = os.path.join(fx, "ways.parquet")
-    pages_tbl = f"read_parquet('{os.path.join(fx, 'pages.parquet')}')"
+    # pages.parquet is a sharded DIRECTORY since fixture v5; DuckDB needs
+    # the glob (sorted, so row order matches the old single file)
+    pages_tbl = f"read_parquet('{os.path.join(fx, 'pages.parquet', '*.parquet')}')"
     # flagship oracles: the single-process reference oracle's rows are
     # materialized once per scale (independent implementation, golden +
     # 4-leg Node-conformance tested) and the SQL is a bare projection —

@@ -36,8 +36,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-FIXTURE_ROOT = "/tmp/osmray_fixtures_v4"  # v4: pages html gains the outlink
-                                          # <p class="links"> section
+FIXTURE_ROOT = "/tmp/osmray_fixtures_v5"  # v5: pages.parquet is a sharded
+                                          # DIRECTORY (file-granular read
+                                          # parallelism; same rows, order)
+# v4: pages html gains the outlink <p class="links"> section
 # v2: parquet written with small row groups so block-split reads parallelize
 
 WORLD = {
@@ -614,9 +616,27 @@ def ensure_fixtures(sf_dir: str) -> str:
                        os.path.join(tmp, "boundaries.parquet"))
         pq.write_table(replicate_world(build_county_cities(), replicas, "county_cities"),
                        os.path.join(tmp, "county_cities.parquet"))
-        pq.write_table(replicate_world(build_pages(scale), replicas, "pages"),
-                       os.path.join(tmp, "pages.parquet"),
-                       row_group_size=8192)
+        # pages is the CORPUS side: write it as a sharded directory (the
+        # production layout — 100 TB of crawl parquet is always many
+        # files).  Ray's parquet reader parallelizes at FILE granularity
+        # (one read task per file, no intra-file splitting in this
+        # version), so a single giant pages file serializes every read —
+        # measured at r64: the whole 6.4M-page kNN join fused into ONE
+        # read task, ~33 s flat at any CPU count.  Shards are sliced in
+        # row order with zero-padded names, so the concatenated read
+        # order is identical to the old single file on every reader
+        # (ray.data, pyarrow dataset, DuckDB sorted glob).
+        pages_tbl = replicate_world(build_pages(scale), replicas, "pages")
+        n_shards_out = max(8, -(-pages_tbl.num_rows // 200_000))
+        pages_dir = os.path.join(tmp, "pages.parquet")
+        os.makedirs(pages_dir)
+        step = -(-pages_tbl.num_rows // n_shards_out)
+        for si in range(n_shards_out):
+            sl = pages_tbl.slice(si * step, step)
+            if sl.num_rows == 0:
+                break
+            pq.write_table(sl, os.path.join(pages_dir, f"part-{si:05d}.parquet"),
+                           row_group_size=8192)
         with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write("ok\n")
         if not os.path.exists(marker):
