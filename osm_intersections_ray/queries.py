@@ -113,7 +113,19 @@ def _tbl(sf_dir: str, name: str, columns=None):
     sch = pq.read_schema(path).remove_metadata()
     if columns is not None:
         sch = pa.schema([sch.field(c) for c in columns])
-    return rd.read_parquet(path, columns=columns, schema=sch).map_batches(
+    # The driver's testdata tables are SINGLE parquet files, and Ray's
+    # reader parallelizes at file granularity: without an override the one
+    # read task emits one block per ~target_max_block_size, which for the
+    # small-but-kernel-heavy tables (5k documents at sf0.1) means ONE block
+    # — every downstream map (BPE segmentation, shingling, scrub) then runs
+    # as one task no matter how many CPUs the cluster has.  Forcing
+    # ~600-row output blocks (capped at 64) makes Ray insert SplitBlocks so
+    # the kernels fan out; at the sf0.01 gate scale this leaves the plans
+    # unchanged.  (Real 100-TB inputs are many files and never hit this.)
+    n_rows = pq.read_metadata(path).num_rows
+    nb = max(1, min(64, n_rows // 600))
+    return rd.read_parquet(path, columns=columns, schema=sch,
+                           override_num_blocks=nb).map_batches(
         _strip_meta, batch_format="pyarrow", batch_size=None)
 
 
