@@ -25,6 +25,7 @@ from .sources import jsonl as jsonl_src
 from .sources import warc as warc_src
 from .sources.synthetic import ensure_fixtures
 from .stages import (
+    curation,
     dedup,
     events,
     filters,
@@ -385,6 +386,17 @@ def queries() -> dict:
         return similarity.ann_ivf(_tbl(sf, "embeddings", ["vec_id", "embedding"]), qref)
 
     q["ann_ivf"] = ann_ivf
+
+    # --- corpus curation (round-4 session-13: split / cap / proportional
+    # sample / quantize — the assemble-the-training-set family)
+    q["dataset_split"] = lambda sf: curation.dataset_split(
+        _tbl(sf, "documents", ["doc_id"]))
+    q["host_capped_pages"] = lambda sf: curation.host_capped_pages(
+        _pages(sf, columns=["url"]))
+    q["proportional_sample"] = lambda sf: curation.proportional_sample(
+        _tbl(sf, "documents", ["doc_id", "lang"]))
+    q["embedding_quantize"] = lambda sf: curation.embedding_quantize(
+        _tbl(sf, "embeddings", ["vec_id", "embedding"]))
 
     # --- multimodal: REAL pure-Python decodes (netpbm raster, RIFF/WAVE
     # PCM16) over deterministic doc_id-keyed payloads; the actor-pool decode
@@ -824,6 +836,10 @@ def oracle_sql() -> dict:
         "audio_fingerprint": multimodal.audio_fingerprint_sql(),
         "image_dup_clusters": multimodal.image_dup_clusters_sql(),
         "image_dedup_survivors": multimodal.image_dedup_survivors_sql(),
+        "dataset_split": curation.dataset_split_sql(),
+        "host_capped_pages": curation.host_capped_pages_sql(pages_tbl),
+        "proportional_sample": curation.proportional_sample_sql(),
+        "embedding_quantize": curation.embedding_quantize_sql(),
         "knn_cosine": similarity.knn_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         "rrf_fusion": similarity.rrf_fusion_sql(),

@@ -1,0 +1,376 @@
+"""Corpus-curation operators: deterministic dataset splitting, per-host crawl
+caps, exact proportional stratified sampling, and embedding quantization —
+the assemble-the-training-set stage that follows dedup/quality filtering in
+an LLM data pipeline.
+
+Everything is hash-derived (md5), never RNG-based, so every result is
+reproducible across runs, partitionings and engines, and every operator has
+a bit-exact DuckDB oracle.
+
+Scale shapes (100-TB design notes are per function):
+* ``dataset_split`` is row-local — zero shuffle.
+* ``host_capped_pages`` is the HIGH-cardinality grouped top-k (millions of
+  hosts): per-batch pre-reduction under one host-sharded exchange, unlike
+  ``text.stratified_sample``'s driver-merge which is right only for
+  enum-sized groups (languages).
+* ``proportional_sample`` needs each group's COUNT before it can rank, so
+  it is the grouped distributed-selection problem: a bounded (lang, bucket)
+  histogram picks the hash-threshold bucket per language and only the
+  boundary bucket's rows are ever collected (the ``acctbal_quantiles``
+  targeted-bucket move, grouped).
+* ``embedding_quantize`` is row-local float->int8 — zero shuffle, numpy
+  kernels over the flattened Arrow list buffers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import h60
+from .common import n_shards
+
+_PIPE = chr(124)  # '|' without fighting SQL escaping in f-strings
+
+
+# --- deterministic train/valid/test split ----------------------------------
+SPLIT_CUTS = (800_000, 900_000)  # ppm cutoffs: <80% train, <90% valid, rest test
+
+
+def dataset_split(ds):
+    """Assign every document to train/valid/test by a pure hash of its id —
+    the canonical "split before you train" op.  Hash-based (not RNG) so the
+    assignment is stable under re-runs, re-partitioning, engine changes and
+    incremental ingest (a new doc never moves an old one between splits).
+
+    Scale shape: row-local map, zero shuffle, no state."""
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        buckets = np.array([h60(f"split|{i}") % 1_000_000 for i in ids],
+                           dtype=np.int64)
+        split = np.where(buckets < SPLIT_CUTS[0], "train",
+                         np.where(buckets < SPLIT_CUTS[1], "valid", "test"))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "bucket": pa.array(buckets, pa.int64()),
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def dataset_split_sql(table: str = "documents") -> str:
+    b = (f"('0x' || substr(md5('split' || chr(124) || "
+         f"CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000")
+    return f"""
+SELECT doc_id, {b} AS bucket,
+       CASE WHEN {b} < {SPLIT_CUTS[0]} THEN 'train'
+            WHEN {b} < {SPLIT_CUTS[1]} THEN 'valid'
+            ELSE 'test' END AS split
+FROM {table}
+"""
+
+
+# --- per-host crawl cap (high-cardinality grouped top-k) --------------------
+HOST_CAP = 3
+_HOST_RE = r"^https?://([^/]+)"
+_CAP_PARTIAL_SCHEMA = pa.schema([
+    ("hshard", pa.int64()), ("host", pa.string()), ("url", pa.string()),
+    ("hkey", pa.string()),
+])
+_CAP_OUT_SCHEMA = pa.schema([
+    ("host", pa.string()), ("url", pa.string()), ("rank", pa.int64()),
+])
+
+
+def host_capped_pages(pages_ds, cap: int = HOST_CAP):
+    """Cap the corpus at ``cap`` pages per host, chosen by deterministic
+    hash order (md5 of the url) — the crawl-diversity cap every web-corpus
+    build applies so no single site dominates the mixture.
+
+    Scale shape: hosts are HIGH-cardinality (millions), so the driver-merge
+    top-k used for enum-sized strata does not apply.  Instead: (1) each
+    batch locally keeps at most ``cap`` candidates per host it sees (a
+    global top-cap row is a top-cap row of its own batch, so the
+    pre-reduction is lossless and bounds the exchange at cap x hosts-per-
+    batch rows — never the corpus); (2) ONE host-hash-sharded exchange;
+    (3) each shard owns its hosts outright and finishes the rank locally.
+    Nothing host-cardinality-sized ever sits on the driver."""
+    NS = n_shards()
+
+    def local_cap(b: pa.Table) -> pa.Table:
+        u = b["url"].to_pandas()
+        host = u.str.extract(_HOST_RE, expand=False)
+        df = pd.DataFrame({"host": host, "url": u}).dropna(subset=["host"])
+        df = df[df["host"] != ""]
+        if not len(df):
+            return _CAP_PARTIAL_SCHEMA.empty_table()
+        df["hkey"] = [hashlib.md5(f"cap|{x}".encode("utf-8")).hexdigest()
+                      for x in df["url"]]
+        df = (df.sort_values(["host", "hkey", "url"], kind="stable")
+              .groupby("host", sort=False).head(cap))
+        df["hshard"] = (pd.util.hash_pandas_object(df["host"], index=False)
+                        .to_numpy() % NS).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["hshard", "host", "url", "hkey"]], preserve_index=False,
+            schema=_CAP_PARTIAL_SCHEMA).replace_schema_metadata(None)
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["host", "hkey", "url"], kind="stable")
+        df["rank"] = df.groupby("host", sort=False).cumcount() + 1
+        df = df[df["rank"] <= cap]
+        return pa.Table.from_pandas(
+            df[["host", "url", "rank"]], preserve_index=False,
+            schema=_CAP_OUT_SCHEMA).replace_schema_metadata(None)
+
+    return (pages_ds.map_batches(local_cap, batch_format="pyarrow")
+            .groupby("hshard").map_groups(per_shard, batch_format="pandas"))
+
+
+def host_capped_pages_sql(table: str = "pages", cap: int = HOST_CAP) -> str:
+    return f"""
+WITH h AS (
+  SELECT url, regexp_extract(url, '{_HOST_RE}', 1) AS host,
+         md5('cap' || chr(124) || url) AS hkey
+  FROM {table}
+)
+SELECT host, url,
+       row_number() OVER (PARTITION BY host ORDER BY hkey, url)::BIGINT AS rank
+FROM h
+WHERE coalesce(host, '') <> ''
+QUALIFY rank <= {cap}
+"""
+
+
+# --- exact proportional stratified sample (grouped distributed selection) ---
+PROP_NUM, PROP_DEN = 1, 10  # keep ceil(n/10) docs per language (10%)
+_NULL_LANG = "\x00<null-lang>"  # driver-dict sentinel; never leaves the driver
+_HIST_SCHEMA = pa.schema([("langk", pa.string()), ("bucket", pa.int64()),
+                          ("n", pa.int64())])
+_PROP_OUT_SCHEMA = pa.schema([("lang", pa.string()), ("doc_id", pa.int64())])
+
+
+def _prop_keys(ids) -> np.ndarray:
+    return np.array([h60(f"prop|{i}") for i in ids], dtype=np.int64)
+
+
+def proportional_sample(ds):
+    """Keep EXACTLY ceil(n/10) documents per language, chosen by global
+    (md5-hash, doc_id) order within the language — proportional stratified
+    sampling where the per-group quota depends on the group's (unknown)
+    count, i.e. the grouped distributed-selection problem.
+
+    Scale shape (3 streaming passes, nothing corpus-sized anywhere):
+    1. histogram pass: per-batch (lang, bucket) counts, bucket = top 16
+       bits of the 60-bit row hash -> a <= 65536 x |langs| driver table,
+       independent of corpus size.  The driver turns each language's
+       cumulative histogram into (threshold bucket b*, rows-still-needed m).
+    2. boundary pass: only rows whose bucket == b*[lang] are collected
+       (expected n_lang/65536 rows) and the driver picks the m smallest by
+       (hash, doc_id) — the ``acctbal_quantiles`` targeted-bucket move,
+       per group.
+    3. emit pass: broadcast {lang: (b*, boundary picks)}; a row-local
+       filter keeps bucket < b* outright plus the picked boundary rows.
+    At larger corpora widen the bucket space (more hash bits) so the
+    boundary collect stays tiny; everything else is unchanged."""
+    import ray
+
+    from .common import cached_get
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        langs = [l if l is not None else _NULL_LANG
+                 for l in b["lang"].to_pylist()]
+        bk = _prop_keys(ids) >> 44
+        g = (pd.DataFrame({"langk": langs, "bucket": bk})
+             .groupby(["langk", "bucket"], sort=False).size()
+             .reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_HIST_SCHEMA).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["langk", "bucket"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())  # <= 65536 x |langs| rows — corpus-size-free
+    if not len(hist):
+        return ray.data.from_arrow(_PROP_OUT_SCHEMA.empty_table())
+
+    plan: dict = {}  # langk -> (b_star, m_needed)
+    for langk, g in hist.groupby("langk", sort=False):
+        g = g.sort_values("bucket", kind="stable")
+        n = int(g["n"].sum())
+        k = -(-n * PROP_NUM // PROP_DEN)  # ceil(n * NUM / DEN), pure ints
+        cum = g["n"].cumsum().to_numpy()
+        j = int(np.searchsorted(cum, k, side="left"))
+        b_star = int(g["bucket"].iloc[j])
+        before = int(cum[j - 1]) if j else 0
+        plan[str(langk)] = (b_star, k - before)
+
+    plan_ref = ray.put(plan)
+
+    def boundary_rows(b: pa.Table) -> pa.Table:
+        p = cached_get(plan_ref)
+        ids = b["doc_id"].to_pylist()
+        langs = [l if l is not None else _NULL_LANG
+                 for l in b["lang"].to_pylist()]
+        hk = _prop_keys(ids)
+        bk = hk >> 44
+        keep = np.array([lk in p and bkv == p[lk][0]
+                         for lk, bkv in zip(langs, bk)], dtype=bool)
+        sel = pa.array(np.nonzero(keep)[0].astype(np.int64))
+        return pa.table({
+            "langk": pa.array([langs[i] for i in np.nonzero(keep)[0]],
+                              pa.string()),
+            "doc_id": b["doc_id"].take(sel),
+            "hkey": pa.array(hk[keep], pa.int64()),
+        })
+
+    bdf = (ds.map_batches(boundary_rows, batch_format="pyarrow")
+           .to_pandas())  # expected n/65536 rows per language — tiny
+    picks: dict = {}
+    for langk, g in bdf.groupby("langk", sort=False):
+        m = plan[str(langk)][1]
+        g = g.sort_values(["hkey", "doc_id"], kind="stable").head(m)
+        picks[str(langk)] = frozenset(int(i) for i in g["doc_id"])
+    final = {lk: (b, picks.get(lk, frozenset())) for lk, (b, _) in plan.items()}
+    final_ref = ray.put(final)
+
+    def emit(b: pa.Table) -> pa.Table:
+        p = cached_get(final_ref)
+        ids = b["doc_id"].to_pylist()
+        langs = [l if l is not None else _NULL_LANG
+                 for l in b["lang"].to_pylist()]
+        bk = _prop_keys(ids) >> 44
+        keep = np.array(
+            [lk in p and (bkv < p[lk][0] or int(i) in p[lk][1])
+             for lk, bkv, i in zip(langs, bk, ids)], dtype=bool)
+        sel = pa.array(np.nonzero(keep)[0].astype(np.int64))
+        return pa.table({
+            "lang": b["lang"].take(sel),
+            "doc_id": b["doc_id"].take(sel),
+        }).cast(_PROP_OUT_SCHEMA)
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def proportional_sample_sql(table: str = "documents") -> str:
+    return f"""
+WITH h AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5('prop' || chr(124) ||
+                              CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
+  FROM {table}
+), r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT lang, doc_id FROM r
+WHERE rk <= (n * {PROP_NUM} + {PROP_DEN - 1}) // {PROP_DEN}
+"""
+
+
+# --- int8 embedding quantization (row-local, bit-exact) ---------------------
+_QUANT_SCHEMA = pa.schema([
+    ("vec_id", pa.int64()), ("scale", pa.float64()),
+    ("q_str", pa.string()), ("max_abs_err", pa.float64()),
+])
+
+
+def embedding_quantize(ds):
+    """Symmetric int8 quantization of every embedding: per-vector scale =
+    max(|x|), q_i = floor(x_i * 127 / scale + 0.5), plus the max absolute
+    dequantization error — the "shrink the vector store 4x before ANN"
+    step.  Bit-exact vs DuckDB because every step is elementwise IEEE-754
+    double arithmetic evaluated in the same order on both sides (probed
+    float-for-float over the full fixture).
+
+    Scale shape: row-local numpy over the flattened Arrow list buffers
+    (one abs/max reduceat + one fused elementwise pass per batch); zero
+    shuffle, no state, no driver data.  NULL embeddings pass through as
+    NULL; empty lists mirror DuckDB (scale NULL, q_str NULL, err NULL);
+    all-zero vectors quantize to zeros with err 0."""
+
+    def quantize(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        nrows = len(arr)
+        valid = np.asarray(arr.is_valid())
+        lens = np.zeros(nrows, dtype=np.int64)
+        vl = arr.value_lengths().to_numpy(zero_copy_only=False)
+        lens[valid] = np.asarray(vl[valid], dtype=np.int64)
+        vals = np.asarray(arr.flatten().to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        nz = valid & (lens > 0)
+
+        scale_row = np.full(nrows, np.nan)
+        if nz.any():
+            scale_row[nz] = np.maximum.reduceat(np.abs(vals), starts[nz])
+
+        # elementwise scale (repeat per row), guarded for zero vectors
+        escale = np.repeat(np.where(np.isnan(scale_row), 1.0, scale_row), lens)
+        ezero = np.repeat(np.where(valid, scale_row == 0, False), lens)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor(vals * 127.0 / escale + 0.5)
+        q = np.where(ezero, 0.0, q).astype(np.int64)
+        err_el = np.abs(vals - q.astype(np.float64) * escale / 127.0)
+        err_el = np.where(ezero, 0.0, err_el)
+
+        err_row = np.full(nrows, np.nan)
+        if nz.any():
+            err_row[nz] = np.maximum.reduceat(err_el, starts[nz])
+
+        q_str, scale_out, err_out = [], [], []
+        for i in range(nrows):
+            if not valid[i]:
+                q_str.append(None); scale_out.append(None); err_out.append(None)
+            elif lens[i] == 0:
+                # DuckDB: list_max([]) = NULL, array_to_string([]) = NULL
+                q_str.append(None); scale_out.append(None); err_out.append(None)
+            else:
+                q_str.append(",".join(map(str, q[starts[i]:ends[i]])))
+                scale_out.append(float(scale_row[i]))
+                err_out.append(float(err_row[i]))
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "scale": pa.array(scale_out, pa.float64()),
+            "q_str": pa.array(q_str, pa.string()),
+            "max_abs_err": pa.array(err_out, pa.float64()),
+        }).cast(_QUANT_SCHEMA)
+
+    return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def embedding_quantize_sql(table: str = "embeddings") -> str:
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+             AS scale
+  FROM {table}
+)
+SELECT vec_id, scale,
+  CASE WHEN embedding IS NULL THEN NULL
+       ELSE array_to_string(list_transform(embedding, x ->
+         CAST(CASE WHEN scale = 0 THEN 0
+              ELSE floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+              END AS BIGINT)), ',')
+  END AS q_str,
+  CASE WHEN scale = 0 THEN 0.0 ELSE
+    list_max(list_transform(embedding, x ->
+      abs(CAST(x AS DOUBLE)
+          - CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS BIGINT)
+            * scale / 127.0)))
+  END AS max_abs_err
+FROM s
+"""

@@ -66,6 +66,7 @@ DOC_QUERIES = [
     "scrub_dup_ngrams", "linear_fit", "bpe_train", "bpe_apply",
     "doc_stats_melt", "corpus_diff", "image_ahash", "image_dup_pairs",
     "audio_fingerprint", "image_dup_clusters", "image_dedup_survivors",
+    "dataset_split", "proportional_sample",
 ]
 
 
@@ -221,9 +222,109 @@ def edge_emb_dir(tmp_path_factory):
 
 
 @pytest.mark.parametrize("name", ["knn_cosine", "embedding_near_dup",
-                                  "rrf_fusion", "knn_graph"])
+                                  "rrf_fusion", "knn_graph",
+                                  "embedding_quantize"])
 def test_edge_embeddings_vs_oracle(ray_session, edge_emb_dir, name):
     _compare(ray_session, edge_emb_dir, "embeddings", name)
+
+
+@pytest.fixture(scope="module")
+def edge_quant_dir(tmp_path_factory):
+    """Degenerate vectors the quantizer must mirror DuckDB on: NULL
+    embedding, EMPTY list (list_max([]) / array_to_string([]) are NULL),
+    all-zero (scale 0 -> q 0, err 0), singleton, negative-dominant (scale
+    from |min|), and a saturating near-max element."""
+    d = tmp_path_factory.mktemp("edge_quant")
+    vecs = [
+        None,                       # NULL embedding
+        [],                         # empty list
+        [0.0, 0.0, 0.0],            # zero vector
+        [2.5],                      # singleton
+        [-3.0, 1.5, 0.1],           # |min| sets the scale
+        [1e-30, -1e-30, 1e-30],     # tiny magnitudes
+        [0.9999999, 1.0, -1.0],     # near-max saturation both signs
+        [7.0, 7.0, 7.0],            # constant vector
+    ]
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    })
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_edge_embedding_quantize_degenerate(ray_session, edge_quant_dir):
+    _compare(ray_session, edge_quant_dir, "embeddings", "embedding_quantize")
+
+
+def test_edge_dataset_split_proportional_null_lang(ray_session, tmp_path_factory):
+    """proportional_sample quota edges: a NULL-lang stratum (SQL PARTITION
+    BY keeps it), a 1-doc lang (k = ceil(0.1) = 1 keeps the doc), a 10-doc
+    lang (k = 1), and an 11-doc lang (k = 2); dataset_split rides the same
+    world."""
+    d = tmp_path_factory.mktemp("edge_prop")
+    langs = ([None] * 3 + ["solo"] + ["ten"] * 10 + ["eleven"] * 11)
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(langs)), pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(len(langs))], pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["edge"] * len(langs), pa.string()),
+        "n_chars": pa.array([5] * len(langs), pa.int64()),
+    })
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    _compare(ray_session, str(d), "documents", "proportional_sample")
+    _compare(ray_session, str(d), "documents", "dataset_split")
+
+    # quota sanity on top of the oracle match
+    from osm_intersections_ray.queries import queries
+
+    out = queries()["proportional_sample"](str(d)).to_pandas()
+    got = out.groupby("lang", dropna=False).size()
+    assert got.get("solo") == 1 and got.get("ten") == 1
+    assert got.get("eleven") == 2
+    assert got[got.index.isna()].sum() == 1  # ceil(3/10) = 1 NULL-lang doc
+
+
+def test_edge_host_capped_pages(ray_session, tmp_path_factory):
+    """Per-host cap hostiles: a host with exactly cap pages (all kept), one
+    with cap+2 (two dropped by hash order), a single-page host, unparseable
+    urls (no scheme / ftp / empty host part) dropped on both sides, and a
+    host:port treated as a distinct host."""
+    import duckdb
+
+    from osm_intersections_ray.stages import curation
+
+    d = tmp_path_factory.mktemp("edge_cap")
+    urls = (
+        [f"https://big.example/{i}" for i in range(5)]      # cap+2
+        + [f"http://exact.example/{i}" for i in range(3)]   # exactly cap
+        + ["https://solo.example/only"]
+        + ["ftp://nope.example/x", "not a url", ""]          # unparseable
+        + ["https://port.example:8080/a", "https://port.example/b"]
+    )
+    pq.write_table(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array([b""] * len(urls), pa.binary()),
+    }), str(d / "pages.parquet"))
+
+    import ray.data as rd
+
+    eng = curation.host_capped_pages(
+        rd.read_parquet(str(d / "pages.parquet"), columns=["url"])).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(curation.host_capped_pages_sql(
+        f"read_parquet('{d}/pages.parquet')")).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    # big.example capped at 3, the rest intact, junk dropped
+    byhost = eng.groupby("host").size()
+    assert byhost["big.example"] == 3 and byhost["exact.example"] == 3
+    assert byhost["solo.example"] == 1
+    assert byhost["port.example:8080"] == 1 and byhost["port.example"] == 1
+    assert not any(h.startswith(("ftp", "not")) for h in byhost.index)
 
 
 # ---------------------------------------------------------------- pages edge
