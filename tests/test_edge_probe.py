@@ -907,6 +907,13 @@ def test_edge_bpe_train_hostiles(ray_session, tmp_path_factory):
     assert (r1["lft"], r1["rgt"], r1["n"]) == ("a", "a", 7)
     # early stop: this tiny vocab exhausts mergeable pairs before 8 rounds
     assert 0 < len(eng) <= T.BPE_MERGES
+    # the carry-forward path must be SQL-exact on the same hostile world
+    # (incl. riding the early stop with its segmented column carried)
+    carried = T.bpe_train(rd.read_parquet(str(d / "documents.parquet")),
+                          carry=True)
+    ce = _canon(carried)
+    for c in ce.columns:
+        assert (ce[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
 
 
 def test_edge_bpe_train_all_single_chars(ray_session, tmp_path_factory):

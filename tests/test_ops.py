@@ -1539,3 +1539,30 @@ def test_partitioned_sink_single_pass(ray_session, tmp_path):
 
     back = read_partitioned(str(tmp_path / "out")).to_pandas()
     assert sorted(back.columns) == ["part", "x"] and len(back) == 12
+
+
+def test_bpe_train_carry_equivalence(ray_session):
+    """The carry-forward path (segmented column persisted between rounds,
+    one new merge applied per round) must produce bit-identical merges to
+    the regenerate path at a merge count past BPE_CARRY_THRESHOLD — and the
+    default auto-switch must route there."""
+    import pandas as pd
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import text as T
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "how vexingly quick daft zebras jump",
+        "sphinx of black quartz judge my vow",
+        "aaa aab aba abb baa bab bba bbb abab baba",
+        "İstanbul ΑΣ σς mixed ünïcødé lettèrs here",
+    ] * 3
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    n = T.BPE_CARRY_THRESHOLD + 8
+    regen = T.bpe_train(rd.from_arrow(tbl), n, carry=False)
+    auto = T.bpe_train(rd.from_arrow(tbl), n)  # > threshold -> carry path
+    pd.testing.assert_frame_equal(regen.reset_index(drop=True),
+                                  auto.reset_index(drop=True))
+    assert len(auto) == n  # corpus is rich enough that no early stop fired
