@@ -112,6 +112,10 @@ BENCH_QUERIES = [
     "daily_active_users",   # day-sharded exact distinct fold (round 4)
     "image_dup_pairs",      # perceptual-hash image near-dup band join (round 4)
     "audio_fingerprint",    # energy-delta audio content signature (round 4)
+    "host_capped_pages",    # per-host crawl cap, host-sharded top-k (round 4)
+    "proportional_sample",  # grouped distributed selection, 3 passes (round 4)
+    "embedding_quantize",   # row-local int8 vector quantization (round 4)
+    "dataset_split",        # hash train/valid/test assignment (round 4)
 ]
 
 
