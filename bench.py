@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "proportional_sample",  # grouped distributed selection, 3 passes (round 4)
     "embedding_quantize",   # row-local int8 vector quantization (round 4)
     "dataset_split",        # hash train/valid/test assignment (round 4)
+    "token_budget_sample",  # weighted distributed selection (round 4)
 ]
 
 

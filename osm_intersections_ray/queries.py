@@ -103,7 +103,7 @@ def _strip_meta(b):
     return b.replace_schema_metadata(None)
 
 
-def _tbl(sf_dir: str, name: str, columns=None):
+def _tbl(sf_dir: str, name: str, columns=None, rows_per_block: int = 600):
     # pass a metadata-stripped schema at the READ so even the read operator's
     # own block-schema dedup hash never sees the driver testdata's pandas
     # dict metadata (the worker-side "Failed to hash the schemas" warning);
@@ -123,11 +123,39 @@ def _tbl(sf_dir: str, name: str, columns=None):
     # ~600-row output blocks (capped at 64) makes Ray insert SplitBlocks so
     # the kernels fan out; at the sf0.01 gate scale this leaves the plans
     # unchanged.  (Real 100-TB inputs are many files and never hit this.)
+    # rows_per_block: the heavy actor-pool codec chains fuse READ->encode->
+    # decode into one operator, so the INPUT block count IS the chain's
+    # parallelism (batch_size cannot split a fused chain) — those queries
+    # pass a smaller value so the fused tasks cover the cluster.
     n_rows = pq.read_metadata(path).num_rows
-    nb = max(1, min(64, n_rows // 600))
+    nb = max(1, min(64, n_rows // rows_per_block))
     return rd.read_parquet(path, columns=columns, schema=sch,
                            override_num_blocks=nb).map_batches(
         _strip_meta, batch_format="pyarrow", batch_size=None)
+
+
+def _codec_ids(sf_dir: str):
+    # doc_id feed for the codec chains: READ->encode->decode FUSES into one
+    # operator, so the input block count IS the chain's parallelism --
+    # ~75 rows/block keeps up to 64 fused tasks in flight (gate-scale plans
+    # are unchanged: 500 rows still yield a handful of blocks).
+    # The feed is MATERIALIZED (it is a driver-testdata-sized id column,
+    # ~40 KB) because a single-file read is one streaming generator task
+    # whose 2-block in-flight buffer lock-steps the fused codec chain to
+    # ~2 concurrent tasks (measured 4.0s -> 0.8s on the flac chain once
+    # blocks pre-exist).  Real multi-file inputs fan out at the read and
+    # never need this.
+    return _tbl(sf_dir, "documents", ["doc_id"], rows_per_block=75).materialize()
+
+
+def _codec_pool() -> int:
+    # heavy-codec pool size, derived from the live cluster at query-build
+    # time: capped at 8 (measured fastest once actor startup is priced in)
+    # and never above the CPU count (a 4-cpu pytest session should not pay
+    # for pending actors it cannot schedule)
+    import ray as _ray
+
+    return max(2, min(8, int(_ray.cluster_resources().get("CPU", 8))))
 
 
 def queries() -> dict:
@@ -397,64 +425,74 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "lang"]))
     q["embedding_quantize"] = lambda sf: curation.embedding_quantize(
         _tbl(sf, "embeddings", ["vec_id", "embedding"]))
+    q["token_budget_sample"] = lambda sf: curation.token_budget_sample(
+        _tbl(sf, "documents", ["doc_id", "text", "lang"]))
 
     # --- multimodal: REAL pure-Python decodes (netpbm raster, RIFF/WAVE
     # PCM16) over deterministic doc_id-keyed payloads; the actor-pool decode
     # stage reads the actual bytes, the oracle predicts them in closed form
     q["image_decode_ppm"] = lambda sf: (
-        _tbl(sf, "documents", ["doc_id"])
+        _codec_ids(sf)
         .map_batches(multimodal.ppm_media_batch, batch_format="pyarrow", batch_size=512)
         .map_batches(multimodal.PPMDecode, batch_format="pyarrow",
                      batch_size=256, concurrency=(1, 8)))
     q["image_decode_png"] = lambda sf: (
-        _tbl(sf, "documents", ["doc_id"])
+        _codec_ids(sf)
         .map_batches(multimodal.png_media_batch, batch_format="pyarrow", batch_size=512)
         .map_batches(multimodal.PNGDecode, batch_format="pyarrow",
                      batch_size=256, concurrency=(1, 8)))
     q["image_decode_gif"] = lambda sf: (
-        _tbl(sf, "documents", ["doc_id"])
+        _codec_ids(sf)
         .map_batches(multimodal.gif_media_batch, batch_format="pyarrow", batch_size=512)
         # the encode stage FUSES into this actor pool, so the pool cap is the
         # pipeline's parallelism — size it to the node, not a fraction of it
         .map_batches(multimodal.GIFDecode, batch_format="pyarrow",
-                     batch_size=128, concurrency=(1, 12)))
+                     # FIXED pool: pre-provision all actors (an autoscaling
+                     # (1, N) pool never ramps up inside a seconds-long job)
+                     batch_size=64, concurrency=_codec_pool()))
     q["image_decode_jpeg"] = lambda sf: (
-        _tbl(sf, "documents", ["doc_id"])
+        _codec_ids(sf)
         .map_batches(multimodal.jpeg_media_batch, batch_format="pyarrow", batch_size=512)
         .map_batches(multimodal.JPEGDecode, batch_format="pyarrow",
-                     batch_size=128, concurrency=(1, 12)))
+                     # FIXED pool: pre-provision all actors (an autoscaling
+                     # (1, N) pool never ramps up inside a seconds-long job)
+                     batch_size=64, concurrency=_codec_pool()))
     q["video_frame_sample"] = lambda sf: (
-        _tbl(sf, "documents", ["doc_id"])
+        _codec_ids(sf)
         .map_batches(multimodal.avi_media_batch, batch_format="pyarrow", batch_size=256)
         .map_batches(multimodal.MJPEGFrameSample, batch_format="pyarrow",
-                     batch_size=128, concurrency=(1, 12)))
+                     # FIXED pool: pre-provision all actors (an autoscaling
+                     # (1, N) pool never ramps up inside a seconds-long job)
+                     batch_size=64, concurrency=_codec_pool()))
     q["audio_decode_flac"] = lambda sf: (
-        _tbl(sf, "documents", ["doc_id"])
+        _codec_ids(sf)
         .map_batches(multimodal.flac_media_batch, batch_format="pyarrow", batch_size=256)
         .map_batches(multimodal.FLACDecode, batch_format="pyarrow",
-                     batch_size=128, concurrency=(1, 12)))
+                     # FIXED pool: pre-provision all actors (an autoscaling
+                     # (1, N) pool never ramps up inside a seconds-long job)
+                     batch_size=64, concurrency=_codec_pool()))
     q["audio_decode_wav"] = lambda sf: (
-        _tbl(sf, "documents", ["doc_id"])
+        _codec_ids(sf)
         .map_batches(multimodal.wav_media_batch, batch_format="pyarrow", batch_size=512)
         .map_batches(multimodal.WavDecode, batch_format="pyarrow",
                      batch_size=256, concurrency=(1, 8)))
     q["image_resize_ppm"] = lambda sf: (
-        _tbl(sf, "documents", ["doc_id"])
+        _codec_ids(sf)
         .map_batches(multimodal.ppm_media_batch, batch_format="pyarrow", batch_size=512)
         .map_batches(multimodal.PPMResize, batch_format="pyarrow",
                      batch_size=256, concurrency=(1, 8))
         .map_batches(lambda b: b.select(["doc_id", "width", "height", "sum_px"]),
                      batch_format="pyarrow"))
     q["audio_fingerprint"] = lambda sf: multimodal.audio_fingerprint(
-        _tbl(sf, "documents", ["doc_id"]))
+        _codec_ids(sf))
     q["image_ahash"] = lambda sf: multimodal.image_ahash(
-        _tbl(sf, "documents", ["doc_id"]))
+        _codec_ids(sf))
     q["image_dup_pairs"] = lambda sf: multimodal.image_dup_pairs(
-        _tbl(sf, "documents", ["doc_id"]))
+        _codec_ids(sf))
     q["image_dup_clusters"] = lambda sf: multimodal.image_dup_clusters(
-        _tbl(sf, "documents", ["doc_id"]))
+        _codec_ids(sf))
     q["image_dedup_survivors"] = lambda sf: multimodal.image_dedup_survivors(
-        _tbl(sf, "documents", ["doc_id"]))
+        _codec_ids(sf))
 
     # --- events (stream-shaped)
     q["events_hourly"] = lambda sf: events.hourly_window(
@@ -840,6 +878,7 @@ def oracle_sql() -> dict:
         "host_capped_pages": curation.host_capped_pages_sql(pages_tbl),
         "proportional_sample": curation.proportional_sample_sql(),
         "embedding_quantize": curation.embedding_quantize_sql(),
+        "token_budget_sample": curation.token_budget_sample_sql(),
         "knn_cosine": similarity.knn_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         "rrf_fusion": similarity.rrf_fusion_sql(),

@@ -278,6 +278,163 @@ WHERE rk <= (n * {PROP_NUM} + {PROP_DEN - 1}) // {PROP_DEN}
 """
 
 
+# --- per-language token-budget subset (weighted distributed selection) ------
+TOKEN_BUDGET = 2000  # tokens kept per language (greedy: last doc may overshoot)
+_TB_HIST_SCHEMA = pa.schema([("langk", pa.string()), ("bucket", pa.int64()),
+                             ("toks", pa.int64())])
+_TB_OUT_SCHEMA = pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                            ("n_tokens", pa.int64())])
+# token runs exactly as DuckDB RE2 '\s' splits them (tab/nl/ff/cr/space —
+# probed; see stages/text.py::_WS_SPLIT)
+_TOKEN_RUN_RE = r"[^\t\n\f\r ]+"
+
+
+def _budget_keys(ids) -> np.ndarray:
+    return np.array([h60(f"budget|{i}") for i in ids], dtype=np.int64)
+
+
+def _tb_cols(b: pa.Table):
+    """(langk sentinel list, doc_ids, hkeys, buckets, token counts as float
+    with NaN for NULL text) — the shared projection of all three passes."""
+    ids = b["doc_id"].to_pylist()
+    langs = [l if l is not None else _NULL_LANG for l in b["lang"].to_pylist()]
+    hk = _budget_keys(ids)
+    toks = b["text"].to_pandas().str.count(_TOKEN_RUN_RE)
+    return langs, ids, hk, hk >> 44, toks
+
+
+def token_budget_sample(ds, budget: int = TOKEN_BUDGET):
+    """Fill a per-language TOKEN budget: walk the language's documents in
+    deterministic hash order and keep each doc whose cumulative token count
+    *before* it is under the budget (greedy — the boundary doc may
+    overshoot; a doc is never split).  This is the "take N tokens per
+    language" subset builder, i.e. WEIGHTED distributed selection: the
+    threshold is on a running SUM of a per-row weight, not a row count.
+
+    Scale shape (same targeted-bucket plan as :func:`proportional_sample`,
+    with token-mass histograms instead of row counts):
+    1. one pass folds (lang, hash-bucket) -> token-mass partials into a
+       <= 65536 x |langs| driver histogram; the driver finds each
+       language's threshold bucket b* (first bucket where cumulative mass
+       reaches the budget — languages under budget keep everything, no
+       boundary).
+    2. only bucket-b* rows are collected; the driver walks them in (hash,
+       doc_id) order from the pre-b* cumulative base and picks until the
+       budget fills.
+    3. a row-local emit pass keeps bucket < b* plus the picks.
+    NULL-text docs are never kept and contribute nothing to the running
+    sum — the engine mirror of SQL's NULL window arithmetic (cum -
+    n_tokens IS NULL fails the predicate; sum() skips NULL)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .common import cached_get
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        langs, _, _, bk, toks = _tb_cols(b)
+        df = (pd.DataFrame({"langk": langs, "bucket": bk, "toks": toks})
+              .dropna(subset=["toks"]))
+        g = (df.groupby(["langk", "bucket"], sort=False)["toks"].sum()
+             .astype("int64").reset_index(name="toks"))
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_TB_HIST_SCHEMA).replace_schema_metadata(None)
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["langk", "bucket"])
+            .aggregate(Sum("toks", alias_name="toks"))
+            .to_pandas())  # bounded by 65536 x |langs| — corpus-size-free
+    if not len(hist):
+        return ray.data.from_arrow(_TB_OUT_SCHEMA.empty_table())
+
+    # langk -> (b_star, base_before); b_star = None when the whole language
+    # fits inside the budget (every non-NULL doc kept, no boundary walk)
+    plan: dict = {}
+    for langk, g in hist.groupby("langk", sort=False):
+        g = g.sort_values("bucket", kind="stable")
+        cum = g["toks"].cumsum().to_numpy()
+        j = int(np.searchsorted(cum, budget, side="left"))
+        if j >= len(cum):
+            plan[str(langk)] = (None, 0)
+            continue
+        before = int(cum[j - 1]) if j else 0
+        plan[str(langk)] = (int(g["bucket"].iloc[j]), before)
+
+    plan_ref = ray.put(plan)
+
+    def boundary_rows(b: pa.Table) -> pa.Table:
+        p = cached_get(plan_ref)
+        langs, ids, hk, bk, toks = _tb_cols(b)
+        keep = np.array(
+            [lk in p and p[lk][0] is not None and bkv == p[lk][0]
+             and not np.isnan(t)
+             for lk, bkv, t in zip(langs, bk, toks)], dtype=bool)
+        idx = np.nonzero(keep)[0]
+        return pa.table({
+            "langk": pa.array([langs[i] for i in idx], pa.string()),
+            "doc_id": pa.array([ids[i] for i in idx], pa.int64()),
+            "hkey": pa.array(hk[keep], pa.int64()),
+            "toks": pa.array(toks.to_numpy()[keep].astype(np.int64),
+                             pa.int64()),
+        })
+
+    bdf = (ds.map_batches(boundary_rows, batch_format="pyarrow")
+           .to_pandas())  # one bucket per language — tiny
+    picks: dict = {}
+    if bdf.empty or "langk" not in bdf.columns:
+        # every language fits inside its budget: no boundary to walk (an
+        # all-empty collect comes back schema-less from this Ray)
+        bdf = pd.DataFrame(columns=["langk", "doc_id", "hkey", "toks"])
+    for langk, g in bdf.groupby("langk", sort=False):
+        base = plan[str(langk)][1]
+        g = g.sort_values(["hkey", "doc_id"], kind="stable")
+        cum_before = base + np.concatenate(
+            [[0], np.cumsum(g["toks"].to_numpy())[:-1]])
+        picks[str(langk)] = frozenset(
+            int(i) for i, cb in zip(g["doc_id"], cum_before) if cb < budget)
+    final = {lk: (b, picks.get(lk, frozenset())) for lk, (b, _) in plan.items()}
+    final_ref = ray.put(final)
+
+    def emit(b: pa.Table) -> pa.Table:
+        p = cached_get(final_ref)
+        langs, ids, _, bk, toks = _tb_cols(b)
+        keep = np.array(
+            [lk in p and not np.isnan(t)
+             and ((p[lk][0] is None) or bkv < p[lk][0]
+                  or int(i) in p[lk][1])
+             for lk, bkv, t, i in zip(langs, bk, toks, ids)], dtype=bool)
+        sel = pa.array(np.nonzero(keep)[0].astype(np.int64))
+        return pa.table({
+            "lang": b["lang"].take(sel),
+            "doc_id": b["doc_id"].take(sel),
+            "n_tokens": pa.array(toks.to_numpy()[keep].astype(np.int64),
+                                 pa.int64()),
+        }).cast(_TB_OUT_SCHEMA)
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def token_budget_sample_sql(table: str = "documents",
+                            budget: int = TOKEN_BUDGET) -> str:
+    return f"""
+WITH h AS (
+  SELECT lang, doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> ''))::BIGINT AS n_tokens,
+         ('0x' || substr(md5('budget' || chr(124) ||
+                              CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
+  FROM {table}
+), r AS (
+  SELECT lang, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY hkey, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM h
+)
+SELECT lang, doc_id, n_tokens FROM r WHERE cum - n_tokens < {budget}
+"""
+
+
 # --- int8 embedding quantization (row-local, bit-exact) ---------------------
 _QUANT_SCHEMA = pa.schema([
     ("vec_id", pa.int64()), ("scale", pa.float64()),

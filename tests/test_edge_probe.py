@@ -66,7 +66,7 @@ DOC_QUERIES = [
     "scrub_dup_ngrams", "linear_fit", "bpe_train", "bpe_apply",
     "doc_stats_melt", "corpus_diff", "image_ahash", "image_dup_pairs",
     "audio_fingerprint", "image_dup_clusters", "image_dedup_survivors",
-    "dataset_split", "proportional_sample",
+    "dataset_split", "proportional_sample", "token_budget_sample",
 ]
 
 
@@ -284,6 +284,46 @@ def test_edge_dataset_split_proportional_null_lang(ray_session, tmp_path_factory
     assert got.get("solo") == 1 and got.get("ten") == 1
     assert got.get("eleven") == 2
     assert got[got.index.isna()].sum() == 1  # ceil(3/10) = 1 NULL-lang doc
+
+
+def test_edge_token_budget_boundary(ray_session, tmp_path_factory):
+    """token_budget_sample with a TINY budget so the boundary walk bites:
+    a first doc that alone overshoots (kept — cum-before 0 < budget), a
+    zero-token doc (kept for free while under budget), docs past the cut
+    (dropped), a NULL-text doc (never kept, adds nothing to the running
+    sum), and a second language entirely under budget (all kept)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import curation
+
+    d = tmp_path_factory.mktemp("edge_budget")
+    texts = (["w " * 30] + [""] + ["a b c d e f"] * 8 + [None]  # lang big
+             + ["x y z"] * 3)                                    # lang small
+    langs = ["big"] * 11 + ["small"] * 3
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    }), str(d / "documents.parquet"))
+    BUDGET = 10
+    eng = curation.token_budget_sample(
+        rd.read_parquet(str(d / "documents.parquet")), budget=BUDGET).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    orc = con.sql(curation.token_budget_sample_sql(budget=BUDGET)).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o), f"rows {len(e)} vs {len(o)}\n{e}\n{o}"
+    assert list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    small = eng[eng["lang"] == "small"]
+    assert len(small) == 3  # under budget: everything kept
+    big = eng[eng["lang"] == "big"]
+    assert 1 <= len(big) < 10  # budget bit; NULL-text doc 10 never kept
+    assert 10 not in set(eng["doc_id"])
 
 
 def test_edge_host_capped_pages(ray_session, tmp_path_factory):
