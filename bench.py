@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "embedding_quantize",   # row-local int8 vector quantization (round 4)
     "dataset_split",        # hash train/valid/test assignment (round 4)
     "token_budget_sample",  # weighted distributed selection (round 4)
+    "near_dup_containment", # subset-duplication detector over LSH candidates (round 4)
 ]
 
 

@@ -633,6 +633,99 @@ WHERE (100 * coalesce(i.i, 0)) // (sa.n + sb.n - coalesce(i.i, 0)) >= {CHAR_NGRA
 """
 
 
+# --- shingle containment (subset-duplication detector): the same LSH
+# candidates, scored by |A n B| / min(|A|, |B|) instead of Jaccard — a doc
+# QUOTED inside a much larger doc scores ~100 here while its Jaccard is
+# tiny, so this is the dedup flavor that catches wrapper/boilerplate
+# inclusion.  Same distributed shape as the word verify: texts reach their
+# pairs via Dataset.join, shingle sets exist only inside the pair shards.
+CONTAIN_PCT_MIN = 80
+
+
+def containment_verified_pairs(ds, ckpt_key: str | None = None):
+    """LSH candidates verified by word-3-shingle CONTAINMENT (integer
+    percent, floor of 100*|A n B| / min(|A|, |B|)); pairs where either side
+    has no shingles drop, mirroring the oracle's inner join on sizes."""
+    N_PAIR_SHARDS = n_shards(32)  # cluster-derived (VERDICT r3 #3)
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        bb = np.asarray(b["doc_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, bb])),
+            "doc_a": pa.array(np.concatenate([a, a])),
+            "doc_b": pa.array(np.concatenate([bb, bb])),
+        })
+
+    from .common import drop_empty_blocks
+
+    cand = drop_empty_blocks(lsh_candidate_pairs(ds, ckpt_key=ckpt_key).materialize())
+    if cand.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                       "doc_b": pa.array([], pa.int64()),
+                                       "cont_pct": pa.array([], pa.int64())}))
+    member = cand.map_batches(member_rows, batch_format="pyarrow")
+    texts = ds.map_batches(augment_near_batch, batch_format="pyarrow")
+    joined = member.join(texts, join_type="inner",
+                         num_partitions=cap_join_partitions(16), on=("doc_id",))
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        sh = ((np.asarray(b["doc_a"].to_numpy(zero_copy_only=False)) * 1000003
+               + np.asarray(b["doc_b"].to_numpy(zero_copy_only=False)))
+              % N_PAIR_SHARDS).astype(np.int64)
+        return b.append_column("pshard", pa.array(sh))
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        uniq = df.drop_duplicates("doc_id")
+        sh_arrays = _shingle_hashes_per_doc(uniq["text"].tolist())
+        sets = {int(i): np.unique(a)
+                for i, a in zip(uniq["doc_id"], sh_arrays)}
+        pairs = df.drop_duplicates(["doc_a", "doc_b"])
+        out_a, out_b, out_p = [], [], []
+        for a, b2 in zip(pairs["doc_a"], pairs["doc_b"]):
+            sa = sets.get(int(a))
+            sb = sets.get(int(b2))
+            if sa is None or sb is None or not len(sa) or not len(sb):
+                continue  # no shingle set: the oracle's sizes join drops it
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            pct = (100 * inter) // min(len(sa), len(sb))
+            if pct >= CONTAIN_PCT_MIN:
+                out_a.append(int(a))
+                out_b.append(int(b2))
+                out_p.append(pct)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "cont_pct": pa.array(out_p, pa.int64())})
+
+    return (joined.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("pshard").map_groups(per_shard, batch_format="pandas"))
+
+
+def containment_pairs_sql(table: str = "documents") -> str:
+    return f"""
+WITH {_buckets_cte(table)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buck a JOIN buck b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM cand p JOIN sh a ON a.doc_id = p.doc_a JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       ((100 * coalesce(i.i, 0)) // least(sa.n, sb.n))::BIGINT AS cont_pct
+FROM cand p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+WHERE (100 * coalesce(i.i, 0)) // least(sa.n, sb.n) >= {CONTAIN_PCT_MIN}
+"""
+
+
 _SIMHASH_CHUNK = 1 << 17  # occurrences per inner chunk: the (chunk, 64)
 # uint8 bit matrix stays ~8 MB (LLC-resident) however large a block Ray
 # hands the kernel — the previous formulation built a (total_tokens, 60)

@@ -558,8 +558,15 @@ def pages_nearest_way(pages_ds, ways_ds):
     idx_ref = ray.put(build_region_index_refs(vertices))
     pts = pages_ds.map_batches(geotag_batch, batch_format="pyarrow",
                                batch_size=4096)
+    # FIXED pool size: an autoscaling (1, N) pool never ramps up inside a
+    # seconds-long job (the round-4 codec-chain finding); the index refs in
+    # __init__ are exactly the state that justifies the actor pool.  Unlike
+    # the fused codec chains, the geotag/index maps here are SEPARATE task
+    # operators — the pool must leave them CPU headroom or the pipeline
+    # deadlocks on a small cluster (observed live at the 8-cpu gate).
+    n_act = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) - 2))
     return pts.map_batches(PagesNearestWay, batch_format="pyarrow",
-                           batch_size=2048, concurrency=(1, 8),
+                           batch_size=2048, concurrency=n_act,
                            fn_constructor_args=(idx_ref,))
 
 

@@ -67,6 +67,7 @@ DOC_QUERIES = [
     "doc_stats_melt", "corpus_diff", "image_ahash", "image_dup_pairs",
     "audio_fingerprint", "image_dup_clusters", "image_dedup_survivors",
     "dataset_split", "proportional_sample", "token_budget_sample",
+    "near_dup_containment",
 ]
 
 
@@ -284,6 +285,47 @@ def test_edge_dataset_split_proportional_null_lang(ray_session, tmp_path_factory
     assert got.get("solo") == 1 and got.get("ten") == 1
     assert got.get("eleven") == 2
     assert got[got.index.isna()].sum() == 1  # ceil(3/10) = 1 NULL-lang doc
+
+
+def test_edge_containment_quote_inclusion(ray_session, tmp_path_factory):
+    """Containment vs Jaccard split: doc 1 is doc 0 quoted verbatim with a
+    tail appended — shingles(0) is a subset of shingles(1), so containment
+    is 100 while Jaccard sits lower; the pair must band-collide (signatures
+    share most minima) and both engines must agree pair-for-pair."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import dedup as D
+
+    d = tmp_path_factory.mktemp("edge_contain")
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa quebec romeo")
+    rows = [
+        (0, base),
+        (1, base + " sierra tango"),       # quote + small tail
+        (2, "completely different words entirely here nothing shared at all"),
+        (3, base),                          # exact duplicate of 0
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }), str(d / "documents.parquet"))
+    eng = D.containment_verified_pairs(
+        rd.read_parquet(str(d / "documents.parquet"))).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    orc = con.sql(D.containment_pairs_sql()).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o), f"rows {len(e)} vs {len(o)}\n{e}\n{o}"
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    got = {(int(a), int(b)): int(p) for a, b, p in
+           zip(eng["doc_a"], eng["doc_b"], eng["cont_pct"])}
+    assert got.get((0, 1)) == 100  # subset inclusion: containment saturates
+    assert got.get((0, 3)) == 100  # exact dup
+    assert not any(2 in p for p in got)  # unrelated doc never pairs
 
 
 def test_edge_token_budget_boundary(ray_session, tmp_path_factory):
