@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "dataset_split",        # hash train/valid/test assignment (round 4)
     "token_budget_sample",  # weighted distributed selection (round 4)
     "near_dup_containment", # subset-duplication detector over LSH candidates (round 4)
+    "boundary_areas",       # exact integer polygon shoelace census (round 4)
 ]
 
 

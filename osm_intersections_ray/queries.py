@@ -178,6 +178,13 @@ def queries() -> dict:
     q["way_bearing_octants"] = lambda sf: qs.way_bearing_octants(_ways(sf))
     q["way_components"] = lambda sf: graph.way_components(_ways(sf))
 
+    def boundary_areas(sf):
+        fx = ensure_fixtures(sf)
+        return qs.boundary_areas(
+            rd.read_parquet(os.path.join(fx, "boundaries.parquet")))
+
+    q["boundary_areas"] = boundary_areas
+
     # --- full reference-exact pipeline.  Driver-checkable since round 4:
     # the single-process reference oracle's rows are materialized to parquet
     # (oracle/oracle_rows.py) and the SQL oracle projects them, so the
@@ -795,6 +802,8 @@ def oracle_sql() -> dict:
         "way_l1_lengths": qs.way_l1_lengths_sql(ways_path),
         "way_bearing_octants": qs.way_bearing_octants_sql(ways_path),
         "way_components": graph.way_components_sql(ways_path),
+        "boundary_areas": qs.boundary_areas_sql(
+            os.path.join(fx, "boundaries.parquet")),
         "pages_extract": pages.extract_sql(pages_tbl),
         "pages_geotag": pages.geotag_sql(pages_tbl),
         "pages_way_join": pages.pages_way_join_sql(pages_tbl, ways_path),

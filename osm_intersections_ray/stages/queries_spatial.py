@@ -756,3 +756,64 @@ FROM seg
 WHERE dla IS NOT NULL AND (dla <> 0 OR dlo <> 0)
 GROUP BY 1, 2
 """
+
+
+# --- polygon shoelace area census --------------------------------------------
+def boundary_areas(bounds_ds):
+    """Per-ring shoelace area over the boundary polygons — the polygon-
+    geometry AGGREGATE next to the PIP/city-tag ops (J4/T3 consume these
+    same polygons as lookup state; this op measures them).  Emits twice the
+    SIGNED ring area in (micro-degree)^2 as an EXACT int64: coordinates
+    snap to micro-degrees with the shared JS floor(x*1e6 + 0.5) rounding,
+    so every cross product is integer (< 2^56) and the sum is
+    order-insensitive — bit-exact vs the DuckDB list-lambda oracle.
+    Degenerate (<2 point) rings yield NULL, mirroring list_sum([]).
+
+    Scale shape: row-local (one JSON parse + one numpy shoelace per
+    polygon), zero shuffle, no state."""
+    import json
+
+    _S = pa.schema([("name", pa.string()), ("kind", pa.string()),
+                    ("ring", pa.int64()), ("area2_udeg", pa.int64())])
+
+    def shoelace(b: pa.Table) -> pa.Table:
+        names, kinds, rings, areas = [], [], [], []
+        for name, kind, gj in zip(b["name"].to_pylist(),
+                                  b["kind"].to_pylist(),
+                                  b["geom_json"].to_pylist()):
+            for ri, ring in enumerate(json.loads(gj), 1):
+                names.append(name)
+                kinds.append(kind)
+                rings.append(ri)
+                if len(ring) < 2:
+                    areas.append(None)  # list_sum([]) is NULL
+                    continue
+                pts = np.asarray(ring, dtype=np.float64)
+                x = np.floor(pts[:, 0] * 1e6 + 0.5).astype(np.int64)
+                y = np.floor(pts[:, 1] * 1e6 + 0.5).astype(np.int64)
+                areas.append(int(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])))
+        return pa.table({"name": pa.array(names, pa.string()),
+                         "kind": pa.array(kinds, pa.string()),
+                         "ring": pa.array(rings, pa.int64()),
+                         "area2_udeg": pa.array(areas, pa.int64())}).cast(_S)
+
+    return bounds_ds.map_batches(shoelace, batch_format="pyarrow")
+
+
+def boundary_areas_sql(bounds_path: str) -> str:
+    xi = lambda p: f"CAST(floor({p}[1]*1000000 + 0.5) AS BIGINT)"
+    yi = lambda p: f"CAST(floor({p}[2]*1000000 + 0.5) AS BIGINT)"
+    return f"""
+WITH b AS (
+  SELECT name, kind, CAST(geom_json AS DOUBLE[][][]) AS g
+  FROM read_parquet('{bounds_path}')
+), r AS (
+  SELECT name, kind, g, unnest(generate_series(1, len(g))) AS ring FROM b
+)
+SELECT name, kind, ring::BIGINT AS ring,
+       CAST(list_sum(list_transform(range(1, len(g[ring])), i ->
+           {xi('g[ring][i]')} * {yi('g[ring][i+1]')}
+         - {xi('g[ring][i+1]')} * {yi('g[ring][i]')})) AS BIGINT)
+         AS area2_udeg
+FROM r
+"""

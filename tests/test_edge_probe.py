@@ -287,6 +287,55 @@ def test_edge_dataset_split_proportional_null_lang(ray_session, tmp_path_factory
     assert got[got.index.isna()].sum() == 1  # ceil(3/10) = 1 NULL-lang doc
 
 
+def test_edge_boundary_areas_hostiles(ray_session, tmp_path_factory):
+    """Shoelace census hostiles: a polygon WITH A HOLE (clockwise inner
+    ring -> negative signed area), a degenerate 1-point ring (NULL, the
+    list_sum([]) mirror), an UNCLOSED ring (formula runs over the open
+    polyline on both sides), negative coordinates, and a micro-degree
+    sliver whose area is a single unit."""
+    import duckdb
+    import json as _json
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import queries_spatial as qs
+
+    d = tmp_path_factory.mktemp("edge_areas")
+    sq = lambda x0, y0, s: [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s],
+                            [x0, y0 + s], [x0, y0]]
+    rows = [
+        ("holed", "county", [sq(0.0, 0.0, 1.0), sq(0.2, 0.2, 0.1)[::-1]]),
+        ("point", "city", [[[5.0, 5.0]]]),
+        ("open", "city", [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]]),
+        ("negative", "county", [sq(-10.0, -20.0, 2.0)]),
+        ("sliver", "city", [[[0.0, 0.0], [0.000001, 0.0],
+                             [0.000001, 0.000001], [0.0, 0.000001],
+                             [0.0, 0.0]]]),
+    ]
+    pq.write_table(pa.table({
+        "name": pa.array([r[0] for r in rows], pa.string()),
+        "kind": pa.array([r[1] for r in rows], pa.string()),
+        "file_order": pa.array(range(len(rows)), pa.int32()),
+        "geom_json": pa.array([_json.dumps(r[2]) for r in rows], pa.string()),
+    }), str(d / "boundaries.parquet"))
+    eng = qs.boundary_areas(
+        rd.read_parquet(str(d / "boundaries.parquet"))).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(qs.boundary_areas_sql(f"{d}/boundaries.parquet")).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+            f"col {c}\n{e}\n{o}"
+    got = {(r["name"], int(r["ring"])): r["area2_udeg"]
+           for _, r in eng.iterrows()}
+    assert got[("holed", 1)] == 2 * 10**12      # 1 deg^2, CCW -> +2e12
+    assert got[("holed", 2)] == -2 * 10**10     # hole, CW -> negative
+    assert pd.isna(got[("point", 1)])           # degenerate ring -> NULL
+    assert got[("sliver", 1)] == 2              # 2x the 1-microdeg^2 square
+    assert got[("negative", 1)] == 2 * 4 * 10**12
+
+
 def test_edge_containment_quote_inclusion(ray_session, tmp_path_factory):
     """Containment vs Jaccard split: doc 1 is doc 0 quoted verbatim with a
     tail appended — shingles(0) is a subset of shingles(1), so containment
