@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "token_budget_sample",  # weighted distributed selection (round 4)
     "near_dup_containment", # subset-duplication detector over LSH candidates (round 4)
     "boundary_areas",       # exact integer polygon shoelace census (round 4)
+    "minhash_estimate_pairs",  # sketch estimator over LSH candidates (round 4)
 ]
 
 

@@ -306,6 +306,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
     q["near_dup_containment"] = lambda sf: dedup.containment_verified_pairs(
         _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
+    q["minhash_estimate_pairs"] = lambda sf: dedup.minhash_estimate_pairs(
+        _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
     q["near_dedup_survivors"] = lambda sf: dedup.near_dedup_survivors(
         _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
     q["dup_clusters"] = lambda sf: dedup.dup_clusters(
@@ -838,6 +840,7 @@ def oracle_sql() -> dict:
         "simhash_near_pairs": dedup.simhash_near_pairs_sql(),
         "near_dup_char_ngram": dedup.char_ngram_pairs_sql(),
         "near_dup_containment": dedup.containment_pairs_sql(),
+        "minhash_estimate_pairs": dedup.minhash_estimate_pairs_sql(),
         "near_dedup_survivors": dedup.near_dedup_survivors_sql(),
         "dup_clusters": dedup.dup_clusters_sql(),
         "cluster_representatives": dedup.cluster_representatives_sql(),

@@ -633,6 +633,96 @@ WHERE (100 * coalesce(i.i, 0)) // (sa.n + sb.n - coalesce(i.i, 0)) >= {CHAR_NGRA
 """
 
 
+# --- MinHash similarity ESTIMATE per candidate pair: the fraction of equal
+# signature components — the classic sketch estimator whose quality the
+# exact verify (near_dup_jaccard) measures.  Emits EVERY candidate pair
+# (no threshold): this is the op a pipeline uses to rank candidates before
+# paying for exact verification.
+def minhash_estimate_pairs(ds, ckpt_key: str | None = None):
+    """(doc_a, doc_b, est_pct) for every LSH candidate pair, where est_pct
+    = floor(100 * #equal-signature-components / NUM_PERM) — the unbiased
+    MinHash Jaccard estimator on the same 32-permutation signatures the
+    banding uses.  Same distributed shape as the verifies: texts reach
+    their pairs via Dataset.join, signatures exist only inside the pair
+    shards (recomputed from the bounded shard texts — cheaper at scale
+    than shuffling 256-byte signature columns through the join)."""
+    N_PAIR_SHARDS = n_shards(32)  # cluster-derived (VERDICT r3 #3)
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        bb = np.asarray(b["doc_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, bb])),
+            "doc_a": pa.array(np.concatenate([a, a])),
+            "doc_b": pa.array(np.concatenate([bb, bb])),
+        })
+
+    from .common import drop_empty_blocks
+
+    cand = drop_empty_blocks(lsh_candidate_pairs(ds, ckpt_key=ckpt_key).materialize())
+    if cand.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                       "doc_b": pa.array([], pa.int64()),
+                                       "est_pct": pa.array([], pa.int64())}))
+    member = cand.map_batches(member_rows, batch_format="pyarrow")
+    texts = ds.map_batches(augment_near_batch, batch_format="pyarrow")
+    joined = member.join(texts, join_type="inner",
+                         num_partitions=cap_join_partitions(16), on=("doc_id",))
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        sh = ((np.asarray(b["doc_a"].to_numpy(zero_copy_only=False)) * 1000003
+               + np.asarray(b["doc_b"].to_numpy(zero_copy_only=False)))
+              % N_PAIR_SHARDS).astype(np.int64)
+        return b.append_column("pshard", pa.array(sh))
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        uniq = df.drop_duplicates("doc_id")
+        sh_arrays = _shingle_hashes_per_doc(uniq["text"].tolist())
+        sigs = {}
+        for i, arr in zip(uniq["doc_id"], sh_arrays):
+            if not len(arr):
+                continue  # never a candidate (no bands) — defensive only
+            v = (_PERM_A[None, :] * arr.astype(np.uint64)[:, None]
+                 + _PERM_B[None, :])  # uint64 wraparound == HUGEINT % 2^64
+            sigs[int(i)] = v.min(axis=0)
+        pairs = df.drop_duplicates(["doc_a", "doc_b"])
+        out_a, out_b, out_p = [], [], []
+        for a, b2 in zip(pairs["doc_a"], pairs["doc_b"]):
+            sa, sb = sigs.get(int(a)), sigs.get(int(b2))
+            if sa is None or sb is None:
+                continue
+            eq = int((sa == sb).sum())
+            out_a.append(int(a))
+            out_b.append(int(b2))
+            out_p.append((100 * eq) // NUM_PERM)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "est_pct": pa.array(out_p, pa.int64())})
+
+    return (joined.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("pshard").map_groups(per_shard, batch_format="pandas"))
+
+
+def minhash_estimate_pairs_sql(table: str = "documents") -> str:
+    return f"""
+WITH {_buckets_cte(table)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buck a JOIN buck b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.doc_a, p.doc_b,
+         count(*) FILTER (WHERE a.v = b.v)::BIGINT AS eq
+  FROM cand p JOIN mh a ON a.doc_id = p.doc_a
+              JOIN mh b ON b.doc_id = p.doc_b AND b.j = a.j
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ((100 * eq) // {NUM_PERM})::BIGINT AS est_pct FROM est
+"""
+
+
 # --- shingle containment (subset-duplication detector): the same LSH
 # candidates, scored by |A n B| / min(|A|, |B|) instead of Jaccard — a doc
 # QUOTED inside a much larger doc scores ~100 here while its Jaccard is

@@ -67,7 +67,7 @@ DOC_QUERIES = [
     "doc_stats_melt", "corpus_diff", "image_ahash", "image_dup_pairs",
     "audio_fingerprint", "image_dup_clusters", "image_dedup_survivors",
     "dataset_split", "proportional_sample", "token_budget_sample",
-    "near_dup_containment",
+    "near_dup_containment", "minhash_estimate_pairs",
 ]
 
 
