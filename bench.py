@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "near_dup_containment", # subset-duplication detector over LSH candidates (round 4)
     "boundary_areas",       # exact integer polygon shoelace census (round 4)
     "minhash_estimate_pairs",  # sketch estimator over LSH candidates (round 4)
+    "c4_line_filter",       # C4/Gopher line cleaning rule (round 4)
 ]
 
 

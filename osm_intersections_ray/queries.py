@@ -287,6 +287,8 @@ def queries() -> dict:
         text.normalize_unicode_batch, batch_format="pyarrow")
     q["quality_rank"] = lambda sf: text.quality_rank(
         _tbl(sf, "documents", ["doc_id", "text"]))
+    q["c4_line_filter"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
+        text.c4_line_filter_batch, batch_format="pyarrow")
 
     # --- dedup family
     q["exact_dedup"] = lambda sf: dedup.exact_dedup(_tbl(sf, "documents", ["doc_id", "text"]))
@@ -833,6 +835,7 @@ def oracle_sql() -> dict:
         "corpus_diff": text.corpus_diff_sql(),
         "normalize_unicode": text.normalize_unicode_sql(),
         "quality_rank": text.quality_rank_sql(),
+        "c4_line_filter": text.c4_line_filter_sql(),
         "exact_dedup": dedup.exact_dedup_sql(),
         "minhash_lsh_pairs": dedup.lsh_pairs_sql(),
         "near_dup_jaccard": dedup.jaccard_pairs_sql(),

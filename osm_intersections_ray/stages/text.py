@@ -2485,3 +2485,66 @@ SELECT doc_id,
 FROM j
 WHERE in_a IS NULL OR in_b IS NULL OR fp_a IS DISTINCT FROM fp_b
 """
+
+
+# --- C4-style line-level cleaning filter ---------------------------------------
+C4_MIN_WORDS = 5
+_C4_TERM_RE = re.compile(r'[.!?]["\']?[\t\r ]*$')
+_C4_WORD_RE = re.compile(r"[^\t\n\f\r ]+")
+
+
+def c4_line_filter_batch(b: pa.Table) -> pa.Table:
+    """The C4/Gopher line rule as a row-local transform: keep a line iff it
+    has >= C4_MIN_WORDS word runs AND ends in terminal punctuation
+    (optionally quoted, trailing blanks allowed).  Emits per-doc line
+    counts and the md5 of the kept lines rejoined by newline — the cleaned
+    corpus in verifiable form without shipping text.  NULL text passes
+    NULLs through; a doc with NO kept lines mirrors DuckDB exactly
+    (array_to_string([]) is NULL => clean_md5 NULL).
+
+    Scale shape: row-local (compiled regexes, one pass per line), zero
+    shuffle, no state."""
+    import hashlib
+
+    ids = b["doc_id"]
+    n_lines, n_kept, md5s = [], [], []
+    for t in b["text"].to_pylist():
+        if t is None:
+            n_lines.append(None)
+            n_kept.append(None)
+            md5s.append(None)
+            continue
+        lines = t.split("\n")
+        kept = [x for x in lines
+                if len(_C4_WORD_RE.findall(x)) >= C4_MIN_WORDS
+                and _C4_TERM_RE.search(x)]
+        n_lines.append(len(lines))
+        n_kept.append(len(kept))
+        md5s.append(hashlib.md5("\n".join(kept).encode("utf-8")).hexdigest()
+                    if kept else None)
+    return pa.table({
+        "doc_id": ids,
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "n_kept": pa.array(n_kept, pa.int64()),
+        "clean_md5": pa.array(md5s, pa.string()),
+    })
+
+
+def c4_line_filter_sql(table: str = "documents") -> str:
+    # the single quote doubles for the SQL string literal
+    term = '[.!?][' + chr(34) + "''" + ']?[\\t\\r ]*$'
+    return f"""
+WITH l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM {table}
+), k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, x ->
+             len(list_filter(regexp_split_to_array(x, '\\s+'),
+                             w -> w <> '')) >= {C4_MIN_WORDS}
+             AND regexp_matches(x, '{term}')) AS kept
+  FROM l
+)
+SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+       md5(array_to_string(kept, chr(10))) AS clean_md5
+FROM k
+"""

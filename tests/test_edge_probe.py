@@ -67,7 +67,7 @@ DOC_QUERIES = [
     "doc_stats_melt", "corpus_diff", "image_ahash", "image_dup_pairs",
     "audio_fingerprint", "image_dup_clusters", "image_dedup_survivors",
     "dataset_split", "proportional_sample", "token_budget_sample",
-    "near_dup_containment", "minhash_estimate_pairs",
+    "near_dup_containment", "minhash_estimate_pairs", "c4_line_filter",
 ]
 
 
@@ -285,6 +285,40 @@ def test_edge_dataset_split_proportional_null_lang(ray_session, tmp_path_factory
     assert got.get("solo") == 1 and got.get("ten") == 1
     assert got.get("eleven") == 2
     assert got[got.index.isna()].sum() == 1  # ceil(3/10) = 1 NULL-lang doc
+
+
+def test_edge_c4_line_filter_rules(ray_session, tmp_path_factory):
+    """Line-rule hostiles: exactly-5 vs 4 words, quoted terminal, trailing
+    CR/blanks after the period, a no-kept-lines doc (clean_md5 NULL =
+    array_to_string([])), trailing newline (empty last line), and NULL
+    text."""
+    d = tmp_path_factory.mktemp("edge_c4")
+    texts = [
+        ('one two three four five.\n'       # kept: 5 words, terminal
+         'one two three four.\n'            # dropped: 4 words
+         'one two three four five six\n'    # dropped: no terminal
+         'he said "stop right there now!"\n'  # kept: quoted terminal
+         'six words ending with period here. \r'  # kept: trailing blank+CR
+         ),
+        'short line\nno terminal here at all\n',   # nothing kept
+        '',                                         # one empty line
+        None,                                       # NULL text
+        'trailing newline line one two three.\n',   # kept + empty last line
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    _compare(ray_session, str(d), "documents", "c4_line_filter")
+
+    from osm_intersections_ray.queries import queries
+
+    out = queries()["c4_line_filter"](str(d)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_kept"] == 3 and out.loc[0, "n_lines"] == 5
+    assert out.loc[1, "n_kept"] == 0 and pd.isna(out.loc[1, "clean_md5"])
+    assert out.loc[2, "n_lines"] == 1
+    assert pd.isna(out.loc[3, "n_lines"])
+    assert out.loc[4, "n_kept"] == 1 and out.loc[4, "n_lines"] == 2
 
 
 def test_edge_boundary_areas_hostiles(ray_session, tmp_path_factory):
