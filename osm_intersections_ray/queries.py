@@ -54,19 +54,21 @@ ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 DRIVER_SAMPLE_50 = [
     # flagships (SQL-exact as of round 4 via the precomputed oracle rows)
     "intersections_full", "intersections_geom_only",
-    # already-driver-checked family representatives
-    "way_names", "nearest_two",            # spatial
-    "pages_way_join", "warc_pages",        # pages / ingest
-    "doc_stats", "lang_id",                # text basics
-    "near_dup_jaccard", "dup_clusters",    # dedup
+    # family representatives; session 13 rotated five NEVER-driver-checked
+    # ops in (way_names/warc_pages/lang_id/dup_clusters/rrf_fusion moved
+    # behind the 50 boundary — their families keep another entry here)
+    "boundary_areas", "nearest_two",       # spatial
+    "pages_way_join", "host_capped_pages",  # pages / crawl curation
+    "doc_stats", "token_budget_sample",    # text / corpus curation
+    "near_dup_jaccard", "minhash_estimate_pairs",  # dedup
     # families with no driver-visible row in r01-r03
     "pricing_summary", "shipping_priority", "big_orders", "cold_customers",
     "small_qty_revenue", "acctbal_quantiles", "local_supplier_revenue",
     "pareto_parts",                        # relational
     "sessions", "events_hourly", "post_purchase_window", "retention_cohorts",
     "user_streaks",                        # events / windows
-    "knn_cosine", "rrf_fusion", "embedding_near_dup", "embedding_centroids",
-    "embedding_moments",                   # similarity
+    "knn_cosine", "embedding_quantize", "embedding_near_dup",
+    "embedding_centroids", "embedding_moments",  # similarity / quantization
     "image_decode_png", "image_decode_jpeg", "video_frame_sample",
     "audio_decode_flac", "image_dup_pairs",  # multimodal (decode + phash dedup)
     "graph_pagerank", "bm25_search", "lm_score", "inverted_index",  # retrieval
