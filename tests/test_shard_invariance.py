@@ -30,6 +30,9 @@ SHARD_FOLD_QUERIES = [
     "quality_rank",         # composite range shards
     "tfidf_top_terms",      # doc-hash shard ranking
     "simhash_near_pairs",   # band-blocking shard routing
+    "host_capped_pages",    # host-sharded grouped top-k (session 13)
+    "near_dup_containment", # pair-shard verify routing (session 13)
+    "minhash_estimate_pairs",  # pair-shard estimator routing (session 13)
 ]
 
 
