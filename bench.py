@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "boundary_areas",       # exact integer polygon shoelace census (round 4)
     "minhash_estimate_pairs",  # sketch estimator over LSH candidates (round 4)
     "c4_line_filter",       # C4/Gopher line cleaning rule (round 4)
+    "crawl_corpus",         # pages-side composite: extract->canon->cap->split (round 4)
 ]
 
 

@@ -264,6 +264,13 @@ def queries() -> dict:
     q["section_link_graph"] = lambda sf: pages.section_link_graph(
         _pages(sf, columns=["url", "html"]))
 
+    def crawl_corpus_q(sf):
+        from .pipelines.crawl_corpus import crawl_corpus
+
+        return crawl_corpus(_pages(sf, columns=["url", "warc_ts", "html"]))
+
+    q["crawl_corpus"] = crawl_corpus_q
+
     q["warc_pages"] = lambda sf: warc_src.read_warc_pages(warc_src.ensure_warc(sf))
     q["jsonl_pages"] = lambda sf: jsonl_src.read_jsonl_pages(jsonl_src.ensure_jsonl(sf))
     q["csv_events"] = lambda sf: csv_src.read_csv_events(csv_src.ensure_csv(sf))
@@ -819,6 +826,9 @@ def oracle_sql() -> dict:
         "anchor_text_index": pages.anchor_text_index_sql(pages_tbl),
         "link_frontier": pages.link_frontier_sql(pages_tbl),
         "url_canonical_dedup": pages.url_canonical_dedup_sql(pages_tbl),
+        "crawl_corpus": __import__(
+            "osm_intersections_ray.pipelines.crawl_corpus",
+            fromlist=["crawl_corpus_sql"]).crawl_corpus_sql(pages_tbl),
         "domain_mix_weights": pages.domain_mix_weights_sql(pages_tbl),
         "tile_pyramid": pages.tile_pyramid_sql(pages_tbl),
         "way_page_density": pages.way_page_density_sql(pages_tbl, ways_path),

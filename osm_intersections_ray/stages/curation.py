@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import h60
+from ..functions.hashing import DUCK_LOWER_TRANS, h60
 from .common import n_shards
 
 _PIPE = chr(124)  # '|' without fighting SQL escaping in f-strings
@@ -77,7 +77,11 @@ FROM {table}
 
 # --- per-host crawl cap (high-cardinality grouped top-k) --------------------
 HOST_CAP = 3
-_HOST_RE = r"^https?://([^/]+)"
+# scheme matched case-insensitively and the host LOWERCASED for grouping —
+# hosts are case-insensitive per RFC 3986, and a crawl cap that treated
+# HTTPS://A.EXAMPLE and https://a.example as different hosts would leak
+# double quota (found via the crawl_corpus composite's edge world)
+_HOST_RE = r"(?i)^https?://([^/]+)"
 _CAP_PARTIAL_SCHEMA = pa.schema([
     ("hshard", pa.int64()), ("host", pa.string()), ("url", pa.string()),
     ("hkey", pa.string()),
@@ -104,7 +108,8 @@ def host_capped_pages(pages_ds, cap: int = HOST_CAP):
 
     def local_cap(b: pa.Table) -> pa.Table:
         u = b["url"].to_pandas()
-        host = u.str.extract(_HOST_RE, expand=False)
+        host = u.str.extract(_HOST_RE, expand=False).str.translate(
+            DUCK_LOWER_TRANS)
         df = pd.DataFrame({"host": host, "url": u}).dropna(subset=["host"])
         df = df[df["host"] != ""]
         if not len(df):
@@ -134,7 +139,7 @@ def host_capped_pages(pages_ds, cap: int = HOST_CAP):
 def host_capped_pages_sql(table: str = "pages", cap: int = HOST_CAP) -> str:
     return f"""
 WITH h AS (
-  SELECT url, regexp_extract(url, '{_HOST_RE}', 1) AS host,
+  SELECT url, lower(regexp_extract(url, '{_HOST_RE}', 1)) AS host,
          md5('cap' || chr(124) || url) AS hkey
   FROM {table}
 )

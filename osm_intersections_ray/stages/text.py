@@ -193,7 +193,7 @@ def lang_id_batch(b: pa.Table) -> pa.Table:
                                            mask=st["is_null"])})
 
 
-def lang_id_sql(table: str = "documents") -> str:
+def lang_id_sql(table: str = "documents", key: str = "doc_id") -> str:
     score_cols = []
     for lang, ws in LANG_MARKERS:
         lits = ", ".join(f"'{w}'" for w in ws)
@@ -208,13 +208,13 @@ def lang_id_sql(table: str = "documents") -> str:
     case = "\n         ".join(cases)
     return f"""
 WITH toks AS (
-  SELECT doc_id, {TOKS_SQL} AS t FROM {table}
+  SELECT {key}, {TOKS_SQL} AS t FROM {table}
 ), sc AS (
-  SELECT doc_id,
+  SELECT {key},
        {scores}
   FROM toks
 )
-SELECT doc_id,
+SELECT {key},
        CASE {case} END AS lang_pred
 FROM sc
 """
@@ -228,7 +228,8 @@ def quality_score_batch(b: pa.Table) -> pa.Table:
                      "quality": pa.array(_quality_from_stats(st))})
 
 
-def quality_score_sql(table: str = "documents", cte_prefix: str = "") -> str:
+def quality_score_sql(table: str = "documents", cte_prefix: str = "",
+                      key: str = "doc_id") -> str:
     """``cte_prefix`` renames the internal CTEs so the query can nest inside
     another WITH chain (the dedup cluster-representative oracle) without
     shadowing its ``toks``."""
@@ -236,15 +237,15 @@ def quality_score_sql(table: str = "documents", cte_prefix: str = "") -> str:
     toks, f = cte_prefix + "toks", cte_prefix + "f"
     return f"""
 WITH {toks} AS (
-  SELECT doc_id, text, {TOKS_SQL} AS t FROM {table}
+  SELECT {key}, text, {TOKS_SQL} AS t FROM {table}
 ), {f} AS (
-  SELECT doc_id,
+  SELECT {key},
          len(t) AS n,
          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt,
          len(list_filter(t, x -> x IN ({stops}))) AS stop_cnt
   FROM {toks}
 )
-SELECT doc_id,
+SELECT {key},
        ((CASE WHEN n BETWEEN 20 AND 1000 THEN 40 WHEN n >= 5 THEN 20 ELSE 0 END)
       + (CASE WHEN n > 0 AND punct_cnt * 10 <= n * 3 THEN 30 ELSE 0 END)
       + (CASE WHEN n > 0 AND stop_cnt * 100 >= n * 2 THEN 30 ELSE 0 END))::BIGINT AS quality

@@ -287,6 +287,65 @@ def test_edge_dataset_split_proportional_null_lang(ray_session, tmp_path_factory
     assert got[got.index.isna()].sum() == 1  # ceil(3/10) = 1 NULL-lang doc
 
 
+def test_edge_crawl_corpus_composite(ray_session, tmp_path_factory):
+    """crawl_corpus hostiles: two raw urls sharing a canonical form (later
+    ts loses), a host over the cap, a below-quality-floor page dropped, an
+    articleless page (empty text -> quality 0 -> dropped), and an
+    unparseable url dropped by the canonical leg."""
+    import duckdb
+
+    from osm_intersections_ray.pipelines.crawl_corpus import (
+        crawl_corpus, crawl_corpus_sql)
+
+    rich = ("<article>" + "the and for with this that have from "
+            "they will would there their. " * 4 + "</article>")
+    d = tmp_path_factory.mktemp("edge_crawl")
+    rows = [
+        ("https://a.example/x", 100, rich),
+        ("HTTPS://A.EXAMPLE:443/x///#frag", 50, rich),   # canonical twin, EARLIER ts: wins
+        ("https://big.example/1", 10, rich),
+        ("https://big.example/2", 10, rich),
+        ("https://big.example/3", 10, rich),
+        ("https://big.example/4", 10, rich),             # one of 4 capped out
+        ("https://low.example/q", 10, "<article>!!! ??? ...</article>"),  # q 0
+        ("https://bare.example/p", 10, "<p>no article tag</p>"),   # empty text
+        ("not a url at all", 10, rich),                  # unparseable
+    ]
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    pq.write_table(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array(
+            [base + datetime.timedelta(seconds=r[1]) for r in rows],
+            pa.timestamp("us", tz="UTC")),
+        "html": pa.array([r[2].encode() for r in rows], pa.binary()),
+    }), str(d / "pages.parquet"))
+
+    import ray.data as rd
+
+    eng = crawl_corpus(
+        rd.read_parquet(str(d / "pages.parquet"))).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(crawl_corpus_sql(
+        f"read_parquet('{d}/pages.parquet')")).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o), f"rows {len(e)} vs {len(o)}\n{e}\n{o}"
+    assert list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+            f"col {c}\n{e}\n{o}"
+    urls = set(eng["url"])
+    # earlier-ts canonical twin wins; the 100-ts duplicate is gone
+    assert "HTTPS://A.EXAMPLE:443/x///#frag" in urls
+    assert "https://a.example/x" not in urls
+    # host cap: exactly 3 of big.example's 4 survive
+    assert sum(u.startswith("https://big.example/") for u in urls) == 3
+    # quality floor and articleless/unparseable drops
+    assert not ({"https://low.example/q", "https://bare.example/p",
+                 "not a url at all"} & urls)
+
+
 def test_edge_c4_line_filter_rules(ray_session, tmp_path_factory):
     """Line-rule hostiles: exactly-5 vs 4 words, quoted terminal, trailing
     CR/blanks after the period, a no-kept-lines doc (clean_md5 NULL =
