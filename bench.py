@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "minhash_estimate_pairs",  # sketch estimator over LSH candidates (round 4)
     "c4_line_filter",       # C4/Gopher line cleaning rule (round 4)
     "crawl_corpus",         # pages-side composite: extract->canon->cap->split (round 4)
+    "frontier_priority",    # demand-ranked crawl frontier manifest (round 4)
 ]
 
 

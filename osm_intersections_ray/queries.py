@@ -261,6 +261,8 @@ def queries() -> dict:
         _pages(sf, columns=["url", "html"]))
     q["link_frontier"] = lambda sf: pages.link_frontier(
         _pages(sf, columns=["url", "html"]))
+    q["frontier_priority"] = lambda sf: pages.frontier_priority(
+        _pages(sf, columns=["url", "html"]))
     q["section_link_graph"] = lambda sf: pages.section_link_graph(
         _pages(sf, columns=["url", "html"]))
 
@@ -825,6 +827,7 @@ def oracle_sql() -> dict:
         "section_link_graph": pages.section_link_graph_sql(pages_tbl),
         "anchor_text_index": pages.anchor_text_index_sql(pages_tbl),
         "link_frontier": pages.link_frontier_sql(pages_tbl),
+        "frontier_priority": pages.frontier_priority_sql(pages_tbl),
         "url_canonical_dedup": pages.url_canonical_dedup_sql(pages_tbl),
         "crawl_corpus": __import__(
             "osm_intersections_ray.pipelines.crawl_corpus",

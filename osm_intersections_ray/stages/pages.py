@@ -1425,6 +1425,91 @@ def anchor_text_index(pages_ds):
             .groupby("ushard").map_groups(per_shard, batch_format="pandas"))
 
 
+def frontier_priority(pages_ds):
+    """Crawl-scheduler priority manifest: for every outlink target NOT in
+    the corpus, the inbound-link count and the most common anchor text —
+    link_frontier's discovery ranked by demand (the inverse of
+    anchor_text_index's presence filter).  Same ONE url-hash-sharded
+    exchange: link partials and page-presence markers ride a single union
+    keyed by hash(dst_url) % n_shards; each shard folds counts, the
+    (n desc, anchor asc) argmax and the ANTI filter locally — nothing
+    corpus-sized in any single process."""
+    import pandas as pd
+
+    NS = n_shards()
+
+    def link_partial(b: pa.Table) -> pa.Table:
+        _, dst, anc = _link_rows(b)
+        df = pd.DataFrame({"dst_url": dst, "anchor": anc})
+        g = (df.groupby(["dst_url", "anchor"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        g["ushard"] = _url_shard(g["dst_url"], NS)
+        g["is_page"] = np.int8(0)
+        return pa.Table.from_pandas(
+            g[["ushard", "dst_url", "anchor", "n", "is_page"]],
+            preserve_index=False,
+            schema=_ANCHOR_PARTIAL_SCHEMA).replace_schema_metadata(None)
+
+    def page_marker(b: pa.Table) -> pa.Table:
+        u = b["url"].to_pandas()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"ushard": _url_shard(u, NS), "dst_url": u,
+                          "anchor": "", "n": np.int64(0),
+                          "is_page": np.int8(1)}),
+            preserve_index=False,
+            schema=_ANCHOR_PARTIAL_SCHEMA).replace_schema_metadata(None)
+
+    links = pages_ds.map_batches(link_partial, batch_format="pyarrow")
+    marks = pages_ds.map_batches(page_marker, batch_format="pyarrow")
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        present = set(df.loc[df["is_page"] == 1, "dst_url"])
+        l = df[df["is_page"] == 0]
+        l = l[~l["dst_url"].isin(present)]  # ANTI: frontier targets only
+        if not len(l):
+            return pa.schema([("dst_url", pa.string()),
+                              ("n_inlinks", pa.int64()),
+                              ("top_anchor", pa.string())]).empty_table()
+        g = (l.groupby(["dst_url", "anchor"], sort=False)["n"]
+             .sum().reset_index())
+        tot = g.groupby("dst_url", sort=False)["n"].sum()
+        g = g.sort_values(["dst_url", "n", "anchor"],
+                          ascending=[True, False, True], kind="stable")
+        top = g.drop_duplicates("dst_url", keep="first")
+        return pa.table({
+            "dst_url": pa.array(top["dst_url"].to_numpy(dtype=object),
+                                pa.string()),
+            "n_inlinks": pa.array(top["dst_url"].map(tot).to_numpy(
+                dtype=np.int64), pa.int64()),
+            "top_anchor": pa.array(top["anchor"].to_numpy(dtype=object),
+                                   pa.string())})
+
+    return (links.union(marks)
+            .groupby("ushard").map_groups(per_shard, batch_format="pandas"))
+
+
+def frontier_priority_sql(table: str = "pages") -> str:
+    return f"""
+WITH l AS (
+  SELECT unnest(regexp_extract_all(decode(html), '{_LINK_SQL_RE}', 1)) AS dst_url,
+         unnest(regexp_extract_all(decode(html), '{_LINK_SQL_RE}', 2)) AS anchor
+  FROM {table}
+),
+agg AS (SELECT dst_url, anchor, count(*)::BIGINT AS n FROM l GROUP BY 1, 2),
+r AS (
+  SELECT dst_url, anchor, n,
+         sum(n) OVER (PARTITION BY dst_url)::BIGINT AS n_inlinks,
+         row_number() OVER (PARTITION BY dst_url
+                            ORDER BY n DESC, anchor) AS rn
+  FROM agg
+)
+SELECT r.dst_url, r.n_inlinks, r.anchor AS top_anchor
+FROM r ANTI JOIN {table} p ON p.url = r.dst_url
+WHERE r.rn = 1
+"""
+
+
 def anchor_text_index_sql(table: str = "pages") -> str:
     return f"""
 WITH l AS (

@@ -33,6 +33,7 @@ SHARD_FOLD_QUERIES = [
     "host_capped_pages",    # host-sharded grouped top-k (session 13)
     "near_dup_containment", # pair-shard verify routing (session 13)
     "minhash_estimate_pairs",  # pair-shard estimator routing (session 13)
+    "frontier_priority",    # url-shard union anti-fold (session 13)
 ]
 
 
