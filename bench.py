@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "c4_line_filter",       # C4/Gopher line cleaning rule (round 4)
     "crawl_corpus",         # pages-side composite: extract->canon->cap->split (round 4)
     "frontier_priority",    # demand-ranked crawl frontier manifest (round 4)
+    "late_arrivals",        # watermark out-of-order accounting (round 4)
 ]
 
 

@@ -985,3 +985,64 @@ SELECT (epoch_us(ts) // {_DAY_US})::BIGINT AS day,
        count(*)::BIGINT AS n_events
 FROM {table} GROUP BY 1
 """
+
+
+def late_arrivals(ds):
+    """Out-of-order arrival accounting — the streaming-watermark health
+    metric: walking each user's events in ARRIVAL order (event_id), an
+    event is LATE iff some earlier-arriving event of the same user carries
+    a larger timestamp; lateness = watermark - ts.  Reduces to one row per
+    user (n_events, n_late, max lateness in integer microseconds).
+
+    Scale shape: the standard user-sharded sort (user_id % n_shards
+    shuffle key, one stable sort + vectorized grouped cummax/shift per
+    shard) — never per-user Python."""
+    N_USER_SHARDS = n_shards()  # cluster-derived
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        shard = (np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
+                 % N_USER_SHARDS).astype(np.int64)
+        return (b.replace_schema_metadata(None)
+                .append_column("ushard", pa.array(shard)))
+
+    def per_shard(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "event_id"], kind="stable")
+        t = df["ts"].astype("int64")
+        g = df.groupby("user_id", sort=False)
+        wm = t.groupby(df["user_id"], sort=False).cummax().groupby(
+            df["user_id"], sort=False).shift(1)
+        late = wm > t
+        lateness = np.where(late, (wm - t).fillna(0).to_numpy(), 0).astype(
+            np.int64)
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                            "late": late.to_numpy().astype(np.int64),
+                            "lateness": lateness})
+        agg = out.groupby("user_id", sort=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"),
+            max_late_us=("lateness", "max")).reset_index()
+        return pa.table({
+            "user_id": pa.array(agg["user_id"].to_numpy(), pa.int64()),
+            "n_events": pa.array(agg["n_events"].to_numpy(), pa.int64()),
+            "n_late": pa.array(agg["n_late"].to_numpy(), pa.int64()),
+            "max_late_us": pa.array(agg["max_late_us"].to_numpy(), pa.int64()),
+        })
+
+    return (ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("ushard").map_groups(per_shard, batch_format="pandas"))
+
+
+def late_arrivals_sql(table: str = "events") -> str:
+    return f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS wm
+  FROM {table}
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       count(*) FILTER (WHERE wm > t)::BIGINT AS n_late,
+       coalesce(max(CASE WHEN wm > t THEN wm - t END), 0)::BIGINT
+           AS max_late_us
+FROM o GROUP BY user_id
+"""

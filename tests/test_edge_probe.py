@@ -187,9 +187,40 @@ def edge_events_dir(tmp_path_factory):
                                   "events_rollup", "events_pivot",
                                   "user_streaks", "session_cooccurrence",
                                   "event_transitions",
-                                  "daily_active_users"])
+                                  "daily_active_users", "late_arrivals"])
 def test_edge_events_vs_oracle(ray_session, edge_events_dir, name):
     _compare(ray_session, edge_events_dir, "events", name)
+
+
+def test_edge_late_arrivals_out_of_order(ray_session, tmp_path_factory):
+    """Watermark-lateness hostiles: an event EQUAL to the watermark (not
+    late — strict >), a deeply late event after a far-future event set the
+    watermark, a first event (no watermark, never late), and interleaved
+    users sharing arrival order."""
+    d = tmp_path_factory.mktemp("edge_late")
+    rows = [  # (event_id = arrival order, user, ts_us)
+        (0, 1, 1000), (1, 1, 5000), (2, 1, 3000),   # late by 2000
+        (3, 1, 5000),                                # == watermark: NOT late
+        (4, 2, 9000), (5, 2, 100),                   # late by 8900
+        (6, 3, 42),                                  # single event
+        (7, 2, 9001),                                # back past watermark
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["a"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(d / "events.parquet"))
+    _compare(ray_session, str(d), "events", "late_arrivals")
+
+    from osm_intersections_ray.queries import queries
+
+    out = queries()["late_arrivals"](str(d)).to_pandas().set_index("user_id")
+    assert out.loc[1, "n_late"] == 1 and out.loc[1, "max_late_us"] == 2000
+    assert out.loc[2, "n_late"] == 1 and out.loc[2, "max_late_us"] == 8900
+    assert out.loc[3, "n_late"] == 0 and out.loc[3, "max_late_us"] == 0
 
 
 @pytest.fixture(scope="module")
