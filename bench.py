@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "crawl_corpus",         # pages-side composite: extract->canon->cap->split (round 4)
     "frontier_priority",    # demand-ranked crawl frontier manifest (round 4)
     "late_arrivals",        # watermark out-of-order accounting (round 4)
+    "warc_quarantine",      # digest-verified corrupt-record routing (round 4)
 ]
 
 

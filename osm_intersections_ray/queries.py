@@ -274,6 +274,8 @@ def queries() -> dict:
     q["crawl_corpus"] = crawl_corpus_q
 
     q["warc_pages"] = lambda sf: warc_src.read_warc_pages(warc_src.ensure_warc(sf))
+    q["warc_quarantine"] = lambda sf: warc_src.read_warc_quarantine(
+        warc_src.ensure_warc_corrupt(sf))
     q["jsonl_pages"] = lambda sf: jsonl_src.read_jsonl_pages(jsonl_src.ensure_jsonl(sf))
     q["csv_events"] = lambda sf: csv_src.read_csv_events(csv_src.ensure_csv(sf))
 
@@ -840,6 +842,7 @@ def oracle_sql() -> dict:
         "bloom_url_filter": pages.bloom_url_filter_sql(pages_tbl),
         "mixture_resample": pages.mixture_resample_sql(pages_tbl),
         "warc_pages": warc_src.warc_pages_sql(pages_tbl),
+        "warc_quarantine": warc_src.warc_quarantine_sql(pages_tbl),
         "jsonl_pages": jsonl_src.jsonl_pages_sql(pages_tbl),
         "csv_events": csv_src.csv_events_sql("events"),
         "doc_stats": text.doc_stats_sql(),

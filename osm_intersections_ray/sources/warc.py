@@ -59,14 +59,20 @@ def _parse_iso8601_us(s: str) -> int:
             + int(s[20:26]))
 
 
-def encode_warc_record(url: str, ts_us: int, payload: bytes) -> bytes:
+def encode_warc_record(url: str, ts_us: int, payload: bytes,
+                       digest: str | None = None) -> bytes:
     """One WARC/1.0 response record, individually gzipped (CC member
-    layout)."""
+    layout).  ``digest`` (md5 hex of the INTENDED payload) adds the
+    WARC-Payload-Digest header real crawls carry — the quarantine reader
+    verifies against it."""
+    dig = (b"WARC-Payload-Digest: md5:" + digest.encode("ascii") + b"\r\n"
+           if digest is not None else b"")
     head = (
         b"WARC/1.0\r\n"
         b"WARC-Type: response\r\n"
         b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
         b"WARC-Date: " + _iso8601_us(ts_us).encode("ascii") + b"\r\n"
+        + dig +
         b"Content-Type: application/http; msgtype=response\r\n"
         b"Content-Length: " + str(len(payload)).encode("ascii") + b"\r\n"
         b"\r\n"
@@ -94,7 +100,8 @@ def parse_warc_members(blob: bytes):
         payload = raw[body_start:body_start + clen]
         yield (headers["warc-target-uri"],
                _parse_iso8601_us(headers["warc-date"]),
-               payload)
+               payload,
+               headers)
         i = body_start + clen + 4  # trailing \r\n\r\n
 
 
@@ -151,7 +158,7 @@ def read_warc_pages(warc_dir: str):
     def parse(b: pa.Table) -> pa.Table:
         urls, tss, lens, digs = [], [], [], []
         for blob in b["bytes"].to_pylist():
-            for url, ts_us, payload in parse_warc_members(blob):
+            for url, ts_us, payload, _hdr in parse_warc_members(blob):
                 urls.append(url)
                 tss.append(ts_us)
                 lens.append(len(payload))
@@ -176,5 +183,109 @@ def warc_pages_sql(pages_tbl_expr: str) -> str:
 SELECT url, epoch_us(warc_ts) AS warc_ts_us,
        octet_length(html)::BIGINT AS n_bytes,
        md5(decode(html)) AS html_md5
+FROM {pages_tbl_expr}
+"""
+
+
+# --- corrupt-record quarantine (ingest fault tolerance) -----------------------
+CORRUPT_HEX = "012"  # md5('corrupt|'+url) first hex in this set -> corrupted
+
+
+def write_warc_corrupt_gz(pages_tbl: pa.Table, out_dir: str,
+                          n_files: int = N_WARC_FILES) -> None:
+    """The quarantine fixture: every record carries its intended payload
+    digest, and a deterministic ~3/16 of NON-EMPTY payloads are then
+    corrupted in flight (first byte replaced with '#') — the digest no
+    longer matches what arrives, exactly the bit-rot / truncated-transfer
+    shape a crawl ingest must survive."""
+    urls = pages_tbl["url"].to_pylist()
+    ts = pages_tbl["warc_ts"].cast(pa.int64()).to_pylist()
+    htmls = pages_tbl["html"].to_pylist()
+    for s in range(n_files):
+        with open(os.path.join(out_dir, f"{s:04d}.warc.gz"), "wb") as f:
+            for k in range(s, len(urls), n_files):
+                payload = htmls[k]
+                dig = hashlib.md5(payload).hexdigest()
+                if (payload and hashlib.md5(
+                        ("corrupt|" + urls[k]).encode("utf-8"))
+                        .hexdigest()[0] in CORRUPT_HEX):
+                    payload = b"#" + payload[1:]
+                f.write(encode_warc_record(urls[k], ts[k], payload,
+                                           digest=dig))
+
+
+def ensure_warc_corrupt(sf_dir: str) -> str:
+    """Generate (once, cached, atomic) the corrupted .warc.gz shards."""
+    import pyarrow.parquet as pq
+
+    from .synthetic import FIXTURE_ROOT, ensure_fixtures, scale_from_sf_dir
+
+    fx = ensure_fixtures(sf_dir)
+    label, _, _ = scale_from_sf_dir(sf_dir)
+    out_dir = os.path.join(FIXTURE_ROOT, f"{label}_warcq")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    tmp = tempfile.mkdtemp(dir=FIXTURE_ROOT, prefix=f".{label}_warcq.")
+    try:
+        write_warc_corrupt_gz(pq.read_table(os.path.join(fx, "pages.parquet"),
+                                            columns=["url", "warc_ts", "html"]),
+                              tmp)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("ok\n")
+        if not os.path.exists(out_dir):
+            os.replace(tmp, out_dir)
+        else:
+            shutil.rmtree(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return out_dir
+
+
+def read_warc_quarantine(warc_dir: str):
+    """Fault-tolerant ingest: verify every record's arrived payload against
+    its WARC-Payload-Digest header and ROUTE instead of raise — ok=1 rows
+    are the clean corpus, ok=0 rows are the quarantine manifest (url + the
+    digest of what actually arrived, for re-fetch triage).  A record with
+    no digest header is trusted (ok=1).
+
+    Scale shape: identical to read_warc_pages (one file per read task,
+    payload bytes never leave the ingest stage); at 100 TB the quarantine
+    branch is what keeps one flipped bit from killing a whole ingest job."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(warc_dir, file_extensions=["gz"])
+
+    def parse(b: pa.Table) -> pa.Table:
+        urls, oks, digs = [], [], []
+        for blob in b["bytes"].to_pylist():
+            for url, _ts, payload, hdr in parse_warc_members(blob):
+                want = hdr.get("warc-payload-digest", "")
+                got = hashlib.md5(payload).hexdigest()
+                ok = (not want) or want == "md5:" + got
+                urls.append(url)
+                oks.append(1 if ok else 0)
+                digs.append(got)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "ok": pa.array(np.asarray(oks, np.int64)),
+            "arrived_md5": pa.array(digs, pa.string()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def warc_quarantine_sql(pages_tbl_expr: str) -> str:
+    """Oracle: predict the deterministic corruption straight off
+    pages.parquet — corrupted records arrive with '#' in place of the
+    first byte (fixture htmls are ASCII-leading, so byte == char 1)."""
+    is_bad = (f"octet_length(html) >= 1 AND substr(md5('corrupt' || chr(124)"
+              f" || url), 1, 1) IN ({', '.join(repr(c) for c in CORRUPT_HEX)})")
+    return f"""
+SELECT url,
+       CASE WHEN {is_bad} THEN 0 ELSE 1 END::BIGINT AS ok,
+       CASE WHEN {is_bad} THEN md5('#' || substr(decode(html), 2))
+            ELSE md5(decode(html)) END AS arrived_md5
 FROM {pages_tbl_expr}
 """

@@ -1566,3 +1566,46 @@ def test_bpe_train_carry_equivalence(ray_session):
     pd.testing.assert_frame_equal(regen.reset_index(drop=True),
                                   auto.reset_index(drop=True))
     assert len(auto) == n  # corpus is rich enough that no early stop fired
+
+
+def test_warc_quarantine_routing(ray_session, tmp_path):
+    """Quarantine mechanics: a corrupted payload routes to ok=0 with the
+    ARRIVED digest (not the declared one), a clean digested record and a
+    digest-less record both trust through as ok=1, and an empty payload is
+    never corrupted by the fixture writer."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_intersections_ray.sources import warc as W
+
+    good, bad = b"<html>good</html>", b"<html>bad</html>"
+    recs = [
+        W.encode_warc_record("https://ok.example/", 1_000_000, good,
+                             digest=hashlib.md5(good).hexdigest()),
+        # declared digest of the INTENDED payload, corrupted in flight
+        W.encode_warc_record("https://bad.example/", 2_000_000,
+                             b"#" + bad[1:],
+                             digest=hashlib.md5(bad).hexdigest()),
+        W.encode_warc_record("https://nodigest.example/", 3_000_000, good),
+        W.encode_warc_record("https://empty.example/", 4_000_000, b"",
+                             digest=hashlib.md5(b"").hexdigest()),
+    ]
+    with open(tmp_path / "0000.warc.gz", "wb") as f:
+        for r in recs:
+            f.write(r)
+    out = (W.read_warc_quarantine(str(tmp_path)).to_pandas()
+           .set_index("url"))
+    assert out.loc["https://ok.example/", "ok"] == 1
+    assert out.loc["https://bad.example/", "ok"] == 0
+    assert (out.loc["https://bad.example/", "arrived_md5"]
+            == hashlib.md5(b"#" + bad[1:]).hexdigest())
+    assert out.loc["https://nodigest.example/", "ok"] == 1
+    assert out.loc["https://empty.example/", "ok"] == 1
+    # the deterministic fixture writer corrupts a nonzero, predictable set
+    qdir = W.ensure_warc_corrupt("/root/testdata/sf0.001")
+    q = W.read_warc_quarantine(qdir).to_pandas()
+    assert (q["ok"] == 0).sum() > 0
+    frac = (q["ok"] == 0).mean()
+    assert 0.05 < frac < 0.40  # ~3/16 by construction
