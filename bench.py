@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "frontier_priority",    # demand-ranked crawl frontier manifest (round 4)
     "late_arrivals",        # watermark out-of-order accounting (round 4)
     "warc_quarantine",      # digest-verified corrupt-record routing (round 4)
+    "suite_coverage",       # benchmark-leakage report, two broadcasts (round 4)
 ]
 
 

@@ -549,6 +549,8 @@ def queries() -> dict:
         _tbl(sf, "events", ["user_id", "event_id", "ts", "event_type"]))
     q["event_transitions"] = lambda sf: events.event_transitions(
         _tbl(sf, "events", ["user_id", "event_id", "ts", "event_type"]))
+    q["suite_coverage"] = lambda sf: dedup.suite_coverage(
+        _tbl(sf, "documents", ["doc_id", "text"]))
     q["late_arrivals"] = lambda sf: events.late_arrivals(
         _tbl(sf, "events", ["event_id", "ts", "user_id"]))
     q["daily_active_users"] = lambda sf: events.daily_active_users(
@@ -937,6 +939,7 @@ def oracle_sql() -> dict:
         "events_pivot": events.events_pivot_sql(),
         "user_streaks": events.user_streaks_sql(),
         "event_transitions": events.event_transitions_sql(),
+        "suite_coverage": dedup.suite_coverage_sql(),
         "late_arrivals": events.late_arrivals_sql(),
         "daily_active_users": events.daily_active_users_sql(),
         "session_cooccurrence": events.session_cooccurrence_sql(),

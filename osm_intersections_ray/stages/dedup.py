@@ -1090,6 +1090,114 @@ def decontaminate(ds):
             .map_batches(flag, batch_format="pyarrow"))
 
 
+def suite_coverage(ds):
+    """Benchmark-leakage report — the INVERSE view of decontaminate: for
+    every held-out suite document, how many of its distinct DECON_K-gram
+    shingles appear ANYWHERE in the corpus (the eval-integrity number a
+    team publishes next to its benchmark scores).
+
+    Scale shape (nothing corpus-sized leaves the stream): the suite hash
+    set broadcasts (suite-sized by definition); the corpus streams ONE
+    membership pass emitting only the suite hashes it actually contains
+    (per-batch distinct, bounded by the suite); a (hash) groupby reduces
+    them to the found-set, which broadcasts back for one suite-side pass
+    computing per-doc coverage.  Suite docs with no shingles (< DECON_K
+    tokens) drop, mirroring the oracle's inner derivation."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from .common import cached_get
+
+    bref = ray.put(decon_suite_hashes(ds))
+
+    def found_partial(b: pa.Table) -> pa.Table:
+        bench = cached_get(bref)
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False))
+        corpus = ~((ids % DECON_MOD == 0) & (ids < 1_000_000))
+        texts = [t for t, m in zip(b["text"].to_pylist(), corpus) if m]
+        sh = _kgram_hashes_per_doc(texts, DECON_K)
+        flat = (np.concatenate(sh) if sh else np.empty(0, dtype=np.uint64))
+        if not (flat.size and bench.size):
+            return pa.table({"s": pa.array(np.empty(0, np.uint64))})
+        idx = np.searchsorted(bench, flat)
+        idx[idx >= len(bench)] = len(bench) - 1
+        hits = flat[bench[idx] == flat]
+        return pa.table({"s": pa.array(np.unique(hits))})
+
+    found_df = (ds.map_batches(augment_near_batch, batch_format="pyarrow")
+                .map_batches(found_partial, batch_format="pyarrow")
+                .groupby("s").aggregate(Count(alias_name="n"))
+                .to_pandas())  # bounded by the SUITE hash count
+    found = (np.sort(found_df["s"].to_numpy().astype(np.uint64))
+             if len(found_df) else np.empty(0, dtype=np.uint64))
+    fref = ray.put(found)
+
+    def per_suite_doc(b: pa.Table) -> pa.Table:
+        fnd = cached_get(fref)
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False))
+        keep = ids % DECON_MOD == 0
+        ids = ids[keep]
+        texts = [t for t, m in zip(b["text"].to_pylist(), keep) if m]
+        sh = [np.unique(a) for a in _kgram_hashes_per_doc(texts, DECON_K)]
+        out_i, out_n, out_c = [], [], []
+        for i, a in zip(ids, sh):
+            if not len(a):
+                continue  # no shingles: absent from the oracle too
+            if fnd.size:
+                j = np.searchsorted(fnd, a)
+                j[j >= len(fnd)] = len(fnd) - 1
+                cov = int((fnd[j] == a).sum())
+            else:
+                cov = 0
+            out_i.append(int(i))
+            out_n.append(len(a))
+            out_c.append(cov)
+        return pa.table({
+            "doc_id": pa.array(out_i, pa.int64()),
+            "n_shingles": pa.array(out_n, pa.int64()),
+            "n_covered": pa.array(out_c, pa.int64()),
+            "covered_pct": pa.array(
+                [(100 * c) // n for c, n in zip(out_c, out_n)], pa.int64()),
+        })
+
+    return ds.map_batches(per_suite_doc, batch_format="pyarrow")
+
+
+def suite_coverage_sql(table: str = "documents") -> str:
+    from .text import TOKS_SQL
+
+    fold = _kgram_fold_sql(DECON_K)
+    k, mod = DECON_K, DECON_MOD
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM ({augment_near_sql(table)})
+  WHERE NOT (doc_id % {mod} = 0 AND doc_id < 1000000)
+),
+ct AS (SELECT {TOKS_SQL} AS t FROM corpus),
+csh AS (
+  SELECT DISTINCT {fold} AS s
+  FROM ct, UNNEST(generate_series(1, len(t) - {k - 1})) AS u(i)
+  WHERE len(t) >= {k}
+),
+bt AS (SELECT doc_id, {TOKS_SQL} AS t FROM {table} WHERE doc_id % {mod} = 0),
+bsh AS (
+  SELECT DISTINCT doc_id, {fold} AS s
+  FROM bt, UNNEST(generate_series(1, len(t) - {k - 1})) AS u(i)
+  WHERE len(t) >= {k}
+),
+cov AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n_shingles,
+         count(c.s)::BIGINT AS n_covered
+  FROM bsh b LEFT JOIN csh c ON c.s = b.s
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_covered,
+       ((100 * n_covered) // n_shingles)::BIGINT AS covered_pct
+FROM cov
+"""
+
+
 def _kgram_fold_sql(k: int) -> str:
     C, M = int(MIX_C), _M64
     s = _h60_sql("t[i]")

@@ -68,6 +68,7 @@ DOC_QUERIES = [
     "audio_fingerprint", "image_dup_clusters", "image_dedup_survivors",
     "dataset_split", "proportional_sample", "token_budget_sample",
     "near_dup_containment", "minhash_estimate_pairs", "c4_line_filter",
+    "suite_coverage",
 ]
 
 
