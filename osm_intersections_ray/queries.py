@@ -179,6 +179,7 @@ def queries() -> dict:
     q["way_l1_lengths"] = lambda sf: qs.way_l1_lengths(_ways(sf))
     q["way_bearing_octants"] = lambda sf: qs.way_bearing_octants(_ways(sf))
     q["way_components"] = lambda sf: graph.way_components(_ways(sf))
+    q["way_triangles"] = lambda sf: graph.way_triangles(_ways(sf))
 
     def boundary_areas(sf):
         fx = ensure_fixtures(sf)
@@ -555,6 +556,9 @@ def queries() -> dict:
         _tbl(sf, "events", ["event_id", "ts", "user_id"]))
     q["daily_active_users"] = lambda sf: events.daily_active_users(
         _tbl(sf, "events", ["user_id", "ts"]))
+    q["session_concurrency"] = lambda sf: events.session_concurrency(
+        _tbl(sf, "events", ["user_id", "event_id", "ts"]))
+    q["events_profile"] = lambda sf: curation.table_profile(_tbl(sf, "events"))
 
     # --- relational building blocks
     q["pricing_summary"] = lambda sf: relational.pricing_summary(
@@ -823,6 +827,7 @@ def oracle_sql() -> dict:
         "way_l1_lengths": qs.way_l1_lengths_sql(ways_path),
         "way_bearing_octants": qs.way_bearing_octants_sql(ways_path),
         "way_components": graph.way_components_sql(ways_path),
+        "way_triangles": graph.way_triangles_sql(ways_path),
         "boundary_areas": qs.boundary_areas_sql(
             os.path.join(fx, "boundaries.parquet")),
         "pages_extract": pages.extract_sql(pages_tbl),
@@ -941,6 +946,10 @@ def oracle_sql() -> dict:
         "event_transitions": events.event_transitions_sql(),
         "suite_coverage": dedup.suite_coverage_sql(),
         "late_arrivals": events.late_arrivals_sql(),
+        "session_concurrency": events.session_concurrency_sql(),
+        "events_profile": curation.table_profile_sql(
+            "events", ["event_id", "ts", "user_id", "event_type", "value",
+                       "props"]),
         "daily_active_users": events.daily_active_users_sql(),
         "session_cooccurrence": events.session_cooccurrence_sql(),
         "pricing_summary": relational.pricing_summary_sql(),

@@ -536,3 +536,122 @@ SELECT vec_id, scale,
   END AS max_abs_err
 FROM s
 """
+
+
+# --- one-pass table profiler (data-quality census) --------------------------
+
+def _canon_distinct(arr: pa.ChunkedArray | pa.Array):
+    """Distinct non-null values of one batch column as canonical strings.
+
+    Canonical forms are chosen so engine distinctness == DuckDB value
+    distinctness: integers/timestamps print as int64 (timestamps as epoch
+    us), doubles as C99 hex floats with -0.0 normalized to 0.0 and NaNs
+    collapsed to one token, strings as themselves.  Only the per-batch
+    DISTINCT values are ever stringified, so the Python cost is bounded by
+    batch cardinality, not batch size."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    arr = arr.drop_null()
+    if pa.types.is_timestamp(t):
+        u = np.unique(arr.cast(pa.int64()).to_numpy(zero_copy_only=False))
+        return [str(int(v)) for v in u]
+    if pa.types.is_integer(t):
+        u = np.unique(arr.to_numpy(zero_copy_only=False))
+        return [str(int(v)) for v in u]
+    if pa.types.is_floating(t):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        nan = np.isnan(v)
+        u = np.unique(v[~nan] + 0.0)  # +0.0 folds -0.0 into 0.0
+        out = [float(x).hex() for x in u]
+        if nan.any():
+            out.append("nan")
+        return out
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        import pyarrow.compute as pc
+
+        return pc.unique(arr).to_pylist()
+    raise TypeError(f"unprofiled column type: {t}")
+
+
+def table_profile(ds):
+    """Per-column data-quality census of ANY flat table — one row per
+    column: ``(col, n_rows, n_null, n_distinct)`` with n_distinct EXACT
+    (what schema-drift monitoring and ingest validation read first).
+
+    Scale shape: row/null counts are per-batch integer partials.  Exact
+    distinct counts are the hard part at 100 TB — here each batch emits its
+    DISTINCT (col, value) rows only (pre-dedup bounded by batch
+    cardinality), one (col, value)-hash-keyed exchange makes per-shard
+    distinct counts globally exact (every copy of a value lands in one
+    shard), and shards emit (col, count) partials.  Both partial kinds ride
+    one final |columns|-bounded groupby.  Nothing value-cardinality-sized
+    ever sits on the driver or in any single process beyond one shard's
+    distinct values; a unique-key column (the worst case) spreads its
+    values evenly over all shards."""
+    from ray.data.aggregate import Sum
+
+    NS = n_shards()  # cluster-derived; captured into the closures below
+
+    part_schema = pa.schema([("col", pa.string()), ("shard", pa.int64()),
+                             ("val", pa.large_string()), ("n", pa.int64()),
+                             ("n_null", pa.int64()), ("nd", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols, shards, vals, ns, nns, nds = [], [], [], [], [], []
+        for name in b.schema.names:
+            arr = b[name]
+            # counts partial (one row; shard -1 marks it)
+            cols.append(name)
+            shards.append(-1)
+            vals.append("")
+            ns.append(b.num_rows)
+            nns.append(arr.null_count)
+            nds.append(0)
+            # distinct-value rows
+            for v in _canon_distinct(arr):
+                cols.append(name)
+                shards.append(h60(f"{name}\x00{v}") % NS)
+                vals.append(v)
+                ns.append(0)
+                nns.append(0)
+                nds.append(0)
+        return pa.table({"col": pa.array(cols, pa.string()),
+                         "shard": pa.array(shards, pa.int64()),
+                         "val": pa.array(vals, pa.large_string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "n_null": pa.array(nns, pa.int64()),
+                         "nd": pa.array(nds, pa.int64())}, schema=part_schema)
+
+    def shard_fold(df: pd.DataFrame) -> pa.Table:
+        if (df["shard"] == -1).all():
+            # the counts shard: pass the integer partials through
+            g = df.groupby("col", sort=False).agg(
+                n=("n", "sum"), n_null=("n_null", "sum")).reset_index()
+            return pa.table({"col": pa.array(g["col"], pa.string()),
+                             "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                             "n_null": pa.array(g["n_null"].to_numpy(),
+                                                pa.int64()),
+                             "nd": pa.array(np.zeros(len(g), np.int64))})
+        g = (df.drop_duplicates(["col", "val"])
+             .groupby("col", sort=False).size().reset_index(name="nd"))
+        return pa.table({"col": pa.array(g["col"], pa.string()),
+                         "n": pa.array(np.zeros(len(g), np.int64)),
+                         "n_null": pa.array(np.zeros(len(g), np.int64)),
+                         "nd": pa.array(g["nd"].to_numpy(), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("shard").map_groups(shard_fold, batch_format="pandas")
+            .groupby("col").aggregate(Sum("n", alias_name="n_rows"),
+                                      Sum("n_null", alias_name="n_null"),
+                                      Sum("nd", alias_name="n_distinct")))
+
+
+def table_profile_sql(table: str, columns: list[str]) -> str:
+    legs = []
+    for c in columns:
+        legs.append(
+            f"SELECT '{c}' AS col, count(*)::BIGINT AS n_rows, "
+            f"(count(*) - count({c}))::BIGINT AS n_null, "
+            f"count(DISTINCT {c})::BIGINT AS n_distinct FROM {table}")
+    return "\nUNION ALL\n".join(legs)

@@ -363,3 +363,237 @@ lbl AS (SELECT node AS way_id, min(r) AS comp FROM reach GROUP BY node)
 SELECT comp::BIGINT AS component_id, count(*)::BIGINT AS n_ways
 FROM lbl GROUP BY comp
 """
+
+
+# --- triangle census over the road-adjacency graph -------------------------
+
+def _pairs_within_segments(vals: np.ndarray, seg_lens: np.ndarray):
+    """All ordered index pairs (i<j) WITHIN each segment of a concatenated
+    sorted array, vectorized by distinct segment length: segments with the
+    same length k share one ``np.triu_indices(k, 1)`` template, broadcast
+    across all of them at once — no per-segment Python.  Road-network node /
+    neighbor-list degrees take only a handful of distinct values, so this is
+    a few numpy calls total.  Returns (left, right, seg_idx) — seg_idx maps
+    each emitted pair back to its segment (pairs are NOT in segment order:
+    they come out grouped by segment length)."""
+    z = np.empty(0, dtype=np.int64)
+    if len(vals) == 0 or len(seg_lens) == 0:
+        return z, z, z
+    offs = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+    left_parts, right_parts, seg_parts = [], [], []
+    for k in np.unique(seg_lens):
+        if k < 2:
+            continue
+        sel = np.nonzero(seg_lens == k)[0]
+        ii, jj = np.triu_indices(int(k), 1)          # template for length k
+        base = offs[sel][:, None]                    # (n_seg, 1)
+        left_parts.append(vals[(base + ii[None, :]).ravel()])
+        right_parts.append(vals[(base + jj[None, :]).ravel()])
+        seg_parts.append(np.repeat(sel, len(ii)))
+    if not left_parts:
+        return z, z, z
+    return (np.concatenate(left_parts).astype(np.int64),
+            np.concatenate(right_parts).astype(np.int64),
+            np.concatenate(seg_parts).astype(np.int64))
+
+
+def _dedup_pairs(a: np.ndarray, b: np.ndarray):
+    """Distinct (a, b) rows (lexsort + boundary mask — no Python sets)."""
+    if len(a) == 0:
+        return a, b
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[keep], b[keep]
+
+
+_PAIR_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix golden-ratio constant
+
+
+def _pair_shard(u: np.ndarray, w: np.ndarray, ns: int) -> np.ndarray:
+    """Deterministic shard id for an (u, w) pair — routing only, so the
+    result hashes are shard-count-invariant by construction."""
+    h = (u.astype(np.uint64) * _PAIR_MIX) ^ w.astype(np.uint64)
+    h ^= h >> np.uint64(29)
+    return (h % np.uint64(ns)).astype(np.int64)
+
+
+def way_triangles(ways_ds):
+    """Triangle census + degree per way of the road-adjacency graph (two
+    TAGGED ways are adjacent when they share a node): one row per way with
+    >= 1 neighbor, ``(way_id, degree, n_triangles)``.
+
+    The classic distributed triangle count (node-iterator with minimum-id
+    orientation — cf. Cohen, "Graph Twiddling in a MapReduce World", CiSE
+    2009), expressed as three keyed exchanges; reference parity: the way
+    graph the reference walks per county (js/geo.js offset walker's
+    neighbor structure) here gets a whole-graph clustering census.
+
+    1. NODE-keyed: (node, way) rows co-locate per node; each node emits its
+       adjacent-way pairs (a < b).  Road-network node degrees are small
+       (an intersection joins a handful of ways) so the pair explosion is
+       bounded; a hub-heavy graph would orient by (degree, id) first — the
+       standard skew hedge, unnecessary for road topology.
+    2. PIVOT-keyed (a % NS): every copy of edge (a, b) shares pivot a, so
+       per-shard dedup IS global dedup.  Each pivot's neighbor list (all
+       > a by construction) emits wedges (u < w), one edge-marker row per
+       distinct edge, and local degree partials for both endpoints.
+    3. PAIR-keyed (hash(u, w) % NS): markers flag which wedges close; a
+       closed wedge is one triangle found exactly once (at its minimum
+       vertex) -> three (way, 1) partials, pre-combined per shard.
+
+    The final (way) groupby folds degree + triangle partials.  Exchange
+    volume is O(edges + wedges); nothing graph-sized ever sits on the
+    driver, and no stage enumerates all-pairs."""
+    from ray.data.aggregate import Sum
+
+    from .common import drop_empty_blocks
+
+    NS = n_shards()  # cluster-derived; captured into the closures below
+
+    nw_schema = pa.schema([("node", pa.int64()), ("way", pa.int64()),
+                           ("shard", pa.int64())])
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = b.filter(b["tagged"])
+        if t.num_rows == 0:
+            return nw_schema.empty_table()
+        nodes = t["nodes"].combine_chunks()
+        lens = np.asarray(nodes.value_lengths(), dtype=np.int64)
+        nd = np.asarray(nodes.flatten(), dtype=np.int64)
+        wy = np.repeat(np.asarray(t["way_id"].to_numpy(zero_copy_only=False),
+                                  dtype=np.int64), lens)
+        # distinct (node, way): a closed ring repeats its first node
+        nd, wy = _dedup_pairs(nd, wy)
+        return pa.table({"node": pa.array(nd), "way": pa.array(wy),
+                         "shard": pa.array(nd % NS)}, schema=nw_schema)
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("shard", pa.int64())])
+
+    def node_pairs(df: pd.DataFrame) -> pa.Table:
+        # rows of one node shard: group by node, emit adjacent-way pairs
+        nd = df["node"].to_numpy()
+        wy = df["way"].to_numpy()
+        order = np.lexsort((wy, nd))
+        nd, wy = nd[order], wy[order]
+        # (node, way) rows are globally distinct already (explode dedups
+        # within a way; a (node, way) pair exists once across ways)
+        starts = np.ones(len(nd), dtype=bool)
+        starts[1:] = nd[1:] != nd[:-1]
+        seg_lens = np.diff(np.append(np.nonzero(starts)[0], len(nd)))
+        a, b, _ = _pairs_within_segments(wy, seg_lens)  # sorted -> a < b
+        a, b = _dedup_pairs(a, b)                       # local pre-dedup
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "shard": pa.array(a % NS)}, schema=pair_schema)
+
+    # wedge/marker rows: pivot = -1 marks a real edge (u, w)
+    wm_schema = pa.schema([("u", pa.int64()), ("w", pa.int64()),
+                           ("pivot", pa.int64()), ("shard", pa.int64())])
+    # (way, deg_n, tri_n) partial rows for the final fold
+    part_schema = pa.schema([("way_id", pa.int64()), ("deg_n", pa.int64()),
+                             ("tri_n", pa.int64())])
+
+    def pivot_stage(df: pd.DataFrame) -> pa.Table:
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        a, b = _dedup_pairs(a, b)  # same (a,b) always lands here: global dedup
+        # wedges per pivot: neighbor lists are the b-runs of sorted a
+        starts = np.ones(len(a), dtype=bool)
+        starts[1:] = a[1:] != a[:-1]
+        seg_lens = np.diff(np.append(np.nonzero(starts)[0], len(a)))
+        u, w, seg_idx = _pairs_within_segments(b, seg_lens)
+        pivots = a[starts][seg_idx]
+        wedges = pa.table({"u": pa.array(u), "w": pa.array(w),
+                           "pivot": pa.array(pivots),
+                           "shard": pa.array(_pair_shard(u, w, NS))},
+                          schema=wm_schema)
+        markers = pa.table({"u": pa.array(a), "w": pa.array(b),
+                            "pivot": pa.array(np.full(len(a), -1)),
+                            "shard": pa.array(_pair_shard(a, b, NS))},
+                           schema=wm_schema)
+        # local degree partials: each distinct edge lives in exactly one
+        # pivot shard, so summing both endpoints here is exact.  map_groups
+        # emits ONE schema, so degree rows pack into the wedge schema as
+        # pivot = -2 rows (way id in u, count in w).
+        ways, counts = np.unique(np.concatenate([a, b]), return_counts=True)
+        deg_rows = pa.table({"u": pa.array(ways),
+                             "w": pa.array(counts.astype(np.int64)),
+                             "pivot": pa.array(np.full(len(ways), -2)),
+                             "shard": pa.array(np.zeros(len(ways), np.int64))},
+                            schema=wm_schema)
+        return pa.concat_tables([wedges, markers, deg_rows])
+
+    def close_stage(df: pd.DataFrame) -> pa.Table:
+        u = df["u"].to_numpy()
+        w = df["w"].to_numpy()
+        pv = df["pivot"].to_numpy()
+        is_query = pv != -1
+        if is_query.all() or not is_query.any():
+            return part_schema.empty_table()
+        # membership test without packing (way ids are arbitrary int64):
+        # lexsort markers and wedges TOGETHER on (u, w); a (u, w) run is
+        # "closed" iff it contains a marker row — runs found by boundary
+        # mask, marker presence folded per run with logical_or.at.  Fully
+        # vectorized, exact for any id range.
+        order = np.lexsort((is_query, w, u))
+        u_s, w_s, pv_s, q_s = u[order], w[order], pv[order], is_query[order]
+        run_start = np.ones(len(u_s), dtype=bool)
+        run_start[1:] = (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])
+        run_id = np.cumsum(run_start) - 1
+        has_marker = np.zeros(run_id[-1] + 1, dtype=bool)
+        np.logical_or.at(has_marker, run_id[~q_s], True)
+        closed = q_s & has_marker[run_id]
+        tri_ways = np.concatenate([pv_s[closed], u_s[closed], w_s[closed]])
+        ways, counts = np.unique(tri_ways, return_counts=True)
+        return pa.table({"way_id": pa.array(ways.astype(np.int64)),
+                         "deg_n": pa.array(np.zeros(len(ways), np.int64)),
+                         "tri_n": pa.array(counts.astype(np.int64))},
+                        schema=part_schema)
+
+    import pyarrow.compute as pc
+
+    def split_deg(b: pa.Table) -> pa.Table:
+        d = b.filter(pc.equal(b["pivot"], -2))
+        return pa.table({"way_id": d["u"], "deg_n": d["w"],
+                         "tri_n": pa.array(np.zeros(d.num_rows, np.int64))},
+                        schema=part_schema)
+
+    nw = ways_ds.map_batches(explode, batch_format="pyarrow")
+    pairs = nw.groupby("shard").map_groups(node_pairs, batch_format="pandas")
+    mixed = drop_empty_blocks(
+        pairs.groupby("shard").map_groups(pivot_stage, batch_format="pandas")
+        .materialize())
+    deg_parts = mixed.map_batches(split_deg, batch_format="pyarrow")
+    wm = mixed.map_batches(
+        lambda b: b.filter(pc.not_equal(b["pivot"], -2)),
+        batch_format="pyarrow")
+    tri_parts = wm.groupby("shard").map_groups(close_stage,
+                                               batch_format="pandas")
+
+    return (deg_parts.union(tri_parts)
+            .groupby("way_id")
+            .aggregate(Sum("deg_n", alias_name="degree"),
+                       Sum("tri_n", alias_name="n_triangles")))
+
+
+def way_triangles_sql(ways_path: str) -> str:
+    return f"""
+WITH w AS (SELECT way_id, nodes FROM read_parquet('{ways_path}') WHERE tagged),
+nw AS (SELECT DISTINCT way_id, unnest(nodes) AS node FROM w),
+e AS (SELECT DISTINCT x.way_id AS u, y.way_id AS v
+      FROM nw x JOIN nw y USING (node) WHERE x.way_id < y.way_id),
+deg AS (SELECT way_id, count(*)::BIGINT AS degree FROM
+        (SELECT u AS way_id FROM e UNION ALL SELECT v FROM e)
+        GROUP BY way_id),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tcnt AS (SELECT way_id, count(*)::BIGINT AS n_triangles FROM
+         (SELECT unnest([a, b, c]) AS way_id FROM tri) GROUP BY way_id)
+SELECT deg.way_id, deg.degree, coalesce(tcnt.n_triangles, 0)::BIGINT
+         AS n_triangles
+FROM deg LEFT JOIN tcnt USING (way_id)
+"""

@@ -188,7 +188,8 @@ def edge_events_dir(tmp_path_factory):
                                   "events_rollup", "events_pivot",
                                   "user_streaks", "session_cooccurrence",
                                   "event_transitions",
-                                  "daily_active_users", "late_arrivals"])
+                                  "daily_active_users", "late_arrivals",
+                                  "session_concurrency", "events_profile"])
 def test_edge_events_vs_oracle(ray_session, edge_events_dir, name):
     _compare(ray_session, edge_events_dir, "events", name)
 
@@ -2336,3 +2337,133 @@ def test_edge_q11_q16_q20(ray_session, tmp_path_factory):
 
     q11 = R.important_parts(r("lineitem")).to_pandas()
     _rel_compare(q11, con, R.important_parts_sql())
+
+
+def test_edge_way_triangles_hostile(ray_session, tmp_path_factory):
+    """Triangle census hostiles: a K4 (every way in 3 triangles, degree 3),
+    a triangle whose two members ALSO share a second node (still one edge),
+    a closed-ring way (duplicate node in its own list), an untagged way
+    wired into the K4 (must not create edges), and an isolated way (no
+    output row)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import graph as G
+
+    d = tmp_path_factory.mktemp("edge_triangles")
+    # node ids: n(i,j) shared by ways i and j
+    def n(i, j):
+        return 1000 + 10 * min(i, j) + max(i, j)
+
+    rows = [
+        # K4 over ways 1..4: each pair shares one node
+        (1, [n(1, 2), n(1, 3), n(1, 4)], True),
+        (2, [n(1, 2), n(2, 3), n(2, 4)], True),
+        (3, [n(1, 3), n(2, 3), n(3, 4)], True),
+        (4, [n(1, 4), n(2, 4), n(3, 4)], True),
+        # triangle {5,6,7}; 5 and 6 share TWO nodes (55 and 56) and 5 is a
+        # closed ring (repeats node 55)
+        (5, [55, 56, 57, 55], True),
+        (6, [55, 56, 58], True),
+        (7, [57, 58], True),
+        # untagged way touching the K4: contributes nothing
+        (8, [n(1, 2), n(3, 4)], False),
+        # isolated tagged way: degree 0, no row
+        (9, [99], True),
+    ]
+    tbl = pa.table({
+        "way_id": pa.array([r[0] for r in rows], pa.int64()),
+        "nodes": pa.array([r[1] for r in rows], pa.list_(pa.int64())),
+        "tagged": pa.array([r[2] for r in rows], pa.bool_()),
+    })
+    path = str(d / "ways.parquet")
+    pq.write_table(tbl, path)
+
+    eng = (G.way_triangles(rd.read_parquet(path, override_num_blocks=3))
+           .to_pandas().sort_values("way_id").reset_index(drop=True))
+    orc = (duckdb.sql(G.way_triangles_sql(path)).df()
+           .sort_values("way_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, orc[eng.columns], check_dtype=False)
+    got = {int(r.way_id): (int(r.degree), int(r.n_triangles))
+           for r in eng.itertuples()}
+    assert got == {1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (3, 3),
+                   5: (2, 1), 6: (2, 1), 7: (2, 1)}
+
+
+def test_edge_session_concurrency_intervals(ray_session, tmp_path_factory):
+    """Interval-overlap hostiles: exact-touch (end == other's start counts,
+    +1us does not), containment, identical intervals, a session crossing
+    the hour rank-bucket boundary, and boundary-exact timestamps."""
+    d = tmp_path_factory.mktemp("edge_conc")
+    H = 3_600_000_000
+    S = 1_000_000
+    base = 1_700_000_000_000_000
+    # (user, [offsets]) -> one session per user (gaps < 30 min)
+    worlds = [
+        (1, [0]),                      # point interval [0, 0]
+        (2, [0, 600 * S]),             # [0, 600s]
+        (3, [600 * S, 1200 * S]),      # starts EXACTLY at u2's end: overlap
+        (4, [1200 * S + 1, 1300 * S]), # 1us after u3 ends: NO overlap with u3
+        (5, [0, 1290 * S, 1300 * S]),  # contains everything above
+        (6, [0, 600 * S]),             # identical to u2
+        (7, [H - 1000, H + 1000]),     # crosses the hour bucket boundary
+        (8, [H]),                      # point exactly ON the boundary
+    ]
+    rows = [(u, off) for u, offs in worlds for off in offs]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([base + off for _, off in rows], pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array(["a"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(d / "events.parquet"))
+    _compare(ray_session, str(d), "events", "session_concurrency")
+    # spot-check the touch/containment logic against hand counts
+    from osm_intersections_ray.queries import queries
+
+    got = {int(r.user_id): int(r.n_concurrent)
+           for r in queries()["session_concurrency"](str(d))
+           .to_pandas().itertuples()}
+    assert got == {1: 3,   # u2, u5, u6 (point 0 inside each)
+                   2: 4, 6: 4,      # each other + u1, u3 (touch), u5
+                   3: 3,   # u2 + u6 (both touch at 600s), u5
+                   4: 1,   # u5 only (u3 ends 1us before)
+                   5: 5,   # u1, u2, u3, u4, u6 (u7/u8 start after 1300s)
+                   7: 1, 8: 1}      # u7 and u8 overlap each other
+
+
+def test_edge_table_profile_hostile(ray_session, tmp_path_factory):
+    """Profiler hostiles: NULLs in every type, -0.0 vs 0.0 (one distinct
+    value), empty string vs NULL (distinct counts the empty string only),
+    duplicate timestamps, and an all-NULL column."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import curation as C
+
+    d = tmp_path_factory.mktemp("edge_profile")
+    tbl = pa.table({
+        "i": pa.array([1, 1, 2, None, None], pa.int64()),
+        "f": pa.array([0.0, -0.0, 1.5, 1.5, None], pa.float64()),
+        "s": pa.array(["", "", "x", None, "x"], pa.string()),
+        "t": pa.array([1_700_000_000_000_000, 1_700_000_000_000_000,
+                       0, None, 1], pa.timestamp("us")),
+        "z": pa.array([None] * 5, pa.int64()),
+    })
+    path = str(d / "t.parquet")
+    pq.write_table(tbl, path)
+
+    eng = (C.table_profile(rd.read_parquet(path, override_num_blocks=2))
+           .to_pandas().sort_values("col").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}')")
+    orc = (con.sql(C.table_profile_sql("t", ["i", "f", "s", "t", "z"])).df()
+           .sort_values("col").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, orc[eng.columns], check_dtype=False)
+    got = {r.col: (int(r.n_rows), int(r.n_null), int(r.n_distinct))
+           for r in eng.itertuples()}
+    assert got == {"i": (5, 2, 2), "f": (5, 1, 2), "s": (5, 1, 2),
+                   "t": (5, 1, 3), "z": (5, 5, 0)}

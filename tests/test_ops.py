@@ -550,10 +550,16 @@ def test_warc_roundtrip_and_hostiles():
         ("https://c.example/z", 0, b"a\r\n\r\nb" * 10),  # separator INSIDE payload
     ]
     blob = b"".join(w.encode_warc_record(*r) for r in recs)
-    assert list(w.parse_warc_members(blob)) == recs
+    parsed = list(w.parse_warc_members(blob))
+    assert [p[:3] for p in parsed] == recs
+    # the 4th member is the raw header dict (quarantine reads the digest off
+    # it); every record carries the mandatory fields
+    for _, _, payload, hdrs in parsed:
+        assert hdrs["content-length"] == str(len(payload))
+        assert "warc-target-uri" in hdrs and "warc-date" in hdrs
     # already-inflated stream parses too (Ray auto-decompresses .gz reads)
     import gzip as _g
-    assert list(w.parse_warc_members(_g.decompress(blob))) == recs
+    assert [p[:3] for p in w.parse_warc_members(_g.decompress(blob))] == recs
     with _pt.raises(ValueError):
         list(w.parse_warc_members(b"NOT A WARC"))
 

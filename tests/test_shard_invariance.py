@@ -34,6 +34,9 @@ SHARD_FOLD_QUERIES = [
     "near_dup_containment", # pair-shard verify routing (session 13)
     "minhash_estimate_pairs",  # pair-shard estimator routing (session 13)
     "frontier_priority",    # url-shard union anti-fold (session 13)
+    "way_triangles",        # node/pivot/pair-shard triangle census (s14)
+    "session_concurrency",  # bucket-shard rank queries (session 14)
+    "events_profile",       # (col, value)-shard distinct fold (session 14)
 ]
 
 
