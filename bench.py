@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     "late_arrivals",        # watermark out-of-order accounting (round 4)
     "warc_quarantine",      # digest-verified corrupt-record routing (round 4)
     "suite_coverage",       # benchmark-leakage report, two broadcasts (round 4)
+    "way_triangles",        # distributed triangle census, 3 exchanges (round 4)
+    "session_concurrency",  # interval-overlap ranks, no self-join (round 4)
+    "events_profile",       # exact per-column distinct/null census (round 4)
 ]
 
 

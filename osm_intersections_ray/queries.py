@@ -57,10 +57,13 @@ DRIVER_SAMPLE_50 = [
     # family representatives; session 13 rotated five NEVER-driver-checked
     # ops in (way_names/warc_pages/lang_id/dup_clusters/rrf_fusion moved
     # behind the 50 boundary — their families keep another entry here)
-    "boundary_areas", "nearest_two",       # spatial
+    # session 14 rotated three r01-r03-checked representatives out
+    # (nearest_two/doc_stats/near_dup_jaccard — their families keep another
+    # entry) for the three newest never-checked families/ops
+    "boundary_areas", "way_triangles",     # spatial / graph census
     "pages_way_join", "host_capped_pages",  # pages / crawl curation
-    "doc_stats", "token_budget_sample",    # text / corpus curation
-    "near_dup_jaccard", "minhash_estimate_pairs",  # dedup
+    "events_profile", "token_budget_sample",  # profiling / corpus curation
+    "session_concurrency", "minhash_estimate_pairs",  # intervals / dedup
     # families with no driver-visible row in r01-r03
     "pricing_summary", "shipping_priority", "big_orders", "cold_customers",
     "small_qty_revenue", "acctbal_quantiles", "local_supplier_revenue",

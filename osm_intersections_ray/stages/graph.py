@@ -448,8 +448,6 @@ def way_triangles(ways_ds):
     driver, and no stage enumerates all-pairs."""
     from ray.data.aggregate import Sum
 
-    from .common import drop_empty_blocks
-
     NS = n_shards()  # cluster-derived; captured into the closures below
 
     nw_schema = pa.schema([("node", pa.int64()), ("way", pa.int64()),
@@ -516,12 +514,14 @@ def way_triangles(ways_ds):
         # local degree partials: each distinct edge lives in exactly one
         # pivot shard, so summing both endpoints here is exact.  map_groups
         # emits ONE schema, so degree rows pack into the wedge schema as
-        # pivot = -2 rows (way id in u, count in w).
+        # pivot = -2 rows (way id in u, count in w) and RIDE the pair
+        # exchange (spread by way id) — close_stage passes them through.
+        # This keeps the wedge table lazy: one consumer, no materialize.
         ways, counts = np.unique(np.concatenate([a, b]), return_counts=True)
         deg_rows = pa.table({"u": pa.array(ways),
                              "w": pa.array(counts.astype(np.int64)),
                              "pivot": pa.array(np.full(len(ways), -2)),
-                             "shard": pa.array(np.zeros(len(ways), np.int64))},
+                             "shard": pa.array(_pair_shard(ways, ways, NS))},
                             schema=wm_schema)
         return pa.concat_tables([wedges, markers, deg_rows])
 
@@ -529,9 +529,17 @@ def way_triangles(ways_ds):
         u = df["u"].to_numpy()
         w = df["w"].to_numpy()
         pv = df["pivot"].to_numpy()
+        is_deg = pv == -2
+        deg_tbl = part_schema.empty_table()
+        if is_deg.any():
+            deg_tbl = pa.table(
+                {"way_id": pa.array(u[is_deg]), "deg_n": pa.array(w[is_deg]),
+                 "tri_n": pa.array(np.zeros(int(is_deg.sum()), np.int64))},
+                schema=part_schema)
+            u, w, pv = u[~is_deg], w[~is_deg], pv[~is_deg]
         is_query = pv != -1
-        if is_query.all() or not is_query.any():
-            return part_schema.empty_table()
+        if len(pv) == 0 or is_query.all() or not is_query.any():
+            return deg_tbl
         # membership test without packing (way ids are arbitrary int64):
         # lexsort markers and wedges TOGETHER on (u, w); a (u, w) run is
         # "closed" iff it contains a marker row — runs found by boundary
@@ -547,33 +555,20 @@ def way_triangles(ways_ds):
         closed = q_s & has_marker[run_id]
         tri_ways = np.concatenate([pv_s[closed], u_s[closed], w_s[closed]])
         ways, counts = np.unique(tri_ways, return_counts=True)
-        return pa.table({"way_id": pa.array(ways.astype(np.int64)),
-                         "deg_n": pa.array(np.zeros(len(ways), np.int64)),
-                         "tri_n": pa.array(counts.astype(np.int64))},
-                        schema=part_schema)
-
-    import pyarrow.compute as pc
-
-    def split_deg(b: pa.Table) -> pa.Table:
-        d = b.filter(pc.equal(b["pivot"], -2))
-        return pa.table({"way_id": d["u"], "deg_n": d["w"],
-                         "tri_n": pa.array(np.zeros(d.num_rows, np.int64))},
-                        schema=part_schema)
+        tri_tbl = pa.table({"way_id": pa.array(ways.astype(np.int64)),
+                            "deg_n": pa.array(np.zeros(len(ways), np.int64)),
+                            "tri_n": pa.array(counts.astype(np.int64))},
+                           schema=part_schema)
+        return pa.concat_tables([deg_tbl, tri_tbl])
 
     nw = ways_ds.map_batches(explode, batch_format="pyarrow")
     pairs = nw.groupby("shard").map_groups(node_pairs, batch_format="pandas")
-    mixed = drop_empty_blocks(
-        pairs.groupby("shard").map_groups(pivot_stage, batch_format="pandas")
-        .materialize())
-    deg_parts = mixed.map_batches(split_deg, batch_format="pyarrow")
-    wm = mixed.map_batches(
-        lambda b: b.filter(pc.not_equal(b["pivot"], -2)),
-        batch_format="pyarrow")
-    tri_parts = wm.groupby("shard").map_groups(close_stage,
-                                               batch_format="pandas")
+    mixed = pairs.groupby("shard").map_groups(pivot_stage,
+                                              batch_format="pandas")
+    parts = mixed.groupby("shard").map_groups(close_stage,
+                                              batch_format="pandas")
 
-    return (deg_parts.union(tri_parts)
-            .groupby("way_id")
+    return (parts.groupby("way_id")
             .aggregate(Sum("deg_n", alias_name="degree"),
                        Sum("tri_n", alias_name="n_triangles")))
 
