@@ -664,10 +664,40 @@ def big_orders(orders_ds, lineitem_ds, customer_tbl: pa.Table):
             "o_orderdate_us": pa.array(d, pa.int64()),
             "o_totalprice_cents": pa.array(cents, pa.int64())})
 
-    joined = big.join(orders_ds.map_batches(ord_proj, batch_format="pyarrow"),
-                      join_type="inner",
-                      num_partitions=cap_join_partitions(8),
-                      on=("o_orderkey",))
+    # cardinality-routed join-back: the HAVING tail is output-sized (the
+    # extreme-quantity extreme of the orderkey domain), so below the
+    # crossover it broadcasts as two sorted int64 arrays and the join-back
+    # is a vectorized searchsorted filter inside the orders stream — the
+    # native hash join (whose aggregator-actor ramp dominates seconds-long
+    # jobs) only runs when the tail is genuinely big.
+    n_big = big.count()
+    if n_big <= ORDERS_BROADCAST_MAX:
+        import ray as _ray
+
+        bdf = big.to_pandas()  # bounded by the crossover
+        bk = bdf["o_orderkey"].to_numpy()
+        order = np.argsort(bk, kind="stable")
+        big_ref = _ray.put((bk[order], bdf["total_qty"].to_numpy()[order]))
+
+        from .common import cached_get
+
+        def ord_join(b: pa.Table) -> pa.Table:
+            ks, qs = cached_get(big_ref)
+            proj = ord_proj(b)
+            ok = proj["o_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, ok)
+            m = (pos < len(ks))
+            m[m] = ks[pos[m]] == ok[m]
+            kept = proj.take(pa.array(np.nonzero(m)[0].astype(np.int64)))
+            return kept.append_column(
+                "total_qty", pa.array(qs[pos[m]], pa.int64()))
+
+        joined = orders_ds.map_batches(ord_join, batch_format="pyarrow")
+    else:
+        joined = big.join(
+            orders_ds.map_batches(ord_proj, batch_format="pyarrow"),
+            join_type="inner", num_partitions=cap_join_partitions(8),
+            on=("o_orderkey",))
 
     def attach_name(b: pa.Table) -> pa.Table:
         names = pd.Series(
