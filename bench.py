@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "way_triangles",        # distributed triangle census, 3 exchanges (round 4)
     "session_concurrency",  # interval-overlap ranks, no self-join (round 4)
     "events_profile",       # exact per-column distinct/null census (round 4)
+    "incremental_dedup_survivors",  # new-snapshot-vs-frozen-base dedup (round 4)
 ]
 
 

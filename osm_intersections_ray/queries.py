@@ -329,6 +329,9 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
     q["near_dedup_survivors"] = lambda sf: dedup.near_dedup_survivors(
         _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
+    q["incremental_dedup_survivors"] = (
+        lambda sf: dedup.incremental_dedup_survivors(
+            _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}"))
     q["dup_clusters"] = lambda sf: dedup.dup_clusters(
         _tbl(sf, "documents", ["doc_id", "text"]), ckpt_key=f"docs|{sf}")
     q["cluster_representatives"] = lambda sf: dedup.cluster_representatives(
@@ -875,6 +878,7 @@ def oracle_sql() -> dict:
         "near_dup_containment": dedup.containment_pairs_sql(),
         "minhash_estimate_pairs": dedup.minhash_estimate_pairs_sql(),
         "near_dedup_survivors": dedup.near_dedup_survivors_sql(),
+        "incremental_dedup_survivors": dedup.incremental_dedup_survivors_sql(),
         "dup_clusters": dedup.dup_clusters_sql(),
         "cluster_representatives": dedup.cluster_representatives_sql(),
         "dup_ngram_stats": dedup.dup_ngram_stats_sql(),

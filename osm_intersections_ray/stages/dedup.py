@@ -295,7 +295,8 @@ def _bands_ckpt_key(source_key: str) -> str:
             f"k{SHINGLE_K}m{NEAR_DUP_MOD}|{source_key}")
 
 
-def lsh_candidate_pairs(ds, ckpt_key: str | None = None):
+def lsh_candidate_pairs(ds, ckpt_key: str | None = None,
+                        augment_fn=None):
     """(doc_a < doc_b) pairs sharing any LSH bucket.  Per shard, duplicated
     (band, bucket) groups self-merge (vectorized pandas hash join) into
     ordered pairs; the final distinct-with-count aggregate runs over the
@@ -316,8 +317,10 @@ def lsh_candidate_pairs(ds, ckpt_key: str | None = None):
         return pa.table({"doc_a": pa.array(m["doc_id_x"].to_numpy(), pa.int64()),
                          "doc_b": pa.array(m["doc_id_y"].to_numpy(), pa.int64())})
 
+    aug_fn = augment_fn or augment_near_batch
+
     def make_bands():
-        return ds.map_batches(augment_near_batch, batch_format="pyarrow").map_batches(
+        return ds.map_batches(aug_fn, batch_format="pyarrow").map_batches(
             minhash_bands_batch, batch_format="pyarrow", batch_size=8192
         ).map_batches(_add_shard_fn(n_shards()), batch_format="pyarrow")
 
@@ -355,10 +358,11 @@ def _h60_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT::HUGEINT"
 
 
-def _buckets_cte(table: str) -> str:
+def _buckets_cte(table: str, aug_sql: str | None = None) -> str:
     """Shared WITH-body: augmented docs -> shingle hashes -> minhash bands ->
     LSH buckets, mirroring the numpy kernel bit-for-bit (HUGEINT % 2^64 ==
-    uint64 wraparound; verified identical)."""
+    uint64 wraparound; verified identical).  ``aug_sql`` overrides the
+    standard near-dup augmentation (the incremental-ingest derivation)."""
     C, M = int(MIX_C), _M64
     band_mix = f"band::HUGEINT * {C} + v0"
     for r in range(1, BAND_ROWS):
@@ -366,7 +370,7 @@ def _buckets_cte(table: str) -> str:
     pivots = ",\n         ".join(
         f"max(CASE WHEN j % {BAND_ROWS} = {r} THEN v END) AS v{r}"
         for r in range(BAND_ROWS))
-    return f"""aug AS ({augment_near_sql(table)}),
+    return f"""aug AS ({aug_sql or augment_near_sql(table)}),
 toks AS (SELECT doc_id, {_TOKS_EXPR} AS t FROM aug),
 sh AS (
   SELECT DISTINCT doc_id,
@@ -402,20 +406,25 @@ GROUP BY 1, 2
 N_PAIR_SHARDS = 32
 
 
-def jaccard_verified_pairs(ds, ckpt_key: str | None = None):
+def jaccard_verified_pairs(ds, ckpt_key: str | None = None,
+                           augment_fn=None):
     """Checkpointed wrapper over :func:`_jaccard_verified_pairs`: with a
     ``ckpt_key`` the verified pairs persist once per input, so the survivor
-    filter (and any rerun) reads them back instead of re-verifying."""
+    filter (and any rerun) reads them back instead of re-verifying.
+    Callers overriding ``augment_fn`` must pass a key that encodes the
+    derivation (e.g. ``f"{sf}:incr"``) so chains never share a cache."""
     if ckpt_key is not None:
         from ..state.checkpoint import cached_dataset
 
         return cached_dataset(
             f"jacpairs-v{_BANDS_CKPT_VERSION}-j{JACCARD_PCT_MIN}|{ckpt_key}",
-            lambda: _jaccard_verified_pairs(ds, ckpt_key=ckpt_key))
-    return _jaccard_verified_pairs(ds)
+            lambda: _jaccard_verified_pairs(ds, ckpt_key=ckpt_key,
+                                            augment_fn=augment_fn))
+    return _jaccard_verified_pairs(ds, augment_fn=augment_fn)
 
 
-def _jaccard_verified_pairs(ds, ckpt_key: str | None = None):
+def _jaccard_verified_pairs(ds, ckpt_key: str | None = None,
+                            augment_fn=None):
     """LSH candidates verified by true word-3-shingle Jaccard (integer
     percent, floor) — fully distributed:
 
@@ -445,7 +454,8 @@ def _jaccard_verified_pairs(ds, ckpt_key: str | None = None):
     # into the join schema probe isn't worth it, and an EMPTY lazy dataset
     # has no schema for Dataset.join to hash on); strip the aggregate's
     # schema-less empty blocks before they can poison the hash join
-    cand = drop_empty_blocks(lsh_candidate_pairs(ds, ckpt_key=ckpt_key).materialize())
+    cand = drop_empty_blocks(lsh_candidate_pairs(
+        ds, ckpt_key=ckpt_key, augment_fn=augment_fn).materialize())
     if cand.count() == 0:
         import ray.data as rd
 
@@ -453,7 +463,8 @@ def _jaccard_verified_pairs(ds, ckpt_key: str | None = None):
                                        "doc_b": pa.array([], pa.int64()),
                                        "jac_pct": pa.array([], pa.int64())}))
     member = cand.map_batches(member_rows, batch_format="pyarrow")
-    texts = ds.map_batches(augment_near_batch, batch_format="pyarrow")
+    texts = ds.map_batches(augment_fn or augment_near_batch,
+                           batch_format="pyarrow")
     joined = member.join(texts, join_type="inner",
                          num_partitions=cap_join_partitions(16), on=("doc_id",))
 
@@ -490,12 +501,12 @@ def _jaccard_verified_pairs(ds, ckpt_key: str | None = None):
             .groupby("pshard").map_groups(per_shard, batch_format="pandas"))
 
 
-def _verified_cte(table: str) -> str:
+def _verified_cte(table: str, aug_sql: str | None = None) -> str:
     """The buckets -> candidate-pairs -> shingle-sizes -> intersection ->
     verified CTE chain — the single source of truth for the verification SQL
     shared by the jaccard, survivor and cluster oracles (it mirrors the one
     engine path, ``jaccard_verified_pairs``)."""
-    return f"""{_buckets_cte(table)},
+    return f"""{_buckets_cte(table, aug_sql=aug_sql)},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM buck a JOIN buck b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -1237,7 +1248,7 @@ FROM ct LEFT JOIN hits h USING (doc_id)
 """
 
 
-def near_dedup_survivors(ds, ckpt_key: str | None = None):
+def near_dedup_survivors(ds, ckpt_key: str | None = None, augment_fn=None):
     """End-to-end near-dedup: documents of the augmented table that survive
     MinHash-LSH + Jaccard dedup — for each verified near-dup pair the
     LARGER doc_id drops (keep-first-by-id policy).
@@ -1249,8 +1260,10 @@ def near_dedup_survivors(ds, ckpt_key: str | None = None):
     be billions of int64s.  Only (doc_id) keys shuffle, never text."""
     from .common import drop_empty_blocks
 
-    pairs = drop_empty_blocks(jaccard_verified_pairs(ds, ckpt_key=ckpt_key).materialize())
-    aug = ds.map_batches(augment_near_batch, batch_format="pyarrow").map_batches(
+    pairs = drop_empty_blocks(jaccard_verified_pairs(
+        ds, ckpt_key=ckpt_key, augment_fn=augment_fn).materialize())
+    aug = ds.map_batches(augment_fn or augment_near_batch,
+                         batch_format="pyarrow").map_batches(
         lambda b: b.select(["doc_id"]), batch_format="pyarrow")
     if pairs.count() == 0:  # nothing verified: everything survives
         return aug
@@ -1994,4 +2007,89 @@ SELECT ct.doc_id,
        (len(ct.t) - coalesce(p.n_kept, 0))::BIGINT AS n_removed,
        md5(coalesce(p.clean, '')) AS clean_md5
 FROM ct LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# --- incremental-ingest near-dedup (new snapshot vs frozen base) -------------
+# id ranges: base docs keep their ids; incoming docs derive deterministically
+# ABOVE every base id, so "keep the smaller id" IS "base always beats
+# incoming, earlier incoming beats later" — the production incremental rule
+# falls out of the same pairwise keep-first policy near_dedup_survivors uses.
+INCR_OFFSET = 4_000_000
+INCR_NEAR_MOD = 7    # % 7 == 2: lightly-edited incoming copy (near-dup)
+INCR_EXACT_MOD = 11  # % 11 == 3: byte-identical incoming copy
+INCR_FRESH_MOD = 13  # % 13 == 4: genuinely new incoming document
+INCR_NEAR_SUFFIX = " incremental revision two"
+
+
+def derive_incremental_batch(b: pa.Table) -> pa.Table:
+    """Base corpus rows + the deterministic incoming snapshot: edited
+    copies (near-dups of their base doc), exact copies, and fresh documents
+    whose shingles are id-specific (they must survive).  Mirrors
+    :func:`derive_incremental_sql` row for row."""
+    ids = b["doc_id"].to_pylist()
+    texts = b["text"].to_pylist()
+    out_i, out_t = list(ids), list(texts)
+    for i, t in zip(ids, texts):
+        if i % INCR_NEAR_MOD == 2:
+            out_i.append(i + INCR_OFFSET)
+            out_t.append(None if t is None else t + INCR_NEAR_SUFFIX)
+        if i % INCR_EXACT_MOD == 3:
+            out_i.append(i + INCR_OFFSET + 1_000_000)
+            out_t.append(t)
+        if i % INCR_FRESH_MOD == 4:
+            out_i.append(i + INCR_OFFSET + 2_000_000)
+            out_t.append(f"fresh incremental document {i} "
+                         f"alpha{i} beta{i} gamma{i} delta{i}")
+    return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                     "text": pa.array(out_t, pa.string())})
+
+
+def derive_incremental_sql(table: str = "documents") -> str:
+    return (
+        f"SELECT doc_id, text FROM {table} "
+        f"UNION ALL SELECT doc_id + {INCR_OFFSET}, "
+        f"text || '{INCR_NEAR_SUFFIX}' FROM {table} "
+        f"WHERE doc_id % {INCR_NEAR_MOD} = 2 "
+        f"UNION ALL SELECT doc_id + {INCR_OFFSET + 1_000_000}, text "
+        f"FROM {table} WHERE doc_id % {INCR_EXACT_MOD} = 3 "
+        f"UNION ALL SELECT doc_id + {INCR_OFFSET + 2_000_000}, "
+        f"'fresh incremental document ' || doc_id || ' alpha' || doc_id || "
+        f"' beta' || doc_id || ' gamma' || doc_id || ' delta' || doc_id "
+        f"FROM {table} WHERE doc_id % {INCR_FRESH_MOD} = 4")
+
+
+def incremental_dedup_survivors(ds, ckpt_key: str | None = None):
+    """Incremental-ingest near-dedup — the production shape for a corpus
+    that GROWS: which INCOMING documents enter the corpus, given that every
+    near-dup of a frozen base doc (or of an earlier-accepted incoming doc)
+    must be rejected.  Incoming ids sit above every base id, so the whole
+    decision reduces to the same pairwise keep-smaller-id rule as
+    :func:`near_dedup_survivors`, run over the union with the SAME banded
+    LSH + Jaccard verify chain (``augment_fn`` swaps only the derivation;
+    the checkpoint key carries an ``:incr`` suffix so the two chains never
+    share a cache).  Output: the accepted incoming doc_ids — exact and
+    edited copies of base docs are rejected, fresh documents pass.
+
+    Scale notes: at 10^12 docs the base side's band rows are exactly the
+    checkpointed artifact the standard chain already persists — an
+    incremental run would reuse them and band only the (much smaller)
+    incoming slice; the sandbox derivation regenerates both sides in one
+    streamed pass, which keeps the gate hermetic."""
+    import pyarrow.compute as pc
+
+    surv = near_dedup_survivors(
+        ds, ckpt_key=None if ckpt_key is None else f"{ckpt_key}:incr",
+        augment_fn=derive_incremental_batch)
+    return surv.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"], INCR_OFFSET)),
+        batch_format="pyarrow")
+
+
+def incremental_dedup_survivors_sql(table: str = "documents") -> str:
+    return f"""
+WITH {_verified_cte(table, aug_sql=derive_incremental_sql(table))}
+SELECT doc_id FROM aug
+WHERE doc_id NOT IN (SELECT doc_b FROM verified)
+  AND doc_id >= {INCR_OFFSET}
 """

@@ -53,6 +53,7 @@ DOC_QUERIES = [
     "doc_stats", "lang_id", "quality_score", "fingerprint",
     "exact_dedup", "simhash", "bpe_token_count",
     "minhash_lsh_pairs", "near_dup_jaccard", "near_dedup_survivors",
+    "incremental_dedup_survivors",
     "image_decode_ppm", "image_decode_png", "audio_decode_wav", "image_resize_ppm",
     "sample_docs", "token_quantiles",
     "redact_pii", "doc_sentences", "quality_filtered_docs",
