@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "session_concurrency",  # interval-overlap ranks, no self-join (round 4)
     "events_profile",       # exact per-column distinct/null census (round 4)
     "incremental_dedup_survivors",  # new-snapshot-vs-frozen-base dedup (round 4)
+    "host_split",           # leakage-safe host-grouped split (round 4)
 ]
 
 

@@ -454,6 +454,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id"]))
     q["host_capped_pages"] = lambda sf: curation.host_capped_pages(
         _pages(sf, columns=["url"]))
+    q["host_split"] = lambda sf: curation.host_split(
+        _pages(sf, columns=["url"]))
     q["proportional_sample"] = lambda sf: curation.proportional_sample(
         _tbl(sf, "documents", ["doc_id", "lang"]))
     q["embedding_quantize"] = lambda sf: curation.embedding_quantize(
@@ -928,6 +930,7 @@ def oracle_sql() -> dict:
         "image_dedup_survivors": multimodal.image_dedup_survivors_sql(),
         "dataset_split": curation.dataset_split_sql(),
         "host_capped_pages": curation.host_capped_pages_sql(pages_tbl),
+        "host_split": curation.host_split_sql(pages_tbl),
         "proportional_sample": curation.proportional_sample_sql(),
         "embedding_quantize": curation.embedding_quantize_sql(),
         "token_budget_sample": curation.token_budget_sample_sql(),

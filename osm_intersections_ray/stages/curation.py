@@ -655,3 +655,54 @@ def table_profile_sql(table: str, columns: list[str]) -> str:
             f"(count(*) - count({c}))::BIGINT AS n_null, "
             f"count(DISTINCT {c})::BIGINT AS n_distinct FROM {table}")
     return "\nUNION ALL\n".join(legs)
+
+
+# --- leakage-safe host-grouped split ----------------------------------------
+
+def host_split(pages_ds):
+    """Train/valid/test assignment for WEB data, grouped by URL host: every
+    page of a host lands in the same split, because near-duplicate and
+    templated content cluster by site — a row-hash split (``dataset_split``)
+    leaks a host's boilerplate from train into test and inflates eval.  The
+    standard web-corpus leakage guard.
+
+    Scale shape: STILL row-local zero-shuffle — the group key (host) is a
+    pure function of the row, so grouping needs no exchange at all; the
+    bucket hashes the lowercased host (RFC 3986 case-insensitive, same rule
+    as the crawl cap).  Pages with no parseable host drop, mirroring the
+    oracle's filter."""
+
+    def assign(b: pa.Table) -> pa.Table:
+        u = b["url"].to_pandas()
+        host = u.str.extract(_HOST_RE, expand=False).str.translate(
+            DUCK_LOWER_TRANS)
+        m = host.notna() & (host != "")
+        u, host = u[m], host[m]
+        buckets = np.array([h60(f"hsplit|{h}") % 1_000_000 for h in host],
+                           dtype=np.int64)
+        split = np.where(buckets < SPLIT_CUTS[0], "train",
+                         np.where(buckets < SPLIT_CUTS[1], "valid", "test"))
+        return pa.table({
+            "url": pa.array(u.to_numpy(dtype=object), pa.string()),
+            "host": pa.array(host.to_numpy(dtype=object), pa.string()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    return pages_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def host_split_sql(table: str = "pages") -> str:
+    b = (f"('0x' || substr(md5('hsplit' || chr(124) || host), 1, 15))"
+         f"::BIGINT % 1000000")
+    return f"""
+WITH h AS (
+  SELECT url, lower(regexp_extract(url, '{_HOST_RE}', 1)) AS host
+  FROM {table}
+)
+SELECT url, host, {b} AS bucket,
+       CASE WHEN {b} < {SPLIT_CUTS[0]} THEN 'train'
+            WHEN {b} < {SPLIT_CUTS[1]} THEN 'valid'
+            ELSE 'test' END AS split
+FROM h WHERE coalesce(host, '') <> ''
+"""

@@ -2468,3 +2468,46 @@ def test_edge_table_profile_hostile(ray_session, tmp_path_factory):
            for r in eng.itertuples()}
     assert got == {"i": (5, 2, 2), "f": (5, 1, 2), "s": (5, 1, 2),
                    "t": (5, 1, 3), "z": (5, 5, 0)}
+
+
+def test_edge_host_split(ray_session, tmp_path_factory):
+    """Leakage-safe split hostiles: mixed-case scheme AND host collapse to
+    one host (one split), host:port is a distinct host, unparseable urls
+    drop, and the grouping property holds — every page of a host carries
+    the same split."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import curation
+
+    d = tmp_path_factory.mktemp("edge_hsplit")
+    urls = (
+        [f"https://site.example/{i}" for i in range(4)]
+        + ["HTTPS://SITE.EXAMPLE/shouty", "http://site.example/other-scheme"]
+        + ["https://site.example:8080/ported"]
+        + ["ftp://nope.example/x", "not a url", ""]
+        + [f"https://h{i}.example/only" for i in range(20)]
+    )
+    pq.write_table(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array([b""] * len(urls), pa.binary()),
+    }), str(d / "pages.parquet"))
+
+    eng = curation.host_split(
+        rd.read_parquet(str(d / "pages.parquet"), columns=["url"])).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(curation.host_split_sql(
+        f"read_parquet('{d}/pages.parquet')")).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+    # grouping property: one split per host; case-folded host merges
+    per_host = eng.groupby("host")["split"].nunique()
+    assert (per_host == 1).all()
+    assert (eng[eng["url"].str.lower().str.contains("site.example/")]
+            ["host"] == "site.example").all()
+    assert len(eng) == len(urls) - 3  # the three junk urls dropped
+    # with 20+ hosts the buckets should realize more than one split
+    assert eng["split"].nunique() >= 2
