@@ -817,3 +817,165 @@ SELECT name, kind, ring::BIGINT AS ring,
          AS area2_udeg
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# vector -> raster (the counterpart of vectorize_raster): exact segment
+# SUPERCOVER rasterization.  The bbox cover that feeds the geometric join
+# (cell_population, js/gpsBins.js:94-116) over-covers long diagonal ways by
+# O(span^2 / span) cells; the supercover touches only the cells the segment
+# geometry actually passes through — the honest raster at 100 TB, and the
+# cheap one (candidate cells per segment are its bbox cells; the exact test
+# trims the corners).
+
+RASTER_CELL_UDEG = 10_000  # 0.01 deg in integer microdegrees
+
+
+def rasterize_ways(ways_ds):
+    """Exact segment-supercover raster over the 0.01-degree grid.
+
+    Per tagged way, every consecutive-vertex segment is snapped to integer
+    microdegrees (the shared floor(x*1e6 + 0.5) rounding, so engine and
+    oracle agree bit-for-bit) and tested against every candidate grid cell
+    with the standard exact segment-vs-AABB predicate: the cell's closed
+    square overlaps the segment bbox by candidate construction, and the
+    segment's supporting line straddles-or-touches the square iff the four
+    integer corner cross-products are not all of one strict sign.  All
+    arithmetic is int64 (|cross| <= 3.6e8 * 3.6e8 < 2^63), so the hit set is
+    deterministic on any platform and equals the DuckDB oracle's exactly.
+
+    Output per occupied cell: (klng, klat, n_ways, n_segments) where n_ways
+    counts distinct tagged ways crossing the cell and n_segments counts
+    segment-cell incidences.  Scale shape: one stateless vectorized explode
+    (each way is one row, so per-batch (cell, way) rows are globally unique
+    already) below ONE grid-bounded groupby — the same bound as
+    vectorize_raster: output cardinality is capped by the GRID, not the
+    input.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    S = RASTER_CELL_UDEG
+
+    def explode(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tagged = pc.fill_null(b["tagged"], False).to_numpy(zero_copy_only=False)
+        lats = b["lats"].filter(pa.array(tagged))
+        lons = b["lons"].filter(pa.array(tagged))
+        way_ids = b["way_id"].to_numpy(zero_copy_only=False)[tagged]
+        nb = len(way_ids)
+        empty = pa.table({"klng": pa.array([], pa.int64()),
+                          "klat": pa.array([], pa.int64()),
+                          "way_id": pa.array([], pa.int64()),
+                          "n_seg": pa.array([], pa.int64())})
+        if nb == 0:
+            return empty
+        la = pc.list_flatten(lats).to_numpy(zero_copy_only=False)
+        lo = pc.list_flatten(lons).to_numpy(zero_copy_only=False)
+        npts = pc.list_value_length(lats).to_numpy(zero_copy_only=False).astype(np.int64)
+        X = np.floor(lo * 1e6 + 0.5).astype(np.int64)
+        Y = np.floor(la * 1e6 + 0.5).astype(np.int64)
+        # segment start positions: every flat index that is not the last
+        # vertex of its way
+        starts = np.concatenate(([0], np.cumsum(npts)[:-1]))
+        flat_way = np.repeat(np.arange(nb), npts)
+        is_last = np.zeros(len(X), dtype=bool)
+        is_last[starts + npts - 1] = True
+        s_idx = np.nonzero(~is_last)[0]
+        if len(s_idx) == 0:
+            return empty
+        x0, y0 = X[s_idx], Y[s_idx]
+        x1, y1 = X[s_idx + 1], Y[s_idx + 1]
+        wloc = flat_way[s_idx]
+        mnx, mxx = np.minimum(x0, x1), np.maximum(x0, x1)
+        mny, mxy = np.minimum(y0, y1), np.maximum(y0, y1)
+        # cells whose CLOSED square overlaps the segment bbox:
+        # cx_min = ceil(mnx/S) - 1, cx_max = floor(mxx/S)
+        cx_min = -((-mnx) // S) - 1
+        cx_max = mxx // S
+        cy_min = -((-mny) // S) - 1
+        cy_max = mxy // S
+        ncx = cx_max - cx_min + 1
+        ncy = cy_max - cy_min + 1
+        counts = ncx * ncy
+        p = np.repeat(np.arange(len(counts)), counts)
+        off = np.arange(int(counts.sum())) - np.concatenate(
+            ([0], np.cumsum(counts)[:-1]))[p]
+        cx = cx_min[p] + off // ncy[p]
+        cy = cy_min[p] + off % ncy[p]
+        dx = (x1 - x0)[p]
+        dy = (y1 - y0)[p]
+        bx = cx * S - x0[p]
+        by = cy * S - y0[p]
+        s00 = dx * by - dy * bx
+        s10 = dx * by - dy * (bx + S)
+        s01 = dx * (by + S) - dy * bx
+        s11 = dx * (by + S) - dy * (bx + S)
+        lo4 = np.minimum(np.minimum(s00, s10), np.minimum(s01, s11))
+        hi4 = np.maximum(np.maximum(s00, s10), np.maximum(s01, s11))
+        keep = (lo4 <= 0) & (hi4 >= 0)
+        ck = _cell_key(cx[keep], cy[keep])
+        combined = ck * nb + wloc[p][keep]
+        uniq, n_seg = np.unique(combined, return_counts=True)
+        uck = uniq // nb
+        return pa.table({
+            "klng": pa.array(uck // _KMUL - _KOFF_X),
+            "klat": pa.array(uck % _KMUL - _KOFF_Y),
+            "way_id": pa.array(way_ids[uniq % nb]),
+            "n_seg": pa.array(n_seg.astype(np.int64)),
+        })
+
+    return (ways_ds.map_batches(explode, batch_format="pyarrow")
+            .groupby(["klng", "klat"])
+            .aggregate(Count(alias_name="n_ways"),
+                       Sum("n_seg", alias_name="n_segments")))
+
+
+def rasterize_ways_sql(ways_path: str) -> str:
+    """Same snap, candidate range and integer corner predicate in DuckDB
+    (`//` truncates toward zero there, so floor division is spelled
+    floor(x / S.0) — exact: the operands are integers below 2^53)."""
+    S = RASTER_CELL_UDEG
+    return f"""
+WITH w AS (
+  SELECT way_id, lats, lons, len(lats) AS n
+  FROM read_parquet('{ways_path}') WHERE tagged AND len(lats) >= 2
+), seg0 AS (
+  SELECT way_id, unnest(generate_series(1, n - 1)) AS i, lats, lons FROM w
+), seg AS (
+  SELECT way_id,
+         CAST(floor(lons[i] * 1000000 + 0.5) AS BIGINT) AS x0,
+         CAST(floor(lats[i] * 1000000 + 0.5) AS BIGINT) AS y0,
+         CAST(floor(lons[i + 1] * 1000000 + 0.5) AS BIGINT) AS x1,
+         CAST(floor(lats[i + 1] * 1000000 + 0.5) AS BIGINT) AS y1
+  FROM seg0
+), rng AS (
+  SELECT *, least(x0, x1) AS mnx, greatest(x0, x1) AS mxx,
+            least(y0, y1) AS mny, greatest(y0, y1) AS mxy
+  FROM seg
+), cx AS (
+  SELECT way_id, x0, y0, x1, y1, mny, mxy,
+         unnest(generate_series(-CAST(floor(-mnx / {S}.0) AS BIGINT) - 1,
+                                CAST(floor(mxx / {S}.0) AS BIGINT))) AS klng
+  FROM rng
+), cand AS (
+  SELECT way_id, x0, y0, x1, y1, klng,
+         unnest(generate_series(-CAST(floor(-mny / {S}.0) AS BIGINT) - 1,
+                                CAST(floor(mxy / {S}.0) AS BIGINT))) AS klat
+  FROM cx
+), sided AS (
+  SELECT way_id, klng, klat,
+         (x1 - x0) * (klat * {S} - y0) - (y1 - y0) * (klng * {S} - x0) AS s00,
+         (x1 - x0) * (klat * {S} - y0) - (y1 - y0) * ((klng + 1) * {S} - x0) AS s10,
+         (x1 - x0) * ((klat + 1) * {S} - y0) - (y1 - y0) * (klng * {S} - x0) AS s01,
+         (x1 - x0) * ((klat + 1) * {S} - y0) - (y1 - y0) * ((klng + 1) * {S} - x0) AS s11
+  FROM cand
+), hit AS (
+  SELECT way_id, klng, klat FROM sided
+  WHERE least(s00, s10, s01, s11) <= 0 AND greatest(s00, s10, s01, s11) >= 0
+), per_way AS (
+  SELECT klng, klat, way_id, count(*)::BIGINT AS n_seg FROM hit GROUP BY 1, 2, 3
+)
+SELECT klng, klat, count(*)::BIGINT AS n_ways, sum(n_seg)::BIGINT AS n_segments
+FROM per_way GROUP BY 1, 2
+"""

@@ -2511,3 +2511,60 @@ def test_edge_host_split(ray_session, tmp_path_factory):
     assert len(eng) == len(urls) - 3  # the three junk urls dropped
     # with 20+ hosts the buckets should realize more than one split
     assert eng["split"].nunique() >= 2
+
+
+def test_edge_rasterize_ways_hostiles(ray_session, tmp_path_factory):
+    """Supercover raster hostiles: a 45-degree diagonal whose line passes
+    EXACTLY through cell corners (corner-touch counts on both sides: 5
+    diagonal cells + 8 corner-touched = 13, strictly fewer than the 25-cell
+    bbox cover), a horizontal segment lying exactly ON a cell row boundary
+    (both adjacent rows hit), a degenerate zero-length segment (point
+    raster), a 1-vertex way (no segments), an untagged way (excluded), and
+    two ways meeting in one cell (n_ways = 2)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import queries_spatial as qs
+
+    d = tmp_path_factory.mktemp("edge_rast")
+    rows = [
+        # (way_id, tagged, lats, lons)
+        (1, True, [0.0005, 0.0495], [0.0005, 0.0495]),      # exact diagonal
+        (2, True, [0.02, 0.02], [0.105, 0.125]),            # on row boundary
+        (3, True, [0.555, 0.555], [0.555, 0.555]),          # point segment
+        (4, True, [0.7], [0.7]),                            # 1 vertex
+        (5, False, [0.9, 0.91], [0.9, 0.91]),               # untagged
+        (6, True, [0.5551, 0.5552], [0.5551, 0.5552]),      # same cell as 3
+        (7, True, [-0.0005, -0.0006], [-0.0005, -0.0006]),  # negative coords
+    ]
+    pq.write_table(pa.table({
+        "way_id": pa.array([r[0] for r in rows], pa.int64()),
+        "tagged": pa.array([r[1] for r in rows], pa.bool_()),
+        "lats": pa.array([r[2] for r in rows], pa.list_(pa.float64())),
+        "lons": pa.array([r[3] for r in rows], pa.list_(pa.float64())),
+    }), str(d / "ways.parquet"))
+    eng = qs.rasterize_ways(rd.read_parquet(str(d / "ways.parquet"))).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(qs.rasterize_ways_sql(f"{d}/ways.parquet")).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+            f"col {c}\n{e}\n{o}"
+
+    cells = {(int(r["klng"]), int(r["klat"])): (int(r["n_ways"]), int(r["n_segments"]))
+             for _, r in eng.iterrows()}
+    diag = {(k, k) for k in range(5)} | {(k, k + 1) for k in range(4)} | \
+           {(k + 1, k) for k in range(4)}
+    assert {c for c in cells if 0 <= c[0] <= 4 and 0 <= c[1] <= 4
+            and c != (0, 0)} | {(0, 0)} >= diag
+    assert all(c in cells for c in diag) and len(
+        [c for c in cells if 0 <= c[0] <= 4 and 0 <= c[1] <= 4]) == 13
+    # horizontal segment exactly on the klat=2 row boundary: rows 1 and 2
+    for klng in (10, 11, 12):
+        assert cells[(klng, 1)][1] == 1 and cells[(klng, 2)][1] == 1
+    assert cells[(55, 55)] == (2, 2)            # point segment + neighbor way
+    assert (-1, -1) in cells                    # negative coords
+    assert all(kl != 70 for kl, _ in cells)     # 1-vertex way emits nothing
+    assert all(kl != 90 for kl, _ in cells)     # untagged excluded
