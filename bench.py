@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "audio_decode_flac",    # rice+predictor lossless audio decode (session-8)
     "paragraph_dedup",      # corpus-level boilerplate scrub (session-8)
     "quality_rank",         # exact global order statistics (session-8)
+    "gopher_quality",       # full Gopher document-filter rule set (s15)
     "jsonl_pages",          # vectorized NDJSON.gz ingest (session-8)
     "scrub_dup_ngrams",     # exact-substring scrub transform (session-9)
     "big_orders",           # Q18 HAVING join-back (session-9)

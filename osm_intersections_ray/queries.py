@@ -295,6 +295,8 @@ def queries() -> dict:
         _tbl(sf, "documents", ["doc_id", "text", "lang"]))
     q["quality_score"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
         text.quality_score_batch, batch_format="pyarrow")
+    q["gopher_quality"] = lambda sf: _tbl(sf, "documents", ["doc_id", "text"]).map_batches(
+        text.gopher_quality_batch, batch_format="pyarrow")
     q["linear_fit"] = lambda sf: text.linear_fit(
         _tbl(sf, "documents", ["doc_id", "text"]))
     q["corpus_diff"] = lambda sf: text.corpus_diff(
@@ -867,6 +869,7 @@ def oracle_sql() -> dict:
         "lang_id": text.lang_id_sql(),
         "lang_confusion": text.lang_confusion_sql(),
         "quality_score": text.quality_score_sql(),
+        "gopher_quality": text.gopher_quality_sql(),
         "linear_fit": text.linear_fit_sql(),
         "fingerprint": text.fingerprint_sql(),
         "corpus_diff": text.corpus_diff_sql(),

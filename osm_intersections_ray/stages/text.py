@@ -138,7 +138,12 @@ def _token_stats_arrow(texts) -> dict:
         marker[:, i] = np.bincount(parent[m & nonempty], minlength=n_docs)
     return {"n_tokens": n_tokens, "stop_cnt": stop_cnt,
             "tok_chars": tok_chars, "punct_cnt": punct_cnt, "marker": marker,
-            "is_null": is_null}
+            "is_null": is_null,
+            # the explode itself, for kernels folding extra per-token
+            # predicates (gopher_quality): lowercased token values, their
+            # doc index, and the non-empty mask the counts above used
+            "vals": vals, "parent": parent, "nonempty": nonempty,
+            "n_docs": n_docs}
 
 
 def _quality_from_stats(st: dict) -> np.ndarray:
@@ -2548,4 +2553,118 @@ WITH l AS (
 SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
        md5(array_to_string(kept, chr(10))) AS clean_md5
 FROM k
+"""
+
+
+# --- Gopher-style full document filter --------------------------------------
+# The Rae et al. (2021) Gopher rule family, integer-exact so the DuckDB
+# oracle reproduces every flag bit-for-bit (ratios are cross-multiplied, no
+# float division anywhere).  Distinct from quality_score (a 3-band score)
+# and c4_line_filter (line-level): this is the document-level keep/drop
+# gate a pretraining pipeline runs FIRST, and every signal folds in the one
+# shared Arrow token pass.
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+
+
+def gopher_quality_batch(b: pa.Table) -> pa.Table:
+    """Per-doc Gopher rules over the shared token explode:
+
+    r_len      50 <= n_words <= 100000
+    r_wordlen  mean token length in [3, 10]   (3n <= chars <= 10n)
+    r_symbol   (#-count + '...'-count) * 10 <= n_words
+    r_bullet   <=90% bullet-started lines AND <=30% '...'-ended lines
+    r_alpha    >=80% of tokens contain [a-z]  (alpha*5 >= 4n)
+    r_stop     >=2 stopword occurrences
+    keep       all of the above; NULL text -> NULL flags (SQL parity)
+    """
+    import pyarrow.compute as pc
+
+    st = _token_stats_arrow(b["text"])
+    n_docs, nul = st["n_docs"], st["is_null"]
+    n, chars, stop = st["n_tokens"], st["tok_chars"], st["stop_cnt"]
+    vals, parent, nonempty = st["vals"], st["parent"], st["nonempty"]
+    alpha_m = pc.fill_null(pc.match_substring_regex(vals, "[a-z]"),
+                           False).to_numpy(zero_copy_only=False)
+    alpha = np.bincount(parent[alpha_m & nonempty],
+                        minlength=n_docs).astype(np.int64)
+    arr = b["text"].combine_chunks() if isinstance(
+        b["text"], pa.ChunkedArray) else b["text"]
+    arr = pc.fill_null(arr, "")
+    hash_cnt = pc.count_substring(arr, "#").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ell_cnt = pc.count_substring(arr, "...").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    lines = pc.split_pattern(arr, "\n")
+    n_lines = pc.list_value_length(lines).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    lvals = pc.list_flatten(lines)
+    lparent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    bullet_m = pc.or_(pc.starts_with(lvals, pattern="-"),
+                      pc.starts_with(lvals, pattern="*")).to_numpy(
+        zero_copy_only=False)
+    bullet = np.bincount(lparent[bullet_m], minlength=n_docs).astype(np.int64)
+    ellend_m = pc.ends_with(lvals, pattern="...").to_numpy(
+        zero_copy_only=False)
+    ellend = np.bincount(lparent[ellend_m], minlength=n_docs).astype(np.int64)
+
+    r_len = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    r_wordlen = (n > 0) & (chars >= 3 * n) & (chars <= 10 * n)
+    r_symbol = (n > 0) & ((hash_cnt + ell_cnt) * 10 <= n)
+    r_bullet = (bullet * 10 <= 9 * n_lines) & (ellend * 10 <= 3 * n_lines)
+    r_alpha = (n > 0) & (alpha * 5 >= 4 * n)
+    r_stop = stop >= 2
+    keep = r_len & r_wordlen & r_symbol & r_bullet & r_alpha & r_stop
+    flag = lambda a: pa.array(a.astype(np.int64), mask=nul)  # noqa: E731
+    # flags ship as BIGINT 0/1: NULL ints canonicalize identically across
+    # DuckDB .df() and Arrow to_pandas (nullable bools do not)
+    return pa.table({
+        "doc_id": b["doc_id"],
+        "n_words": pa.array(n, mask=nul),
+        "n_lines": pa.array(n_lines, mask=nul),
+        "r_len": flag(r_len),
+        "r_wordlen": flag(r_wordlen),
+        "r_symbol": flag(r_symbol),
+        "r_bullet": flag(r_bullet),
+        "r_alpha": flag(r_alpha),
+        "r_stop": flag(r_stop),
+        "keep": flag(keep),
+    })
+
+
+def gopher_quality_sql(table: str = "documents") -> str:
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, text, {TOKS_SQL} AS t, string_split(text, chr(10)) AS ls
+  FROM {table}
+), f AS (
+  SELECT doc_id,
+         len(t) AS n,
+         coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS chars,
+         len(list_filter(t, x -> x IN ({stops}))) AS stop_cnt,
+         len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+         len(ls) AS n_lines,
+         len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%')) AS bullet,
+         len(list_filter(ls, l -> l LIKE '%...')) AS ellend,
+         length(text) - length(replace(text, '#', '')) AS hash_cnt,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS ell_cnt
+  FROM t0
+), r AS (
+  SELECT doc_id, n, n_lines,
+         (n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS r_len,
+         (n > 0 AND chars BETWEEN 3 * n AND 10 * n) AS r_wordlen,
+         (n > 0 AND (hash_cnt + ell_cnt) * 10 <= n) AS r_symbol,
+         (bullet * 10 <= 9 * n_lines AND ellend * 10 <= 3 * n_lines) AS r_bullet,
+         (n > 0 AND alpha * 5 >= 4 * n) AS r_alpha,
+         (stop_cnt >= 2) AS r_stop
+  FROM f
+)
+SELECT doc_id, n::BIGINT AS n_words, n_lines::BIGINT AS n_lines,
+       r_len::BIGINT AS r_len, r_wordlen::BIGINT AS r_wordlen,
+       r_symbol::BIGINT AS r_symbol, r_bullet::BIGINT AS r_bullet,
+       r_alpha::BIGINT AS r_alpha, r_stop::BIGINT AS r_stop,
+       (r_len AND r_wordlen AND r_symbol AND r_bullet AND r_alpha
+        AND r_stop)::BIGINT AS keep
+FROM r
 """

@@ -2568,3 +2568,44 @@ def test_edge_rasterize_ways_hostiles(ray_session, tmp_path_factory):
     assert (-1, -1) in cells                    # negative coords
     assert all(kl != 70 for kl, _ in cells)     # 1-vertex way emits nothing
     assert all(kl != 90 for kl, _ in cells)     # untagged excluded
+
+
+def test_edge_gopher_quality_boundaries(ray_session, tmp_path_factory):
+    """Gopher-rule boundary hostiles: 49 vs 50 words, exactly 1 vs 2
+    stopwords, all-3-char words (mean-length lower bound inclusive),
+    11-char words (upper bound broken), '....' overlap counting (one
+    non-overlapping '...' both sides), exactly-90% bullet lines, numeric
+    non-alpha tokens at the 80% boundary, NULL and empty text."""
+    d = tmp_path_factory.mktemp("edge_gopher")
+    ok50 = "the and " + " ".join(f"word{i:03d}" for i in range(48))  # 50 words, 2 stops
+    texts = [
+        ok50,                                            # everything passes
+        "the and " + " ".join(f"w{i:03d}" for i in range(47)),   # 49 words
+        "the " + " ".join(f"word{i:03d}" for i in range(49)),    # 1 stopword
+        "the and " + " ".join(["abc"] * 48),             # mean len 3.04 -> ok
+        "the and " + " ".join(["abcdefghijk"] * 48),     # 11-char words
+        ok50 + " ....",                                  # '....' = one '...'
+        "keep\n" + "- b\n" * 9,                          # 9/10 bullet = ok
+        "- a\n" * 10,                                    # 100% bullet
+        ok50.replace("word000", "12345"),                # one numeric token
+        "the and " + " ".join(["123"] * 48),             # 96% numeric
+        "",                                              # empty
+        None,                                            # NULL
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    _compare(ray_session, str(d), "documents", "gopher_quality")
+
+    from osm_intersections_ray.queries import queries
+
+    out = queries()["gopher_quality"](str(d)).to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "keep"])
+    assert not out.loc[1, "r_len"] and not out.loc[2, "r_stop"]
+    assert bool(out.loc[3, "r_wordlen"]) and not out.loc[4, "r_wordlen"]
+    assert bool(out.loc[5, "r_symbol"])      # 1 ellipsis vs 51 words
+    assert bool(out.loc[6, "r_bullet"]) and not out.loc[7, "r_bullet"]
+    assert bool(out.loc[8, "r_alpha"]) and not out.loc[9, "r_alpha"]
+    assert not out.loc[10, "r_len"] and out.loc[10, "n_words"] == 0
+    assert pd.isna(out.loc[11, "keep"]) and pd.isna(out.loc[11, "n_words"])
