@@ -250,6 +250,8 @@ def queries() -> dict:
         _pages(sf, columns=["url", "text", "warc_ts"]))
     q["url_canonical_dedup"] = lambda sf: pages.url_canonical_dedup(
         _pages(sf, columns=["url", "warc_ts"]))
+    q["surt_index"] = lambda sf: pages.surt_index(
+        _pages(sf, columns=["url", "warc_ts"]))
     q["domain_mix_weights"] = lambda sf: pages.domain_mix_weights(
         _pages(sf, columns=["url", "text"]))
     q["tile_pyramid"] = lambda sf: pages.tile_pyramid(
@@ -852,6 +854,7 @@ def oracle_sql() -> dict:
         "link_frontier": pages.link_frontier_sql(pages_tbl),
         "frontier_priority": pages.frontier_priority_sql(pages_tbl),
         "url_canonical_dedup": pages.url_canonical_dedup_sql(pages_tbl),
+        "surt_index": pages.surt_index_sql(pages_tbl),
         "crawl_corpus": __import__(
             "osm_intersections_ray.pipelines.crawl_corpus",
             fromlist=["crawl_corpus_sql"]).crawl_corpus_sql(pages_tbl),

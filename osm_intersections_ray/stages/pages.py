@@ -1670,3 +1670,109 @@ WHERE coalesce(src_section, '') <> ''
   AND coalesce(regexp_extract(dst_url, '{_SECTION_RE}', 1), '') <> ''
 GROUP BY 1, 2
 """
+
+
+# --- CDX-style SURT capture index -------------------------------------------
+# The web-archive lookup key: host labels reversed and comma-joined, then
+# ')' + lowercased path + query (Sort-friendly URI Reordering Transform) —
+# prefix-scanning a SURT-sorted index enumerates a whole domain subtree.
+# Default ports strip and trailing slashes collapse exactly like
+# url_canonical_dedup; non-default ports stay inside their label (a
+# documented, deterministic simplification on both sides).
+
+_SURT_PARTIAL_SCHEMA = pa.schema([
+    ("surt", pa.string()), ("url", pa.string()), ("n", pa.int64()),
+    ("min_ts", pa.int64()), ("max_ts", pa.int64()), ("sshard", pa.int64()),
+])
+
+
+def surt_index(pages_ds):
+    """Per-SURT capture index: n_captures, distinct-url count and the
+    capture time window — the CDX accounting table a web archive serves
+    lookups from.
+
+    Distributed shape: per-batch partial combine to one row per (surt, url)
+    (C-regex parse; counts and the ts window fold locally), then ONE
+    surt-hash-sharded exchange where per-shard (surt, url) re-merge makes
+    the distinct-url count globally exact — nothing corpus-sized crosses
+    the wire twice and no global string sort happens anywhere."""
+    N = n_shards()
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        url = b["url"].to_pandas()
+        ts = b["warc_ts"].to_pandas().astype("int64")
+        g = url.str.extract(_CANON_RE)
+        scheme = g[0].str.translate(DUCK_LOWER_TRANS)
+        ok = scheme.isin(["http", "https"])
+        scheme, host = scheme[ok], g[1][ok].str.translate(DUCK_LOWER_TRANS)
+        path = g[2][ok].str.translate(DUCK_LOWER_TRANS)
+        query = g[3][ok].fillna("").str.translate(DUCK_LOWER_TRANS)
+        url, ts = url[ok], ts[ok]
+        host = host.mask((scheme == "http") & host.str.endswith(":80"),
+                         host.str[:-3])
+        host = host.mask((scheme == "https") & host.str.endswith(":443"),
+                         host.str[:-4])
+        path = path.str.replace(r"/+$", "", regex=True)
+        path = path.mask(path == "", "/")
+        rev = host.str.split(".").str[::-1].str.join(",")
+        df = pd.DataFrame({"surt": rev + ")" + path + query, "url": url,
+                           "ts": ts})
+        gb = df.groupby(["surt", "url"], sort=False)
+        out = gb.agg(n=("ts", "size"), min_ts=("ts", "min"),
+                     max_ts=("ts", "max")).reset_index()
+        out["sshard"] = (pd.util.hash_pandas_object(out["surt"], index=False)
+                         .to_numpy() % N).astype("int64")
+        return pa.Table.from_pandas(out[["surt", "url", "n", "min_ts",
+                                         "max_ts", "sshard"]],
+                                    preserve_index=False,
+                                    schema=_SURT_PARTIAL_SCHEMA).replace_schema_metadata(None)
+
+    def per_shard(df: "pd.DataFrame") -> pa.Table:
+        m = df.groupby(["surt", "url"], sort=False).agg(
+            n=("n", "sum"), min_ts=("min_ts", "min"),
+            max_ts=("max_ts", "max")).reset_index()
+        g = m.groupby("surt", sort=False).agg(
+            n_captures=("n", "sum"), n_urls=("url", "size"),
+            first_ts_us=("min_ts", "min"),
+            last_ts_us=("max_ts", "max")).reset_index()
+        return pa.table({
+            "surt": pa.array(g["surt"], pa.string()),
+            "n_captures": pa.array(g["n_captures"].to_numpy(), pa.int64()),
+            "n_urls": pa.array(g["n_urls"].to_numpy(), pa.int64()),
+            "first_ts_us": pa.array(g["first_ts_us"].to_numpy(), pa.int64()),
+            "last_ts_us": pa.array(g["last_ts_us"].to_numpy(), pa.int64()),
+        })
+
+    return (pages_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("sshard").map_groups(per_shard, batch_format="pandas"))
+
+
+def surt_index_sql(table: str = "pages") -> str:
+    return f"""
+WITH parsed AS (
+  SELECT url, epoch_us(warc_ts) AS ts_us,
+         lower(regexp_extract(url, '{_CANON_RE}', 1)) AS scheme,
+         lower(regexp_extract(url, '{_CANON_RE}', 2)) AS hostport,
+         lower(regexp_extract(url, '{_CANON_RE}', 3)) AS path,
+         lower(regexp_extract(url, '{_CANON_RE}', 4)) AS query
+  FROM {table}
+), surted AS (
+  SELECT url, ts_us,
+         array_to_string(list_reverse(string_split(
+           CASE WHEN scheme = 'http'  AND hostport LIKE '%:80'
+                  THEN substr(hostport, 1, length(hostport) - 3)
+                WHEN scheme = 'https' AND hostport LIKE '%:443'
+                  THEN substr(hostport, 1, length(hostport) - 4)
+                ELSE hostport END, '.')), ',')
+         || ')' ||
+         CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(path, '/+$', '') END || query AS surt
+  FROM parsed
+  WHERE scheme IN ('http', 'https')
+)
+SELECT surt, count(*)::BIGINT AS n_captures,
+       count(DISTINCT url)::BIGINT AS n_urls,
+       min(ts_us)::BIGINT AS first_ts_us, max(ts_us)::BIGINT AS last_ts_us
+FROM surted GROUP BY 1
+"""

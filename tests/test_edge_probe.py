@@ -2609,3 +2609,55 @@ def test_edge_gopher_quality_boundaries(ray_session, tmp_path_factory):
     assert bool(out.loc[8, "r_alpha"]) and not out.loc[9, "r_alpha"]
     assert not out.loc[10, "r_len"] and out.loc[10, "n_words"] == 0
     assert pd.isna(out.loc[11, "keep"]) and pd.isna(out.loc[11, "n_words"])
+
+
+def test_edge_surt_index_hostiles(ray_session, tmp_path_factory):
+    """SURT hostiles: uppercase scheme+host fold with the default :443
+    stripped, :80 on httpS is NOT default and stays inside its label, the
+    fragment drops while the query survives (lowercased), trailing slashes
+    collapse to '/', a dotless single-label host, a non-http scheme drops,
+    and repeated captures split n_captures vs n_urls."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages as pg
+
+    d = tmp_path_factory.mktemp("edge_surt")
+    us = int(pd.Timestamp("2024-01-01").value // 1000)
+    rows = [
+        ("https://www.Example.COM:443/A/B?Q=1#frag", us),
+        ("https://www.example.com/a/b?q=1", us + 1),      # same SURT as row 0
+        ("https://www.example.com/a/b?q=1", us + 2),      # repeat capture
+        ("HTTP://HOST:80/", us),                          # default :80 strips
+        ("https://host:80/x", us),                        # :80 NOT default
+        ("https://single/", us),                          # dotless host
+        ("https://e.com/path///", us),                    # trailing slashes
+        ("https://e.com/path", us + 5),                   # same SURT as above
+        ("ftp://e.com/path", us),                         # non-http drops
+    ]
+    pq.write_table(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows],
+                            pa.timestamp("us")),
+    }), str(d / "pages.parquet"))
+    eng = pg.surt_index(
+        rd.read_parquet(str(d / "pages.parquet"))).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(pg.surt_index_sql(
+        f"read_parquet('{d}/pages.parquet')")).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+            f"col {c}\n{e}\n{o}"
+    got = {r["surt"]: (int(r["n_captures"]), int(r["n_urls"]),
+                       int(r["first_ts_us"]), int(r["last_ts_us"]))
+           for _, r in eng.iterrows()}
+    assert got["com,example,www)/a/b?q=1"] == (3, 2, us, us + 2)
+    assert "host)/" in got                      # :80 stripped on http
+    assert "host:80)/x" in got                  # :80 kept on https
+    assert "single)/" in got
+    assert got["com,e)/path"] == (2, 2, us, us + 5)
+    assert not any(s.startswith("com,e)/path/") for s in got)
+    assert len(got) == 5                        # ftp row contributed nothing

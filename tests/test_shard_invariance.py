@@ -37,6 +37,7 @@ SHARD_FOLD_QUERIES = [
     "way_triangles",        # node/pivot/pair-shard triangle census (s14)
     "session_concurrency",  # bucket-shard rank queries (session 14)
     "events_profile",       # (col, value)-shard distinct fold (session 14)
+    "surt_index",           # surt-shard capture fold (session 15)
 ]
 
 
