@@ -1776,3 +1776,89 @@ SELECT surt, count(*)::BIGINT AS n_captures,
        min(ts_us)::BIGINT AS first_ts_us, max(ts_us)::BIGINT AS last_ts_us
 FROM surted GROUP BY 1
 """
+
+
+# --- Z-order (Morton) tile index --------------------------------------------
+# The space-filling-curve key family (S2 cell ids are face-local Morton
+# codes): interleaving the bits of a 16-bit-per-axis grid coordinate gives
+# a 32-bit key whose SORT ORDER is spatial locality — contiguous key
+# ranges are compact screen-space blocks, which is what makes range-scans
+# over a key-sorted 100-TB page table answer box queries without a
+# spatial index.  Resolution matches the geotag grid family (equirect
+# scaling, clip-to-domain).
+
+MORTON_BITS = 16                 # per axis -> 32-bit key
+MORTON_TILE_SHIFT = 20           # coarse tile = morton >> 20 (64x64 z-block)
+_MORTON_PARTIAL_SCHEMA = pa.schema([
+    ("m_tile", pa.int64()), ("n_pages", pa.int64()),
+    ("min_morton", pa.int64()), ("max_morton", pa.int64()),
+])
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each int64 to even bit positions."""
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+def morton_tiles(pages_ds):
+    """Per coarse z-block: page count and the occupied Morton key range.
+
+    Row-local encode (magic-mask bit spread, no Python loop) over the
+    shared geotag parse, per-batch partial combine, ONE grid-bounded
+    groupby — the same scale shape as the raster census: output
+    cardinality is capped by the 4096-tile coarse grid, not the input."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = geotag_batch(b)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        n = 1 << MORTON_BITS
+        ix = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        iy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+        morton = _part1by1(ix) | (_part1by1(iy) << 1)
+        df = pd.DataFrame({"m_tile": morton >> MORTON_TILE_SHIFT,
+                           "morton": morton})
+        out = df.groupby("m_tile", sort=False).agg(
+            n_pages=("morton", "size"), min_morton=("morton", "min"),
+            max_morton=("morton", "max")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False,
+                                    schema=_MORTON_PARTIAL_SCHEMA).replace_schema_metadata(None)
+
+    return (pages_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("m_tile").aggregate(
+                Sum("n_pages", alias_name="n_pages"),
+                Min("min_morton", alias_name="min_morton"),
+                Max("max_morton", alias_name="max_morton")))
+
+
+def morton_tiles_sql(table: str = "pages") -> str:
+    n = 1 << MORTON_BITS
+    return f"""
+WITH g0 AS (
+  SELECT TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
+  FROM {table}
+), g AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1}) AS ix,
+         least(greatest(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1}) AS iy
+  FROM g0
+  WHERE lat IS NOT NULL AND lon IS NOT NULL AND isfinite(lat) AND isfinite(lon)
+), m AS (
+  SELECT CAST(list_sum(list_transform(generate_series(0, {MORTON_BITS - 1}, 1), i ->
+           (((ix >> i) & 1) << (2 * i)) + (((iy >> i) & 1) << (2 * i + 1))))
+         AS BIGINT) AS morton
+  FROM g
+)
+SELECT morton >> {MORTON_TILE_SHIFT} AS m_tile, count(*)::BIGINT AS n_pages,
+       min(morton)::BIGINT AS min_morton, max(morton)::BIGINT AS max_morton
+FROM m GROUP BY 1
+"""

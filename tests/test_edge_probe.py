@@ -2661,3 +2661,51 @@ def test_edge_surt_index_hostiles(ray_session, tmp_path_factory):
     assert got["com,e)/path"] == (2, 2, us, us + 5)
     assert not any(s.startswith("com,e)/path/") for s in got)
     assert len(got) == 5                        # ftp row contributed nothing
+
+
+def test_edge_morton_tiles_hostiles(ray_session, tmp_path_factory):
+    """Morton-encode hostiles: exact interleave check at known cell indices
+    (ix=3, iy=5 -> morton 39), the domain corners (clip to 0 and to the
+    65535 max on both axes -> morton 0 and 2^32-1), out-of-domain
+    coordinates clipping, a NaN geotag and a missing geotag both dropped."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages as pg
+
+    d = tmp_path_factory.mktemp("edge_morton")
+    cell = 360.0 / 65536.0
+    mk = lambda lat, lon: (
+        f'<html><meta name="geo.position" content="{lat};{lon}"></html>'
+        .encode())
+    htmls = [
+        mk(-90.0 + (5 + 0.5) * 180.0 / 65536.0, -180.0 + (3 + 0.5) * cell),
+        mk(-90.0, -180.0),            # corner -> morton 0
+        mk(90.0, 180.0),              # corner clips to 65535 -> 2^32-1
+        mk(91.0, 200.0),              # out of domain clips the same way
+        mk("nan", 1.0),               # NaN -> dropped
+        b"<html>no geotag</html>",    # missing -> dropped
+    ]
+    pq.write_table(pa.table({
+        "url": pa.array([f"https://e.com/{i}" for i in range(len(htmls))],
+                        pa.string()),
+        "html": pa.array(htmls, pa.binary()),
+    }), str(d / "pages.parquet"))
+    eng = pg.morton_tiles(
+        rd.read_parquet(str(d / "pages.parquet"))).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(pg.morton_tiles_sql(
+        f"read_parquet('{d}/pages.parquet')")).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+            f"col {c}\n{e}\n{o}"
+    by_tile = {int(r["m_tile"]): r for _, r in eng.iterrows()}
+    assert by_tile[0]["min_morton"] == 0 and by_tile[0]["max_morton"] == 39
+    assert int(by_tile[0]["n_pages"]) == 2
+    top = (2**32 - 1) >> 20
+    assert by_tile[top]["min_morton"] == 2**32 - 1
+    assert int(by_tile[top]["n_pages"]) == 2      # corner + clipped twin
+    assert int(eng["n_pages"].sum()) == 4         # NaN + missing dropped
