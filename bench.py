@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "rasterize_ways",       # vector -> raster exact segment supercover (s15)
     "surt_index",           # CDX-style SURT capture index (s15)
     "morton_tiles",         # z-order curve tile index (s15)
+    "hourly_burst",         # trailing-window burst anomaly flags (s15)
     "top_terms_per_lang",   # vocabulary-scale partial-combine aggregation
     "url_canonical_dedup",  # crawl-frontier canonicalization (round-3 op)
     "post_purchase_window", # interval self-join (round-3 op)

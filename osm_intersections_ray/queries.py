@@ -539,6 +539,8 @@ def queries() -> dict:
     # --- events (stream-shaped)
     q["events_hourly"] = lambda sf: events.hourly_window(
         _tbl(sf, "events", ["event_type", "ts", "value"]))
+    q["hourly_burst"] = lambda sf: events.hourly_burst(
+        _tbl(sf, "events", ["ts"]))
     q["sessions"] = lambda sf: events.sessionize(
         _tbl(sf, "events", ["user_id", "event_id", "ts"]))
     q["events_sliding"] = lambda sf: events.sliding_window(
@@ -953,6 +955,7 @@ def oracle_sql() -> dict:
         "embedding_moments": similarity.embedding_moments_sql(),
         "embedding_dup_clusters": similarity.embedding_dup_clusters_sql(),
         "events_hourly": events.hourly_window_sql(),
+        "hourly_burst": events.hourly_burst_sql(),
         "sessions": events.sessionize_sql(),
         "events_sliding": events.sliding_window_sql(),
         "asof_prev_purchase": events.asof_prev_purchase_sql(),

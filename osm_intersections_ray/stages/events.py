@@ -1216,3 +1216,67 @@ SELECT a.user_id, a.session_idx, (count(*) - 1)::BIGINT AS n_concurrent
 FROM s a JOIN s b ON b.start_ts <= a.end_ts AND b.end_ts >= a.start_ts
 GROUP BY a.user_id, a.session_idx
 """
+
+
+# --- Trailing-window burst detection ----------------------------------------
+_BURST_PARTIAL_SCHEMA = pa.schema([
+    ("hour", pa.timestamp("us")), ("n", pa.int64()),
+])
+
+
+def hourly_burst(ds):
+    """Streaming-health anomaly flags: an hour is a BURST iff its event
+    count strictly exceeds 2x the max count over the trailing 24 wall-clock
+    hours (RANGE frame [h-24h, h-1h], so calendar gaps shrink the window
+    and a >24h quiet gap empties it -> NULL trail_max, never a burst).
+
+    Scale shape: per-batch (hour, n) partials below one groupby; the hourly
+    series is CALENDAR-bounded (8,760 rows/year regardless of input size),
+    so the trailing-max window folds on the driver like
+    session_concurrency's bucket histogram — nothing input-sized ever
+    leaves the partial combine."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_pandas()
+        hour = ts[ts.notna()].dt.floor("h").astype("datetime64[us]")
+        g = hour.groupby(hour, sort=False).size()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"hour": g.index, "n": g.to_numpy(np.int64)}),
+            preserve_index=False,
+            schema=_BURST_PARTIAL_SCHEMA).replace_schema_metadata(None)
+
+    hourly = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("hour").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("hour", kind="stable"))
+    hours = hourly["hour"].astype("datetime64[us]").astype("int64").to_numpy()
+    n = hourly["n"].to_numpy(np.int64)
+    H = 3_600_000_000
+    lo = np.searchsorted(hours, hours - 24 * H, side="left")
+    hi = np.searchsorted(hours, hours - H, side="right")
+    trail = np.zeros(len(n), dtype=np.int64)
+    has = hi > lo
+    for i in np.nonzero(has)[0]:  # calendar-bounded rows (<=8760/year)
+        trail[i] = n[lo[i]:hi[i]].max()
+    burst = (n > 2 * trail).astype(np.int64)
+    return pa.table({
+        "hour": pa.array(hourly["hour"].to_numpy().astype("datetime64[us]")),
+        "n": pa.array(n),
+        "trail_max": pa.array(trail, mask=~has),
+        "burst": pa.array(burst, mask=~has),
+    })
+
+
+def hourly_burst_sql(table: str = "events") -> str:
+    win = ("OVER (ORDER BY hour RANGE BETWEEN INTERVAL 24 HOURS PRECEDING "
+           "AND INTERVAL 1 HOUR PRECEDING)")
+    return f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n
+  FROM {table} WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT hour, n,
+       CAST(max(n) {win} AS BIGINT) AS trail_max,
+       CAST(n > 2 * max(n) {win} AS BIGINT) AS burst
+FROM h
+"""

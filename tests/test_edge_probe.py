@@ -2709,3 +2709,48 @@ def test_edge_morton_tiles_hostiles(ray_session, tmp_path_factory):
     assert by_tile[top]["min_morton"] == 2**32 - 1
     assert int(by_tile[top]["n_pages"]) == 2      # corner + clipped twin
     assert int(eng["n_pages"].sum()) == 4         # NaN + missing dropped
+
+
+def test_edge_hourly_burst_boundaries(ray_session, tmp_path_factory):
+    """Trailing-window hostiles: the first hour (empty window -> NULL, not
+    a burst), an hour exactly 24h later (boundary INCLUDED in the frame),
+    an hour 25h later across a quiet gap (window empty again -> NULL),
+    n == 2*max (strict >, not a burst) vs n == 2*max + 1 (burst), and a
+    NULL ts row dropped on both sides."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import events as ev
+
+    d = tmp_path_factory.mktemp("edge_burst")
+    T0 = pd.Timestamp("2024-03-01 00:30:00")
+    H = pd.Timedelta(hours=1)
+    stamps = []
+    stamps += [T0] * 3                       # hour 0: n=3 (first -> NULL)
+    stamps += [T0 + H] * 7                   # hour 1: n=7, trail_max=3 -> burst
+    stamps += [T0 + 24 * H] * 14             # hour 24: frame [0,23] max=7 -> 14 == 2*7, NOT burst
+    stamps += [T0 + 25 * H] * 15             # hour 25: frame [1,24] max=14 -> not burst; 15 > 2*7 though frame has 14
+    stamps += [T0 + 50 * H] * 2              # hour 50: >24h quiet gap -> NULL
+    stamps += [None]                         # NULL ts dropped
+    pq.write_table(pa.table({
+        "ts": pa.array(stamps, pa.timestamp("us")),
+    }), str(d / "events.parquet"))
+    eng = ev.hourly_burst(
+        rd.read_parquet(str(d / "events.parquet"))).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(ev.hourly_burst_sql(
+        f"read_parquet('{d}/events.parquet')")).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+            f"col {c}\n{e}\n{o}"
+    by = {r["hour"].hour + 24 * (r["hour"].day - 1): r
+          for _, r in eng.iterrows()}
+    assert pd.isna(by[0]["burst"]) and pd.isna(by[0]["trail_max"])
+    assert by[1]["burst"] == 1 and by[1]["trail_max"] == 3
+    assert by[24]["burst"] == 0 and by[24]["trail_max"] == 7   # 14 == 2*7
+    assert by[25]["burst"] == 0 and by[25]["trail_max"] == 14  # hour-0 aged out? no: [1,24] max 14
+    assert pd.isna(by[50]["burst"])                            # empty window
+    assert int(eng["n"].sum()) == 41                           # NULL ts dropped
