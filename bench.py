@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "vectorize_raster",     # raster -> vector connected components
     "rasterize_ways",       # vector -> raster exact segment supercover (s15)
+    "simplify_ways",        # integer area-stencil polyline LoD (s15)
     "surt_index",           # CDX-style SURT capture index (s15)
     "morton_tiles",         # z-order curve tile index (s15)
     "hourly_burst",         # trailing-window burst anomaly flags (s15)

@@ -180,6 +180,7 @@ def queries() -> dict:
     q["block_gps"] = lambda sf: qs.block_gps_lookup(_ways(sf))
     q["vectorize_raster"] = lambda sf: qs.vectorize_raster(_ways(sf))
     q["rasterize_ways"] = lambda sf: qs.rasterize_ways(_ways(sf))
+    q["simplify_ways"] = lambda sf: qs.simplify_ways(_ways(sf))
     q["way_l1_lengths"] = lambda sf: qs.way_l1_lengths(_ways(sf))
     q["way_bearing_octants"] = lambda sf: qs.way_bearing_octants(_ways(sf))
     q["way_components"] = lambda sf: graph.way_components(_ways(sf))
@@ -842,6 +843,7 @@ def oracle_sql() -> dict:
         "block_gps": qs.block_gps_sql(ways_path),
         "vectorize_raster": qs.vectorize_raster_sql(ways_path),
         "rasterize_ways": qs.rasterize_ways_sql(ways_path),
+        "simplify_ways": qs.simplify_ways_sql(ways_path),
         "way_l1_lengths": qs.way_l1_lengths_sql(ways_path),
         "way_bearing_octants": qs.way_bearing_octants_sql(ways_path),
         "way_components": graph.way_components_sql(ways_path),

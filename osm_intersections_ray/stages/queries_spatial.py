@@ -979,3 +979,90 @@ WITH w AS (
 SELECT klng, klat, count(*)::BIGINT AS n_ways, sum(n_seg)::BIGINT AS n_segments
 FROM per_way GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# geometry simplification (tile-serving LoD): one-pass integer area stencil.
+
+SIMPLIFY_CROSS_MIN = 1_000_000  # |2A| threshold in microdeg^2
+
+
+def simplify_ways(ways_ds):
+    """Area-stencil polyline simplification — the map-only LoD pass a tile
+    server runs before rendering low zooms.
+
+    Vertices snap to integer microdegrees (shared floor(x*1e6+0.5) snap);
+    an INTERIOR vertex survives iff twice the area of its original-neighbor
+    triangle |cross(p_{i-1}, p_i, p_{i+1})| >= {SIMPLIFY_CROSS_MIN} udeg^2;
+    endpoints always survive.  One pass over ORIGINAL neighbors (a
+    deterministic stencil, not iterative Douglas-Peucker) keeps the kernel
+    row-local and bit-exact vs SQL: all arithmetic is int64 (|cross| <=
+    2 * 3.6e8^2 < 2^63).  Output per way: vertex counts and an md5 of the
+    surviving snapped polyline, so the oracle hash pins the exact kept set.
+    Zero shuffle: each way is one row."""
+    import hashlib
+
+    def fn(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lats = b["lats"]
+        lons = b["lons"]
+        la = pc.list_flatten(lats).to_numpy(zero_copy_only=False)
+        lo = pc.list_flatten(lons).to_numpy(zero_copy_only=False)
+        npts = pc.list_value_length(lats).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        X = np.floor(lo * 1e6 + 0.5).astype(np.int64)
+        Y = np.floor(la * 1e6 + 0.5).astype(np.int64)
+        n_tot = len(X)
+        starts = np.concatenate(([0], np.cumsum(npts)[:-1]))
+        ends = starts + npts - 1
+        is_end = np.zeros(n_tot, dtype=bool)
+        is_end[starts[npts > 0]] = True
+        is_end[ends[npts > 0]] = True
+        keep = is_end.copy()
+        interior = ~is_end
+        ii = np.nonzero(interior)[0]
+        if len(ii):
+            cross = ((X[ii] - X[ii - 1]) * (Y[ii + 1] - Y[ii - 1])
+                     - (Y[ii] - Y[ii - 1]) * (X[ii + 1] - X[ii - 1]))
+            keep[ii] = np.abs(cross) >= SIMPLIFY_CROSS_MIN
+        way_ids = b["way_id"].to_numpy(zero_copy_only=False)
+        md5s, n_kept = [], []
+        for w in range(len(way_ids)):
+            s, e = starts[w], starts[w] + npts[w]
+            k = np.nonzero(keep[s:e])[0] + s
+            n_kept.append(len(k))
+            poly = ";".join(f"{X[j]},{Y[j]}" for j in k)
+            md5s.append(hashlib.md5(poly.encode()).hexdigest())
+        return pa.table({
+            "way_id": b["way_id"],
+            "n_points": pa.array(npts),
+            "n_kept": pa.array(np.array(n_kept, dtype=np.int64)),
+            "kept_md5": pa.array(md5s, pa.string()),
+        })
+
+    return ways_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def simplify_ways_sql(ways_path: str) -> str:
+    T = SIMPLIFY_CROSS_MIN
+    xi = "CAST(floor(lons[{j}]*1000000 + 0.5) AS BIGINT)"
+    yi = "CAST(floor(lats[{j}]*1000000 + 0.5) AS BIGINT)"
+    x = lambda j: xi.format(j=j)
+    y = lambda j: yi.format(j=j)
+    return f"""
+WITH w AS (
+  SELECT way_id, lats, lons, len(lats) AS n FROM read_parquet('{ways_path}')
+), k AS (
+  SELECT way_id, n, lats, lons,
+         list_filter(range(1, n + 1), i -> i = 1 OR i = n OR
+           abs(({x('i')} - {x('i-1')}) * ({y('i+1')} - {y('i-1')})
+             - ({y('i')} - {y('i-1')}) * ({x('i+1')} - {x('i-1')})) >= {T})
+         AS kept
+  FROM w
+)
+SELECT way_id, n::BIGINT AS n_points, len(kept)::BIGINT AS n_kept,
+       md5(array_to_string(list_transform(kept, i ->
+           {x('i')}::VARCHAR || ',' || {y('i')}::VARCHAR), ';')) AS kept_md5
+FROM k
+"""

@@ -2754,3 +2754,47 @@ def test_edge_hourly_burst_boundaries(ray_session, tmp_path_factory):
     assert by[25]["burst"] == 0 and by[25]["trail_max"] == 14  # hour-0 aged out? no: [1,24] max 14
     assert pd.isna(by[50]["burst"])                            # empty window
     assert int(eng["n"].sum()) == 41                           # NULL ts dropped
+
+
+def test_edge_simplify_ways_stencil(ray_session, tmp_path_factory):
+    """Area-stencil hostiles: exactly-collinear interior vertices drop
+    (cross = 0), a vertex whose |cross| equals the threshold EXACTLY stays
+    (>=, inclusive), one unit below drops, endpoints always survive (even
+    on a 2-point way and a 1-point way), and a closed ring keeps its
+    duplicated endpoint twice."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import queries_spatial as qs
+
+    d = tmp_path_factory.mktemp("edge_simp")
+    # |cross| for interior vertex of ((0,0),(d,h),(2d,0)) = 2*d*h (udeg).
+    # With d = 1000 udeg: h = 500 -> cross = 1_000_000 == threshold (kept);
+    # h = 499 -> 998_000 (dropped).
+    rows = [
+        (1, [0.0, 0.0005, 0.0], [0.0, 0.001, 0.002]),      # cross == T -> kept
+        (2, [0.0, 0.000499, 0.0], [0.0, 0.001, 0.002]),    # below T -> dropped
+        (3, [0.0, 0.0, 0.0], [0.0, 0.001, 0.002]),         # collinear -> dropped
+        (4, [0.1, 0.2], [0.1, 0.2]),                       # 2-point way
+        (5, [0.3], [0.3]),                                 # 1-point way
+        (6, [0.0, 0.01, 0.01, 0.0, 0.0],
+            [0.0, 0.0, 0.01, 0.01, 0.0]),                  # closed ring
+    ]
+    pq.write_table(pa.table({
+        "way_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lats": pa.array([r[1] for r in rows], pa.list_(pa.float64())),
+        "lons": pa.array([r[2] for r in rows], pa.list_(pa.float64())),
+    }), str(d / "ways.parquet"))
+    eng = qs.simplify_ways(rd.read_parquet(str(d / "ways.parquet"))).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(qs.simplify_ways_sql(f"{d}/ways.parquet")).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+            f"col {c}\n{e}\n{o}"
+    kept = {int(r["way_id"]): int(r["n_kept"]) for _, r in eng.iterrows()}
+    assert kept[1] == 3 and kept[2] == 2 and kept[3] == 2
+    assert kept[4] == 2 and kept[5] == 1
+    assert kept[6] == 5          # ring corners all sharp; both endpoints kept
