@@ -1862,3 +1862,75 @@ SELECT morton >> {MORTON_TILE_SHIFT} AS m_tile, count(*)::BIGINT AS n_pages,
        min(morton)::BIGINT AS min_morton, max(morton)::BIGINT AS max_morton
 FROM m GROUP BY 1
 """
+
+
+# --- Re-crawl politeness scheduler -------------------------------------------
+_SCHED_HOST_RE = r"(?i)^https?://([^/?#]+)"
+CRAWL_DELAY_US = 5_000_000  # one fetch per host per 5 s
+_SCHED_PARTIAL_SCHEMA = pa.schema([
+    ("host", pa.string()), ("url", pa.string()), ("last_ts", pa.int64()),
+    ("hshard", pa.int64()),
+])
+
+
+def fetch_schedule(pages_ds):
+    """The crawl scheduler's politeness queue: per host, re-fetch the
+    stalest urls first, one slot per CRAWL_DELAY so no host is hammered.
+
+    Per url the LAST capture wins; per host urls rank by (last_ts asc,
+    url asc) into slots and eta = host's newest capture + slot * delay.
+    Distributed shape: per-batch (host, url, max ts) partials under ONE
+    host-hash-sharded exchange — a host's whole queue lands in one shard
+    (the partition key IS the politeness domain), ranks fold locally."""
+    N = n_shards()
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        url = b["url"].to_pandas()
+        ts = b["warc_ts"].to_pandas().astype("int64")
+        host = url.str.extract(_SCHED_HOST_RE)[0].str.translate(
+            DUCK_LOWER_TRANS)
+        df = pd.DataFrame({"host": host, "url": url, "last_ts": ts}).dropna(
+            subset=["host"])
+        g = df.groupby(["host", "url"], sort=False)["last_ts"].max().reset_index()
+        g["hshard"] = (pd.util.hash_pandas_object(g["host"], index=False)
+                       .to_numpy() % N).astype("int64")
+        return pa.Table.from_pandas(g[["host", "url", "last_ts", "hshard"]],
+                                    preserve_index=False,
+                                    schema=_SCHED_PARTIAL_SCHEMA).replace_schema_metadata(None)
+
+    def per_shard(df: "pd.DataFrame") -> pa.Table:
+        m = df.groupby(["host", "url"], sort=False)["last_ts"].max().reset_index()
+        m = m.sort_values(["host", "last_ts", "url"], kind="stable")
+        m["slot"] = m.groupby("host", sort=False).cumcount() + 1
+        m["eta_us"] = (m.groupby("host", sort=False)["last_ts"].transform("max")
+                       + m["slot"] * CRAWL_DELAY_US)
+        return pa.table({
+            "url": pa.array(m["url"], pa.string()),
+            "host": pa.array(m["host"], pa.string()),
+            "slot": pa.array(m["slot"].to_numpy(np.int64)),
+            "eta_us": pa.array(m["eta_us"].to_numpy(np.int64)),
+        })
+
+    return (pages_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("hshard").map_groups(per_shard, batch_format="pandas"))
+
+
+def fetch_schedule_sql(table: str = "pages") -> str:
+    return f"""
+WITH p AS (
+  SELECT url, lower(regexp_extract(url, '{_SCHED_HOST_RE}', 1)) AS host,
+         epoch_us(warc_ts) AS ts FROM {table}
+), u AS (
+  SELECT host, url, max(ts) AS last_ts FROM p
+  WHERE host <> '' GROUP BY 1, 2
+), r AS (
+  SELECT host, url, last_ts,
+         row_number() OVER (PARTITION BY host ORDER BY last_ts, url) AS slot,
+         max(last_ts) OVER (PARTITION BY host) AS hmax
+  FROM u
+)
+SELECT url, host, slot::BIGINT AS slot,
+       (hmax + slot * {CRAWL_DELAY_US})::BIGINT AS eta_us
+FROM r
+"""

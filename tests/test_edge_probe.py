@@ -2798,3 +2798,53 @@ def test_edge_simplify_ways_stencil(ray_session, tmp_path_factory):
     assert kept[1] == 3 and kept[2] == 2 and kept[3] == 2
     assert kept[4] == 2 and kept[5] == 1
     assert kept[6] == 5          # ring corners all sharp; both endpoints kept
+
+
+def test_edge_fetch_schedule_hostiles(ray_session, tmp_path_factory):
+    """Politeness-queue hostiles: repeated captures collapse to the LAST
+    one, stalest-first ordering with a url tiebreak at equal timestamps,
+    slots restart per host, eta anchors at the HOST's newest capture (so a
+    stale url on an active host schedules after the host max, not after
+    its own last fetch), case-folded hosts share one queue, and an
+    unparseable url drops."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages as pg
+
+    d = tmp_path_factory.mktemp("edge_sched")
+    us = int(pd.Timestamp("2024-06-01").value // 1000)
+    rows = [
+        ("https://a.com/old", us),                 # stalest on a.com
+        ("https://a.com/new", us + 100_000_000),
+        ("https://a.com/new", us + 200_000_000),   # repeat: last wins
+        ("https://A.COM/tie1", us + 50_000_000),   # case-folds into a.com
+        ("https://a.com/tie2", us + 50_000_000),   # equal ts: url tiebreak
+        ("https://b.org/x", us),                   # separate host queue
+        ("not a url", us),                         # dropped
+    ]
+    pq.write_table(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }), str(d / "pages.parquet"))
+    eng = pg.fetch_schedule(
+        rd.read_parquet(str(d / "pages.parquet"))).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(pg.fetch_schedule_sql(
+        f"read_parquet('{d}/pages.parquet')")).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+            f"col {c}\n{e}\n{o}"
+    a = eng[eng["host"] == "a.com"].set_index("url")
+    hmax = us + 200_000_000
+    assert int(a.loc["https://a.com/old", "slot"]) == 1
+    assert int(a.loc["https://A.COM/tie1", "slot"]) == 2   # tie: url order
+    assert int(a.loc["https://a.com/tie2", "slot"]) == 3
+    assert int(a.loc["https://a.com/new", "slot"]) == 4    # last capture won
+    assert int(a.loc["https://a.com/old", "eta_us"]) == hmax + 5_000_000
+    b = eng[eng["host"] == "b.org"]
+    assert len(b) == 1 and int(b.iloc[0]["slot"]) == 1
+    assert len(eng) == 5                                   # bad url dropped

@@ -38,6 +38,7 @@ SHARD_FOLD_QUERIES = [
     "session_concurrency",  # bucket-shard rank queries (session 14)
     "events_profile",       # (col, value)-shard distinct fold (session 14)
     "surt_index",           # surt-shard capture fold (session 15)
+    "fetch_schedule",       # host-shard politeness queue (session 15)
 ]
 
 
