@@ -61,23 +61,33 @@ DRIVER_SAMPLE_50 = [
     # (nearest_two/doc_stats/near_dup_jaccard — their families keep another
     # entry) for the three newest never-checked families/ops
     "boundary_areas", "way_triangles",     # spatial / graph census
-    "pages_way_join", "host_capped_pages",  # pages / crawl curation
+    "host_capped_pages",                   # crawl curation
     "events_profile", "token_budget_sample",  # profiling / corpus curation
     "session_concurrency", "minhash_estimate_pairs",  # intervals / dedup
+    # session-15 ops, never driver-checked (swapped for r03-checked
+    # pages_way_join and 6 slots from families keeping other entries here:
+    # cold_customers/small_qty_revenue/local_supplier_revenue out of 8
+    # relational reps, embedding_centroids/moments out of 5 embedding reps,
+    # redact_pii out of 6 text-aggregate reps)
+    "rasterize_ways", "simplify_ways",     # raster/LoD geometry (s15)
+    "surt_index", "fetch_schedule",        # crawl-archive index + scheduler
+    "morton_tiles",                        # z-order curve index (s15)
+    "gopher_quality",                      # document-filter rules (s15)
+    "hourly_burst",                        # trailing-window anomaly (s15)
     # families with no driver-visible row in r01-r03
-    "pricing_summary", "shipping_priority", "big_orders", "cold_customers",
-    "small_qty_revenue", "acctbal_quantiles", "local_supplier_revenue",
+    "pricing_summary", "shipping_priority", "big_orders",
+    "acctbal_quantiles",
     "pareto_parts",                        # relational
     "sessions", "events_hourly", "post_purchase_window", "retention_cohorts",
     "user_streaks",                        # events / windows
     "knn_cosine", "embedding_quantize", "embedding_near_dup",
-    "embedding_centroids", "embedding_moments",  # similarity / quantization
+    # similarity / quantization
     "image_decode_png", "image_decode_jpeg", "video_frame_sample",
     "audio_decode_flac", "image_dup_pairs",  # multimodal (decode + phash dedup)
     "graph_pagerank", "bm25_search", "lm_score", "inverted_index",  # retrieval
     "bpe_token_count", "bpe_train", "bpe_apply",  # tokenizer training
     "token_quantiles", "top_terms_per_lang", "hll_distinct_shingles",
-    "pack_sequences", "redact_pii", "quality_filtered_docs",  # text aggregates
+    "pack_sequences", "quality_filtered_docs",  # text aggregates
     "clean_corpus",                        # composite pipeline
     "customers_without_orders",            # anti-join
     "anchor_text_index",                   # link graph (round 4)
