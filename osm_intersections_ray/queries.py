@@ -267,6 +267,8 @@ def queries() -> dict:
         _pages(sf, columns=["url", "html"]))
     q["fetch_schedule"] = lambda sf: pages.fetch_schedule(
         _pages(sf, columns=["url", "warc_ts"]))
+    q["url_blocklist_filter"] = lambda sf: pages.url_blocklist_filter(
+        _pages(sf, columns=["url"]))
     q["domain_mix_weights"] = lambda sf: pages.domain_mix_weights(
         _pages(sf, columns=["url", "text"]))
     q["tile_pyramid"] = lambda sf: pages.tile_pyramid(
@@ -875,6 +877,7 @@ def oracle_sql() -> dict:
         "surt_index": pages.surt_index_sql(pages_tbl),
         "morton_tiles": pages.morton_tiles_sql(pages_tbl),
         "fetch_schedule": pages.fetch_schedule_sql(pages_tbl),
+        "url_blocklist_filter": pages.url_blocklist_filter_sql(pages_tbl),
         "crawl_corpus": __import__(
             "osm_intersections_ray.pipelines.crawl_corpus",
             fromlist=["crawl_corpus_sql"]).crawl_corpus_sql(pages_tbl),

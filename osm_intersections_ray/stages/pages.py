@@ -1934,3 +1934,62 @@ SELECT url, host, slot::BIGINT AS slot,
        (hmax + slot * {CRAWL_DELAY_US})::BIGINT AS eta_us
 FROM r
 """
+
+
+# --- URL blocklist filter (Dolma-style curation) -----------------------------
+# The rule table is a module-literal (host suffix, path prefix) list shared
+# verbatim by the engine and the SQL oracle; real pipelines broadcast a
+# rules file the same way (ray.put once — the list is KB-sized by nature).
+URL_BLOCKLIST = [
+    ("ads.example", "/"),            # whole host (any path)
+    ("example.org", "/fr/page-00000"),  # narrow path-prefix ban (fires on
+                                        # the fixture's fr pages id < 100)
+    ("tracker.net", "/pixel"),
+    ("example.com", "/private"),
+]
+
+
+def url_blocklist_filter(pages_ds):
+    """Drop pages whose (host, path) matches a blocklist rule: the host
+    equals the rule host OR ends with '.'+host (subdomain match), AND the
+    path starts with the rule prefix.  Row-local vectorized startswith
+    checks against the tiny rule table — zero shuffle; emits the kept rows'
+    (url, host) plus a blocked flag so the curation report and the filter
+    share one pass."""
+    import pandas as pd
+
+    def fn(b: pa.Table) -> pa.Table:
+        url = b["url"].to_pandas()
+        g = url.str.extract(_CANON_RE)
+        scheme = g[0].str.translate(DUCK_LOWER_TRANS)
+        ok = scheme.isin(["http", "https"]).to_numpy()
+        host = g[1].str.translate(DUCK_LOWER_TRANS).fillna("")
+        path = g[2].fillna("")
+        blocked = np.zeros(len(url), dtype=bool)
+        for rh, rp in URL_BLOCKLIST:
+            hm = (host == rh) | host.str.endswith("." + rh)
+            blocked |= (hm & path.str.startswith(rp)).to_numpy()
+        keep = ok & ~blocked
+        return pa.table({
+            "url": pa.array(url[keep], pa.string()),
+            "host": pa.array(host[keep], pa.string()),
+        })
+
+    return pages_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def url_blocklist_filter_sql(table: str = "pages") -> str:
+    conds = " OR ".join(
+        f"((host = '{h}' OR host LIKE '%.{h}') AND path LIKE '{p}%')"
+        for h, p in URL_BLOCKLIST)
+    return f"""
+WITH p AS (
+  SELECT url,
+         lower(regexp_extract(url, '{_CANON_RE}', 1)) AS scheme,
+         lower(regexp_extract(url, '{_CANON_RE}', 2)) AS host,
+         regexp_extract(url, '{_CANON_RE}', 3) AS path
+  FROM {table}
+)
+SELECT url, host FROM p
+WHERE scheme IN ('http', 'https') AND NOT ({conds})
+"""

@@ -2848,3 +2848,46 @@ def test_edge_fetch_schedule_hostiles(ray_session, tmp_path_factory):
     b = eng[eng["host"] == "b.org"]
     assert len(b) == 1 and int(b.iloc[0]["slot"]) == 1
     assert len(eng) == 5                                   # bad url dropped
+
+
+def test_edge_url_blocklist_hostiles(ray_session, tmp_path_factory):
+    """Blocklist hostiles: exact-host and subdomain matches block, a host
+    that merely ENDS with the rule string without a dot boundary does not
+    ('notads.example'), path prefixes respect the boundary ('/pixel' vs
+    '/pixels' both block — prefix semantics — but '/pix' survives),
+    case-folded hosts block, and non-http schemes drop outright."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages as pg
+
+    d = tmp_path_factory.mktemp("edge_block")
+    urls = [
+        "https://ads.example/anything",        # exact host -> blocked
+        "https://sub.ads.example/x",           # subdomain -> blocked
+        "https://notads.example/x",            # no dot boundary -> kept
+        "https://ADS.EXAMPLE/y",               # case-folds -> blocked
+        "https://tracker.net/pixel.gif",       # prefix match -> blocked
+        "https://tracker.net/pixels/1",        # still prefix -> blocked
+        "https://tracker.net/pix",             # shorter than prefix -> kept
+        "https://example.com/private/a",       # blocked
+        "https://example.com/privateer",       # prefix semantics -> blocked
+        "https://example.com/pub",             # kept
+        "ftp://ads.example/z",                 # non-http -> dropped
+    ]
+    pq.write_table(pa.table({"url": pa.array(urls, pa.string())}),
+                   str(d / "pages.parquet"))
+    eng = pg.url_blocklist_filter(
+        rd.read_parquet(str(d / "pages.parquet"))).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(pg.url_blocklist_filter_sql(
+        f"read_parquet('{d}/pages.parquet')")).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+            f"col {c}\n{e}\n{o}"
+    kept = set(eng["url"])
+    assert kept == {"https://notads.example/x", "https://tracker.net/pix",
+                    "https://example.com/pub"}
