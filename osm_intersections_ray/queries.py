@@ -203,6 +203,13 @@ def queries() -> dict:
 
     q["boundary_areas"] = boundary_areas
 
+    def boundary_adjacency(sf):
+        fx = ensure_fixtures(sf)
+        return qs.boundary_adjacency(
+            rd.read_parquet(os.path.join(fx, "boundaries.parquet")))
+
+    q["boundary_adjacency"] = boundary_adjacency
+
     # --- full reference-exact pipeline.  Driver-checkable since round 4:
     # the single-process reference oracle's rows are materialized to parquet
     # (oracle/oracle_rows.py) and the SQL oracle projects them, so the
@@ -863,6 +870,8 @@ def oracle_sql() -> dict:
         "way_components": graph.way_components_sql(ways_path),
         "way_triangles": graph.way_triangles_sql(ways_path),
         "boundary_areas": qs.boundary_areas_sql(
+            os.path.join(fx, "boundaries.parquet")),
+        "boundary_adjacency": qs.boundary_adjacency_sql(
             os.path.join(fx, "boundaries.parquet")),
         "pages_extract": pages.extract_sql(pages_tbl),
         "pages_geotag": pages.geotag_sql(pages_tbl),

@@ -1066,3 +1066,74 @@ SELECT way_id, n::BIGINT AS n_points, len(kept)::BIGINT AS n_kept,
            {x('i')}::VARCHAR || ',' || {y('i')}::VARCHAR), ';')) AS kept_md5
 FROM k
 """
+
+
+# ---------------------------------------------------------------------------
+# boundary topology: polygon adjacency via shared snapped vertices.
+
+def boundary_adjacency(bounds_ds):
+    """Pairs of boundary polygons sharing >= 1 snapped vertex (integer
+    microdegrees, the shared floor(x*1e6+0.5) snap) — the topology census
+    that validates a boundary file (cities tile their county: every city
+    should touch its county's ring or a sibling).
+
+    Shape: explode every ring vertex to (vertex_key, name), one
+    vertex-keyed groupby, pairs emitted per group (groups are tiny — a
+    vertex is shared by a handful of polygons), then a pair-keyed count.
+    Orientation name_a < name_b dedups the symmetric pair."""
+    import itertools
+    import json
+
+    def explode(b: pa.Table) -> pa.Table:
+        names, keys = [], []
+        for name, gj in zip(b["name"].to_pylist(), b["geom_json"].to_pylist()):
+            rings = json.loads(gj)
+            seen = set()
+            for ring in rings:
+                for x, y in ring:
+                    k = (int(np.floor(x * 1e6 + 0.5)) * 400_000_000
+                         + int(np.floor(y * 1e6 + 0.5)))
+                    if k not in seen:
+                        seen.add(k)
+                        names.append(name)
+                        keys.append(k)
+        return pa.table({"vkey": pa.array(keys, pa.int64()),
+                         "name": pa.array(names, pa.string())})
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        a_out, b_out = [], []
+        for _, g in df.groupby("vkey", sort=False):
+            ns = sorted(set(g["name"]))
+            for x, y in itertools.combinations(ns, 2):
+                a_out.append(x)
+                b_out.append(y)
+        return pa.table({"name_a": pa.array(a_out, pa.string()),
+                         "name_b": pa.array(b_out, pa.string())})
+
+    from ray.data.aggregate import Count
+
+    return (bounds_ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("vkey").map_groups(pairs, batch_format="pandas")
+            .groupby(["name_a", "name_b"])
+            .aggregate(Count(alias_name="n_shared")))
+
+
+def boundary_adjacency_sql(bounds_path: str) -> str:
+    return f"""
+WITH b AS (
+  SELECT name, CAST(geom_json AS DOUBLE[][][]) AS g
+  FROM read_parquet('{bounds_path}')
+), v0 AS (
+  SELECT name, unnest(g) AS ring FROM b
+), v1 AS (
+  SELECT name, unnest(ring) AS pt FROM v0
+), v AS (
+  SELECT DISTINCT name,
+         CAST(floor(pt[1] * 1000000 + 0.5) AS BIGINT) * 400000000
+           + CAST(floor(pt[2] * 1000000 + 0.5) AS BIGINT) AS vkey
+  FROM v1
+)
+SELECT a.name AS name_a, b.name AS name_b, count(*)::BIGINT AS n_shared
+FROM v a JOIN v b ON a.vkey = b.vkey AND a.name < b.name
+GROUP BY 1, 2
+"""

@@ -2891,3 +2891,57 @@ def test_edge_url_blocklist_hostiles(ray_session, tmp_path_factory):
     kept = set(eng["url"])
     assert kept == {"https://notads.example/x", "https://tracker.net/pix",
                     "https://example.com/pub"}
+
+
+def test_edge_boundary_adjacency_hostiles(ray_session, tmp_path_factory):
+    """Adjacency hostiles: an edge-sharing pair counts each shared snapped
+    vertex ONCE per polygon (duplicate closing vertices and repeated
+    in-ring vertices dedup), a corner-touching pair counts 1, a hole ring's
+    vertices participate, a polygon never pairs with itself, and names
+    orient a < b."""
+    import json as _json
+
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import queries_spatial as qs
+
+    d = tmp_path_factory.mktemp("edge_adj")
+    sq = lambda x0, y0, s: [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s],
+                            [x0, y0 + s], [x0, y0]]
+    rows = [
+        ("A", "county", [sq(0.0, 0.0, 1.0)]),
+        # B shares A's right edge: corners (1,0) and (1,1) -> n_shared 2
+        ("B", "city", [sq(1.0, 0.0, 1.0)]),
+        # C touches A and B at the single corner (1,1)
+        ("C", "city", [sq(1.0, 1.0, 1.0)]),
+        # D's HOLE ring touches nothing; its outer ring duplicates a vertex
+        # mid-ring (counted once)
+        ("D", "city", [[[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [6.0, 5.0],
+                        [6.0, 6.0], [5.0, 6.0], [5.0, 5.0]],
+                       sq(5.2, 5.2, 0.1)[::-1]]),
+        # E shares D's duplicated vertex (6,5) and also its hole corner
+        ("E", "city", [[[6.0, 5.0], [7.0, 5.0], [5.2, 5.2]]]),
+    ]
+    pq.write_table(pa.table({
+        "name": pa.array([r[0] for r in rows], pa.string()),
+        "kind": pa.array([r[1] for r in rows], pa.string()),
+        "file_order": pa.array(range(len(rows)), pa.int32()),
+        "geom_json": pa.array([_json.dumps(r[2]) for r in rows], pa.string()),
+    }), str(d / "boundaries.parquet"))
+    eng = qs.boundary_adjacency(
+        rd.read_parquet(str(d / "boundaries.parquet"))).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(qs.boundary_adjacency_sql(f"{d}/boundaries.parquet")).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) and list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+            f"col {c}\n{e}\n{o}"
+    got = {(r["name_a"], r["name_b"]): int(r["n_shared"])
+           for _, r in eng.iterrows()}
+    assert got[("A", "B")] == 2 and got[("A", "C")] == 1
+    assert got[("B", "C")] == 2     # B=[1,2]x[0,1], C=[1,2]x[1,2]: (1,1),(2,1)
+    assert got[("D", "E")] == 2     # dup vertex (6,5) once + hole corner (5.2,5.2)
+    assert all(a != b for a, b in got)
