@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "surt_index",           # CDX-style SURT capture index (s15)
     "fetch_schedule",       # re-crawl politeness queue, host-sharded (s15)
     "url_blocklist_filter", # Dolma-style URL blocklist curation (s15)
+    "image_histogram",      # 16-bin luma histogram over real decode (s15)
     "morton_tiles",         # z-order curve tile index (s15)
     "hourly_burst",         # trailing-window burst anomaly flags (s15)
     "top_terms_per_lang",   # vocabulary-scale partial-combine aggregation

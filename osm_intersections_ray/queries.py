@@ -551,6 +551,8 @@ def queries() -> dict:
         _codec_ids(sf))
     q["image_ahash"] = lambda sf: multimodal.image_ahash(
         _codec_ids(sf))
+    q["image_histogram"] = lambda sf: multimodal.image_histogram(
+        _codec_ids(sf))
     q["image_dup_pairs"] = lambda sf: multimodal.image_dup_pairs(
         _codec_ids(sf))
     q["image_dup_clusters"] = lambda sf: multimodal.image_dup_clusters(
@@ -964,6 +966,7 @@ def oracle_sql() -> dict:
         "audio_decode_wav": multimodal.audio_decode_sql(),
         "image_resize_ppm": multimodal.image_resize_sql(),
         "image_ahash": multimodal.image_ahash_sql(),
+        "image_histogram": multimodal.image_histogram_sql(),
         "image_dup_pairs": multimodal.image_dup_pairs_sql(),
         "audio_fingerprint": multimodal.audio_fingerprint_sql(),
         "image_dup_clusters": multimodal.image_dup_clusters_sql(),

@@ -2395,3 +2395,70 @@ p AS (
 )
 SELECT doc_id FROM {table} WHERE doc_id NOT IN (SELECT doc_b FROM p)
 """)
+
+
+# --- luma histogram over the real decode -------------------------------------
+# The per-image statistic a vision-data pipeline filters on (over/under-
+# exposure, flat synthetic rasters): 16 bins over channel-sum luma
+# (0..765 for 3-channel, so bin = luma // 48 caps at 15).  Long-form
+# output (doc_id, bin, n) with only occupied bins, matching the SQL
+# group-by shape.
+
+LUMA_BIN_DIV = 48
+LUMA_BINS = 16
+
+
+def luma_histogram(blob: bytes) -> np.ndarray:
+    """16-bin channel-sum luma histogram of one netpbm payload."""
+    channels, w, h, _maxval, off = _ppm_header(blob)
+    px = np.frombuffer(blob, np.uint8, count=w * h * channels, offset=off)
+    if channels == 3:
+        luma = px.reshape(-1, 3).sum(axis=1, dtype=np.int64)
+    else:
+        luma = px.astype(np.int64)
+    return np.bincount(luma // LUMA_BIN_DIV, minlength=LUMA_BINS)
+
+
+def image_histogram(docs_ds):
+    """doc_id -> occupied luma-histogram bins over the REAL decoded PPM
+    raster.  Row-local decode + bincount (bytes never shuffle); output is
+    image-count x <=16 rows."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids_out, bins_out, n_out = [], [], []
+        for did, blob in zip(b["doc_id"].to_pylist(),
+                             b["image"].to_pylist()):
+            cnt = luma_histogram(blob)
+            nz = np.nonzero(cnt)[0]
+            ids_out.extend([did] * len(nz))
+            bins_out.extend(nz.tolist())
+            n_out.extend(cnt[nz].tolist())
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "bin": pa.array(bins_out, pa.int64()),
+                         "n": pa.array(n_out, pa.int64())})
+
+    return (docs_ds
+            .map_batches(ppm_media_batch, batch_format="pyarrow", batch_size=512)
+            .map_batches(fn, batch_format="pyarrow", batch_size=256))
+
+
+def image_histogram_sql(table: str = "documents") -> str:
+    """Closed-form oracle from the fixture's pixel formula (same dims/seed
+    CTE as the aHash oracle)."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 24 AS w,
+         8 + (doc_id // 7) % 16 AS h,
+         (doc_id * 2654435761) % 256 AS seed
+  FROM {table}
+),
+px AS (
+  SELECT d.doc_id,
+         ((d.seed + 3 * p.i) % 256) + ((d.seed + 3 * p.i + 1) % 256)
+           + ((d.seed + 3 * p.i + 2) % 256) AS luma
+  FROM dims d JOIN generate_series(0, {_AHASH_PX_MAX}) p(i) ON p.i < d.w * d.h
+)
+SELECT doc_id, luma // {LUMA_BIN_DIV} AS bin, count(*)::BIGINT AS n
+FROM px GROUP BY 1, 2
+"""

@@ -2945,3 +2945,29 @@ def test_edge_boundary_adjacency_hostiles(ray_session, tmp_path_factory):
     assert got[("B", "C")] == 2     # B=[1,2]x[0,1], C=[1,2]x[1,2]: (1,1),(2,1)
     assert got[("D", "E")] == 2     # dup vertex (6,5) once + hole corner (5.2,5.2)
     assert all(a != b for a, b in got)
+
+
+def test_edge_image_histogram_blobs(ray_session):
+    """Direct decode hostiles (handcrafted PPM/PGM blobs, bypassing the
+    fixture synthesizer): an all-black P6 lands entirely in bin 0, an
+    all-white P6 (luma 765 -> 765 // 48 = 15) in bin 15, a two-pixel image
+    splits bins, and a grayscale P5 bins raw 0..255 values (100 -> bin 2,
+    255 -> bin 5)."""
+    import numpy as np
+
+    from osm_intersections_ray.stages.multimodal import (
+        encode_ppm, luma_histogram)
+
+    black = encode_ppm(4, 2, np.zeros(4 * 2 * 3, np.uint8))
+    white = encode_ppm(2, 2, np.full(2 * 2 * 3, 255, np.uint8))
+    two = encode_ppm(2, 1, np.array([0, 0, 0, 255, 255, 255], np.uint8))
+    gray = b"P5\n3 1\n255\n" + bytes([0, 100, 255])
+
+    out = {}
+    for did, blob in enumerate([black, white, two, gray], start=1):
+        cnt = luma_histogram(blob)
+        out[did] = {int(b): int(n) for b, n in enumerate(cnt) if n}
+    assert out[1] == {0: 8}
+    assert out[2] == {15: 4}
+    assert out[3] == {0: 1, 15: 1}
+    assert out[4] == {0: 1, 2: 1, 5: 1}
