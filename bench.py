@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "image_histogram",      # 16-bin luma histogram over real decode (s15)
     "morton_tiles",         # z-order curve tile index (s15)
     "hourly_burst",         # trailing-window burst anomaly flags (s15)
+    "events_recent_counts", # row-filter pushdown at the read (s15)
     "top_terms_per_lang",   # vocabulary-scale partial-combine aggregation
     "url_canonical_dedup",  # crawl-frontier canonicalization (round-3 op)
     "post_purchase_window", # interval self-join (round-3 op)

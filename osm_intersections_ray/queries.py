@@ -565,6 +565,21 @@ def queries() -> dict:
         _tbl(sf, "events", ["event_type", "ts", "value"]))
     q["hourly_burst"] = lambda sf: events.hourly_burst(
         _tbl(sf, "events", ["ts"]))
+
+    def events_recent_counts(sf):
+        # row-filter pushdown at the READ: parquet row groups whose ts
+        # max falls before the cutoff never decode a byte
+        import numpy as np
+        import pyarrow.compute as pc_
+
+        ds = rd.read_parquet(
+            os.path.join(sf, "events.parquet"),
+            columns=["event_type", "ts"],
+            filter=pc_.field("ts") >= pc_.scalar(
+                np.datetime64(events.RECENT_CUTOFF.replace(" ", "T"), "us")))
+        return events.recent_type_counts(ds)
+
+    q["events_recent_counts"] = events_recent_counts
     q["sessions"] = lambda sf: events.sessionize(
         _tbl(sf, "events", ["user_id", "event_id", "ts"]))
     q["events_sliding"] = lambda sf: events.sliding_window(
@@ -986,6 +1001,7 @@ def oracle_sql() -> dict:
         "embedding_dup_clusters": similarity.embedding_dup_clusters_sql(),
         "events_hourly": events.hourly_window_sql(),
         "hourly_burst": events.hourly_burst_sql(),
+        "events_recent_counts": events.recent_type_counts_sql(),
         "sessions": events.sessionize_sql(),
         "events_sliding": events.sliding_window_sql(),
         "asof_prev_purchase": events.asof_prev_purchase_sql(),

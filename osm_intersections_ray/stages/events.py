@@ -1280,3 +1280,40 @@ SELECT hour, n,
        CAST(n > 2 * max(n) {win} AS BIGINT) AS burst
 FROM h
 """
+
+
+# --- Filter-pushdown tail-window counts ---------------------------------------
+RECENT_CUTOFF = "2024-01-24 00:00:00"  # last week of the fixture window
+
+
+def recent_type_counts(ds):
+    """Counts per event type over the trailing window, with the time
+    predicate pushed INTO the parquet read (see the queries.py
+    registration: ray.data.read_parquet(filter=...) skips whole row
+    groups by their ts min/max stats before any byte decodes — at 100 TB
+    of time-partitioned events the read touches only the tail files).
+    The kernel itself is the standard per-batch partial below one tiny
+    groupby; the belt-and-suspenders mask keeps the kernel correct under
+    readers that cannot push the filter."""
+    from ray.data.aggregate import Sum
+
+    cutoff = np.datetime64(RECENT_CUTOFF.replace(" ", "T"), "us")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_pandas()
+        m = (ts >= pd.Timestamp(cutoff)).to_numpy()
+        et = b["event_type"].to_pandas()[m]
+        g = et.groupby(et, sort=False).size()
+        return pa.table({"event_type": pa.array(g.index, pa.string()),
+                         "n": pa.array(g.to_numpy(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").aggregate(Sum("n", alias_name="n")))
+
+
+def recent_type_counts_sql(table: str = "events") -> str:
+    return f"""
+SELECT event_type, count(*)::BIGINT AS n
+FROM {table} WHERE ts >= TIMESTAMP '{RECENT_CUTOFF}'
+GROUP BY 1
+"""

@@ -2971,3 +2971,45 @@ def test_edge_image_histogram_blobs(ray_session):
     assert out[2] == {15: 4}
     assert out[3] == {0: 1, 15: 1}
     assert out[4] == {0: 1, 2: 1, 5: 1}
+
+
+def test_edge_recent_counts_boundary(ray_session, tmp_path_factory):
+    """Pushdown-window hostiles: an event exactly AT the cutoff is kept
+    (>=), one microsecond before is dropped, NULL ts drops, and the
+    belt-and-suspenders kernel mask gives identical results when the
+    reader cannot push the filter (plain read, no filter arg)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import events as ev
+
+    d = tmp_path_factory.mktemp("edge_recent")
+    cut = pd.Timestamp(ev.RECENT_CUTOFF)
+    rows = [
+        (cut, "view"),                                    # kept (>=)
+        (cut - pd.Timedelta(microseconds=1), "view"),     # dropped
+        (cut + pd.Timedelta(days=1), "purchase"),         # kept
+        (None, "view"),                                   # NULL ts dropped
+    ]
+    pq.write_table(pa.table({
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+    }), str(d / "events.parquet"))
+    from osm_intersections_ray.queries import queries
+
+    eng = queries()["events_recent_counts"](str(d)).to_pandas()
+    # unpushed path: same kernel over an unfiltered read
+    eng2 = ev.recent_type_counts(
+        rd.read_parquet(str(d / "events.parquet"))).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(ev.recent_type_counts_sql(
+        f"read_parquet('{d}/events.parquet')")).df()
+    for got in (eng, eng2):
+        e, o = _canon(got), _canon(orc)
+        assert len(e) == len(o) and list(e.columns) == list(o.columns)
+        for c in e.columns:
+            assert (e[c].astype(str).to_numpy()
+                    == o[c].astype(str).to_numpy()).all(), f"col {c}\n{e}\n{o}"
+    got = dict(zip(eng["event_type"], eng["n"]))
+    assert got == {"view": 1, "purchase": 1}
