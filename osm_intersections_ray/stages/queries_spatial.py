@@ -1000,48 +1000,51 @@ def simplify_ways(ways_ds):
     2 * 3.6e8^2 < 2^63).  Output per way: vertex counts and an md5 of the
     surviving snapped polyline, so the oracle hash pins the exact kept set.
     Zero shuffle: each way is one row."""
+    return ways_ds.map_batches(simplify_batch, batch_format="pyarrow")
+
+
+def simplify_batch(b: pa.Table) -> pa.Table:
+    """simplify_ways' row-local kernel (module-level so the property tests
+    drive it without a Ray execution)."""
     import hashlib
 
-    def fn(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    import pyarrow.compute as pc
 
-        lats = b["lats"]
-        lons = b["lons"]
-        la = pc.list_flatten(lats).to_numpy(zero_copy_only=False)
-        lo = pc.list_flatten(lons).to_numpy(zero_copy_only=False)
-        npts = pc.list_value_length(lats).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        X = np.floor(lo * 1e6 + 0.5).astype(np.int64)
-        Y = np.floor(la * 1e6 + 0.5).astype(np.int64)
-        n_tot = len(X)
-        starts = np.concatenate(([0], np.cumsum(npts)[:-1]))
-        ends = starts + npts - 1
-        is_end = np.zeros(n_tot, dtype=bool)
-        is_end[starts[npts > 0]] = True
-        is_end[ends[npts > 0]] = True
-        keep = is_end.copy()
-        interior = ~is_end
-        ii = np.nonzero(interior)[0]
-        if len(ii):
-            cross = ((X[ii] - X[ii - 1]) * (Y[ii + 1] - Y[ii - 1])
-                     - (Y[ii] - Y[ii - 1]) * (X[ii + 1] - X[ii - 1]))
-            keep[ii] = np.abs(cross) >= SIMPLIFY_CROSS_MIN
-        way_ids = b["way_id"].to_numpy(zero_copy_only=False)
-        md5s, n_kept = [], []
-        for w in range(len(way_ids)):
-            s, e = starts[w], starts[w] + npts[w]
-            k = np.nonzero(keep[s:e])[0] + s
-            n_kept.append(len(k))
-            poly = ";".join(f"{X[j]},{Y[j]}" for j in k)
-            md5s.append(hashlib.md5(poly.encode()).hexdigest())
-        return pa.table({
-            "way_id": b["way_id"],
-            "n_points": pa.array(npts),
-            "n_kept": pa.array(np.array(n_kept, dtype=np.int64)),
-            "kept_md5": pa.array(md5s, pa.string()),
-        })
-
-    return ways_ds.map_batches(fn, batch_format="pyarrow")
+    lats = b["lats"]
+    lons = b["lons"]
+    la = pc.list_flatten(lats).to_numpy(zero_copy_only=False)
+    lo = pc.list_flatten(lons).to_numpy(zero_copy_only=False)
+    npts = pc.list_value_length(lats).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    X = np.floor(lo * 1e6 + 0.5).astype(np.int64)
+    Y = np.floor(la * 1e6 + 0.5).astype(np.int64)
+    n_tot = len(X)
+    starts = np.concatenate(([0], np.cumsum(npts)[:-1]))
+    ends = starts + npts - 1
+    is_end = np.zeros(n_tot, dtype=bool)
+    is_end[starts[npts > 0]] = True
+    is_end[ends[npts > 0]] = True
+    keep = is_end.copy()
+    interior = ~is_end
+    ii = np.nonzero(interior)[0]
+    if len(ii):
+        cross = ((X[ii] - X[ii - 1]) * (Y[ii + 1] - Y[ii - 1])
+                 - (Y[ii] - Y[ii - 1]) * (X[ii + 1] - X[ii - 1]))
+        keep[ii] = np.abs(cross) >= SIMPLIFY_CROSS_MIN
+    way_ids = b["way_id"].to_numpy(zero_copy_only=False)
+    md5s, n_kept = [], []
+    for w in range(len(way_ids)):
+        s, e = starts[w], starts[w] + npts[w]
+        k = np.nonzero(keep[s:e])[0] + s
+        n_kept.append(len(k))
+        poly = ";".join(f"{X[j]},{Y[j]}" for j in k)
+        md5s.append(hashlib.md5(poly.encode()).hexdigest())
+    return pa.table({
+        "way_id": b["way_id"],
+        "n_points": pa.array(npts),
+        "n_kept": pa.array(np.array(n_kept, dtype=np.int64)),
+        "kept_md5": pa.array(md5s, pa.string()),
+    })
 
 
 def simplify_ways_sql(ways_path: str) -> str:

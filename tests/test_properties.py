@@ -139,3 +139,75 @@ def test_tokens_match_toks_sql(s):
     got = duckdb.execute(f"SELECT {TOKS_SQL} FROM (SELECT ? AS text)",
                          [s]).fetchone()[0]
     assert _tokens(s) == list(got), (s, _tokens(s), got)
+
+
+@given(st.integers(0, 65535), st.integers(0, 65535))
+def test_morton_interleave_roundtrip(ix, iy):
+    """Bit-spread interleave is invertible and order-embeds each axis."""
+    import numpy as np
+
+    from osm_intersections_ray.stages.pages import _part1by1
+
+    m = int((_part1by1(np.array([ix], np.int64))
+             | (_part1by1(np.array([iy], np.int64)) << 1))[0])
+    rx = ry = 0
+    for k in range(16):
+        rx |= ((m >> (2 * k)) & 1) << k
+        ry |= ((m >> (2 * k + 1)) & 1) << k
+    assert (rx, ry) == (ix, iy)
+    assert 0 <= m < 2**32
+
+
+@settings(max_examples=60, deadline=None)
+@given(lat, coord, lat, coord)
+def test_supercover_subset_of_bbox_cover_and_hits_endpoints(y0, x0, y1, x1):
+    """The exact segment supercover is a SUBSET of the bbox cell cover and
+    always contains both endpoint cells (closed-square semantics)."""
+    import numpy as np
+
+    from osm_intersections_ray.stages.queries_spatial import (
+        RASTER_CELL_UDEG as S)
+
+    X = np.floor(np.array([x0, x1]) * 1e6 + 0.5).astype(np.int64)
+    Y = np.floor(np.array([y0, y1]) * 1e6 + 0.5).astype(np.int64)
+    mnx, mxx = X.min(), X.max()
+    mny, mxy = Y.min(), Y.max()
+    cands = []
+    for cx in range(int(-((-mnx) // S) - 1), int(mxx // S) + 1):
+        for cy in range(int(-((-mny) // S) - 1), int(mxy // S) + 1):
+            cands.append((cx, cy))
+    if len(cands) > 400:        # keep the property cheap
+        return
+    dx, dy = int(X[1] - X[0]), int(Y[1] - Y[0])
+    hits = set()
+    for cx, cy in cands:
+        ss = [dx * (cy * S + oy - int(Y[0])) - dy * (cx * S + ox - int(X[0]))
+              for ox in (0, S) for oy in (0, S)]
+        if min(ss) <= 0 <= max(ss):
+            hits.add((cx, cy))
+    assert hits <= set(cands)
+    for px, py in zip(X, Y):
+        assert any(cx * S <= px <= (cx + 1) * S
+                   and cy * S <= py <= (cy + 1) * S
+                   for cx, cy in hits)
+
+
+@given(st.lists(st.tuples(st.integers(-10**8, 10**8),
+                          st.integers(-10**8, 10**8)),
+                min_size=1, max_size=12))
+def test_simplify_endpoints_always_survive(pts):
+    """The area stencil never drops endpoints: n_kept >= 2 on any way with
+    >= 2 vertices, == 1 on a single vertex, and never exceeds n_points."""
+    import pyarrow as pa
+
+    from osm_intersections_ray.stages.queries_spatial import simplify_batch
+
+    lats = [p[1] / 1e6 for p in pts]
+    lons = [p[0] / 1e6 for p in pts]
+    tbl = pa.table({"way_id": pa.array([1], pa.int64()),
+                    "lats": pa.array([lats], pa.list_(pa.float64())),
+                    "lons": pa.array([lons], pa.list_(pa.float64()))})
+    out = simplify_batch(tbl).to_pandas()
+    n_kept = int(out.loc[0, "n_kept"])
+    assert int(out.loc[0, "n_points"]) == len(pts)
+    assert (n_kept == 1) if len(pts) == 1 else (2 <= n_kept <= len(pts))
