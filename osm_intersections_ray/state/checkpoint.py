@@ -187,3 +187,76 @@ def read_partitioned(out_dir: str, partitions: list[str] | None = None):
         paths.extend(os.path.join(d, f) for f in os.listdir(d)
                      if f.endswith(".parquet"))
     return rd.read_parquet(paths)
+
+
+def compact_partitioned(out_dir: str, target_rows: int = 1_000_000,
+                        min_files: int = 2) -> dict:
+    """Small-files maintenance pass over a :func:`write_partitioned`
+    output: partitions whose file count is >= ``min_files`` are rewritten
+    as ceil(rows / target_rows) files, preserving row order (files
+    concatenate in sorted name order — the order write_parquet emitted
+    them).  100-TB context: every incremental ingest appends a few small
+    files per partition; without compaction the NEXT reader pays
+    per-file open cost forever.
+
+    Same crash contract as the writer: each partition compacts into a
+    '.'-prefixed temp dir (manifest written last, rows re-counted and
+    verified against the old manifest before the swap) and lands with one
+    atomic rename — a crash leaves either the old complete partition or
+    the new one, never a mix.  Partitions are independent, so at cluster
+    scale the loop body is one Ray task per partition; here it runs
+    driver-side (the sandbox regime: partition count is small)."""
+    import pyarrow.parquet as pq
+
+    # recover a crash between the two swap renames below: '.old.X' holds a
+    # complete partition; restore it if X is missing, drop it otherwise.
+    # (If write_partitioned runs first instead, its temp-dir sweep removes
+    # '.old.X' and the missing partition is simply REWRITTEN from the
+    # input — resume-by-recompute, never silent loss.)
+    for name in list(os.listdir(out_dir)) if os.path.isdir(out_dir) else []:
+        if name.startswith(".old."):
+            part = name[len(".old."):]
+            src = os.path.join(out_dir, name)
+            dst = os.path.join(out_dir, part)
+            if not os.path.exists(dst):
+                os.replace(src, dst)
+            else:
+                shutil.rmtree(src, ignore_errors=True)
+
+    report = {"started": time.time(), "compacted": {}, "skipped": []}
+    for part in sorted(completed_partitions(out_dir)):
+        pdir = os.path.join(out_dir, part)
+        files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        with open(_manifest_path(out_dir, part)) as f:
+            manifest = json.load(f)
+        if len(files) < min_files:
+            report["skipped"].append(part)
+            continue
+        tbl = pa.concat_tables(
+            [pq.read_table(os.path.join(pdir, f)) for f in files])
+        if tbl.num_rows != manifest["rows"]:
+            raise RuntimeError(
+                f"partition {part}: manifest says {manifest['rows']} rows, "
+                f"files hold {tbl.num_rows} — refusing to compact")
+        tmp = tempfile.mkdtemp(dir=out_dir, prefix=f".compact.{part}.")
+        try:
+            n_out = max(1, -(-tbl.num_rows // target_rows))
+            step = -(-tbl.num_rows // n_out)
+            for i in range(n_out):
+                pq.write_table(tbl.slice(i * step, step),
+                               os.path.join(tmp, f"part-{i:05d}.parquet"))
+            manifest["compacted"] = time.time()
+            manifest["n_files"] = n_out
+            with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+                json.dump(manifest, f)
+            old = os.path.join(out_dir, f".old.{part}")
+            os.replace(pdir, old)      # keep the old partition until the
+            os.replace(tmp, pdir)      # new one is fully in place
+            shutil.rmtree(old, ignore_errors=True)
+            report["compacted"][part] = {"files_in": len(files),
+                                         "files_out": n_out,
+                                         "rows": tbl.num_rows}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    report["finished"] = time.time()
+    return report

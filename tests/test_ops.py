@@ -1615,3 +1615,48 @@ def test_warc_quarantine_routing(ray_session, tmp_path):
     assert (q["ok"] == 0).sum() > 0
     frac = (q["ok"] == 0).mean()
     assert 0.05 < frac < 0.40  # ~3/16 by construction
+
+
+def test_compact_partitioned(ray_session, tmp_path):
+    """Compaction merges a partition's small files without moving a row,
+    re-verifies rows against the manifest, respects target_rows (splits
+    into several output files), skips single-file partitions, and the
+    crash-recovery sweep restores a '.old.X' leftover when X is missing."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from osm_intersections_ray.state.checkpoint import (
+        compact_partitioned,
+        completed_partitions,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "part": ["a"] * 90 + ["b"] * 10,
+        "x": list(range(100)),
+    })).repartition(8)  # many small files per partition
+    out = str(tmp_path / "out")
+    write_partitioned(ds, out, "part")
+    a_files = [f for f in os.listdir(out + "/a") if f.endswith(".parquet")]
+    assert len(a_files) >= 2
+
+    rep = compact_partitioned(out, target_rows=40)
+    assert rep["compacted"]["a"]["files_in"] == len(a_files)
+    assert rep["compacted"]["a"]["files_out"] == 3      # ceil(90/40)
+    back = read_partitioned(out).to_pandas().sort_values("x")
+    assert list(back["x"]) == list(range(100))
+    assert completed_partitions(out) == {"a", "b"}
+
+    # idempotent: everything is already at single/3-file layout
+    rep2 = compact_partitioned(out, target_rows=40)
+    assert rep2["compacted"].get("a", {}).get("files_out", 3) == 3
+
+    # crash recovery: simulate a crash between the two swap renames
+    shutil.move(out + "/b", out + "/.old.b")
+    assert "b" not in completed_partitions(out)
+    compact_partitioned(out, target_rows=40)
+    assert "b" in completed_partitions(out)
+    assert read_partitioned(out).count() == 100
