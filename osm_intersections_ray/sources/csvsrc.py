@@ -106,21 +106,31 @@ def read_csv_events(csv_dir: str):
         "props": pa.string()})
     parse = pcsv.ParseOptions(newlines_in_values=True)
 
+    def col(t: pa.Table, name: str, typ: pa.DataType):
+        # schema-drift tolerance (same contract as the JSONL source): a
+        # shard from an older producer that lacks a column parses with
+        # NULLs instead of killing the ingest job
+        if name in t.column_names:
+            return t[name].combine_chunks().cast(typ)
+        return pa.nulls(t.num_rows, typ)
+
     def parse_files(b: pa.Table) -> pa.Table:
         outs = []
         for blob in b["bytes"].to_pylist():
             raw = gzip.decompress(blob) if blob[:2] == b"\x1f\x8b" else blob
             t = pcsv.read_csv(io.BytesIO(raw), parse_options=parse,
                               convert_options=conv)
-            cents = round_half_away_np(
-                t["value"].to_numpy(zero_copy_only=False) * 100)
+            val = col(t, "value", pa.float64()).to_numpy(zero_copy_only=False)
+            ok = np.isfinite(val)
+            cents = np.zeros(len(val), dtype=np.int64)
+            cents[ok] = round_half_away_np(val[ok] * 100)
             outs.append(pa.Table.from_arrays([
-                t["event_id"].combine_chunks(),
-                t["user_id"].combine_chunks(),
-                t["ts_us"].combine_chunks(),
-                t["event_type"].combine_chunks(),
-                pa.array(np.asarray(cents, dtype=np.int64)),
-                pc.utf8_length(t["props"].combine_chunks()).cast(pa.int64()),
+                col(t, "event_id", pa.int64()),
+                col(t, "user_id", pa.int64()),
+                col(t, "ts_us", pa.int64()),
+                col(t, "event_type", pa.string()),
+                pa.array(cents, mask=~ok),
+                pc.utf8_length(col(t, "props", pa.string())).cast(pa.int64()),
             ], schema=_CSV_SCHEMA))
         return (pa.concat_tables(outs) if outs
                 else _CSV_SCHEMA.empty_table())

@@ -86,6 +86,14 @@ def read_jsonl_pages(jsonl_dir: str):
 
     ds = rd.read_binary_files(jsonl_dir, file_extensions=["gz"])
 
+    def col(t: pa.Table, name: str, typ: pa.DataType):
+        # schema-drift tolerance: a shard written by an older producer may
+        # lack a column entirely (pyarrow already NULL-fills rows that
+        # merely omit the key); unknown extra keys are simply not projected
+        if name in t.column_names:
+            return t[name].combine_chunks().cast(typ)
+        return pa.nulls(t.num_rows, typ)
+
     def parse(b: pa.Table) -> pa.Table:
         outs = []
         for blob in b["bytes"].to_pylist():
@@ -95,11 +103,11 @@ def read_jsonl_pages(jsonl_dir: str):
             raw = gzip.decompress(blob) if blob[:2] == b"\x1f\x8b" else blob
             t = pj.read_json(io.BytesIO(raw))
             outs.append(pa.table({
-                "url": t["url"],
-                "ts_us": t["ts"].cast(pa.int64()),
-                "lang": t["lang"],
+                "url": col(t, "url", pa.string()),
+                "ts_us": col(t, "ts", pa.int64()),
+                "lang": col(t, "lang", pa.string()),
                 "n_chars": pc.utf8_length(
-                    t["text"].combine_chunks()).cast(pa.int64()),
+                    col(t, "text", pa.string())).cast(pa.int64()),
             }))
         return pa.concat_tables(outs) if outs else pa.table(
             {"url": pa.array([], pa.string()),

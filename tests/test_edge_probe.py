@@ -3013,3 +3013,64 @@ def test_edge_recent_counts_boundary(ray_session, tmp_path_factory):
                     == o[c].astype(str).to_numpy()).all(), f"col {c}\n{e}\n{o}"
     got = dict(zip(eng["event_type"], eng["n"]))
     assert got == {"view": 1, "purchase": 1}
+
+
+def test_edge_jsonl_schema_drift(ray_session, tmp_path_factory):
+    """Ingest fault tolerance: a .jsonl.gz shard from an older producer —
+    rows missing keys (NULL-filled by the NDJSON reader), a whole column
+    absent from one shard (NULL-filled by the projection), and unknown
+    extra keys (ignored) — parses instead of killing the ingest job."""
+    import gzip
+    import json
+
+    import ray.data as rd
+
+    from osm_intersections_ray.sources import jsonl as J
+
+    d = tmp_path_factory.mktemp("edge_drift")
+    shard1 = [  # modern shard: full schema, one row missing 'lang'
+        {"url": "https://a/1", "ts": 1, "lang": "en", "text": "hi"},
+        {"url": "https://a/2", "ts": 2, "text": "yo"},
+    ]
+    shard2 = [  # old producer: no 'lang' column at all, extra key present
+        {"url": "https://a/3", "ts": 3, "text": "no lang here", "v": 9},
+        {"url": "https://a/4", "ts": 4, "text": "", "v": 9},
+    ]
+    for i, rows in enumerate([shard1, shard2]):
+        with gzip.open(str(d / f"part-{i}.jsonl.gz"), "wt") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    out = J.read_jsonl_pages(str(d)).to_pandas().sort_values(
+        "url").reset_index(drop=True)
+    assert list(out["url"]) == [f"https://a/{i}" for i in range(1, 5)]
+    assert out.loc[0, "lang"] == "en" and pd.isna(out.loc[1, "lang"])
+    assert pd.isna(out.loc[2, "lang"]) and pd.isna(out.loc[3, "lang"])
+    assert list(out["n_chars"]) == [2, 2, 12, 0]
+    assert "v" not in out.columns
+
+
+def test_edge_csv_schema_drift(ray_session, tmp_path_factory):
+    """CSV ingest drift: a shard missing the 'props' and 'value' columns
+    parses with NULLs (value -> NULL cents, no NaN garbage), a NULL value
+    cell in a full-schema shard masks its cents, and the full-schema shard
+    is unaffected."""
+    import gzip
+
+    from osm_intersections_ray.sources import csvsrc as C
+
+    d = tmp_path_factory.mktemp("edge_csvdrift")
+    full = ("event_id,user_id,ts_us,event_type,value,props\n"
+            "1,10,1000,view,1.25,\"a=1\"\n"
+            "2,11,2000,purchase,,\"b=2\"\n")           # empty value cell
+    old = ("event_id,user_id,ts_us,event_type\n"
+           "3,12,3000,view\n")                          # no value/props
+    for i, s in enumerate([full, old]):
+        with gzip.open(str(d / f"part-{i}.csv.gz"), "wt") as f:
+            f.write(s)
+    out = C.read_csv_events(str(d)).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    assert list(out["event_id"]) == [1, 2, 3]
+    assert out.loc[0, "value_cents"] == 125
+    assert pd.isna(out.loc[1, "value_cents"])
+    assert pd.isna(out.loc[2, "value_cents"]) and pd.isna(out.loc[2, "props_chars"])
+    assert out.loc[0, "props_chars"] == 3
