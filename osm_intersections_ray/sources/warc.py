@@ -80,28 +80,53 @@ def encode_warc_record(url: str, ts_us: int, payload: bytes,
     return gzip.compress(head + payload + b"\r\n\r\n", 6)
 
 
-def parse_warc_members(blob: bytes):
-    """Yield (url, ts_us, payload) from a multi-member .warc.gz blob (or an
-    already-inflated WARC stream — Ray's binary reader auto-decompresses
-    ``.gz`` paths).  Content-Length-driven — payload bytes are never
-    scanned for separators."""
+def parse_warc_members(blob: bytes, resync: bool = False):
+    """Yield (url, ts_us, payload, headers) from a multi-member .warc.gz
+    blob (or an already-inflated WARC stream — Ray's binary reader
+    auto-decompresses ``.gz`` paths).  Content-Length-driven — payload
+    bytes are never scanned for separators.
+
+    ``resync=False`` (default, the strict contract the round-trip tests
+    pin): any structural damage raises.  ``resync=True`` (the quarantine
+    reader's mode): on a bad record boundary, an unparseable header block
+    or missing mandatory headers, scan forward to the next
+    ``WARC/1.0\\r\\n`` magic and continue — one mangled record costs
+    itself, not the rest of the shard."""
     raw = gzip.decompress(blob) if blob[:2] == b"\x1f\x8b" else blob
     i, n = 0, len(raw)
+
+    def _next_magic(pos: int) -> int:
+        return raw.find(b"WARC/1.0\r\n", pos + 1)
+
     while i < n:
         if raw[i:i + 9] != b"WARC/1.0\r":
-            raise ValueError(f"bad WARC record start at {i}")
-        hdr_end = raw.index(b"\r\n\r\n", i)
-        headers = {}
-        for line in raw[i:hdr_end].split(b"\r\n")[1:]:
-            k, _, v = line.partition(b": ")
-            headers[k.decode("ascii").lower()] = v.decode("utf-8")
-        clen = int(headers["content-length"])
-        body_start = hdr_end + 4
-        payload = raw[body_start:body_start + clen]
-        yield (headers["warc-target-uri"],
-               _parse_iso8601_us(headers["warc-date"]),
-               payload,
-               headers)
+            if not resync:
+                raise ValueError(f"bad WARC record start at {i}")
+            i = _next_magic(i)
+            if i < 0:
+                return
+            continue
+        try:
+            hdr_end = raw.index(b"\r\n\r\n", i)
+            headers = {}
+            for line in raw[i:hdr_end].split(b"\r\n")[1:]:
+                k, _, v = line.partition(b": ")
+                headers[k.decode("ascii").lower()] = v.decode("utf-8")
+            clen = int(headers["content-length"])
+            body_start = hdr_end + 4
+            payload = raw[body_start:body_start + clen]
+            rec = (headers["warc-target-uri"],
+                   _parse_iso8601_us(headers["warc-date"]),
+                   payload,
+                   headers)
+        except (KeyError, ValueError, UnicodeDecodeError):
+            if not resync:
+                raise
+            i = _next_magic(i)
+            if i < 0:
+                return
+            continue
+        yield rec
         i = body_start + clen + 4  # trailing \r\n\r\n
 
 
@@ -260,7 +285,24 @@ def read_warc_quarantine(warc_dir: str):
     def parse(b: pa.Table) -> pa.Table:
         urls, oks, digs = [], [], []
         for blob in b["bytes"].to_pylist():
-            for url, _ts, payload, hdr in parse_warc_members(blob):
+            # strict first (zero-cost on clean shards); STRUCTURAL damage
+            # re-parses with resync so one mangled record costs itself,
+            # plus one quarantine row flagging the shard for re-fetch
+            try:
+                members = list(parse_warc_members(blob))
+                structural = False
+            except (KeyError, ValueError, UnicodeDecodeError, EOFError,
+                    gzip.BadGzipFile):
+                structural = True
+                try:
+                    members = list(parse_warc_members(blob, resync=True))
+                except (EOFError, gzip.BadGzipFile, ValueError):
+                    members = []  # shard unreadable end to end
+            if structural:
+                urls.append("<structural-corruption>")
+                oks.append(0)
+                digs.append(hashlib.md5(blob).hexdigest())
+            for url, _ts, payload, hdr in members:
                 want = hdr.get("warc-payload-digest", "")
                 got = hashlib.md5(payload).hexdigest()
                 ok = (not want) or want == "md5:" + got

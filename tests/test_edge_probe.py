@@ -3074,3 +3074,41 @@ def test_edge_csv_schema_drift(ray_session, tmp_path_factory):
     assert pd.isna(out.loc[1, "value_cents"])
     assert pd.isna(out.loc[2, "value_cents"]) and pd.isna(out.loc[2, "props_chars"])
     assert out.loc[0, "props_chars"] == 3
+
+
+def test_edge_warc_structural_resync(ray_session, tmp_path_factory):
+    """Structural-corruption hostiles: garbage bytes between records and a
+    record missing WARC-Target-URI cost THEMSELVES, not the shard — the
+    strict parser raises (the pinned contract), resync recovers every
+    intact record, and the quarantine reader adds one structural row per
+    damaged shard while a fully-unreadable gz yields only that row."""
+    import gzip
+    import hashlib
+
+    import pytest as _pytest
+
+    from osm_intersections_ray.sources import warc as W
+
+    us = 1_700_000_000_000_000
+    r1 = gzip.decompress(W.encode_warc_record("https://a/1", us,
+                                              b"<html>one</html>"))
+    r2 = gzip.decompress(W.encode_warc_record("https://a/2", us + 1,
+                                              b"<html>two</html>"))
+    # a record with its mandatory URI header stripped
+    r_bad = r1.replace(b"WARC-Target-URI: https://a/1\r\n", b"", 1)
+    stream = r1 + b"GARBAGE" * 3 + r_bad + r2
+
+    with _pytest.raises(ValueError):
+        list(W.parse_warc_members(r1 + b"JUNK" + r2))
+    got = [m[0] for m in W.parse_warc_members(stream, resync=True)]
+    assert got == ["https://a/1", "https://a/2"]
+
+    d = tmp_path_factory.mktemp("edge_resync")
+    with open(str(d / "0000.warc.gz"), "wb") as f:
+        f.write(gzip.compress(stream))
+    out = W.read_warc_quarantine(str(d)).to_pandas()
+    ok_rows = out[out["ok"] == 1]
+    assert set(ok_rows["url"]) == {"https://a/1", "https://a/2"}
+    bad = out[out["url"] == "<structural-corruption>"]
+    assert len(bad) == 1 and (bad["ok"] == 0).all()
+    assert bad.iloc[0]["arrived_md5"] == hashlib.md5(stream).hexdigest()
