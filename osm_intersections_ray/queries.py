@@ -615,6 +615,8 @@ def queries() -> dict:
     q["session_concurrency"] = lambda sf: events.session_concurrency(
         _tbl(sf, "events", ["user_id", "event_id", "ts"]))
     q["events_profile"] = lambda sf: curation.table_profile(_tbl(sf, "events"))
+    q["documents_profile"] = lambda sf: curation.table_profile(
+        _tbl(sf, "documents"))
 
     # --- relational building blocks
     q["pricing_summary"] = lambda sf: relational.pricing_summary(
@@ -1020,6 +1022,8 @@ def oracle_sql() -> dict:
         "events_profile": curation.table_profile_sql(
             "events", ["event_id", "ts", "user_id", "event_type", "value",
                        "props"]),
+        "documents_profile": curation.table_profile_sql(
+            "documents", ["doc_id", "text", "lang", "source", "n_chars"]),
         "daily_active_users": events.daily_active_users_sql(),
         "session_cooccurrence": events.session_cooccurrence_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
