@@ -401,6 +401,22 @@ def main():
         print(json.dumps(out))
         return
     out = run_bench(sf_dir, num_cpus)
+    # Round-over-round diffability (VERDICT r4 #8): subtotal over the query
+    # set shared with the PREVIOUS BENCH.json, so a regression on the shared
+    # surface is machine-visible without hand-deriving the comparison.
+    prev_path = os.path.join(REPO, "BENCH.json")
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as f:
+                prev = json.load(f)
+            shared = sorted(set(prev.get("queries", {})) & set(out["queries"]))
+            out["shared_with_prev"] = {
+                "n": len(shared),
+                "prev_s": round(sum(prev["queries"][q] for q in shared), 3),
+                "cur_s": round(sum(out["queries"][q] for q in shared), 3),
+            }
+        except (json.JSONDecodeError, KeyError, TypeError):
+            pass
     # Full record (per-query seconds + output rows) to BENCH.json; stdout
     # gets ONE compact line guaranteed to fit the driver's 2 KB tail capture
     # (BENCH_r03's 65-pipeline line overflowed it and the round's totals

@@ -26,9 +26,24 @@ def rows_to_geojson(rows: list[dict]) -> dict:
     return {"type": "FeatureCollection", "features": feats}
 
 
-def write_geojson(ds_or_rows, path: str) -> int:
-    rows = (ds_or_rows if isinstance(ds_or_rows, list)
-            else ds_or_rows.take_all())
+# write_geojson is the conformance-diff exporter (the reference's own output
+# shape) and deliberately materializes driver-side; the cap makes it
+# impossible to point at a full-scale dataset by accident — large results
+# belong in the partitioned Parquet sink (state/checkpoint.write_partitioned).
+MAX_GEOJSON_ROWS = 1_000_000
+
+
+def write_geojson(ds_or_rows, path: str, max_rows: int = MAX_GEOJSON_ROWS) -> int:
+    if isinstance(ds_or_rows, list):
+        rows = ds_or_rows
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"write_geojson: {len(rows)} rows exceeds max_rows={max_rows}; "
+                "use state.checkpoint.write_partitioned for large outputs")
+    else:
+        # take_all's own limit raises before the driver materializes more
+        # than max_rows — the guard costs nothing on the conformance path
+        rows = ds_or_rows.take_all(limit=max_rows)
     gj = rows_to_geojson(rows)
     with open(path, "w") as f:
         json.dump(gj, f, indent=1)

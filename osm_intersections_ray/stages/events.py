@@ -1303,8 +1303,11 @@ def recent_type_counts(ds):
         ts = b["ts"].to_pandas()
         m = (ts >= pd.Timestamp(cutoff)).to_numpy()
         et = b["event_type"].to_pandas()[m]
-        g = et.groupby(et, sort=False).size()
-        return pa.table({"event_type": pa.array(g.index, pa.string()),
+        # dropna=False: a NULL event_type is a group, matching the SQL
+        # oracle's GROUP BY (which emits a NULL row) — ADVICE r4
+        g = et.groupby(et, sort=False, dropna=False).size()
+        keys = [None if pd.isna(k) else k for k in g.index]
+        return pa.table({"event_type": pa.array(keys, pa.string()),
                          "n": pa.array(g.to_numpy(np.int64))})
 
     return (ds.map_batches(partial, batch_format="pyarrow")

@@ -1979,8 +1979,13 @@ def url_blocklist_filter(pages_ds):
 
 
 def url_blocklist_filter_sql(table: str = "pages") -> str:
+    # prefix()/suffix() are literal string matches — no LIKE metacharacters,
+    # so a rule path containing '%'/'_' (common in URLs) matches exactly the
+    # same rows as the engine's startswith/endswith (ADVICE r4).
+    esc = lambda s: s.replace("'", "''")
     conds = " OR ".join(
-        f"((host = '{h}' OR host LIKE '%.{h}') AND path LIKE '{p}%')"
+        f"((host = '{esc(h)}' OR suffix(host, '.{esc(h)}'))"
+        f" AND prefix(path, '{esc(p)}'))"
         for h, p in URL_BLOCKLIST)
     return f"""
 WITH p AS (

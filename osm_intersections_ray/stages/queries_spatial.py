@@ -95,10 +95,13 @@ def shared_node_candidates(ways_ds):
             "names": pa.array([names[n] for n in nodes], pa.string()),
         })
 
+    from .common import n_shards
+
+    ns = n_shards()  # cluster-derived (driver-side), shard-count-invariant fold
     exploded = ways_ds.map_batches(explode, batch_format="pyarrow")
     keyed = exploded.map_batches(
         lambda b: b.append_column(
-            "bucket", pa.array((np.asarray(b["node"]) % 64).tolist(), pa.int64())),
+            "bucket", pa.array((np.asarray(b["node"]) % ns).tolist(), pa.int64())),
         batch_format="pyarrow")
     return keyed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 

@@ -663,6 +663,11 @@ FROM a
 
 # --- exact kNN graph over EVERY vector (brute-force baseline) -------------------
 
+# load_db ships the WHOLE matrix to every worker; past this size the exact
+# graph is the wrong tool (use ann_bucketed / ann_ivf) and the guard below
+# makes that failure explicit instead of an object-store OOM at scale.
+MAX_KNN_GRAPH_BROADCAST_BYTES = 2 << 30  # 2 GiB of float64 matrix
+
 
 def load_db(embeddings_tbl: pa.Table) -> dict:
     """Full-matrix broadcast payload for knn_graph, sorted by vec_id
@@ -676,6 +681,16 @@ def load_db(embeddings_tbl: pa.Table) -> dict:
     rounds differently — e.g. [1e-30,0,0,0] pre-normalizes to bit-equal
     with [1,0,0,0] while DuckDB keeps them 1 ulp apart, flipping tie
     order."""
+    n = embeddings_tbl.num_rows
+    dim = len(embeddings_tbl["embedding"][0]) if n else 0
+    if n * dim * 8 > MAX_KNN_GRAPH_BROADCAST_BYTES:
+        raise ValueError(
+            f"knn_graph broadcasts the FULL float64 embedding matrix "
+            f"({n} x {dim} = {n * dim * 8 / 2**30:.1f} GiB > "
+            f"{MAX_KNN_GRAPH_BROADCAST_BYTES / 2**30:.0f} GiB cap): it is the "
+            "exact recall oracle for sampled slices, not a corpus-scale path "
+            "— use ann_bucketed / ann_ivf, or raise "
+            "similarity.MAX_KNN_GRAPH_BROADCAST_BYTES explicitly")
     ids = np.asarray(embeddings_tbl["vec_id"].to_numpy(zero_copy_only=False),
                      dtype=np.int64)
     order = np.argsort(ids, kind="stable")

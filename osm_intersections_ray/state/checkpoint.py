@@ -44,8 +44,41 @@ def completed_partitions(out_dir: str) -> set[str]:
     return done
 
 
+def restore_old_backups(out_dir: str) -> list[str]:
+    """Recover ``.old.<part>`` swap backups left by a crash inside
+    :func:`compact_partitioned`'s two-rename swap.  Between
+    ``os.replace(pdir, old)`` and ``os.replace(tmp, pdir)`` the backup is
+    the ONLY copy of the partition, so it must be restored — not swept —
+    before any dot-prefixed-temp cleanup.  Restore if the target is
+    missing; drop the backup if the target exists (swap completed)."""
+    restored = []
+    if not os.path.isdir(out_dir):
+        return restored
+    for name in os.listdir(out_dir):
+        if not name.startswith(".old."):
+            continue
+        part = name[len(".old."):]
+        src = os.path.join(out_dir, name)
+        if not os.path.isdir(src):
+            continue
+        dst = os.path.join(out_dir, part)
+        if not os.path.exists(dst):
+            os.replace(src, dst)
+            restored.append(part)
+        else:
+            shutil.rmtree(src, ignore_errors=True)
+    return restored
+
+
 def clean_stale_temp_dirs(out_dir: str) -> list[str]:
-    """Remove crash-leftover '.'-prefixed temp partition dirs."""
+    """Remove crash-leftover '.'-prefixed temp partition dirs.
+
+    ``.old.<part>`` compaction backups are RESTORED first (see
+    :func:`restore_old_backups`): under an incremental-append cadence the
+    rows of a half-swapped partition exist nowhere else, so sweeping the
+    backup with the temp dirs would be silent data loss — the rerun's
+    input only carries the new increment, not the old partition."""
+    restore_old_backups(out_dir)
     removed = []
     if not os.path.isdir(out_dir):
         return removed
@@ -210,18 +243,16 @@ def compact_partitioned(out_dir: str, target_rows: int = 1_000_000,
 
     # recover a crash between the two swap renames below: '.old.X' holds a
     # complete partition; restore it if X is missing, drop it otherwise.
-    # (If write_partitioned runs first instead, its temp-dir sweep removes
-    # '.old.X' and the missing partition is simply REWRITTEN from the
-    # input — resume-by-recompute, never silent loss.)
-    for name in list(os.listdir(out_dir)) if os.path.isdir(out_dir) else []:
-        if name.startswith(".old."):
-            part = name[len(".old."):]
-            src = os.path.join(out_dir, name)
-            dst = os.path.join(out_dir, part)
-            if not os.path.exists(dst):
-                os.replace(src, dst)
-            else:
-                shutil.rmtree(src, ignore_errors=True)
+    # (write_partitioned's temp-dir sweep performs the SAME restore first —
+    # see clean_stale_temp_dirs — so whichever maintenance pass runs next
+    # after a crash, the backup is recovered, never deleted.)
+    restore_old_backups(out_dir)
+    # sweep stale '.compact.X' temp dirs from a crash mid-compaction (the
+    # partition itself is intact in that window, so these are pure leftovers)
+    if os.path.isdir(out_dir):
+        for name in list(os.listdir(out_dir)):
+            if name.startswith(".compact."):
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
 
     report = {"started": time.time(), "compacted": {}, "skipped": []}
     for part in sorted(completed_partitions(out_dir)):

@@ -39,6 +39,7 @@ SHARD_FOLD_QUERIES = [
     "events_profile",       # (col, value)-shard distinct fold (session 14)
     "surt_index",           # surt-shard capture fold (session 15)
     "fetch_schedule",       # host-shard politeness queue (session 15)
+    "shared_node_candidates",  # node-bucket name fold (round 5: last % 64 swept)
 ]
 
 
