@@ -48,7 +48,7 @@ ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 # flagships as standing entries and fills the other 48 slots from the 80
 # never-driver-checked queries, spanning every family (all of the judge's
 # named ops included).  The 32 never-checked queries that still don't fit
-# in 50 are all covered by tools/check_queries.py (the full 181-entry gate)
+# in 50 are all covered by tools/check_queries.py (the full-registry gate)
 # and pytest; they lean toward within-family redundancy (e.g. events_rollup
 # vs events_pivot, sample_docs vs stratified_sample).
 DRIVER_SAMPLE_50 = [
@@ -455,6 +455,16 @@ def queries() -> dict:
             _tbl(sf, "embeddings", ["vec_id", "embedding"]), dbref)
 
     q["knn_graph"] = knn_graph
+
+    def knn_graph_chunked(sf):
+        # the exact graph's SCALE form: db ships as bounded object-store
+        # chunks (4 here so the merge path is exercised at gate scale)
+        emb = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        refs = similarity.load_db_chunks(emb, n_chunks=4)
+        return similarity.knn_graph_chunked(
+            _tbl(sf, "embeddings", ["vec_id", "embedding"]), refs)
+
+    q["knn_graph_chunked"] = knn_graph_chunked
     q["embedding_near_dup"] = lambda sf: similarity.near_dup_pairs(
         _tbl(sf, "embeddings", ["vec_id", "embedding"]))
     q["embedding_centroids"] = lambda sf: similarity.embedding_centroids(
@@ -997,6 +1007,7 @@ def oracle_sql() -> dict:
         "token_budget_sample": curation.token_budget_sample_sql(),
         "knn_cosine": similarity.knn_sql(),
         "knn_graph": similarity.knn_graph_sql(),
+        "knn_graph_chunked": similarity.knn_graph_sql(),  # identical result
         "rrf_fusion": similarity.rrf_fusion_sql(),
         "embedding_near_dup": similarity.near_dup_sql(),
         "embedding_centroids": similarity.embedding_centroids_sql(),

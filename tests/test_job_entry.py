@@ -143,6 +143,34 @@ def test_write_geojson_row_cap(ray_session, tmp_path):
         write_geojson(ds, p, max_rows=3)
 
 
+def test_knn_graph_chunked_matches_brute(ray_session):
+    """The chunked exact graph (round 5: bounded object-store chunks, no
+    full-matrix broadcast) must be row-identical to the broadcast brute
+    form at any chunking."""
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    import ray
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import similarity
+
+    emb = pq_.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ds = rd.from_arrow(emb.replace_schema_metadata(None))
+
+    def norm(res):
+        df = res.to_pandas().sort_values(["vec_id", "rk"]).reset_index(drop=True)
+        return df
+
+    brute = norm(similarity.knn_graph(ds, ray.put(similarity.load_db(emb))))
+    assert len(brute) > 0
+    for n_chunks in (1, 3, 7):
+        refs = similarity.load_db_chunks(emb, n_chunks=n_chunks)
+        got = norm(similarity.knn_graph_chunked(ds, refs))
+        pd.testing.assert_frame_equal(got, brute, check_exact=True), n_chunks
+
+
 def test_knn_graph_broadcast_cap():
     import numpy as np
 
