@@ -50,7 +50,10 @@ ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 # named ops included).  The 32 never-checked queries that still don't fit
 # in 50 are all covered by tools/check_queries.py (the full-registry gate)
 # and pytest; they lean toward within-family redundancy (e.g. events_rollup
-# vs events_pivot, sample_docs vs stratified_sample).
+# vs events_pivot, sample_docs vs stratified_sample).  Session 16: the three
+# new ops (weighted_sample, host_distinct_kmv, page_hotspots) take the slots
+# of events_sliding / doc_sentences / image_histogram, whose families keep
+# 5+ driver-visible entries each; the displaced three stay in the full gate.
 DRIVER_SAMPLE_50 = [
     # flagships (SQL-exact via the precomputed oracle rows, pass r4)
     "intersections_full", "intersections_geom_only",
@@ -62,7 +65,7 @@ DRIVER_SAMPLE_50 = [
     "warc_quarantine",                     # corrupt-WARC resync + quarantine
     # text analysis / aggregates
     "c4_line_filter", "tfidf_top_terms", "cms_token_counts", "collocations",
-    "repetition_stats", "redact_pii", "doc_sentences",
+    "repetition_stats", "redact_pii",
     # dedup / decontamination
     "near_dup_containment", "incremental_dedup_survivors", "decontaminate",
     # similarity / embeddings
@@ -70,12 +73,14 @@ DRIVER_SAMPLE_50 = [
     # curation
     "dataset_split", "host_split", "proportional_sample", "documents_profile",
     # multimodal
-    "image_decode_gif", "audio_fingerprint", "image_ahash", "image_histogram",
+    "image_decode_gif", "audio_fingerprint", "image_ahash",
     "image_dedup_survivors",
     # events / windows
-    "events_recent_counts", "events_sliding", "funnel_stages",
+    "events_recent_counts", "funnel_stages",
     "session_cooccurrence", "event_transitions", "late_arrivals",
     "daily_active_users",
+    # session-16 additions (new ops, never driver-checked by definition)
+    "weighted_sample", "host_distinct_kmv", "page_hotspots",
     # relational (the never-checked half of the TPC-H family)
     "cold_customers", "local_supplier_revenue", "small_qty_revenue",
     "min_cost_supplier", "nation_market_share", "returned_item_revenue",
@@ -285,6 +290,10 @@ def queries() -> dict:
         _pages(sf, columns=["url", "html"]), _ways(sf))
     q["bloom_url_filter"] = lambda sf: pages.bloom_url_filter(
         _pages(sf, columns=["url"]))
+    q["host_distinct_kmv"] = lambda sf: pages.host_distinct_kmv(
+        _pages(sf, columns=["url"]))
+    q["page_hotspots"] = lambda sf: pages.page_hotspots(
+        _pages(sf, columns=["url", "html"]))
     q["mixture_resample"] = lambda sf: pages.mixture_resample(
         _pages(sf, columns=["url", "text"]))
     q["page_links"] = lambda sf: pages.page_links(
@@ -502,6 +511,8 @@ def queries() -> dict:
         _tbl(sf, "embeddings", ["vec_id", "embedding"]))
     q["token_budget_sample"] = lambda sf: curation.token_budget_sample(
         _tbl(sf, "documents", ["doc_id", "text", "lang"]))
+    q["weighted_sample"] = lambda sf: curation.weighted_sample(
+        _tbl(sf, "documents", ["doc_id", "n_chars"]))
 
     # --- multimodal: REAL pure-Python decodes (netpbm raster, RIFF/WAVE
     # PCM16) over deterministic doc_id-keyed payloads; the actor-pool decode
@@ -924,6 +935,8 @@ def oracle_sql() -> dict:
         "tile_pyramid": pages.tile_pyramid_sql(pages_tbl),
         "way_page_density": pages.way_page_density_sql(pages_tbl, ways_path),
         "bloom_url_filter": pages.bloom_url_filter_sql(pages_tbl),
+        "host_distinct_kmv": pages.host_distinct_kmv_sql(pages_tbl),
+        "page_hotspots": pages.page_hotspots_sql(pages_tbl),
         "mixture_resample": pages.mixture_resample_sql(pages_tbl),
         "warc_pages": warc_src.warc_pages_sql(pages_tbl),
         "warc_quarantine": warc_src.warc_quarantine_sql(pages_tbl),
@@ -1005,6 +1018,7 @@ def oracle_sql() -> dict:
         "proportional_sample": curation.proportional_sample_sql(),
         "embedding_quantize": curation.embedding_quantize_sql(),
         "token_budget_sample": curation.token_budget_sample_sql(),
+        "weighted_sample": curation.weighted_sample_sql(),
         "knn_cosine": similarity.knn_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         "knn_graph_chunked": similarity.knn_graph_sql(),  # identical result

@@ -706,3 +706,112 @@ SELECT url, host, {b} AS bucket,
             ELSE 'test' END AS split
 FROM h WHERE coalesce(host, '') <> ''
 """
+
+
+# --- weighted corpus sampling without replacement ---------------------------
+# K documents chosen by deterministic weighted priority (weight = doc length
+# in chars): priority_i = h60("wsamp|doc_id") // w_i, keep the K smallest by
+# (priority, doc_id).  Dividing a uniform 60-bit hash by the weight makes a
+# heavier doc's priority stochastically smaller (inclusion odds rise with
+# w — the integer-exact analogue of Efraimidis-Spirakis u^(1/w) keys), and
+# floor division + the doc_id tie-break keep every comparison exact integer
+# arithmetic, so engine and oracle agree bit-for-bit with no pow()/log()
+# float parity risk.  Hash-derived, never RNG: stable under re-runs,
+# re-partitioning and incremental ingest, like every sampler in this module.
+WSAMP_K = 150
+_WS_HIST_SCHEMA = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+_WS_OUT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("w", pa.int64()),
+                            ("priority", pa.int64())])
+
+
+def _wsamp_cols(b: pa.Table):
+    """(doc_ids, weights>=1, priorities) — the shared projection."""
+    ids = b["doc_id"].to_pylist()
+    w = pd.to_numeric(b["n_chars"].to_pandas(), errors="coerce").fillna(0)
+    w = np.maximum(w.to_numpy(dtype=np.int64), 1)
+    hk = np.array([h60(f"wsamp|{i}") for i in ids], dtype=np.int64)
+    return np.array(ids, dtype=np.int64), w, hk // w
+
+
+def weighted_sample(ds, k: int = WSAMP_K):
+    """Global top-K selection by weighted priority — the distributed-
+    selection problem WITHOUT a group key (``proportional_sample`` is the
+    grouped form).  Same corpus-size-free 3-pass shape:
+
+    1. histogram pass: per-batch counts over ``bucket = priority >> 44``
+       (<= 65536 driver rows regardless of corpus size); the driver finds
+       the threshold bucket b* with cum(b*-1) < K <= cum(b*).
+    2. boundary pass: ONLY bucket == b* rows are collected (expected
+       n/65536) and the K - cum(b*-1) smallest by (priority, doc_id) picked.
+    3. emit pass: row-local keep of bucket < b* plus the picked boundary
+       doc_ids (broadcast once via ``ray.put``).
+    A corpus smaller than K short-circuits to keep-everything.  At larger
+    corpora widen the bucket space; nothing else changes."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .common import cached_get
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        _, _, pr = _wsamp_cols(b)
+        u, c = np.unique(pr >> 44, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    if not len(hist):
+        return ray.data.from_arrow(_WS_OUT_SCHEMA.empty_table())
+    hist = hist.sort_values("bucket", kind="stable")
+    cum = hist["n"].cumsum().to_numpy()
+    if int(cum[-1]) <= k:           # corpus smaller than the sample: keep all
+        b_star, m_needed = None, 0
+    else:
+        j = int(np.searchsorted(cum, k, side="left"))
+        b_star = int(hist["bucket"].iloc[j])
+        m_needed = k - (int(cum[j - 1]) if j else 0)
+
+    picks: frozenset = frozenset()
+    if b_star is not None and m_needed:
+        def boundary_rows(b: pa.Table) -> pa.Table:
+            ids, w, pr = _wsamp_cols(b)
+            keep = (pr >> 44) == b_star
+            return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                             "priority": pa.array(pr[keep], pa.int64())})
+
+        bdf = (ds.map_batches(boundary_rows, batch_format="pyarrow")
+               .to_pandas())  # expected n/65536 rows — tiny
+        bdf = bdf.sort_values(["priority", "doc_id"], kind="stable").head(m_needed)
+        picks = frozenset(int(i) for i in bdf["doc_id"])
+    plan_ref = ray.put((b_star, picks))
+
+    def emit(b: pa.Table) -> pa.Table:
+        bs, pk = cached_get(plan_ref)
+        ids, w, pr = _wsamp_cols(b)
+        if bs is None:
+            keep = np.ones(len(ids), dtype=bool)
+        else:
+            bk = pr >> 44
+            keep = (bk < bs) | ((bk == bs)
+                                & np.array([int(i) in pk for i in ids]))
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "w": pa.array(w[keep], pa.int64()),
+                         "priority": pa.array(pr[keep], pa.int64())})
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def weighted_sample_sql(table: str = "documents", k: int = WSAMP_K) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         greatest(coalesce(n_chars, 0), 1)::BIGINT AS w,
+         ('0x' || substr(md5('wsamp' || chr(124) ||
+                              CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
+  FROM {table}
+)
+SELECT doc_id, w, hkey // w AS priority
+FROM h ORDER BY priority, doc_id LIMIT {k}
+"""

@@ -1998,3 +1998,290 @@ WITH p AS (
 SELECT url, host FROM p
 WHERE scheme IN ('http', 'https') AND NOT ({conds})
 """
+
+
+# --- per-site KMV distinct-URL sketch (sketch #4: HLL/CMS/Bloom + KMV) ------
+# K-minimum-values (Bar-Yossef et al., "Counting distinct elements in a data
+# stream"): keep the K smallest distinct 60-bit url hashes per site (site =
+# lowercased host + first path segment, the same key family as
+# host_section_stats); if fewer than K survive the count is EXACT, else
+# estimate (K-1) * 2^60 / kth_min.  The sketch is mergeable (union of
+# candidate sets -> K smallest again), so per-batch partials fold under ONE
+# site-sharded exchange carrying at most K rows per (site, batch) — the
+# grouped-sketch shape for a HIGH-cardinality key (hosts x sections at web
+# scale), where the per-lang HLL's dense 256-register grid per group would
+# waste 256x the exchange on sparse groups.
+KMV_K = 32
+_KMV_EST_CAP = 1 << 62  # kth_min can be adversarially tiny; both sides cap
+_KMV_PARTIAL_SCHEMA = pa.schema([
+    ("hshard", pa.int64()), ("site", pa.string()), ("hk", pa.int64()),
+])
+
+
+def host_distinct_kmv(pages_ds, k: int = KMV_K):
+    """(site, n_kept, kth_hash, est) per (host, first path segment).  Scale
+    shape: per-batch per-site K-smallest-distinct-hash partials (the
+    batch-local sketch), one hash(site) % n_shards exchange, per-shard
+    final fold — a site's whole candidate set lands in one shard, so the
+    shard-local K-minimum is the global K-minimum.  Nothing anywhere is
+    proportional to the number of urls; the exchange is bounded by
+    K x sites x batches."""
+    import pandas as pd
+
+    from ..functions.hashing import h60
+    from .common import n_shards
+
+    N = n_shards()
+
+    def partial(b: pa.Table) -> pa.Table:
+        url = b["url"].to_pandas()
+        parts = url.str.extract(_URL_PARTS_RE)
+        site = (parts[0].str.translate(DUCK_LOWER_TRANS) + "/" + parts[1])
+        df = pd.DataFrame({"site": site, "url": url}).dropna(subset=["site"])
+        df["hk"] = np.array([h60(f"kmv|{u}") for u in df["url"]],
+                            dtype=np.int64)
+        # batch-local sketch: distinct hashes, K smallest per site
+        df = (df[["site", "hk"]].drop_duplicates()
+              .sort_values(["site", "hk"], kind="stable")
+              .groupby("site", sort=False).head(k))
+        df["hshard"] = (pd.util.hash_pandas_object(df["site"], index=False)
+                        .to_numpy() % N).astype("int64")
+        return pa.Table.from_pandas(df[["hshard", "site", "hk"]],
+                                    preserve_index=False,
+                                    schema=_KMV_PARTIAL_SCHEMA).replace_schema_metadata(None)
+
+    def per_shard(df: "pd.DataFrame") -> pa.Table:
+        m = (df[["site", "hk"]].drop_duplicates()
+             .sort_values(["site", "hk"], kind="stable")
+             .groupby("site", sort=False).head(k))
+        g = m.groupby("site", sort=False)["hk"]
+        out = g.agg(n_kept="size", kth_hash="max").reset_index()
+        n_kept = out["n_kept"].to_numpy(np.int64)
+        kth = out["kth_hash"].to_numpy(np.int64)
+        est = np.array([int(n) if n < k
+                        else min((k - 1) * (1 << 60) // max(int(h), 1),
+                                 _KMV_EST_CAP)
+                        for n, h in zip(n_kept, kth)], dtype=np.int64)
+        return pa.table({
+            "site": pa.array(out["site"], pa.string()),
+            "n_kept": pa.array(n_kept),
+            "kth_hash": pa.array(kth),
+            "est": pa.array(est),
+        })
+
+    return (pages_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("hshard").map_groups(per_shard, batch_format="pandas"))
+
+
+def host_distinct_kmv_sql(table: str = "pages", k: int = KMV_K) -> str:
+    return f"""
+WITH p AS (
+  SELECT lower(regexp_extract(url, '{_URL_PARTS_RE}', 1)) || '/' ||
+         regexp_extract(url, '{_URL_PARTS_RE}', 2) AS site, url
+  FROM {table}
+  WHERE regexp_extract(url, '{_URL_PARTS_RE}', 1) <> ''
+    AND regexp_extract(url, '{_URL_PARTS_RE}', 2) <> ''
+), d AS (
+  SELECT DISTINCT site,
+         ('0x' || substr(md5('kmv' || chr(124) || url), 1, 15))::BIGINT AS hk
+  FROM p
+), r AS (
+  SELECT site, hk,
+         row_number() OVER (PARTITION BY site ORDER BY hk) AS rk
+  FROM d
+), s AS (
+  SELECT site, count(*)::BIGINT AS n_kept, max(hk)::BIGINT AS kth_hash
+  FROM r WHERE rk <= {k} GROUP BY site
+)
+SELECT site, n_kept, kth_hash,
+       CASE WHEN n_kept < {k} THEN n_kept
+            ELSE least(({k - 1}::HUGEINT * (1::HUGEINT << 60))
+                         // greatest(kth_hash, 1), {_KMV_EST_CAP}::HUGEINT)
+                   ::BIGINT
+       END AS est
+FROM s
+"""
+
+
+# --- grid-density hotspot clustering (DBSCAN on the page raster) ------------
+# The density-based spatial clustering a web-geo pipeline runs to find page
+# hotspots: rasterize geotags onto a fixed global grid, keep cells with at
+# least MINPTS pages ("core" cells), and connect 8-adjacent core cells into
+# clusters — grid-cell DBSCAN (eps = one cell, minPts on the cell count),
+# fully deterministic and engine-independent because the grid is fixed.
+HOTSPOT_RES = 14     # 16384 x 16384 global grid (~2.4 km/cell at the equator)
+HOTSPOT_MINPTS = 8   # core-cell threshold
+# Below this dense-cell count the component pass runs as ONE single-block
+# union-find task (the pareto_parts frontier move: the dense-cell table is
+# grid-bounded, so collapsing it to one block is not a corpus-sized
+# materialization — 2M cells = three int64 columns = ~48 MB).  Above it the
+# distributed hash-min kernel takes over; both routes emit identical labels
+# (min packed cell id per 8-connected component).
+HOTSPOT_LOCAL_MAX = 2_000_000
+
+
+def page_hotspots(pages_ds, res: int = HOTSPOT_RES,
+                  minpts: int = HOTSPOT_MINPTS,
+                  local_max: int = HOTSPOT_LOCAL_MAX):
+    """(cell, cx, cy, n_pages, cluster_id) for every dense cell; cluster_id
+    = the smallest packed cell id in its 8-connected component.
+
+    Scale shape: the corpus is touched ONCE (geotag -> per-batch np.unique
+    cell partials), then every later step runs on the DENSE-CELL table,
+    whose size is bounded by the grid (and in practice by the populated
+    world): one grid-bounded (cell) groupby, an 8-neighbor candidate
+    explode joined back against the dense set (hash join, dense x 9 rows),
+    and the same distributed hash-min component kernel the dedup family
+    uses — pages themselves never shuffle and never reach the driver."""
+    from ray.data.aggregate import Sum
+
+    from .common import cap_join_partitions, drop_empty_blocks
+    from .dedup import hash_min_components
+
+    n = 1 << res
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False), np.float64)
+        lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False), np.float64)
+        cx = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        cy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+        u, c = np.unique(cx * n + cy, return_counts=True)
+        return pa.table({"cell": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = (pages_ds.map_batches(geotag_batch, batch_format="pyarrow")
+              .map_batches(cell_partial, batch_format="pyarrow")
+              .groupby("cell").aggregate(Sum("n", alias_name="n_pages")))
+
+    def dense_only(b: pa.Table) -> pa.Table:
+        keep = np.asarray(b["n_pages"].to_numpy(zero_copy_only=False),
+                          np.int64) >= minpts
+        return b.filter(pa.array(keep))
+
+    # the dense-cell table is grid-bounded and reused three times (edge
+    # source, edge target, final label join) — materialize ONCE; the filter
+    # leaves schema-less empty blocks that would break the Acero hash join
+    dense = drop_empty_blocks(
+        counts.map_batches(dense_only, batch_format="pyarrow").materialize())
+
+    if dense.count() <= local_max:
+        # single-task route: the whole dense table fits one block, so the
+        # 8-connectivity union-find runs locally — no joins, no CC rounds
+        def finish_local(b: pa.Table) -> pa.Table:
+            cell = np.asarray(b["cell"].to_numpy(zero_copy_only=False),
+                              np.int64)
+            npg = np.asarray(b["n_pages"].to_numpy(zero_copy_only=False),
+                             np.int64)
+            order = np.argsort(cell, kind="stable")
+            cell, npg = cell[order], npg[order]
+            cx, cy = cell // n, cell % n
+            m = len(cell)
+            parent = np.arange(m, dtype=np.int64)
+
+            def find(i: int) -> int:
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]  # path halving
+                    i = parent[i]
+                return i
+
+            # forward half of the 8-neighborhood; the backward half is the
+            # same union seen from the other endpoint
+            for dx, dy in ((0, 1), (1, -1), (1, 0), (1, 1)):
+                nx, ny = cx + dx, cy + dy
+                valid = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+                ncell = nx * n + ny
+                idx = np.searchsorted(cell, ncell)
+                idx_c = np.minimum(idx, m - 1)
+                hit = valid & (cell[idx_c] == ncell)
+                for i, j in zip(np.nonzero(hit)[0], idx_c[hit]):
+                    ri, rj = find(int(i)), find(int(j))
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+            roots = np.fromiter((find(int(i)) for i in range(m)),
+                                dtype=np.int64, count=m)
+            # cluster id = min cell id per root; roots are min-index by
+            # construction and cell is sorted, so cell[root] IS the min
+            return pa.table({
+                "cell": pa.array(cell, pa.int64()),
+                "cx": pa.array(cx, pa.int64()),
+                "cy": pa.array(cy, pa.int64()),
+                "n_pages": pa.array(npg, pa.int64()),
+                "cluster_id": pa.array(cell[roots], pa.int64()),
+            })
+
+        return dense.repartition(1).map_batches(
+            finish_local, batch_format="pyarrow", batch_size=None)
+
+    def candidates(b: pa.Table) -> pa.Table:
+        cell = np.asarray(b["cell"].to_numpy(zero_copy_only=False), np.int64)
+        cx, cy = cell // n, cell % n
+        us, vs = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = cx + dx, cy + dy
+                m = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+                us.append(cell[m])
+                vs.append((nx * n + ny)[m])
+        return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
+                         "cell": pa.array(np.concatenate(vs), pa.int64())})
+
+    # keep candidate edges whose target is dense (self-edges always survive,
+    # so isolated dense cells still get a component label)
+    edges = (dense.map_batches(candidates, batch_format="pyarrow")
+             .join(dense.select_columns(["cell"]), join_type="inner",
+                   num_partitions=cap_join_partitions(8), on=("cell",))
+             .map_batches(lambda b: pa.table({"u": b["u"], "v": b["cell"]}),
+                          batch_format="pyarrow"))
+
+    labels = hash_min_components(edges, node_col="u", nbr_col="v").map_batches(
+        lambda b: pa.table({"cell": b["node"], "cluster_id": b["label"]}),
+        batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        cell = np.asarray(b["cell"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table({
+            "cell": pa.array(cell, pa.int64()),
+            "cx": pa.array(cell // n, pa.int64()),
+            "cy": pa.array(cell % n, pa.int64()),
+            "n_pages": b["n_pages"],
+            "cluster_id": b["cluster_id"],
+        })
+
+    return (labels.join(dense, join_type="inner",
+                        num_partitions=cap_join_partitions(8), on=("cell",))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def page_hotspots_sql(table: str = "pages", res: int = HOTSPOT_RES,
+                      minpts: int = HOTSPOT_MINPTS) -> str:
+    n = 1 << res
+    return f"""
+WITH RECURSIVE g0 AS (
+  SELECT TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
+  FROM {table}
+), g AS (
+  SELECT * FROM g0
+  WHERE lat IS NOT NULL AND lon IS NOT NULL AND isfinite(lat) AND isfinite(lon)
+), c AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1}) AS cx,
+         least(greatest(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1}) AS cy,
+         count(*)::BIGINT AS n_pages
+  FROM g GROUP BY 1, 2
+), d AS (
+  SELECT cx * {n} + cy AS cell, cx, cy, n_pages FROM c WHERE n_pages >= {minpts}
+), e AS (
+  SELECT a.cell AS u, b.cell AS v FROM d a JOIN d b
+  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+), reach AS (
+  SELECT u AS node, u AS r FROM e
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN e ON e.u = reach.r
+), lab AS (
+  SELECT node, min(r)::BIGINT AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.cell, d.cx, d.cy, d.n_pages, lab.cluster_id
+FROM d JOIN lab ON lab.node = d.cell
+"""

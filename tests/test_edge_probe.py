@@ -3112,3 +3112,156 @@ def test_edge_warc_structural_resync(ray_session, tmp_path_factory):
     bad = out[out["url"] == "<structural-corruption>"]
     assert len(bad) == 1 and (bad["ok"] == 0).all()
     assert bad.iloc[0]["arrived_md5"] == hashlib.md5(stream).hexdigest()
+
+
+def test_edge_weighted_sample(ray_session, tmp_path_factory):
+    """Weighted-priority sampler hostiles: NULL / zero / negative n_chars
+    all clamp to weight 1, a heavy-weight doc's priority collapses toward
+    bucket 0 (so the WHOLE candidate set sits in the boundary bucket and
+    the pick-m-smallest path does all the work), and k >= corpus returns
+    every row (the keep-all short-circuit)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import curation
+
+    d = tmp_path_factory.mktemp("edge_wsamp")
+    ids = list(range(1, 21))
+    n_chars = [None, 0, -5] + [1_000_000] * 14 + [1, 2, 3]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_chars": pa.array(n_chars, pa.int64()),
+    }), str(d / "documents.parquet"))
+    tbl = f"read_parquet('{d}/documents.parquet')"
+    ds = rd.read_parquet(str(d / "documents.parquet"))
+    con = duckdb.connect()
+
+    for k in (5, 12):
+        eng = curation.weighted_sample(ds, k=k).to_pandas()
+        orc = con.sql(curation.weighted_sample_sql(tbl, k=k)).df()
+        e, o = _canon(eng), _canon(orc)
+        assert len(e) == len(o) == k
+        for c in e.columns:
+            assert (e[c].astype(str).to_numpy()
+                    == o[c].astype(str).to_numpy()).all(), f"k={k} col {c}"
+        # clamped weights really are 1 on both sides
+        clamped = [i for i in (1, 2, 3) if i in set(e["doc_id"])]
+        if clamped:
+            assert (e.set_index("doc_id").loc[clamped, "w"] == 1).all()
+        # heavy docs dominate the sample: their priority is ~2^60/1e6
+        heavy = set(range(4, 18))
+        assert len(set(eng["doc_id"]) & heavy) >= k - 3
+
+    # keep-all short-circuit: k >= corpus
+    eng = curation.weighted_sample(ds, k=100).to_pandas()
+    assert len(eng) == 20 and set(eng["doc_id"]) == set(ids)
+    orc = con.sql(curation.weighted_sample_sql(tbl, k=100)).df()
+    e, o = _canon(eng), _canon(orc)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all()
+
+
+def test_edge_host_distinct_kmv(ray_session, tmp_path_factory):
+    """Per-site KMV hostiles: duplicate urls collapse before the sketch
+    (distinct semantics), a site under K reports its EXACT count, a site
+    over K takes the (K-1)*2^60/kth estimate path, hosts case-fold into
+    one site, and urls without a first path segment (or non-http) drop."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages as pg
+
+    d = tmp_path_factory.mktemp("edge_kmv")
+    urls = (
+        [f"https://big.com/en/p{i}" for i in range(12)]   # over K=4: estimate
+        + ["https://small.org/fr/x", "https://small.org/fr/y",
+           "https://small.org/fr/y",                       # dup: distinct
+           "https://SMALL.ORG/fr/z",                       # case-folds in
+           "https://small.org/de/only",                    # separate section
+           "https://small.org",                            # no path: dropped
+           "ftp://small.org/fr/q",                         # non-http: dropped
+           "not a url"]
+    )
+    pq.write_table(pa.table({"url": pa.array(urls, pa.string())}),
+                   str(d / "pages.parquet"))
+    tbl = f"read_parquet('{d}/pages.parquet')"
+    ds = rd.read_parquet(str(d / "pages.parquet"))
+    k = 4
+    eng = pg.host_distinct_kmv(ds, k=k).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(pg.host_distinct_kmv_sql(tbl, k=k)).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+            f"col {c}\n{e}\n{o}"
+    by = eng.set_index("site")
+    assert set(by.index) == {"big.com/en", "small.org/fr", "small.org/de"}
+    assert int(by.loc["small.org/fr", "n_kept"]) == 3   # x, y, z exact
+    assert int(by.loc["small.org/fr", "est"]) == 3
+    assert int(by.loc["small.org/de", "n_kept"]) == 1
+    assert int(by.loc["big.com/en", "n_kept"]) == k     # sketch saturated
+    kth = int(by.loc["big.com/en", "kth_hash"])
+    assert int(by.loc["big.com/en", "est"]) == (k - 1) * (1 << 60) // kth
+
+
+def test_edge_page_hotspots(ray_session, tmp_path_factory):
+    """Grid-DBSCAN hostiles: diagonal adjacency joins cells into one
+    cluster, a one-cell gap splits clusters, a cell at minpts-1 is not
+    core, an isolated core cell is its own singleton cluster, the grid
+    corner (0,0) clips its neighborhood — and the single-block union-find
+    route and the distributed hash-min route emit IDENTICAL labels."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages as pg
+
+    d = tmp_path_factory.mktemp("edge_hotspot")
+    res, minpts = pg.HOTSPOT_RES, 2
+    n = 1 << res
+
+    def latlon(cx, cy):
+        return ((cy + 0.5) / n * 180.0 - 90.0, (cx + 0.5) / n * 360.0 - 180.0)
+
+    cells = ([(100, 100)] * 2 + [(101, 101)] * 2 + [(101, 100)] * 3  # blob A
+             + [(103, 100)] * 2       # B: gap at 102 keeps it separate
+             + [(100, 103)] * 1       # below minpts: not core
+             + [(0, 0)] * 2)          # grid-corner singleton
+    rows = []
+    for i, (cx, cy) in enumerate(cells):
+        lat, lon = latlon(cx, cy)
+        rows.append((f"https://h.com/s/p{i}",
+                     f'<html><meta name="geo.position" content="{lat};{lon}">'
+                     f"<article>t{i}</article></html>"))
+    pq.write_table(pa.table({
+        "url": pa.array([u for u, _ in rows], pa.string()),
+        "html": pa.array([h.encode() for _, h in rows], pa.binary()),
+    }), str(d / "pages.parquet"))
+    tbl = f"read_parquet('{d}/pages.parquet')"
+    ds = rd.read_parquet(str(d / "pages.parquet"))
+
+    eng = pg.page_hotspots(ds, minpts=minpts).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(pg.page_hotspots_sql(tbl, minpts=minpts)).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o)
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+            f"col {c}\n{e}\n{o}"
+
+    by = eng.set_index("cell")
+    blob_a = {100 * n + 100, 101 * n + 101, 101 * n + 100}
+    assert set(eng["cell"]) == blob_a | {103 * n + 100, 0}
+    assert set(by.loc[sorted(blob_a), "cluster_id"]) == {100 * n + 100}
+    assert int(by.loc[103 * n + 100, "cluster_id"]) == 103 * n + 100
+    assert int(by.loc[0, "cluster_id"]) == 0
+    assert 100 * n + 103 not in by.index  # minpts-1 is not core
+
+    # distributed route (local_max=0 forces it) is label-identical
+    dist = pg.page_hotspots(ds, minpts=minpts, local_max=0).to_pandas()
+    ed, el = _canon(dist), _canon(eng)
+    for c in el.columns:
+        assert (ed[c].astype(str).to_numpy() == el[c].astype(str).to_numpy()).all(), c
