@@ -141,6 +141,11 @@ BENCH_QUERIES = [
     "events_profile",       # exact per-column distinct/null census (round 4)
     "incremental_dedup_survivors",  # new-snapshot-vs-frozen-base dedup (round 4)
     "host_split",           # leakage-safe host-grouped split (round 4)
+    "weighted_sample",      # weighted top-K selection, targeted buckets (round 5)
+    "host_distinct_kmv",    # per-site KMV distinct sketch, one exchange (round 5)
+    "page_hotspots",        # grid-DBSCAN dense-cell clustering (round 5)
+    "page_hotspot_assign",  # corpus classification vs broadcast label map (round 5)
+    "knn_graph_chunked",    # exact kNN graph, chunk-streamed matrix (round 5)
 ]
 
 

@@ -294,6 +294,8 @@ def queries() -> dict:
         _pages(sf, columns=["url"]))
     q["page_hotspots"] = lambda sf: pages.page_hotspots(
         _pages(sf, columns=["url", "html"]))
+    q["page_hotspot_assign"] = lambda sf: pages.page_hotspot_assign(
+        _pages(sf, columns=["url", "html"]))
     q["mixture_resample"] = lambda sf: pages.mixture_resample(
         _pages(sf, columns=["url", "text"]))
     q["page_links"] = lambda sf: pages.page_links(
@@ -496,6 +498,14 @@ def queries() -> dict:
         return similarity.ann_ivf(_tbl(sf, "embeddings", ["vec_id", "embedding"]), qref)
 
     q["ann_ivf"] = ann_ivf
+
+    def ann_ivf_pq(sf):  # IVF + packed product-quantized codes — approximate
+        emb = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        qref = ray.put(similarity.load_queries(emb))
+        return similarity.ann_ivf_pq(
+            _tbl(sf, "embeddings", ["vec_id", "embedding"]), qref)
+
+    q["ann_ivf_pq"] = ann_ivf_pq
 
     # --- corpus curation (round-4 session-13: split / cap / proportional
     # sample / quantize — the assemble-the-training-set family)
@@ -937,6 +947,7 @@ def oracle_sql() -> dict:
         "bloom_url_filter": pages.bloom_url_filter_sql(pages_tbl),
         "host_distinct_kmv": pages.host_distinct_kmv_sql(pages_tbl),
         "page_hotspots": pages.page_hotspots_sql(pages_tbl),
+        "page_hotspot_assign": pages.page_hotspot_assign_sql(pages_tbl),
         "mixture_resample": pages.mixture_resample_sql(pages_tbl),
         "warc_pages": warc_src.warc_pages_sql(pages_tbl),
         "warc_quarantine": warc_src.warc_quarantine_sql(pages_tbl),
@@ -1083,6 +1094,6 @@ def oracle_sql() -> dict:
         "part_supplier_variety": relational.part_supplier_variety_sql(),
         "important_parts": relational.important_parts_sql(),
         "promo_part_suppliers": relational.promo_part_suppliers_sql(),
-        # ann_lsh / ann_ivf: rows-only by design (approximate ANN paths;
+        # ann_lsh / ann_ivf / ann_ivf_pq: rows-only by design (approximate ANN paths;
         # recall-tested against knn_brute in tests instead)
     }

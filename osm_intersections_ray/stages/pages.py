@@ -2252,24 +2252,25 @@ def page_hotspots(pages_ds, res: int = HOTSPOT_RES,
             .map_batches(finish, batch_format="pyarrow"))
 
 
-def page_hotspots_sql(table: str = "pages", res: int = HOTSPOT_RES,
-                      minpts: int = HOTSPOT_MINPTS) -> str:
+def _hotspot_cte(table: str, res: int, minpts: int) -> str:
+    """Shared CTE chain: geotag parse -> per-cell counts -> dense cells ->
+    8-adjacency edges -> recursive closure -> (node, cluster_id) labels."""
     n = 1 << res
-    return f"""
-WITH RECURSIVE g0 AS (
-  SELECT TRY_CAST(regexp_extract(decode(html),
+    return f"""g0 AS (
+  SELECT url,
+         TRY_CAST(regexp_extract(decode(html),
               '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
          TRY_CAST(regexp_extract(decode(html),
               '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
   FROM {table}
 ), g AS (
-  SELECT * FROM g0
+  SELECT url,
+         least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1}) AS cx,
+         least(greatest(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1}) AS cy
+  FROM g0
   WHERE lat IS NOT NULL AND lon IS NOT NULL AND isfinite(lat) AND isfinite(lon)
 ), c AS (
-  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1}) AS cx,
-         least(greatest(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1}) AS cy,
-         count(*)::BIGINT AS n_pages
-  FROM g GROUP BY 1, 2
+  SELECT cx, cy, count(*)::BIGINT AS n_pages FROM g GROUP BY 1, 2
 ), d AS (
   SELECT cx * {n} + cy AS cell, cx, cy, n_pages FROM c WHERE n_pages >= {minpts}
 ), e AS (
@@ -2281,7 +2282,90 @@ WITH RECURSIVE g0 AS (
   SELECT reach.node, e.v FROM reach JOIN e ON e.u = reach.r
 ), lab AS (
   SELECT node, min(r)::BIGINT AS cluster_id FROM reach GROUP BY node
-)
+)"""
+
+
+def page_hotspots_sql(table: str = "pages", res: int = HOTSPOT_RES,
+                      minpts: int = HOTSPOT_MINPTS) -> str:
+    return f"""
+WITH RECURSIVE {_hotspot_cte(table, res, minpts)}
 SELECT d.cell, d.cx, d.cy, d.n_pages, lab.cluster_id
 FROM d JOIN lab ON lab.node = d.cell
+"""
+
+
+# Broadcast cap for the dense-cell label map in page_hotspot_assign: two
+# int64 columns, so 16 B/cell — 50M dense cells = 800 MB, well past the
+# repo's broadcast budget.  The populated-world dense-cell count at res 14
+# is orders of magnitude below this; the guard exists so the op can never
+# be silently pointed at a configuration (tiny minpts, huge res) where the
+# map stops being broadcast-sized (same contract as knn_graph's cap).
+HOTSPOT_ASSIGN_BROADCAST_MAX = 20_000_000
+
+
+def page_hotspot_assign(pages_ds, res: int = HOTSPOT_RES,
+                        minpts: int = HOTSPOT_MINPTS,
+                        local_max: int = HOTSPOT_LOCAL_MAX):
+    """Grid-DBSCAN classification: every geotagged page gets the cluster_id
+    of its cell (NULL = noise, the cell is not core).  Completes the
+    hotspot family: ``page_hotspots`` builds the cluster table,
+    this op joins the corpus against it.
+
+    Scale shape: the corpus streams twice (both passes column-pruned, the
+    cell-count pass via ``page_hotspots``); the dense-cell label map —
+    grid/world-bounded, NOT corpus-bounded — ships once via ``ray.put`` as
+    two sorted int64 arrays and each batch classifies by searchsorted.
+    Pages never shuffle; the only exchange is the grid-bounded (cell)
+    groupby inside ``page_hotspots``."""
+    import ray
+
+    from .common import cached_get
+
+    n = 1 << res
+    lab = page_hotspots(pages_ds, res=res, minpts=minpts,
+                        local_max=local_max).to_pandas()
+    if len(lab) > HOTSPOT_ASSIGN_BROADCAST_MAX:
+        raise ValueError(
+            f"dense-cell label map has {len(lab)} rows, past the "
+            f"{HOTSPOT_ASSIGN_BROADCAST_MAX} broadcast cap; raise minpts or "
+            f"lower res so the map stays broadcast-sized")
+    if len(lab):
+        lab = lab.sort_values("cell", kind="stable")
+        map_ref = ray.put((lab["cell"].to_numpy(np.int64),
+                           lab["cluster_id"].to_numpy(np.int64)))
+    else:  # no dense cells: to_pandas drops the schema of the empty table
+        map_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+
+    def assign(b: pa.Table) -> pa.Table:
+        cells_sorted, clusters = cached_get(map_ref)
+        lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False), np.float64)
+        lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False), np.float64)
+        cx = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        cy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+        cell = cx * n + cy
+        m = len(cells_sorted)
+        if m == 0:  # no dense cells anywhere: every page is noise
+            hit = np.zeros(len(cell), dtype=bool)
+            cl = np.zeros(len(cell), dtype=np.int64)
+        else:
+            idx_c = np.minimum(np.searchsorted(cells_sorted, cell), m - 1)
+            hit = cells_sorted[idx_c] == cell
+            cl = clusters[idx_c]
+        return pa.table({
+            "url": b["url"],
+            "cell": pa.array(cell, pa.int64()),
+            "cluster_id": pa.array(cl, pa.int64(), mask=~hit),
+        })
+
+    return (pages_ds.map_batches(geotag_batch, batch_format="pyarrow")
+            .map_batches(assign, batch_format="pyarrow"))
+
+
+def page_hotspot_assign_sql(table: str = "pages", res: int = HOTSPOT_RES,
+                            minpts: int = HOTSPOT_MINPTS) -> str:
+    n = 1 << res
+    return f"""
+WITH RECURSIVE {_hotspot_cte(table, res, minpts)}
+SELECT g.url, g.cx * {n} + g.cy AS cell, lab.cluster_id
+FROM g LEFT JOIN lab ON lab.node = g.cx * {n} + g.cy
 """

@@ -874,3 +874,208 @@ r AS (SELECT vec_id, nid,
       FROM s)
 SELECT vec_id, nid, rk::BIGINT AS rk FROM r WHERE rk <= {k}
 """
+
+
+# --- IVF-PQ: product-quantized inverted lists (the memory-bound ANN path) ---
+# Product quantization (Jegou et al., "Product Quantization for Nearest
+# Neighbor Search"): the normalized vector splits into PQ_M subvectors, each
+# quantized to one of PQ_KS per-subspace centroids; with PQ_KS=16 a code is
+# 4 bits, so the WHOLE vector compresses to PQ_M*4 = 32 bits — packed into a
+# single int64 per vector.  That is the 100-TB story IVF-flat cannot tell:
+# the inverted lists carry (vec_id, cid, code) rows only — 24 B/vector
+# instead of d*4 — and search scores candidates from a per-query lookup
+# table (ADC) without ever touching a float vector again.
+PQ_M = 8       # subspaces (must divide the embedding dim)
+PQ_KS = 16     # centroids per subspace -> 4-bit codes
+PQ_ITERS = 2   # Lloyd passes per subspace (deterministic, fixed)
+
+
+def pq_codebooks(ds) -> np.ndarray:
+    """(PQ_M, PQ_KS, d/PQ_M) per-subspace codebooks via the same
+    deterministic distributed Lloyd shape as :func:`ivf_centroids`: init =
+    subvectors of the normalized vectors with vec_id < PQ_KS, then PQ_ITERS
+    passes of per-batch partial sums exploded to (sub, cid, dim, s, n) rows
+    and a tiny groupby — the shuffle carries PQ_M*PQ_KS*(d/PQ_M) = PQ_KS*d
+    rows per batch, never embeddings."""
+    import ray
+
+    from .common import cached_get
+
+    init_rows = sorted(ds.filter(expr=f"vec_id < {PQ_KS}").take_all(),
+                       key=lambda r: r["vec_id"])
+    init = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in init_rows])
+    norms = np.linalg.norm(init, axis=1)
+    norms[norms == 0] = 1.0
+    init = init / norms[:, None]
+    d = init.shape[1]
+    assert d % PQ_M == 0, (d, PQ_M)
+    sub = d // PQ_M
+    cb = np.stack([init[:, j * sub:(j + 1) * sub] for j in range(PQ_M)])
+
+    for _ in range(PQ_ITERS):
+        cb_ref = ray.put(cb)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = cached_get(cb_ref)         # (M, KS, sub)
+            m = _mat(b)
+            nm = np.linalg.norm(m, axis=1)
+            nm[nm == 0] = 1.0
+            mn = m / nm[:, None]
+            rows_cid, rows_dim, rows_sub, rows_s, rows_n = [], [], [], [], []
+            for j in range(PQ_M):
+                sv = mn[:, j * sub:(j + 1) * sub]              # (n, sub)
+                d2 = ((sv[:, None, :] - c[j][None, :, :]) ** 2).sum(axis=2)
+                cid = np.argmin(d2, axis=1)
+                sums = np.zeros((PQ_KS, sub))
+                np.add.at(sums, cid, sv)
+                cnt = np.bincount(cid, minlength=PQ_KS).astype(np.int64)
+                rows_sub.append(np.full(PQ_KS * sub, j, dtype=np.int64))
+                rows_cid.append(np.repeat(np.arange(PQ_KS, dtype=np.int64), sub))
+                rows_dim.append(np.tile(np.arange(sub, dtype=np.int64), PQ_KS))
+                rows_s.append(sums.ravel())
+                rows_n.append(np.repeat(cnt, sub))
+            return pa.table({
+                "sub": pa.array(np.concatenate(rows_sub)),
+                "cid": pa.array(np.concatenate(rows_cid)),
+                "dim": pa.array(np.concatenate(rows_dim)),
+                "s": pa.array(np.concatenate(rows_s), pa.float64()),
+                "n": pa.array(np.concatenate(rows_n)),
+            })
+
+        from ray.data.aggregate import Sum
+
+        red = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["sub", "cid", "dim"])
+               .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+               .to_pandas())
+        new = cb.copy()
+        sums = np.zeros((PQ_M, PQ_KS, sub))
+        cnts = np.zeros((PQ_M, PQ_KS), dtype=np.int64)
+        sums[red["sub"].to_numpy(), red["cid"].to_numpy(),
+             red["dim"].to_numpy()] = red["s"].to_numpy()
+        fd = red[red["dim"] == 0]
+        cnts[fd["sub"].to_numpy(), fd["cid"].to_numpy()] = fd["n"].to_numpy()
+        nz = cnts > 0
+        new[nz] = sums[nz] / cnts[nz][:, None]
+        cb = new  # empty sub-centroids keep their previous position
+    return cb
+
+
+PQ_RERANK = 4  # ADC candidates kept per (query, list) = PQ_RERANK * (TOP_K+1)
+
+
+def ann_ivf_pq(ds, queries_ref):
+    """IVF-PQ approximate kNN: coarse IVF centroid assignment + one PACKED
+    int64 PQ code per vector; the inverted lists drop the embeddings
+    entirely and candidate generation is asymmetric-distance (per-query LUT
+    of q_sub . codebook inner products, summed by code nibble).  A tight
+    cluster quantizes to ONE code, so ADC cannot rank within it — the
+    standard fix is the standard design: ADC proposes a bounded candidate
+    set, then ONE more column-pruned corpus pass re-scores exactly the
+    candidate (qid, nid) pairs (candidate map broadcast via ray.put;
+    nothing shuffles).  Approximate — rows-only driver check, recall pytest
+    vs knn_brute (same contract as ann_lsh / ann_ivf)."""
+    import ray
+
+    from .common import cached_get
+
+    coarse = ivf_centroids(ds)
+    cb = pq_codebooks(ds)
+    model_ref = ray.put((coarse, cb))
+    sub = cb.shape[2]
+
+    def encode(b: pa.Table) -> pa.Table:
+        co, c = cached_get(model_ref)
+        m = _mat(b)
+        nm = np.linalg.norm(m, axis=1)
+        nm[nm == 0] = 1.0
+        mn = m / nm[:, None]
+        cid = np.argmax(mn @ co.T, axis=1).astype(np.int64)
+        code = np.zeros(len(mn), dtype=np.int64)
+        for j in range(PQ_M):
+            sv = mn[:, j * sub:(j + 1) * sub]
+            d2 = ((sv[:, None, :] - c[j][None, :, :]) ** 2).sum(axis=2)
+            code |= np.argmin(d2, axis=1).astype(np.int64) << (4 * j)
+        # embeddings are DROPPED here: lists carry 24 B/vector from now on
+        return pa.table({"vec_id": b["vec_id"], "cid": pa.array(cid),
+                         "code": pa.array(code, pa.int64())})
+
+    def per_list(df: pd.DataFrame) -> pa.Table:
+        q = cached_get(queries_ref)
+        co, c = cached_get(model_ref)
+        qprobe = np.argsort(-(q["mat"] @ co.T), axis=1)[:, :IVF_NPROBE]
+        cid = int(df["cid"].iloc[0])
+        sel = np.nonzero((qprobe == cid).any(axis=1))[0]
+        if len(sel) == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "nid": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids = np.asarray(df["vec_id"].to_numpy())
+        codes = np.asarray(df["code"].to_numpy())
+        nibbles = np.stack([(codes >> (4 * j)) & 15
+                            for j in range(PQ_M)], axis=1)   # (n, M)
+        out_q, out_n, out_s = [], [], []
+        for qi in sel:
+            qv = q["mat"][qi]
+            # ADC lookup table: LUT[j, k] = q_sub_j . codebook[j, k]
+            lut = np.stack([c[j] @ qv[j * sub:(j + 1) * sub]
+                            for j in range(PQ_M)])            # (M, KS)
+            scores = lut[np.arange(PQ_M)[None, :], nibbles].sum(axis=1)
+            keep = PQ_RERANK * (TOP_K + 1)
+            for j in np.lexsort((ids, -scores))[:keep]:  # tie: nid asc
+                if ids[j] == q["ids"][qi]:
+                    continue
+                out_q.append(int(q["ids"][qi]))
+                out_n.append(int(ids[j]))
+                out_s.append(float(scores[j]))
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "nid": pa.array(out_n, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    lists = ds.map_batches(encode, batch_format="pyarrow")
+    cand = lists.groupby("cid").map_groups(per_list, batch_format="pandas").to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame({"qid": [], "nid": [], "rk": []}).astype("int64")
+
+    # exact re-rank of the candidate pairs: broadcast {nid -> qids} (bounded
+    # by queries x nprobe x rerank width), stream the corpus once more, and
+    # emit exact cosines for candidate pairs only
+    g = cand.groupby("nid", sort=True)["qid"].agg(list)
+    nid_sorted = g.index.to_numpy(np.int64)
+    offs = np.cumsum([0] + [len(v) for v in g])
+    qid_flat = np.fromiter((x for v in g for x in v), dtype=np.int64)
+    cmap_ref = ray.put((nid_sorted, offs, qid_flat))
+
+    def rerank(b: pa.Table) -> pa.Table:
+        nids, offsets, qflat = cached_get(cmap_ref)
+        q = cached_get(queries_ref)
+        ids = np.asarray(b["vec_id"].to_numpy(zero_copy_only=False), np.int64)
+        pos = np.searchsorted(nids, ids)
+        pos_c = np.minimum(pos, len(nids) - 1)
+        hit = np.nonzero(nids[pos_c] == ids)[0]
+        if len(hit) == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "nid": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        m = _mat(b)[hit]
+        nm = np.linalg.norm(m, axis=1)
+        nm[nm == 0] = 1.0
+        mn = m / nm[:, None]
+        qrow = {int(i): k for k, i in enumerate(q["ids"])}
+        out_q, out_n, out_c = [], [], []
+        for r, bi in enumerate(hit):
+            p = int(pos_c[bi])
+            for qid in qflat[offsets[p]:offsets[p + 1]]:
+                out_q.append(int(qid))
+                out_n.append(int(ids[bi]))
+                out_c.append(float(q["mat"][qrow[int(qid)]] @ mn[r]))
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "nid": pa.array(out_n, pa.int64()),
+                         "cos": pa.array(out_c, pa.float64())})
+
+    local = ds.map_batches(rerank, batch_format="pyarrow").to_pandas()
+    local = local.sort_values(["qid", "cos", "nid"],
+                              ascending=[True, False, True], kind="stable")
+    local["rk"] = local.groupby("qid").cumcount() + 1
+    return local[local["rk"] <= TOP_K][["qid", "nid", "rk"]].reset_index(drop=True).astype("int64")

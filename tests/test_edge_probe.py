@@ -3265,3 +3265,54 @@ def test_edge_page_hotspots(ray_session, tmp_path_factory):
     ed, el = _canon(dist), _canon(eng)
     for c in el.columns:
         assert (ed[c].astype(str).to_numpy() == el[c].astype(str).to_numpy()).all(), c
+
+
+def test_edge_page_hotspot_assign(ray_session, tmp_path_factory):
+    """DBSCAN classification hostiles: pages in core cells inherit the
+    cluster, pages in sub-minpts cells are NULL-noise, unparseable geotags
+    drop, and an all-noise corpus (minpts higher than any cell count)
+    classifies every page NULL through the empty-map path."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages as pg
+
+    d = tmp_path_factory.mktemp("edge_hotassign")
+    res = pg.HOTSPOT_RES
+    n = 1 << res
+
+    def latlon(cx, cy):
+        return ((cy + 0.5) / n * 180.0 - 90.0, (cx + 0.5) / n * 360.0 - 180.0)
+
+    cells = [(200, 200)] * 3 + [(201, 200)] * 2 + [(300, 300)] * 1
+    rows = []
+    for i, (cx, cy) in enumerate(cells):
+        lat, lon = latlon(cx, cy)
+        rows.append((f"https://h.com/s/a{i}",
+                     f'<html><meta name="geo.position" content="{lat};{lon}">'
+                     f"<article>a{i}</article></html>"))
+    rows.append(("https://h.com/s/bad", "<html>no geo</html>"))
+    pq.write_table(pa.table({
+        "url": pa.array([u for u, _ in rows], pa.string()),
+        "html": pa.array([h.encode() for _, h in rows], pa.binary()),
+    }), str(d / "pages.parquet"))
+    tbl = f"read_parquet('{d}/pages.parquet')"
+    ds = rd.read_parquet(str(d / "pages.parquet"))
+    con = duckdb.connect()
+
+    for minpts in (2, 50):  # 50 > every cell count: the all-noise path
+        eng = pg.page_hotspot_assign(ds, minpts=minpts).to_pandas()
+        orc = con.sql(pg.page_hotspot_assign_sql(tbl, minpts=minpts)).df()
+        e, o = _canon(eng), _canon(orc)
+        assert len(e) == len(o) == 6  # the no-geo page drops on both sides
+        for c in e.columns:
+            assert (e[c].astype(str).to_numpy()
+                    == o[c].astype(str).to_numpy()).all(), f"minpts={minpts} {c}"
+        by = eng.set_index("url")
+        if minpts == 2:
+            assert (by.loc[[f"https://h.com/s/a{i}" for i in range(5)],
+                           "cluster_id"] == 200 * n + 200).all()
+            assert pd.isna(by.loc["https://h.com/s/a5", "cluster_id"])
+        else:
+            assert by["cluster_id"].isna().all()

@@ -1660,3 +1660,40 @@ def test_compact_partitioned(ray_session, tmp_path):
     compact_partitioned(out, target_rows=40)
     assert "b" in completed_partitions(out)
     assert read_partitioned(out).count() == 100
+
+
+def test_ann_ivf_pq_recall(ray_session):
+    """IVF-PQ (packed 4-bit product-quantized codes, ADC lookup-table
+    search) finds the true top-1 for most queries on clustered data, and
+    its inverted lists really do drop the embeddings (codes pack into one
+    int64 per vector)."""
+    import ray
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.similarity import (
+        PQ_M,
+        ann_ivf_pq,
+        knn_brute,
+        load_queries,
+        pq_codebooks,
+    )
+
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((5, 32)) * 5
+    vecs = np.vstack([c + rng.standard_normal((40, 32)) * 0.05 for c in centers])
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    qref = ray.put(load_queries(tbl))
+    brute = knn_brute(rd.from_arrow(tbl), qref)
+    approx = ann_ivf_pq(rd.from_arrow(tbl), qref)
+    b1 = {q: n for q, n, r in zip(brute["qid"], brute["nid"], brute["rk"]) if r == 1}
+    a1 = {q: n for q, n, r in zip(approx["qid"], approx["nid"], approx["rk"]) if r == 1}
+    hits = sum(1 for q in b1 if a1.get(q) == b1[q])
+    assert hits >= len(b1) * 0.6
+
+    cb = pq_codebooks(rd.from_arrow(tbl))
+    assert cb.shape == (PQ_M, 16, 32 // PQ_M)
+    assert np.isfinite(cb).all()
