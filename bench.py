@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "page_hotspots",        # grid-DBSCAN dense-cell clustering (round 5)
     "page_hotspot_assign",  # corpus classification vs broadcast label map (round 5)
     "knn_graph_chunked",    # exact kNN graph, chunk-streamed matrix (round 5)
+    "pages_in_city",        # corpus PIP city-tag, broadcast ray cast (round 5)
 ]
 
 

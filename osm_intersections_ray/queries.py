@@ -64,7 +64,7 @@ DRIVER_SAMPLE_50 = [
     "crawl_corpus",                        # composite crawl pipeline
     "warc_quarantine",                     # corrupt-WARC resync + quarantine
     # text analysis / aggregates
-    "c4_line_filter", "tfidf_top_terms", "cms_token_counts", "collocations",
+    "c4_line_filter", "tfidf_top_terms", "cms_token_counts",
     "repetition_stats", "redact_pii",
     # dedup / decontamination
     "near_dup_containment", "incremental_dedup_survivors", "decontaminate",
@@ -80,7 +80,7 @@ DRIVER_SAMPLE_50 = [
     "session_cooccurrence", "event_transitions", "late_arrivals",
     "daily_active_users",
     # session-16 additions (new ops, never driver-checked by definition)
-    "weighted_sample", "host_distinct_kmv", "page_hotspots",
+    "weighted_sample", "host_distinct_kmv", "page_hotspots", "pages_in_city",
     # relational (the never-checked half of the TPC-H family)
     "cold_customers", "local_supplier_revenue", "small_qty_revenue",
     "min_cost_supplier", "nation_market_share", "returned_item_revenue",
@@ -296,6 +296,13 @@ def queries() -> dict:
         _pages(sf, columns=["url", "html"]))
     q["page_hotspot_assign"] = lambda sf: pages.page_hotspot_assign(
         _pages(sf, columns=["url", "html"]))
+
+    def pages_in_city(sf):
+        fx = ensure_fixtures(sf)
+        bounds = pq.read_table(os.path.join(fx, "boundaries.parquet"))
+        return pages.pages_in_city(_pages(sf, columns=["url", "html"]), bounds)
+
+    q["pages_in_city"] = pages_in_city
     q["mixture_resample"] = lambda sf: pages.mixture_resample(
         _pages(sf, columns=["url", "text"]))
     q["page_links"] = lambda sf: pages.page_links(
@@ -948,6 +955,8 @@ def oracle_sql() -> dict:
         "host_distinct_kmv": pages.host_distinct_kmv_sql(pages_tbl),
         "page_hotspots": pages.page_hotspots_sql(pages_tbl),
         "page_hotspot_assign": pages.page_hotspot_assign_sql(pages_tbl),
+        "pages_in_city": pages.pages_in_city_sql(
+            pages_tbl, os.path.join(fx, "boundaries.parquet")),
         "mixture_resample": pages.mixture_resample_sql(pages_tbl),
         "warc_pages": warc_src.warc_pages_sql(pages_tbl),
         "warc_quarantine": warc_src.warc_quarantine_sql(pages_tbl),

@@ -2369,3 +2369,91 @@ WITH RECURSIVE {_hotspot_cte(table, res, minpts)}
 SELECT g.url, g.cx * {n} + g.cy AS cell, lab.cluster_id
 FROM g LEFT JOIN lab ON lab.node = g.cx * {n} + g.cy
 """
+
+
+# --- pages -> city boundary PIP join (J4 semantics over the corpus) ---------
+def pages_in_city(pages_ds, bounds_tbl: pa.Table):
+    """Every geotagged page tagged with its city: first city polygon (in
+    boundary-file order) containing the point, else 'Unincorporated' — the
+    reference's city-tag semantics (js/geo.js:60-70,1246-1266) applied to
+    the web corpus instead of way nodes.
+
+    Scale shape: boundaries are dimension data (a whole planet's admin
+    polygons are ~GB, a region's ~MB) — parsed ONCE on the driver, shipped
+    via ``ray.put``, cached per worker; pages stream through geotag + a
+    vectorized even-odd ray cast per polygon with first-match short-circuit.
+    Zero shuffle; nothing corpus-sized anywhere.  The SQL oracle replays
+    the exact ray cast (same float op order) per (page, polygon, ring)."""
+    import ray
+
+    from ..functions.geometry import first_match_city_np, parse_geom_json
+    from .common import cached_get
+
+    bd = bounds_tbl.to_pydict()
+    order = sorted(range(len(bd["name"])), key=lambda i: bd["file_order"][i])
+    citys = [(bd["name"][i], parse_geom_json(bd["geom_json"][i]))
+             for i in order if bd["kind"][i] == "city"]
+    polys_ref = ray.put(citys)
+
+    def tag(b: pa.Table) -> pa.Table:
+        polys = cached_get(polys_ref)
+        city = first_match_city_np(
+            np.asarray(b["lon"].to_numpy(zero_copy_only=False), np.float64),
+            np.asarray(b["lat"].to_numpy(zero_copy_only=False), np.float64),
+            polys)
+        return pa.table({"url": b["url"],
+                         "city": pa.array(city.tolist(), pa.string())})
+
+    return (pages_ds.map_batches(geotag_batch, batch_format="pyarrow")
+            .map_batches(tag, batch_format="pyarrow"))
+
+
+def pages_in_city_sql(table: str, bounds_path: str) -> str:
+    # Edge orientation matches functions/geometry.py::points_in_ring_np
+    # exactly (i = later vertex, j = earlier), so x_at is computed with the
+    # identical float64 operation order and the strict '<' compares bit-
+    # for-bit.  Horizontal edges: the crossing test is FALSE, and DuckDB's
+    # NULL-on-zero-divide x_at dies inside FALSE AND ... -> FALSE, like the
+    # engine's masked errstate divide.  Ring 1 is the outer ring; rings
+    # 2..n are holes (even-odd, outer AND NOT hole), matching
+    # points_in_shape_np on the Polygon encoding.
+    x = lambda r, k: f"b.poly[{r}][{k}][1]"
+    y = lambda r, k: f"b.poly[{r}][{k}][2]"
+    xat = (f"({x('r.ri', 'k')} - {x('r.ri', 'k+1')})"
+           f" * (g.lat - {y('r.ri', 'k+1')})"
+           f" / ({y('r.ri', 'k')} - {y('r.ri', 'k+1')})"
+           f" + {x('r.ri', 'k+1')}")
+    return f"""
+WITH g0 AS (
+  SELECT url,
+         TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
+  FROM {table}
+), g AS (
+  SELECT * FROM g0
+  WHERE lat IS NOT NULL AND lon IS NOT NULL AND isfinite(lat) AND isfinite(lon)
+), b AS (
+  SELECT name, file_order, CAST(geom_json AS DOUBLE[][][]) AS poly
+  FROM read_parquet('{bounds_path}') WHERE kind = 'city'
+), pr AS (
+  SELECT g.url, b.name, b.file_order, r.ri,
+         list_sum(list_transform(range(1, len(b.poly[r.ri])), k ->
+           CASE WHEN ({y('r.ri', 'k+1')} > g.lat) <> ({y('r.ri', 'k')} > g.lat)
+                 AND g.lon < {xat}
+                THEN 1 ELSE 0 END)) % 2 = 1 AS par
+  FROM g CROSS JOIN b,
+       LATERAL (SELECT unnest(generate_series(1, len(b.poly))) AS ri) r
+), ins AS (
+  SELECT url, name, file_order,
+         bool_or(CASE WHEN ri = 1 THEN par END)
+           AND NOT coalesce(bool_or(CASE WHEN ri > 1 THEN par END), FALSE)
+           AS inside
+  FROM pr GROUP BY url, name, file_order
+), pick AS (
+  SELECT url, min_by(name, file_order) AS city FROM ins WHERE inside GROUP BY url
+)
+SELECT g.url, coalesce(pick.city, 'Unincorporated') AS city
+FROM g LEFT JOIN pick USING (url)
+"""

@@ -3316,3 +3316,67 @@ def test_edge_page_hotspot_assign(ray_session, tmp_path_factory):
             assert pd.isna(by.loc["https://h.com/s/a5", "cluster_id"])
         else:
             assert by["cluster_id"].isna().all()
+
+
+def test_edge_pages_in_city(ray_session, tmp_path_factory):
+    """PIP city-tag hostiles: a point inside a polygon HOLE is outside
+    (even-odd, outer AND NOT hole), overlapping polygons resolve by
+    boundary-file order (first match wins, not name order), a point
+    outside everything is 'Unincorporated', a county-kind polygon never
+    matches, and horizontal edges don't divide-by-zero on either side."""
+    import json
+
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages as pg
+
+    d = tmp_path_factory.mktemp("edge_pcity")
+    sq = lambda x0, y0, x1, y1: [[x0, y0], [x1, y0], [x1, y1], [x0, y1],
+                                 [x0, y0]]
+    bounds = pa.table({
+        # file order puts Zed BEFORE Alpha: first-match must pick Zed in
+        # the overlap even though 'Alpha' < 'Zed'
+        "name": pa.array(["Zed", "Alpha", "Holey", "CountyWide"], pa.string()),
+        "kind": pa.array(["city", "city", "city", "county"], pa.string()),
+        "file_order": pa.array([0, 1, 2, 3], pa.int32()),
+        "geom_json": pa.array([
+            json.dumps([sq(0.0, 0.0, 2.0, 2.0)]),
+            json.dumps([sq(1.0, 1.0, 3.0, 3.0)]),          # overlaps Zed
+            json.dumps([sq(10.0, 10.0, 14.0, 14.0),
+                        sq(11.0, 11.0, 13.0, 13.0)]),      # ring 2 = hole
+            json.dumps([sq(-50.0, -50.0, 50.0, 50.0)]),    # kind != city
+        ], pa.string()),
+    })
+    pq.write_table(bounds, str(d / "boundaries.parquet"))
+
+    pts = [("in-zed-only", 0.5, 0.5), ("overlap-zed-first", 1.5, 1.5),
+           ("in-alpha-only", 2.5, 2.5), ("in-hole", 12.0, 12.0),
+           ("in-holey-rim", 10.5, 10.5), ("outside", 40.0, 40.0)]
+    rows = [(f"https://e.com/x/{n}",
+             f'<html><meta name="geo.position" content="{lat};{lon}">'
+             f"<article>x</article></html>") for n, lon, lat in pts]
+    pq.write_table(pa.table({
+        "url": pa.array([u for u, _ in rows], pa.string()),
+        "html": pa.array([h.encode() for _, h in rows], pa.binary()),
+    }), str(d / "pages.parquet"))
+
+    eng = pg.pages_in_city(rd.read_parquet(str(d / "pages.parquet")),
+                           bounds).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(pg.pages_in_city_sql(
+        f"read_parquet('{d}/pages.parquet')",
+        str(d / "boundaries.parquet"))).df()
+    e, o = _canon(eng), _canon(orc)
+    assert len(e) == len(o) == 6
+    for c in e.columns:
+        assert (e[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), \
+            f"col {c}\n{e}\n{o}"
+    by = eng.set_index("url")["city"]
+    assert by["https://e.com/x/in-zed-only"] == "Zed"
+    assert by["https://e.com/x/overlap-zed-first"] == "Zed"       # file order
+    assert by["https://e.com/x/in-alpha-only"] == "Alpha"
+    assert by["https://e.com/x/in-hole"] == "Unincorporated"      # even-odd
+    assert by["https://e.com/x/in-holey-rim"] == "Holey"
+    assert by["https://e.com/x/outside"] == "Unincorporated"

@@ -40,6 +40,7 @@ SHARD_FOLD_QUERIES = [
     "surt_index",           # surt-shard capture fold (session 15)
     "fetch_schedule",       # host-shard politeness queue (session 15)
     "shared_node_candidates",  # node-bucket name fold (round 5: last % 64 swept)
+    "host_distinct_kmv",    # site-shard KMV sketch fold (session 16)
 ]
 
 
