@@ -40,7 +40,11 @@ from .stages import (
     text,
 )
 
-ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+# The driver's correctness scale: oracle_sql() bakes fixture paths for THIS
+# scale into its SQL strings (the driver always compares at sf0.01).  The
+# env override exists only for cross-scale robustness sweeps
+# (tools/check_queries.py with GRAFT_CHECK_SF + GRAFT_ORACLE_SF both set).
+ORACLE_SF_DIR = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 # The driver's CORRECTNESS_r{N}.json samples the FIRST 50 registry entries.
 # Round-5 rotation (VERDICT r4 "Next round" #1): 101 of the 181 queries have

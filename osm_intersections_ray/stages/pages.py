@@ -2164,7 +2164,20 @@ def page_hotspots(pages_ds, res: int = HOTSPOT_RES,
     dense = drop_empty_blocks(
         counts.map_batches(dense_only, batch_format="pyarrow").materialize())
 
-    if dense.count() <= local_max:
+    _HOTSPOT_SCHEMA = pa.schema([
+        ("cell", pa.int64()), ("cx", pa.int64()), ("cy", pa.int64()),
+        ("n_pages", pa.int64()), ("cluster_id", pa.int64()),
+    ])
+
+    n_dense = dense.count()
+    if n_dense == 0:
+        # no dense cells anywhere: an empty RESULT must still carry the
+        # schema (a 0-block dataset loses it, breaking downstream compares)
+        import ray.data as rd
+
+        return rd.from_arrow(_HOTSPOT_SCHEMA.empty_table())
+
+    if n_dense <= local_max:
         # single-task route: the whole dense table fits one block, so the
         # 8-connectivity union-find runs locally — no joins, no CC rounds
         def finish_local(b: pa.Table) -> pa.Table:

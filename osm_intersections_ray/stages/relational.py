@@ -1717,9 +1717,7 @@ def min_cost_supplier(lineitem_ds, part_tbl: pa.Table, supplier_tbl: pa.Table,
     def partial(b: pa.Table) -> pa.Table:
         pk = np.asarray(b["l_partkey"].to_numpy(zero_copy_only=False),
                         dtype=np.int64)
-        pos = np.searchsorted(part_keys, pk)
-        m = ((pos < part_keys.size)
-             & (part_keys[np.minimum(pos, part_keys.size - 1)] == pk))
+        m = _isin_sorted(part_keys, pk)  # safe when no part survives the filter
         pk = pk[m]
         sk = np.asarray(b["l_suppkey"].to_numpy(zero_copy_only=False),
                         dtype=np.int64)[m]
@@ -2039,10 +2037,7 @@ def nation_market_share(lineitem_ds, orders_ds, customer_tbl: pa.Table,
         disc = b["l_discount"].to_numpy(zero_copy_only=False)
         cents = round_half_away_np(px * (1 - disc) * 100)
         is_t = np.zeros(sk.size, dtype=np.int64)
-        pos = np.searchsorted(target_sups, sk)
-        ok = (pos < target_sups.size) & (target_sups[np.minimum(
-            pos, target_sups.size - 1)] == sk)
-        is_t[ok] = 1
+        is_t[_isin_sorted(target_sups, sk)] = 1  # safe when no target supplier
         u, inv = np.unique(key, return_inverse=True)
         tot = np.zeros(u.size, dtype=np.int64)
         tgt = np.zeros(u.size, dtype=np.int64)
@@ -2054,9 +2049,7 @@ def nation_market_share(lineitem_ds, orders_ds, customer_tbl: pa.Table,
     def ord_proj(b: pa.Table) -> pa.Table:
         ck = np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False),
                         dtype=np.int64)
-        pos = np.searchsorted(in_region, ck)
-        keep = (pos < in_region.size) & (in_region[np.minimum(
-            pos, in_region.size - 1)] == ck)
+        keep = _isin_sorted(in_region, ck)  # safe when the region is empty
         d = b["o_orderdate"].to_numpy(zero_copy_only=False)[keep].astype(
             "datetime64[Y]").astype(np.int64) + 1970
         return pa.table({
@@ -2065,16 +2058,22 @@ def nation_market_share(lineitem_ds, orders_ds, customer_tbl: pa.Table,
                 dtype=np.int64)[keep]),
             "o_year": pa.array(d, pa.int64())})
 
-    li = drop_empty_blocks(
-        lineitem_ds.map_batches(li_partial, batch_format="pyarrow").materialize())
-    joined = li.join(
-        drop_empty_blocks(orders_ds.map_batches(
-            ord_proj, batch_format="pyarrow").materialize()),
-        join_type="inner", num_partitions=cap_join_partitions(8),
-        on=("o_orderkey",))
-
     _Y = pa.schema([("o_year", pa.int64()), ("total_cents", pa.int64()),
                     ("target_cents", pa.int64())])
+
+    li = drop_empty_blocks(
+        lineitem_ds.map_batches(li_partial, batch_format="pyarrow").materialize())
+    ords = drop_empty_blocks(orders_ds.map_batches(
+        ord_proj, batch_format="pyarrow").materialize())
+    if li.count() == 0 or ords.count() == 0:
+        # an all-empty side (e.g. no in-region customer at a tiny scale)
+        # has no schema and would break the Acero hash join
+        import ray.data as rd
+
+        return rd.from_arrow(_Y.empty_table())
+    joined = li.join(
+        ords, join_type="inner", num_partitions=cap_join_partitions(8),
+        on=("o_orderkey",))
 
     def year_partial(b: pa.Table) -> pa.Table:
         y = np.asarray(b["o_year"].to_numpy(zero_copy_only=False),

@@ -3380,3 +3380,53 @@ def test_edge_pages_in_city(ray_session, tmp_path_factory):
     assert by["https://e.com/x/in-hole"] == "Unincorporated"      # even-odd
     assert by["https://e.com/x/in-holey-rim"] == "Holey"
     assert by["https://e.com/x/outside"] == "Unincorporated"
+
+
+def test_edge_empty_broadcast_dims(ray_session, tmp_path_factory):
+    """Regression (found by the sf0.001 cross-scale sweep): a broadcast
+    membership array can be EMPTY — no supplier in the target nation, no
+    customer in the target region — and the sorted-membership probe must
+    return all-false instead of indexing position -1 of an empty array.
+    Also: page_hotspots with zero dense cells must return an empty result
+    WITH schema (a 0-block dataset loses it)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages import pages as pg
+    from osm_intersections_ray.stages import relational as R
+
+    d, con = _tpch_edge_world(tmp_path_factory, "edge_emptydims")
+    # drop every target-nation supplier and every in-region customer
+    sup = pq.read_table(str(d / "supplier.parquet")).to_pandas()
+    nat = pq.read_table(str(d / "nation.parquet")).to_pandas()
+    reg = pq.read_table(str(d / "region.parquet")).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == R.Q8_REGION, "r_regionkey"].iloc[0])
+    tkey = int(nat.loc[nat["n_name"] == R.Q8_NATION, "n_nationkey"].iloc[0])
+    out_nkey = int(nat.loc[(nat["n_regionkey"] != rkey)
+                           & (nat["n_nationkey"] != tkey),
+                           "n_nationkey"].iloc[0])
+    sup["s_nationkey"] = out_nkey
+    cust = pq.read_table(str(d / "customer.parquet")).to_pandas()
+    cust["c_nationkey"] = out_nkey
+    import pyarrow as _pa
+
+    eng = R.nation_market_share(
+        rd.read_parquet(str(d / "lineitem.parquet"), override_num_blocks=3),
+        rd.read_parquet(str(d / "orders.parquet"), override_num_blocks=2),
+        _pa.Table.from_pandas(cust, preserve_index=False),
+        _pa.Table.from_pandas(sup, preserve_index=False),
+        pq.read_table(str(d / "nation.parquet")),
+        pq.read_table(str(d / "region.parquet"))).to_pandas()
+    assert len(eng) == 0  # no in-region customer -> no qualifying order
+
+    # hotspots over a corpus with no parseable geotag at all
+    pq.write_table(pa.table({
+        "url": pa.array(["https://e.com/a"], pa.string()),
+        "html": pa.array([b"<html>no geo</html>"], pa.binary()),
+    }), str(d / "pages_nogeo.parquet"))
+    hs = pg.page_hotspots(rd.read_parquet(str(d / "pages_nogeo.parquet")))
+    df = hs.to_pandas()
+    assert len(df) == 0
+    assert list(hs.schema().names) == ["cell", "cx", "cy", "n_pages",
+                                       "cluster_id"]
