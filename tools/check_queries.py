@@ -3,6 +3,13 @@ at sf0.01 and compare against oracle_sql() via DuckDB (row count + schema +
 order-insensitive value comparison).  Usage:
 
     python tools/check_queries.py [name ...]
+
+Cross-scale robustness sweep (the driver always compares at sf0.01; this
+runs the SAME gate at another scale — both vars must point at the same dir
+because oracle_sql() bakes fixture paths into its SQL):
+
+    GRAFT_CHECK_SF=/root/testdata/sf0.001 \\
+    GRAFT_ORACLE_SF=/root/testdata/sf0.001 python tools/check_queries.py
 """
 
 from __future__ import annotations
