@@ -78,13 +78,16 @@ DRIVER_SAMPLE_50 = [
     "dataset_split", "host_split", "proportional_sample", "documents_profile",
     # multimodal
     "image_decode_gif", "audio_fingerprint", "image_ahash",
-    "image_dedup_survivors",
     # events / windows
     "events_recent_counts", "funnel_stages",
-    "session_cooccurrence", "event_transitions", "late_arrivals",
+    "session_cooccurrence", "late_arrivals",
     "daily_active_users",
     # session-16 additions (new ops, never driver-checked by definition)
     "weighted_sample", "host_distinct_kmv", "page_hotspots", "pages_in_city",
+    # session-17 additions (new ops; displace image_dedup_survivors and
+    # event_transitions, whose families keep 3+ / 5+ driver-visible entries
+    # and which stay in the full gate)
+    "page_hex_density", "way_bfs_hops",
     # relational (the never-checked half of the TPC-H family)
     "cold_customers", "local_supplier_revenue", "small_qty_revenue",
     "min_cost_supplier", "nation_market_share", "returned_item_revenue",
@@ -205,6 +208,7 @@ def queries() -> dict:
     q["way_bearing_octants"] = lambda sf: qs.way_bearing_octants(_ways(sf))
     q["way_components"] = lambda sf: graph.way_components(_ways(sf))
     q["way_triangles"] = lambda sf: graph.way_triangles(_ways(sf))
+    q["way_bfs_hops"] = lambda sf: graph.way_bfs_hops(_ways(sf))
 
     def boundary_areas(sf):
         fx = ensure_fixtures(sf)
@@ -299,6 +303,8 @@ def queries() -> dict:
     q["page_hotspots"] = lambda sf: pages.page_hotspots(
         _pages(sf, columns=["url", "html"]))
     q["page_hotspot_assign"] = lambda sf: pages.page_hotspot_assign(
+        _pages(sf, columns=["url", "html"]))
+    q["page_hex_density"] = lambda sf: pages.page_hex_density(
         _pages(sf, columns=["url", "html"]))
 
     def pages_in_city(sf):
@@ -931,6 +937,7 @@ def oracle_sql() -> dict:
         "way_bearing_octants": qs.way_bearing_octants_sql(ways_path),
         "way_components": graph.way_components_sql(ways_path),
         "way_triangles": graph.way_triangles_sql(ways_path),
+        "way_bfs_hops": graph.way_bfs_hops_sql(ways_path),
         "boundary_areas": qs.boundary_areas_sql(
             os.path.join(fx, "boundaries.parquet")),
         "boundary_adjacency": qs.boundary_adjacency_sql(
@@ -959,6 +966,7 @@ def oracle_sql() -> dict:
         "host_distinct_kmv": pages.host_distinct_kmv_sql(pages_tbl),
         "page_hotspots": pages.page_hotspots_sql(pages_tbl),
         "page_hotspot_assign": pages.page_hotspot_assign_sql(pages_tbl),
+        "page_hex_density": pages.page_hex_density_sql(pages_tbl),
         "pages_in_city": pages.pages_in_city_sql(
             pages_tbl, os.path.join(fx, "boundaries.parquet")),
         "mixture_resample": pages.mixture_resample_sql(pages_tbl),

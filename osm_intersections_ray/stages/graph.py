@@ -592,3 +592,233 @@ SELECT deg.way_id, deg.degree, coalesce(tcnt.n_triangles, 0)::BIGINT
          AS n_triangles
 FROM deg LEFT JOIN tcnt USING (way_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hops multi-source BFS over the way graph
+#
+# "How far is every road from the motorway network?" — the reach/coverage
+# query a routing or siting pipeline asks of the road graph (and the graph
+# analogue of the kNN family's distance-to-feature queries).  Two ways are
+# adjacent when they share a node (the same graph way_components contracts);
+# hops = BFS layer from the seed set (highway = 'motorway'), bounded by
+# max_hops, not graph diameter.
+#
+# Cardinality-routed like pages_way_join: the reached ball IS the result the
+# driver returns, so while it fits the broadcast budget each round is two
+# STREAMING passes over the materialized (node, way) incidence with the
+# frontier shipped once via ray.put (no exchange at all); if the ball
+# outgrows the budget mid-walk, the remaining hops run as the sharded
+# union-under-one-exchange rounds (link_frontier's anti-join shape) — no
+# broadcast, no driver-side sets, per-round cost three skinny int64
+# exchanges.
+BFS_MAX_HOPS = 4
+BFS_SEED_HIGHWAY = "motorway"
+BFS_BROADCAST_MAX = 2_000_000   # ball budget for the broadcast route (ways)
+
+_BFS_NW = pa.schema([("node", pa.int64()), ("way_id", pa.int64())])
+_BFS_MIX = pa.schema([("shard", pa.int64()), ("key", pa.int64()),
+                      ("aux", pa.int64()), ("kind", pa.int8())])
+_BFS_OUT = pa.schema([("way_id", pa.int64()), ("hops", pa.int64())])
+
+
+def _bfs_explode(b: pa.Table) -> pa.Table:
+    t = b.filter(b["tagged"])
+    if t.num_rows == 0:
+        return _BFS_NW.empty_table()
+    nodes = t["nodes"].combine_chunks()
+    lens = np.asarray(nodes.value_lengths(), dtype=np.int64)
+    nd = np.asarray(nodes.flatten(), dtype=np.int64)
+    wy = np.repeat(np.asarray(t["way_id"].to_numpy(zero_copy_only=False),
+                              dtype=np.int64), lens)
+    pairs = np.unique(np.stack([nd, wy], axis=1), axis=0)
+    return pa.table({"node": pa.array(pairs[:, 0]),
+                     "way_id": pa.array(pairs[:, 1])}, schema=_BFS_NW)
+
+
+def _isin_sorted_np(values: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+    if len(sorted_keys) == 0:
+        return np.zeros(len(values), dtype=bool)
+    idx = np.searchsorted(sorted_keys, values)
+    idx_c = np.minimum(idx, len(sorted_keys) - 1)
+    return sorted_keys[idx_c] == values
+
+
+def _bfs_pass(nw, key_col: str, out_col: str, keys_ref) -> np.ndarray:
+    """One streaming pass: distinct nw[out_col] where nw[key_col] is in the
+    broadcast sorted key set (per-batch unique partials, driver np.unique
+    over the bounded hit set)."""
+    from .common import cached_get
+
+    def fn(b: pa.Table) -> pa.Table:
+        keys = cached_get(keys_ref)
+        v = np.asarray(b[key_col].to_numpy(zero_copy_only=False), np.int64)
+        hit = _isin_sorted_np(v, keys)
+        out = np.unique(
+            np.asarray(b[out_col].to_numpy(zero_copy_only=False),
+                       np.int64)[hit])
+        return pa.table({"v": pa.array(out, pa.int64())})
+
+    df = nw.map_batches(fn, batch_format="pyarrow").to_pandas()
+    return (np.unique(df["v"].to_numpy(dtype=np.int64))
+            if len(df) else np.empty(0, np.int64))
+
+
+def _bfs_sharded_rounds(nw, frontiers: list, max_rounds: int) -> list:
+    """The above-budget route: continue BFS from ``frontiers`` (a list of
+    per-hop way-id Datasets with column ``v``, earliest first) for up to
+    ``max_rounds`` more rounds using three sharded exchanges per round;
+    returns the extended frontier list."""
+    import ray.data as rd
+
+    NS = np.int64(n_shards())
+
+    def _nw_mix(key_col: str, aux_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            k = np.asarray(b[key_col].to_numpy(zero_copy_only=False), np.int64)
+            return pa.table({"shard": pa.array(k % NS), "key": pa.array(k),
+                             "aux": b[aux_col],
+                             "kind": pa.array(np.ones(b.num_rows, np.int8))},
+                            schema=_BFS_MIX)
+        return fn
+
+    def _mark(kind: int):
+        def fn(b: pa.Table) -> pa.Table:
+            k = np.asarray(b["v"].to_numpy(zero_copy_only=False), np.int64)
+            return pa.table({"shard": pa.array(k % NS), "key": pa.array(k),
+                             "aux": pa.array(np.zeros(len(k), np.int64)),
+                             "kind": pa.array(
+                                 np.full(len(k), kind, np.int8))},
+                            schema=_BFS_MIX)
+        return fn
+
+    def _emit_matched_aux(df: pd.DataFrame) -> pa.Table:
+        present = df.loc[df["kind"] == 0, "key"].unique()
+        hit = df[(df["kind"] == 1) & df["key"].isin(present)]
+        return pa.table({"v": pa.array(
+            hit["aux"].unique().astype(np.int64), pa.int64())})
+
+    def _emit_new(df: pd.DataFrame) -> pa.Table:
+        lab = df.loc[df["kind"] == 1, "key"].unique()
+        cand = df.loc[df["kind"] == 0, "key"].unique()
+        new = cand[~pd.Series(cand).isin(lab).to_numpy()]
+        return pa.table({"v": pa.array(new.astype(np.int64), pa.int64())})
+
+    nw_by_way = nw.map_batches(_nw_mix("way_id", "node"),
+                               batch_format="pyarrow").materialize()
+    nw_by_node = nw.map_batches(_nw_mix("node", "way_id"),
+                                batch_format="pyarrow").materialize()
+
+    frontier = frontiers[-1]
+    for _ in range(max_rounds):
+        fr_nodes = (frontier.map_batches(_mark(0), batch_format="pyarrow")
+                    .union(nw_by_way).groupby("shard")
+                    .map_groups(_emit_matched_aux, batch_format="pandas"))
+        nbrs = (fr_nodes.map_batches(_mark(0), batch_format="pyarrow")
+                .union(nw_by_node).groupby("shard")
+                .map_groups(_emit_matched_aux, batch_format="pandas"))
+        cand = nbrs.map_batches(_mark(0), batch_format="pyarrow")
+        labeled = rd.from_arrow(_BFS_MIX.empty_table())
+        for f in frontiers:
+            labeled = labeled.union(
+                f.map_batches(_mark(1), batch_format="pyarrow"))
+        new = (cand.union(labeled).groupby("shard")
+               .map_groups(_emit_new, batch_format="pandas")).materialize()
+        if new.count() == 0:
+            break
+        frontiers.append(new)
+        frontier = new
+    return frontiers
+
+
+def way_bfs_hops(ways_ds, max_hops: int = BFS_MAX_HOPS,
+                 seed_highway: str = BFS_SEED_HIGHWAY,
+                 broadcast_max: int = BFS_BROADCAST_MAX):
+    """(way_id, hops) for every tagged way within ``max_hops`` shared-node
+    steps of a ``seed_highway`` way; hops = the minimum step count (BFS
+    layer).  Seeds carry hops = 0."""
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data as rd
+
+    nw = ways_ds.map_batches(_bfs_explode, batch_format="pyarrow").materialize()
+
+    def seeds_fn(b: pa.Table) -> pa.Table:
+        m = pc.and_kleene(b["tagged"], pc.equal(b["highway"], seed_highway))
+        t = b.filter(m)
+        return pa.table({"v": t["way_id"].cast(pa.int64())})
+
+    seeds = ways_ds.map_batches(seeds_fn, batch_format="pyarrow").materialize()
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        return rd.from_arrow(_BFS_OUT.empty_table())
+
+    # per-hop frontier arrays (broadcast route) / datasets (sharded route)
+    arr_frontiers: list[np.ndarray] = []
+    ds_frontiers: list = []
+
+    if n_seeds <= broadcast_max:
+        fr = np.unique(seeds.to_pandas()["v"].to_numpy(dtype=np.int64))
+        labeled = fr
+        arr_frontiers.append(fr)
+        for _h in range(max_hops):
+            nodes = _bfs_pass(nw, "way_id", "node", ray.put(fr))
+            if len(nodes) == 0:
+                break
+            cand = _bfs_pass(nw, "node", "way_id", ray.put(nodes))
+            new = cand[~_isin_sorted_np(cand, labeled)]
+            if len(new) == 0:
+                break
+            if len(labeled) + len(new) > broadcast_max:
+                # ball outgrew the broadcast budget: hand off to the sharded
+                # route for the remaining hops (frontiers become datasets)
+                ds_frontiers = [rd.from_arrow(pa.table(
+                    {"v": pa.array(a, pa.int64())})) for a in arr_frontiers]
+                arr_frontiers = []
+                ds_frontiers = _bfs_sharded_rounds(
+                    nw, ds_frontiers, max_hops - _h)
+                break
+            arr_frontiers.append(new)
+            labeled = np.union1d(labeled, new)
+            fr = new
+    else:
+        ds_frontiers = _bfs_sharded_rounds(nw, [seeds], max_hops)
+
+    if ds_frontiers:
+        out = rd.from_arrow(_BFS_OUT.empty_table())
+        for h, f in enumerate(ds_frontiers):
+            part = f.map_batches(
+                lambda b, _h=np.int64(h): pa.table(
+                    {"way_id": b["v"],
+                     "hops": pa.array(np.full(b.num_rows, _h, np.int64))},
+                    schema=_BFS_OUT),
+                batch_format="pyarrow")
+            out = out.union(part)
+        return out
+
+    tables = [pa.table({"way_id": pa.array(a, pa.int64()),
+                        "hops": pa.array(np.full(len(a), h, np.int64))},
+                       schema=_BFS_OUT)
+              for h, a in enumerate(arr_frontiers)]
+    return rd.from_arrow(pa.concat_tables(tables))
+
+
+def way_bfs_hops_sql(ways_path: str, max_hops: int = BFS_MAX_HOPS,
+                     seed_highway: str = BFS_SEED_HIGHWAY) -> str:
+    return f"""
+WITH RECURSIVE
+w AS (SELECT way_id, nodes, highway FROM read_parquet('{ways_path}')
+      WHERE tagged),
+nw AS (SELECT DISTINCT way_id, unnest(nodes) AS node FROM w),
+seeds AS (SELECT way_id FROM w WHERE highway = '{seed_highway}'),
+bfs(way_id, hops) AS (
+  SELECT way_id, 0 FROM seeds
+  UNION
+  SELECT b.way_id, bfs.hops + 1
+  FROM bfs JOIN nw a ON a.way_id = bfs.way_id
+           JOIN nw b ON b.node = a.node
+  WHERE bfs.hops < {max_hops}
+)
+SELECT way_id, min(hops)::BIGINT AS hops FROM bfs GROUP BY way_id
+"""

@@ -2470,3 +2470,140 @@ WITH g0 AS (
 SELECT g.url, coalesce(pick.city, 'Unincorporated') AS city
 FROM g LEFT JOIN pick USING (url)
 """
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal binning (H3-style density grid over page geotags)
+#
+# The north-star's index family is H3/S2; the square tile pyramid
+# (morton_tiles / tile_pyramid) covers the S2-ish quadtree side, and this op
+# is the hexagonal side: pages binned onto a pointy-top axial hex grid
+# (Red-Blobs cube-round assignment — the same cell shape H3 uses, minus the
+# icosahedron projection, which needs no spherical machinery at binning
+# resolution).  Hexes are the preferred density grid because every neighbor
+# shares an edge (no corner-adjacency ambiguity) and cell area is uniform.
+#
+# Determinism contract: the (lon, lat) -> (q, r) assignment is pure float64
+# arithmetic (two linear forms, floor-rounding, and an exclusive three-way
+# CASE on the rounding residuals); the SQL oracle spells out the IDENTICAL
+# operation order, so engine and DuckDB agree bit-for-bit on every page,
+# including points on hex boundaries.
+HEX_SIZE_DEG = 0.02  # hex circumradius in degrees (~2.2 km N-S)
+
+
+def _hex_qr(lat: np.ndarray, lon: np.ndarray, size: float):
+    """(lat, lon) -> integer axial hex coords (q, r), cube-rounded.
+
+    Pointy-top axial basis: xf = (sqrt(3)/3 * lon - 1/3 * lat) / size,
+    zf = (2/3 * lat) / size; rounding = floor(v + 0.5) (not banker's — the
+    SQL mirrors floor(v + 0.5) exactly), then the standard cube-round fixup
+    re-derives the axis with the largest residual from the other two."""
+    c1 = np.float64(np.sqrt(3.0) / 3.0)
+    c2 = np.float64(1.0 / 3.0)
+    c3 = np.float64(2.0 / 3.0)
+    xf = (c1 * lon - c2 * lat) / size
+    zf = (c3 * lat) / size
+    yf = -xf - zf
+    rx = np.floor(xf + 0.5)
+    ry = np.floor(yf + 0.5)
+    rz = np.floor(zf + 0.5)
+    dx = np.abs(rx - xf)
+    dy = np.abs(ry - yf)
+    dz = np.abs(rz - zf)
+    cond1 = (dx > dy) & (dx > dz)           # x residual largest -> rederive x
+    cond3 = ~cond1 & ~(dy > dz)             # else-branch -> rederive z
+    q = np.where(cond1, -ry - rz, rx)
+    r = np.where(cond3, -rx - ry, rz)       # cond3 excludes cond1: rx is raw
+    return q.astype(np.int64), r.astype(np.int64)
+
+
+# packing base for the (q, r) -> single-int64 groupby key; covers any size
+# down to ~1e-4 degrees (|q| < 2^20 needs size > ~1.4e-4)
+_HEX_PACK_B = np.int64(1 << 20)
+
+
+def page_hex_density(pages_ds, size: float = HEX_SIZE_DEG):
+    """(q, r, n_pages) for every hex cell holding at least one geotagged
+    page.
+
+    Scale shape: the corpus is touched ONCE (column-pruned read -> geotag
+    parse -> per-batch np.unique hex partials); the single exchange is the
+    grid-bounded (hex) groupby over per-batch partial counts — pages never
+    shuffle and never reach the driver.  The hex id packs (q, r) into one
+    int64 so the exchange key is a scalar."""
+    from ray.data.aggregate import Sum
+
+    B2 = np.int64(2) * _HEX_PACK_B
+
+    def hex_partial(b: pa.Table) -> pa.Table:
+        lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False), np.float64)
+        lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False), np.float64)
+        q, r = _hex_qr(lat, lon, size)
+        u, c = np.unique((q + _HEX_PACK_B) * B2 + (r + _HEX_PACK_B),
+                         return_counts=True)
+        return pa.table({"hex": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = (pages_ds.map_batches(geotag_batch, batch_format="pyarrow")
+              .map_batches(hex_partial, batch_format="pyarrow")
+              .groupby("hex").aggregate(Sum("n", alias_name="n_pages")))
+
+    _SCHEMA = pa.schema([("q", pa.int64()), ("r", pa.int64()),
+                         ("n_pages", pa.int64())])
+
+    def unpack(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _SCHEMA.empty_table()
+        h = np.asarray(b["hex"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table({"q": pa.array(h // B2 - _HEX_PACK_B, pa.int64()),
+                         "r": pa.array(h % B2 - _HEX_PACK_B, pa.int64()),
+                         "n_pages": b["n_pages"]}, schema=_SCHEMA)
+
+    out = counts.map_batches(unpack, batch_format="pyarrow")
+    if out.count() == 0:
+        # an all-empty aggregation loses its schema; rebuild it explicitly
+        import ray.data as rd
+
+        return rd.from_arrow(_SCHEMA.empty_table())
+    return out
+
+
+def page_hex_density_sql(table: str = "pages",
+                         size: float = HEX_SIZE_DEG) -> str:
+    # Same operation ORDER as _hex_qr: the two linear forms, floor(v+0.5)
+    # rounding, residuals, and the exclusive CASE fixup; sqrt(3.0)/3.0 etc.
+    # are correctly-rounded doubles in both engines, so every intermediate
+    # is bit-identical.
+    s = repr(float(size))
+    return f"""
+WITH g0 AS (
+  SELECT TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
+  FROM {table}
+), g AS (
+  SELECT * FROM g0
+  WHERE lat IS NOT NULL AND lon IS NOT NULL AND isfinite(lat) AND isfinite(lon)
+), h1 AS (
+  SELECT ((sqrt(3.0) / 3.0) * lon - (1.0 / 3.0) * lat) / {s} AS xf,
+         ((2.0 / 3.0) * lat) / {s} AS zf
+  FROM g
+), h2 AS (
+  SELECT xf, zf, -xf - zf AS yf FROM h1
+), h3 AS (
+  SELECT xf, yf, zf,
+         floor(xf + 0.5) AS rx, floor(yf + 0.5) AS ry, floor(zf + 0.5) AS rz
+  FROM h2
+), h4 AS (
+  SELECT rx, ry, rz,
+         abs(rx - xf) AS dx, abs(ry - yf) AS dy, abs(rz - zf) AS dz
+  FROM h3
+), h5 AS (
+  SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS q,
+         CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+                   THEN -rx - ry ELSE rz END AS BIGINT) AS r
+  FROM h4
+)
+SELECT q, r, count(*)::BIGINT AS n_pages FROM h5 GROUP BY q, r
+"""

@@ -1697,3 +1697,96 @@ def test_ann_ivf_pq_recall(ray_session):
     cb = pq_codebooks(rd.from_arrow(tbl))
     assert cb.shape == (PQ_M, 16, 32 // PQ_M)
     assert np.isfinite(cb).all()
+
+
+def test_way_bfs_hops_routes_and_empty(ray_session, fixtures_dir):
+    """The three BFS routes (broadcast, mid-walk hand-off, fully sharded)
+    emit identical (way_id, hops) sets; an empty seed set keeps schema."""
+    import os
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.graph import way_bfs_hops
+
+    ways = lambda: rd.read_parquet(  # noqa: E731
+        os.path.join(fixtures_dir, "ways.parquet"), override_num_blocks=8)
+
+    def rows(ds):
+        df = ds.to_pandas()
+        return sorted(map(tuple, df[["way_id", "hops"]].to_numpy()))
+
+    broadcast = rows(way_bfs_hops(ways()))
+    assert broadcast, "fixture must reach at least the seeds"
+    n_seeds = sum(1 for _, h in broadcast if h == 0)
+    assert n_seeds >= 1
+    # seeds fit, first expansion overflows -> mid-walk hand-off to sharded
+    handoff = rows(way_bfs_hops(ways(), broadcast_max=n_seeds))
+    assert handoff == broadcast
+    # seeds alone overflow -> fully sharded from round 0
+    sharded = rows(way_bfs_hops(ways(), broadcast_max=0))
+    assert sharded == broadcast
+    # no seeds at all -> empty result that still carries the schema
+    empty = way_bfs_hops(ways(), seed_highway="no_such_highway")
+    assert empty.count() == 0
+    assert empty.schema().names == ["way_id", "hops"]
+
+
+def test_page_hex_density_edges(ray_session):
+    """Hex binning vs the DuckDB oracle on adversarial points: exact hex
+    centers, cube-round boundary points, negative coords, origin, missing
+    and malformed geotags."""
+    import duckdb
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.pages import (
+        HEX_SIZE_DEG,
+        _hex_qr,
+        page_hex_density,
+        page_hex_density_sql,
+    )
+
+    s = HEX_SIZE_DEG
+    pts = [
+        (0.0, 0.0),                      # origin
+        (s * 2.0 / 3.0 * 1.5, 0.0),      # boundary-ish between (0,0)/(0,1)
+        (37.2, -122.1),                  # realistic positive/negative
+        (-37.2, 122.1),                  # southern hemisphere
+        (s, s * 0.5),                    # near a corner of three hexes
+        (89.99, 179.99), (-89.99, -179.99),
+        (37.2, -122.1),                  # duplicate -> n_pages = 2
+    ]
+    htmls = [f'<meta name="geo.position" content="{la};{lo}">'.encode()
+             for la, lo in pts]
+    htmls += [b"<html>no geotag at all</html>",
+              b'<meta name="geo.position" content="nan;1.0">',
+              b'<meta name="geo.position" content="bogus;alsobogus">']
+    tbl = pa.table({
+        "url": pa.array([f"http://e{i}.com/p" for i in range(len(htmls))]),
+        "html": pa.array(htmls, pa.binary()),
+    })
+
+    eng = page_hex_density(rd.from_arrow(tbl)).to_pandas()
+    con = duckdb.connect()
+    con.register("pages", tbl)
+    orc = con.execute(page_hex_density_sql("pages")).fetchdf()
+    key = ["q", "r", "n_pages"]
+    assert (sorted(map(tuple, eng[key].to_numpy()))
+            == sorted(map(tuple, orc[key].to_numpy())))
+    # finite points only: 8 geotags -> total page mass 8
+    assert eng["n_pages"].sum() == 8
+
+    # the kernel itself: a hex center must round to its own (q, r)
+    q0, r0 = 3, -2
+    c1 = np.sqrt(3.0) / 3.0
+    # invert the axial transform for the center of (q0, r0)
+    lat_c = (r0 * s) / (2.0 / 3.0)
+    lon_c = (q0 * s + (1.0 / 3.0) * lat_c) / c1
+    qq, rr = _hex_qr(np.array([lat_c]), np.array([lon_c]), s)
+    assert (qq[0], rr[0]) == (q0, r0)
+
+    # no geotagged pages at all -> empty result that still carries schema
+    empty_tbl = pa.table({"url": pa.array(["http://x.com/"]),
+                          "html": pa.array([b"<html></html>"], pa.binary())})
+    empty = page_hex_density(rd.from_arrow(empty_tbl))
+    assert empty.count() == 0
+    assert empty.schema().names == ["q", "r", "n_pages"]
