@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "page_hotspot_assign",  # corpus classification vs broadcast label map (round 5)
     "knn_graph_chunked",    # exact kNN graph, chunk-streamed matrix (round 5)
     "pages_in_city",        # corpus PIP city-tag, broadcast ray cast (round 5)
+    "page_hex_density",     # H3-style hex binning, one grid-bounded exchange (s17)
+    "way_bfs_hops",         # bounded-hops multi-source BFS, cardinality-routed (s17)
+    "pages_segment_snap",   # map-matching snap: kNN + segment projection (s17)
 ]
 
 

@@ -80,14 +80,14 @@ DRIVER_SAMPLE_50 = [
     "image_decode_gif", "audio_fingerprint", "image_ahash",
     # events / windows
     "events_recent_counts", "funnel_stages",
-    "session_cooccurrence", "late_arrivals",
+    "late_arrivals",
     "daily_active_users",
     # session-16 additions (new ops, never driver-checked by definition)
     "weighted_sample", "host_distinct_kmv", "page_hotspots", "pages_in_city",
-    # session-17 additions (new ops; displace image_dedup_survivors and
-    # event_transitions, whose families keep 3+ / 5+ driver-visible entries
-    # and which stay in the full gate)
-    "page_hex_density", "way_bfs_hops",
+    # session-17 additions (new ops; displace image_dedup_survivors,
+    # event_transitions and session_cooccurrence, whose families keep 3-4
+    # driver-visible entries and which stay in the full gate)
+    "page_hex_density", "way_bfs_hops", "pages_segment_snap",
     # relational (the never-checked half of the TPC-H family)
     "cold_customers", "local_supplier_revenue", "small_qty_revenue",
     "min_cost_supplier", "nation_market_share", "returned_item_revenue",
@@ -198,6 +198,8 @@ def queries() -> dict:
     q["geom_candidate_pairs"] = lambda sf: qs.geom_candidate_pairs(_ways(sf))
     q["nearest_way"] = lambda sf: knn.nearest_way_queries(_ways(sf))
     q["nearest_two"] = lambda sf: knn.nearest_two_queries(_ways(sf))
+    q["pages_segment_snap"] = lambda sf: knn.pages_segment_snap(
+        _pages(sf, columns=["url", "html"]), _ways(sf))
     q["pages_nearest_way"] = lambda sf: knn.pages_nearest_way(
         _pages(sf, columns=["url", "html"]), _ways(sf))
     q["block_gps"] = lambda sf: qs.block_gps_lookup(_ways(sf))
@@ -929,6 +931,7 @@ def oracle_sql() -> dict:
         "nearest_way": knn.nearest_way_sql(ways_path),
         "nearest_two": knn.nearest_two_sql(ways_path),
         "pages_nearest_way": knn.pages_nearest_way_sql(pages_tbl, ways_path),
+        "pages_segment_snap": knn.pages_segment_snap_sql(pages_tbl, ways_path),
         "block_gps": qs.block_gps_sql(ways_path),
         "vectorize_raster": qs.vectorize_raster_sql(ways_path),
         "rasterize_ways": qs.rasterize_ways_sql(ways_path),

@@ -598,3 +598,305 @@ r AS (SELECT url, way_id,
       FROM d)
 SELECT url, way_id FROM r WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Page -> segment snap (map-matching primitive)
+#
+# The continuous half of reverse geocoding: after pages_nearest_way picks the
+# nearest NAMED way per geotagged page (vertex L1 metric, the reference's
+# distGpsGeometry), this op projects the page point onto that way's polyline
+# and reports WHICH segment it lands on — the snap a map-matching / address-
+# interpolation pipeline needs.  seg_idx is 1-based (segment k joins vertex k
+# to vertex k+1, DuckDB list indexing); the projection argmin is squared
+# Euclidean in degree space with (d2, seg_idx) tie order, and the SQL oracle
+# spells out the IDENTICAL float64 operation order (difference, dot, clamp,
+# residual) so engine and DuckDB agree bit-for-bit, ties included.
+#
+# Cardinality-routed like pages_way_join: below SNAP_BROADCAST_VERTICES_MAX
+# the named-way geometry ships once via ray.put as four flat arrays (sorted
+# way ids, offsets, flat lats/lons) and the snap happens inside the SAME
+# actor pool that answers the kNN — pages never shuffle, zero exchanges.
+# Above the cap, the way geometry explodes to segment rows and the snap runs
+# as a way_id hash join of SKINNY page rows (url, lat, lon, way_id — html
+# never crosses) plus one url-keyed argmin fold; both routes are pinned
+# row-identical in pytest.
+SNAP_BROADCAST_VERTICES_MAX = 8_000_000   # ~128 MB of flat coords + ids
+
+
+def _named_geom_rows(b: pa.Table) -> pa.Table:
+    """(way_id, lats, lons) of named tagged ways — the snap's geometry side
+    (same name filter as _explode_named_ways)."""
+    names = b["name"].to_pylist()
+    refs = b["ref"].to_pylist()
+    tagged = b["tagged"].to_pylist()
+    nm = [get_way_name(names[i], refs[i]) if tagged[i] else ""
+          for i in range(b.num_rows)]
+    mask = pa.array([bool(x) for x in nm])
+    sub = b.filter(mask)
+    return pa.table({"way_id": sub["way_id"].cast(pa.int64()),
+                     "lats": sub["lats"], "lons": sub["lons"]})
+
+
+def build_named_geom(ways_ds, max_vertices: int = SNAP_BROADCAST_VERTICES_MAX):
+    """Collect named-way polylines into four flat numpy arrays (way ids
+    sorted, vertex offsets, flat lats/lons) for the broadcast route.  The
+    ways table is the DIMENSION side; above ``max_vertices`` the caller
+    must take the join route instead."""
+    df = (ways_ds.map_batches(_named_geom_rows, batch_format="pyarrow")
+          .to_pandas())
+    df = df.sort_values("way_id", kind="stable").reset_index(drop=True)
+    lens = np.array([len(x) for x in df["lats"]], dtype=np.int64)
+    total = int(lens.sum())
+    if total > max_vertices:
+        raise ValueError(
+            f"named-way geometry has {total} vertices > broadcast cap "
+            f"{max_vertices}; use the segment-join route")
+    offs = np.zeros(len(df) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return {
+        "wid": df["way_id"].to_numpy(dtype=np.int64),
+        "offs": offs,
+        "lats": (np.concatenate(df["lats"].to_list())
+                 if len(df) else np.empty(0, np.float64)),
+        "lons": (np.concatenate(df["lons"].to_list())
+                 if len(df) else np.empty(0, np.float64)),
+    }
+
+
+def _project_d2(px, py, x1, y1, x2, y2):
+    """Squared point-to-segment distance, EXACT float64 op order shared with
+    the SQL oracle: dx/dy diffs, den/num dots, den==0 -> t=0 else clamped
+    num/den, residual components, d2 = ex*ex + ey*ey.  Returns (d2, t)."""
+    dx = x2 - x1
+    dy = y2 - y1
+    den = dx * dx + dy * dy
+    num = (px - x1) * dx + (py - y1) * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = num / den
+    t = np.minimum(np.maximum(t, 0.0), 1.0)
+    t = np.where(den == 0.0, 0.0, t)
+    ex = px - (x1 + t * dx)
+    ey = py - (y1 + t * dy)
+    return ex * ex + ey * ey, t
+
+
+def _snap_to_ways(geom: dict, way: np.ndarray, plat: np.ndarray,
+                  plon: np.ndarray):
+    """Vectorized snap of each (point, way) pair onto the way's polyline.
+    Returns (keep_mask, seg_idx 1-based) — rows whose way is unknown or has
+    fewer than 2 vertices are dropped (no segment exists), matching the SQL
+    inner join against the segment list."""
+    wid, offs = geom["wid"], geom["offs"]
+    glats, glons = geom["lats"], geom["lons"]
+    n = len(way)
+    if n == 0 or len(wid) == 0:
+        return np.zeros(n, bool), np.empty(0, np.int64)
+    pos = np.searchsorted(wid, way)
+    pos_c = np.minimum(pos, len(wid) - 1)
+    found = wid[pos_c] == way
+    starts = offs[pos_c]
+    nseg = offs[pos_c + 1] - starts - 1
+    keep = found & (nseg >= 1)
+    reps = nseg[keep]
+    if reps.sum() == 0:
+        return keep & False, np.empty(0, np.int64)
+    page_idx = np.repeat(np.flatnonzero(keep), reps)
+    gstarts = np.cumsum(reps) - reps
+    within = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(gstarts,
+                                                                    reps)
+    vidx = np.repeat(starts[keep], reps) + within
+    d2, _ = _project_d2(plon[page_idx], plat[page_idx],
+                        glons[vidx], glats[vidx],
+                        glons[vidx + 1], glats[vidx + 1])
+    dmin = np.minimum.reduceat(d2, gstarts)
+    # first (lowest seg) index achieving the exact min per page
+    penalty = np.where(d2 == np.repeat(dmin, reps), within,
+                       np.iinfo(np.int64).max)
+    seg_first = np.minimum.reduceat(penalty, gstarts)
+    return keep, seg_first + 1   # 1-based segment index
+
+
+class PagesSegmentSnap(PagesNearestWay):
+    """Actor: nearest named way per page (inherited ring walk) + in-batch
+    segment projection against the broadcast geometry — zero exchanges."""
+
+    def __init__(self, index_ref, geom_ref):
+        super().__init__(index_ref)
+        from .common import cached_get
+
+        self.geom = cached_get(geom_ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:  # noqa: D102
+        nn = super().__call__(b)
+        way = np.asarray(nn["way_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        plat = np.asarray(b["lat"].to_numpy(zero_copy_only=False), np.float64)
+        plon = np.asarray(b["lon"].to_numpy(zero_copy_only=False), np.float64)
+        keep, seg = _snap_to_ways(self.geom, way, plat, plon)
+        sel = pa.array(np.flatnonzero(keep).astype(np.int64))
+        return pa.table({
+            "url": nn["url"].take(sel),
+            "way_id": pa.array(way[keep], pa.int64()),
+            "seg_idx": pa.array(seg, pa.int64()),
+        })
+
+
+class PagesNearestWayCoords(PagesNearestWay):
+    """Join-route stage 1: the kNN answer carrying the page coords."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:  # noqa: D102
+        nn = super().__call__(b)
+        return pa.table({"url": nn["url"], "way_id": nn["way_id"],
+                         "lat": b["lat"], "lon": b["lon"]})
+
+
+_SEG_SCHEMA = pa.schema([("way_id", pa.int64()), ("seg_idx", pa.int64()),
+                         ("x1", pa.float64()), ("y1", pa.float64()),
+                         ("x2", pa.float64()), ("y2", pa.float64())])
+
+
+def _explode_named_segments(b: pa.Table) -> pa.Table:
+    """Named ways -> one row per polyline segment (1-based seg_idx)."""
+    t = _named_geom_rows(b)
+    if t.num_rows == 0:
+        return _SEG_SCHEMA.empty_table()
+    lats = t["lats"].combine_chunks()
+    lens = np.asarray(lats.value_lengths(), dtype=np.int64)
+    la = np.asarray(lats.flatten(), dtype=np.float64)
+    lo = np.asarray(t["lons"].combine_chunks().flatten(), dtype=np.float64)
+    nseg = np.maximum(lens - 1, 0)
+    wy = np.repeat(np.asarray(t["way_id"].to_numpy(zero_copy_only=False),
+                              np.int64), nseg)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:] if len(lens) > 1 else starts[1:])
+    gstarts = np.cumsum(nseg) - nseg
+    within = (np.arange(int(nseg.sum()), dtype=np.int64)
+              - np.repeat(gstarts, nseg))
+    vidx = np.repeat(starts, nseg) + within
+    return pa.table({"way_id": pa.array(wy),
+                     "seg_idx": pa.array(within + 1, pa.int64()),
+                     "x1": pa.array(lo[vidx]), "y1": pa.array(la[vidx]),
+                     "x2": pa.array(lo[vidx + 1]),
+                     "y2": pa.array(la[vidx + 1])}, schema=_SEG_SCHEMA)
+
+
+def _snap_join_route(nn_ds, ways_ds):
+    """Above-cap route: way_id hash join of skinny page rows against
+    exploded segment rows, then one url-keyed (d2, seg_idx) argmin fold."""
+    from .common import cap_join_partitions, drop_empty_blocks
+
+    segs = ways_ds.map_batches(_explode_named_segments,
+                               batch_format="pyarrow")
+    joined = drop_empty_blocks(nn_ds.materialize()).join(
+        drop_empty_blocks(segs.materialize()), join_type="inner",
+        num_partitions=cap_join_partitions(8), on=("way_id",))
+
+    def score(b: pa.Table) -> pa.Table:
+        d2, _ = _project_d2(
+            np.asarray(b["lon"].to_numpy(zero_copy_only=False), np.float64),
+            np.asarray(b["lat"].to_numpy(zero_copy_only=False), np.float64),
+            np.asarray(b["x1"].to_numpy(zero_copy_only=False), np.float64),
+            np.asarray(b["y1"].to_numpy(zero_copy_only=False), np.float64),
+            np.asarray(b["x2"].to_numpy(zero_copy_only=False), np.float64),
+            np.asarray(b["y2"].to_numpy(zero_copy_only=False), np.float64))
+        return pa.table({"url": b["url"], "way_id": b["way_id"],
+                         "seg_idx": b["seg_idx"],
+                         "d2": pa.array(d2, pa.float64())})
+
+    def pick(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["url", "d2", "seg_idx"],
+                            kind="stable").drop_duplicates("url")
+        return pa.table({"url": pa.array(df["url"].to_numpy(object),
+                                         pa.string()),
+                         "way_id": pa.array(df["way_id"].to_numpy(np.int64)),
+                         "seg_idx": pa.array(
+                             df["seg_idx"].to_numpy(np.int64))})
+
+    return (joined.map_batches(score, batch_format="pyarrow")
+            .groupby("url").map_groups(pick, batch_format="pandas"))
+
+
+def pages_segment_snap(pages_ds, ways_ds,
+                       broadcast_vertices_max: int =
+                       SNAP_BROADCAST_VERTICES_MAX):
+    """(url, way_id, seg_idx) — every geotagged page snapped to the segment
+    of its nearest named way (vertex-L1 nearest way, then squared-Euclidean
+    segment projection with (d2, seg_idx) tie order)."""
+    import ray
+
+    from .pages import geotag_batch
+
+    vertices = ways_ds.map_batches(_explode_named_ways,
+                                   batch_format="pyarrow")
+    idx_ref = ray.put(build_region_index_refs(vertices))
+    pts = pages_ds.map_batches(geotag_batch, batch_format="pyarrow",
+                               batch_size=4096)
+    n_act = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) - 2))
+    n_vertices = ways_ds.map_batches(
+        _explode_named_ways, batch_format="pyarrow").count()
+    if n_vertices <= broadcast_vertices_max:
+        geom_ref = ray.put(build_named_geom(ways_ds, broadcast_vertices_max))
+        return pts.map_batches(PagesSegmentSnap, batch_format="pyarrow",
+                               batch_size=2048, concurrency=n_act,
+                               fn_constructor_args=(idx_ref, geom_ref))
+    nn = pts.map_batches(PagesNearestWayCoords, batch_format="pyarrow",
+                         batch_size=2048, concurrency=n_act,
+                         fn_constructor_args=(idx_ref,))
+    return _snap_join_route(nn, ways_ds)
+
+
+def pages_segment_snap_sql(pages_tbl: str, ways_path: str) -> str:
+    """Brute-force oracle: the pages_nearest_way argmin CTE (vertex L1,
+    (dist, way_id) order) carrying coords, then the segment projection with
+    the engine's EXACT float64 op order and (d2, seg_idx) tie rule."""
+    from .queries_spatial import NM_SQL
+
+    return f"""
+WITH g0 AS (
+  SELECT url,
+         TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
+  FROM {pages_tbl}
+), g AS (
+  SELECT * FROM g0
+  WHERE lat IS NOT NULL AND lon IS NOT NULL AND isfinite(lat) AND isfinite(lon)
+),
+raw AS (SELECT *, {NM_SQL} AS nm FROM read_parquet('{ways_path}') WHERE tagged),
+named AS (SELECT way_id, lats, lons FROM raw WHERE nm <> ''),
+v AS (SELECT way_id, unnest(lats) AS vlat, unnest(lons) AS vlon FROM named),
+d AS (SELECT g.url, g.lat, g.lon, v.way_id,
+             {METERS_PER_DEGREE} * (abs(v.vlat - g.lat) + abs(v.vlon - g.lon)) AS dist
+      FROM g, v),
+r AS (SELECT url, lat, lon, way_id,
+             row_number() OVER (PARTITION BY url ORDER BY dist, way_id) AS rn
+      FROM d),
+nn AS (SELECT url, lat, lon, way_id FROM r WHERE rn = 1),
+seg AS (SELECT way_id, s.k AS seg_idx,
+               lons[s.k] AS x1, lats[s.k] AS y1,
+               lons[s.k + 1] AS x2, lats[s.k + 1] AS y2
+        FROM named,
+             LATERAL (SELECT unnest(generate_series(1, len(lats) - 1)) AS k) s),
+sc AS (SELECT nn.url, nn.way_id, seg.seg_idx, nn.lon, nn.lat,
+              seg.x1, seg.y1, seg.x2 - seg.x1 AS dx, seg.y2 - seg.y1 AS dy
+       FROM nn JOIN seg ON seg.way_id = nn.way_id),
+sc2 AS (SELECT url, way_id, seg_idx, lon, lat, x1, y1, dx, dy,
+               dx * dx + dy * dy AS den,
+               (lon - x1) * dx + (lat - y1) * dy AS num
+        FROM sc),
+sc3 AS (SELECT url, way_id, seg_idx, lon, lat, x1, y1, dx, dy,
+               CASE WHEN den = 0 THEN 0.0
+                    ELSE least(greatest(num / den, 0.0), 1.0) END AS t
+        FROM sc2),
+sc4 AS (SELECT url, way_id, seg_idx,
+               lon - (x1 + t * dx) AS ex, lat - (y1 + t * dy) AS ey
+        FROM sc3),
+sc5 AS (SELECT url, way_id, seg_idx, ex * ex + ey * ey AS d2 FROM sc4),
+pick AS (SELECT url, way_id, seg_idx,
+                row_number() OVER (PARTITION BY url ORDER BY d2, seg_idx)
+                  AS rn
+         FROM sc5)
+SELECT url, way_id, seg_idx::BIGINT AS seg_idx FROM pick WHERE rn = 1
+"""

@@ -1790,3 +1790,71 @@ def test_page_hex_density_edges(ray_session):
     empty = page_hex_density(rd.from_arrow(empty_tbl))
     assert empty.count() == 0
     assert empty.schema().names == ["q", "r", "n_pages"]
+
+
+def test_pages_segment_snap_routes_and_edges(ray_session, tmp_path):
+    """Segment snap vs the DuckDB oracle on projection hostiles (t-clamp
+    both ends, on-segment zero distance, shared-vertex tie -> lower seg_idx,
+    1-vertex nearest way dropped), plus broadcast/join route identity."""
+    import duckdb
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from osm_intersections_ray.stages.knn import (
+        pages_segment_snap,
+        pages_segment_snap_sql,
+    )
+
+    ways = pa.table({
+        "way_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "name": ["Alpha Road", "Beta Street", "Gamma Ave", "Hidden"],
+        "ref": pa.array([None, None, None, None], pa.string()),
+        "tagged": [True, True, True, False],
+        "county": ["X"] * 4,
+        "way_rank": pa.array([0, 1, 2, 3], pa.int64()),
+        # L-shape; single vertex; short horizontal; untagged decoy
+        "lats": [[0.0, 0.01, 0.01], [1.0], [2.0, 2.0], [0.0, 0.001]],
+        "lons": [[0.0, 0.0, 0.01], [1.0], [0.0, 0.01], [0.0005, 0.0005]],
+    })
+    ways_path = str(tmp_path / "ways.parquet")
+    pq.write_table(ways, ways_path)
+
+    pts = [
+        (0.01, 0.0),     # exactly the shared vertex of segs 1|2 -> seg 1
+        (0.0105, 0.005), # above the middle of seg 2 (interior t)
+        (2.001, 0.02),   # beyond Gamma's end -> t clamps to 1
+        (2.001, -0.01),  # before Gamma's start -> t clamps to 0
+        (1.0001, 1.0),   # nearest is 1-vertex Beta -> dropped
+    ]
+    htmls = [f'<meta name="geo.position" content="{la};{lo}">'.encode()
+             for la, lo in pts] + [b"<html>nothing</html>"]
+    pages = pa.table({
+        "url": pa.array([f"http://s{i}.com/" for i in range(len(htmls))]),
+        "html": pa.array(htmls, pa.binary()),
+    })
+
+    def rows(ds):
+        df = ds.to_pandas()
+        return sorted(map(tuple,
+                          df[["url", "way_id", "seg_idx"]].to_numpy()))
+
+    eng = rows(pages_segment_snap(rd.from_arrow(pages),
+                                  rd.from_arrow(ways)))
+    con = duckdb.connect()
+    con.register("pages", pages)
+    orc = con.execute(pages_segment_snap_sql("pages", ways_path)).fetchdf()
+    assert eng == sorted(map(tuple,
+                             orc[["url", "way_id", "seg_idx"]].to_numpy()))
+    by_url = {u: (w, s) for u, w, s in eng}
+    assert by_url["http://s0.com/"] == (1, 1)   # tie -> lower seg
+    assert by_url["http://s2.com/"] == (3, 1)
+    assert by_url["http://s3.com/"] == (3, 1)
+    assert "http://s4.com/" not in by_url       # 1-vertex way: no segment
+    assert "http://s5.com/" not in by_url       # no geotag
+
+    # join route (cap 0) emits the identical rows
+    joined = rows(pages_segment_snap(rd.from_arrow(pages),
+                                     rd.from_arrow(ways),
+                                     broadcast_vertices_max=0))
+    assert joined == eng
