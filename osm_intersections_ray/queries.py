@@ -308,6 +308,8 @@ def queries() -> dict:
         _pages(sf, columns=["url", "html"]))
     q["page_hex_density"] = lambda sf: pages.page_hex_density(
         _pages(sf, columns=["url", "html"]))
+    q["hex_kring_smooth"] = lambda sf: pages.hex_kring_smooth(
+        _pages(sf, columns=["url", "html"]))
 
     def pages_in_city(sf):
         fx = ensure_fixtures(sf)
@@ -970,6 +972,7 @@ def oracle_sql() -> dict:
         "page_hotspots": pages.page_hotspots_sql(pages_tbl),
         "page_hotspot_assign": pages.page_hotspot_assign_sql(pages_tbl),
         "page_hex_density": pages.page_hex_density_sql(pages_tbl),
+        "hex_kring_smooth": pages.hex_kring_smooth_sql(pages_tbl),
         "pages_in_city": pages.pages_in_city_sql(
             pages_tbl, os.path.join(fx, "boundaries.parquet")),
         "mixture_resample": pages.mixture_resample_sql(pages_tbl),

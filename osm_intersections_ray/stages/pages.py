@@ -2607,3 +2607,85 @@ WITH g0 AS (
 )
 SELECT q, r, count(*)::BIGINT AS n_pages FROM h5 GROUP BY q, r
 """
+
+
+def hex_kring_smooth(pages_ds, size: float = HEX_SIZE_DEG):
+    """(q, r, n_pages, n_ring) per occupied hex: own count plus the k=1
+    ring-smoothed count (sum over the hex and its six axial neighbors) —
+    the hex-grid density surface a heatmap/siting layer renders, and the
+    hex-adjacency counterpart of the square-grid hotspot family.
+
+    Scale shape: ``page_hex_density`` touches the corpus once; everything
+    after runs on the OCCUPIED-HEX table (grid/world-bounded): each hex
+    emits 7 (target, count) contribution rows and ONE hex-keyed groupby
+    folds them; occupied-membership rides the same exchange as a marker
+    row, so hexes only reachable as neighbors (never occupied) drop without
+    a second pass."""
+    from ray.data.aggregate import Max, Sum
+
+    B2 = np.int64(2) * _HEX_PACK_B
+    dense = page_hex_density(pages_ds, size=size)
+
+    _SCHEMA = pa.schema([("hex", pa.int64()), ("n", pa.int64()),
+                         ("own", pa.int64())])
+
+    def contribute(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _SCHEMA.empty_table()
+        q = np.asarray(b["q"].to_numpy(zero_copy_only=False), np.int64)
+        r = np.asarray(b["r"].to_numpy(zero_copy_only=False), np.int64)
+        n = np.asarray(b["n_pages"].to_numpy(zero_copy_only=False), np.int64)
+        hx, cnt, own = [], [], []
+        for dq, dr in ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+                       (1, -1), (-1, 1)):
+            hx.append((q + dq + _HEX_PACK_B) * B2 + (r + dr + _HEX_PACK_B))
+            cnt.append(n)
+            # the (0,0) row doubles as the occupied marker (own = n_pages)
+            own.append(n if (dq, dr) == (0, 0) else np.zeros(len(n),
+                                                            np.int64))
+        return pa.table({"hex": pa.array(np.concatenate(hx)),
+                         "n": pa.array(np.concatenate(cnt)),
+                         "own": pa.array(np.concatenate(own))},
+                        schema=_SCHEMA)
+
+    agg = (dense.map_batches(contribute, batch_format="pyarrow")
+           .groupby("hex").aggregate(Sum("n", alias_name="n_ring"),
+                                     Max("own", alias_name="n_pages")))
+
+    _OUT = pa.schema([("q", pa.int64()), ("r", pa.int64()),
+                      ("n_pages", pa.int64()), ("n_ring", pa.int64())])
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _OUT.empty_table()
+        keep = np.asarray(b["n_pages"].to_numpy(zero_copy_only=False),
+                          np.int64) > 0
+        t = b.filter(pa.array(keep))
+        h = np.asarray(t["hex"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table({"q": pa.array(h // B2 - _HEX_PACK_B, pa.int64()),
+                         "r": pa.array(h % B2 - _HEX_PACK_B, pa.int64()),
+                         "n_pages": t["n_pages"], "n_ring": t["n_ring"]},
+                        schema=_OUT)
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    if out.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(_OUT.empty_table())
+    return out
+
+
+def hex_kring_smooth_sql(table: str = "pages",
+                         size: float = HEX_SIZE_DEG) -> str:
+    # occupied hexes from the shared assignment chain, then a 7-neighbor
+    # self-join (the hex and its six axial neighbors) folded per hex
+    base = page_hex_density_sql(table, size).strip().rstrip()
+    return f"""
+WITH dense AS ({base})
+SELECT a.q, a.r, a.n_pages, sum(b.n_pages)::BIGINT AS n_ring
+FROM dense a
+CROSS JOIN (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+                   (1, -1), (-1, 1)) AS d(dq, dr)
+JOIN dense b ON b.q = a.q + d.dq AND b.r = a.r + d.dr
+GROUP BY a.q, a.r, a.n_pages
+"""

@@ -1858,3 +1858,53 @@ def test_pages_segment_snap_routes_and_edges(ray_session, tmp_path):
                                      rd.from_arrow(ways),
                                      broadcast_vertices_max=0))
     assert joined == eng
+
+
+def test_hex_kring_smooth_adjacency(ray_session):
+    """k=1 ring sums: the six axial neighbors contribute, the (+1,+1)
+    cube-diagonal does NOT, isolated hexes smooth to their own count, and
+    never-occupied neighbor hexes emit no row."""
+    import duckdb
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.pages import (
+        HEX_SIZE_DEG,
+        hex_kring_smooth,
+        hex_kring_smooth_sql,
+    )
+
+    s = HEX_SIZE_DEG
+    c1 = np.sqrt(3.0) / 3.0
+
+    def center(q, r):
+        lat = (r * s) / (2.0 / 3.0)
+        lon = (q * s + (1.0 / 3.0) * lat) / c1
+        return lat, lon
+
+    # hex (0,0) x2; neighbors (1,0) and (1,-1); NON-neighbor (1,1);
+    # isolated far hex (40,40)
+    pts = [center(0, 0), center(0, 0), center(1, 0), center(1, -1),
+           center(1, 1), center(40, 40)]
+    tbl = pa.table({
+        "url": pa.array([f"http://k{i}.com/" for i in range(len(pts))]),
+        "html": pa.array([
+            f'<meta name="geo.position" content="{la};{lo}">'.encode()
+            for la, lo in pts], pa.binary()),
+    })
+
+    eng = hex_kring_smooth(rd.from_arrow(tbl)).to_pandas()
+    got = {(q, r): (n, ring) for q, r, n, ring in
+           eng[["q", "r", "n_pages", "n_ring"]].to_numpy()}
+    assert got[(0, 0)] == (2, 4)    # own 2 + (1,0) + (1,-1); (1,1) excluded
+    assert got[(1, 0)] == (1, 5)    # (0,0)=2 + (1,-1) + (1,1) + own
+    assert got[(1, -1)] == (1, 4)   # (0,0)=2 + (1,0) + own
+    assert got[(1, 1)] == (1, 2)    # (1,0) + own only
+    assert got[(40, 40)] == (1, 1)  # isolated
+    assert len(got) == 5            # no rows for never-occupied neighbors
+
+    con = duckdb.connect()
+    con.register("pages", tbl)
+    orc = con.execute(hex_kring_smooth_sql("pages")).fetchdf()
+    cols = ["q", "r", "n_pages", "n_ring"]
+    assert (sorted(map(tuple, eng[cols].to_numpy()))
+            == sorted(map(tuple, orc[cols].to_numpy())))
