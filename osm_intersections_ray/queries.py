@@ -310,6 +310,8 @@ def queries() -> dict:
         _pages(sf, columns=["url", "html"]))
     q["hex_kring_smooth"] = lambda sf: pages.hex_kring_smooth(
         _pages(sf, columns=["url", "html"]))
+    q["bbox_range_count"] = lambda sf: pages.bbox_range_count(
+        _pages(sf, columns=["url", "html"]))
 
     def pages_in_city(sf):
         fx = ensure_fixtures(sf)
@@ -973,6 +975,7 @@ def oracle_sql() -> dict:
         "page_hotspot_assign": pages.page_hotspot_assign_sql(pages_tbl),
         "page_hex_density": pages.page_hex_density_sql(pages_tbl),
         "hex_kring_smooth": pages.hex_kring_smooth_sql(pages_tbl),
+        "bbox_range_count": pages.bbox_range_count_sql(pages_tbl),
         "pages_in_city": pages.pages_in_city_sql(
             pages_tbl, os.path.join(fx, "boundaries.parquet")),
         "mixture_resample": pages.mixture_resample_sql(pages_tbl),

@@ -2689,3 +2689,95 @@ CROSS JOIN (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
 JOIN dense b ON b.q = a.q + d.dq AND b.r = a.r + d.dr
 GROUP BY a.q, a.r, a.n_pages
 """
+
+
+# ---------------------------------------------------------------------------
+# Batched bbox range queries (the "ways_in_viewport" / tile-server shape)
+#
+# A fixed, deterministic set of query rectangles answered in ONE streaming
+# pass over the corpus: 4x4 tiles over the base synthetic world, one
+# all-covering box, one box over the first replica shift, and one empty
+# ocean box (result rows drop when a box matches nothing — both sides use
+# inner-join semantics).  Boxes are HALF-OPEN [min, max) so a point on a
+# shared tile edge counts in exactly one tile; the literal floats are
+# repr-round-tripped into the SQL so every comparison is bit-identical.
+def _bbox_queries() -> list:
+    out = []
+    bid = 0
+    for i in range(4):
+        for j in range(4):
+            out.append((bid,
+                        round(36.90 + 0.125 * i, 6),
+                        round(-122.40 + 0.225 * j, 6),
+                        round(36.90 + 0.125 * (i + 1), 6),
+                        round(-122.40 + 0.225 * (j + 1), 6)))
+            bid += 1
+    out.append((bid, 36.0, -123.0, 38.0, -120.0))       # whole base world
+    out.append((bid + 1, 36.0, -121.5, 38.0, -120.4))   # first replica band
+    out.append((bid + 2, 10.0, 10.0, 11.0, 11.0))       # empty ocean box
+    return out
+
+
+BBOX_QUERIES = _bbox_queries()
+
+
+def bbox_range_count(pages_ds):
+    """(box_id, n_pages) for every query box holding at least one geotagged
+    page.  Overlapping boxes each count the page (a multi-viewport query,
+    not a partition).
+
+    Scale shape: the query set is a module constant (a broadcast would ship
+    identically); the corpus is touched ONCE — per-batch vectorized
+    point-in-bbox masks fold to (box_id, n) partials, and the single
+    exchange is the boxes-bounded groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    boxes = np.array([b[1:] for b in BBOX_QUERIES], np.float64)
+    ids = np.array([b[0] for b in BBOX_QUERIES], np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False), np.float64)
+        lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False), np.float64)
+        hit = ((lat[:, None] >= boxes[None, :, 0])
+               & (lat[:, None] < boxes[None, :, 2])
+               & (lon[:, None] >= boxes[None, :, 1])
+               & (lon[:, None] < boxes[None, :, 3]))
+        n = hit.sum(axis=0).astype(np.int64)
+        nz = n > 0
+        return pa.table({"box_id": pa.array(ids[nz], pa.int64()),
+                         "n": pa.array(n[nz], pa.int64())})
+
+    out = (pages_ds.map_batches(geotag_batch, batch_format="pyarrow")
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("box_id").aggregate(Sum("n", alias_name="n_pages")))
+    _OUT = pa.schema([("box_id", pa.int64()), ("n_pages", pa.int64())])
+    if out.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(_OUT.empty_table())
+    return out
+
+
+def bbox_range_count_sql(table: str = "pages") -> str:
+    rows = ",\n         ".join(
+        f"({bid}, {repr(a)}, {repr(b)}, {repr(c)}, {repr(d)})"
+        for bid, a, b, c, d in BBOX_QUERIES)
+    return f"""
+WITH g0 AS (
+  SELECT TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
+  FROM {table}
+), g AS (
+  SELECT * FROM g0
+  WHERE lat IS NOT NULL AND lon IS NOT NULL AND isfinite(lat) AND isfinite(lon)
+), boxes(box_id, minlat, minlon, maxlat, maxlon) AS (
+  VALUES {rows}
+)
+SELECT box_id::BIGINT AS box_id, count(*)::BIGINT AS n_pages
+FROM g JOIN boxes
+  ON g.lat >= boxes.minlat AND g.lat < boxes.maxlat
+ AND g.lon >= boxes.minlon AND g.lon < boxes.maxlon
+GROUP BY box_id
+"""

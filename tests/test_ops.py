@@ -1908,3 +1908,47 @@ def test_hex_kring_smooth_adjacency(ray_session):
     cols = ["q", "r", "n_pages", "n_ring"]
     assert (sorted(map(tuple, eng[cols].to_numpy()))
             == sorted(map(tuple, orc[cols].to_numpy())))
+
+
+def test_bbox_range_count_boundaries(ray_session):
+    """Half-open boxes: a point on a shared tile edge counts in exactly one
+    tile; overlapping boxes double-count; the ocean box emits no row."""
+    import duckdb
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.pages import (
+        BBOX_QUERIES,
+        bbox_range_count,
+        bbox_range_count_sql,
+    )
+
+    # tile 0 spans lat [36.90, 37.025), lon [-122.40, -122.175)
+    pts = [
+        (36.90, -122.40),    # inclusive min corner -> tile 0
+        (37.025, -122.40),   # lat on the shared edge -> tile 4, NOT tile 0
+        (36.95, -122.175),   # lon on the shared edge -> tile 1, NOT tile 0
+        (37.0, -121.0),      # replica band only (boxes 16 and 17 overlap it? )
+        (50.0, 50.0),        # outside every box
+    ]
+    tbl = pa.table({
+        "url": pa.array([f"http://b{i}.com/" for i in range(len(pts))]),
+        "html": pa.array([
+            f'<meta name="geo.position" content="{la};{lo}">'.encode()
+            for la, lo in pts], pa.binary()),
+    })
+    eng = bbox_range_count(rd.from_arrow(tbl)).to_pandas()
+    got = dict(map(tuple, eng[["box_id", "n_pages"]].to_numpy()))
+    wide = len(BBOX_QUERIES) - 3     # the whole-world box id
+    replica = len(BBOX_QUERIES) - 2
+    ocean = len(BBOX_QUERIES) - 1
+    assert got[0] == 1 and got[4] == 1 and got[1] == 1
+    assert got[wide] == 4            # every point except (50, 50)
+    assert got[replica] == 1
+    assert ocean not in got          # zero boxes drop
+
+    con = duckdb.connect()
+    con.register("pages", tbl)
+    orc = con.execute(bbox_range_count_sql("pages")).fetchdf()
+    cols = ["box_id", "n_pages"]
+    assert (sorted(map(tuple, eng[cols].to_numpy()))
+            == sorted(map(tuple, orc[cols].to_numpy())))
