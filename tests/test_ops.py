@@ -1952,3 +1952,26 @@ def test_bbox_range_count_boundaries(ray_session):
     cols = ["box_id", "n_pages"]
     assert (sorted(map(tuple, eng[cols].to_numpy()))
             == sorted(map(tuple, orc[cols].to_numpy())))
+
+
+def test_task_crash_retry_exactness(ray_session, tmp_path):
+    """Fault tolerance: a map_batches worker that DIES (process exit, not a
+    Python exception) on its first attempt is retried by Ray and the
+    pipeline still completes with the exact result — the single-node stand-
+    in for a node loss on the production cluster."""
+    import os
+
+    import ray.data as rd
+
+    flag = str(tmp_path / "crashed_once")
+
+    def fn(b: pa.Table) -> pa.Table:
+        if not os.path.exists(flag):
+            open(flag, "w").close()
+            os._exit(1)   # hard worker death -> Ray task retry
+        return b
+
+    ds = rd.range(400, override_num_blocks=4).map_batches(
+        fn, batch_format="pyarrow")
+    assert ds.sum("id") == 400 * 399 // 2
+    assert os.path.exists(flag)
