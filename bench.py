@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "page_hex_density",     # H3-style hex binning, one grid-bounded exchange (s17)
     "way_bfs_hops",         # bounded-hops multi-source BFS, cardinality-routed (s17)
     "pages_segment_snap",   # map-matching snap: kNN + segment projection (s17)
+    "hex_kring_smooth",     # hex-adjacency ring smoothing (s17)
+    "bbox_range_count",     # batched viewport range queries, one pass (s17)
 ]
 
 

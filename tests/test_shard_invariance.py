@@ -79,3 +79,29 @@ def test_n_shards_derivation(ray_session, monkeypatch):
     assert n_shards(32) == 32
     monkeypatch.setenv("OSMRAY_N_SHARDS", "7")
     assert n_shards() == 7
+
+
+def test_way_bfs_sharded_route_shard_invariant(ray_session, monkeypatch):
+    """way_bfs_hops' sharded route (broadcast_max=0 forces it) is pure
+    routing: identical (way_id, hops) at any shard count."""
+    import os
+
+    import ray.data as rd
+
+    from osm_intersections_ray.sources.synthetic import ensure_fixtures
+    from osm_intersections_ray.stages.graph import way_bfs_hops
+
+    fx = ensure_fixtures(SF)
+
+    def run():
+        ds = rd.read_parquet(os.path.join(fx, "ways.parquet"),
+                             override_num_blocks=8)
+        df = way_bfs_hops(ds, broadcast_max=0).to_pandas()
+        return sorted(map(tuple, df[["way_id", "hops"]].to_numpy()))
+
+    monkeypatch.delenv("OSMRAY_N_SHARDS", raising=False)
+    base = run()
+    assert base
+    for ns in (7, 256):
+        monkeypatch.setenv("OSMRAY_N_SHARDS", str(ns))
+        assert run() == base, ns
