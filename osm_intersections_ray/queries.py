@@ -200,6 +200,8 @@ def queries() -> dict:
     q["nearest_two"] = lambda sf: knn.nearest_two_queries(_ways(sf))
     q["pages_segment_snap"] = lambda sf: knn.pages_segment_snap(
         _pages(sf, columns=["url", "html"]), _ways(sf))
+    q["snap_distance_profile"] = lambda sf: knn.snap_distance_profile(
+        _pages(sf, columns=["url", "html"]), _ways(sf))
     q["pages_nearest_way"] = lambda sf: knn.pages_nearest_way(
         _pages(sf, columns=["url", "html"]), _ways(sf))
     q["block_gps"] = lambda sf: qs.block_gps_lookup(_ways(sf))
@@ -312,6 +314,8 @@ def queries() -> dict:
         _pages(sf, columns=["url", "html"]))
     q["bbox_range_count"] = lambda sf: pages.bbox_range_count(
         _pages(sf, columns=["url", "html"]))
+    q["hex_mode_lang"] = lambda sf: pages.hex_mode_lang(
+        _pages(sf, columns=["url", "html", "lang"]))
 
     def pages_in_city(sf):
         fx = ensure_fixtures(sf)
@@ -936,6 +940,8 @@ def oracle_sql() -> dict:
         "nearest_two": knn.nearest_two_sql(ways_path),
         "pages_nearest_way": knn.pages_nearest_way_sql(pages_tbl, ways_path),
         "pages_segment_snap": knn.pages_segment_snap_sql(pages_tbl, ways_path),
+        "snap_distance_profile": knn.snap_distance_profile_sql(
+            pages_tbl, ways_path),
         "block_gps": qs.block_gps_sql(ways_path),
         "vectorize_raster": qs.vectorize_raster_sql(ways_path),
         "rasterize_ways": qs.rasterize_ways_sql(ways_path),
@@ -976,6 +982,7 @@ def oracle_sql() -> dict:
         "page_hex_density": pages.page_hex_density_sql(pages_tbl),
         "hex_kring_smooth": pages.hex_kring_smooth_sql(pages_tbl),
         "bbox_range_count": pages.bbox_range_count_sql(pages_tbl),
+        "hex_mode_lang": pages.hex_mode_lang_sql(pages_tbl),
         "pages_in_city": pages.pages_in_city_sql(
             pages_tbl, os.path.join(fx, "boundaries.parquet")),
         "mixture_resample": pages.mixture_resample_sql(pages_tbl),

@@ -691,7 +691,8 @@ def _snap_to_ways(geom: dict, way: np.ndarray, plat: np.ndarray,
     glats, glons = geom["lats"], geom["lons"]
     n = len(way)
     if n == 0 or len(wid) == 0:
-        return np.zeros(n, bool), np.empty(0, np.int64)
+        return np.zeros(n, bool), np.empty(0, np.int64), np.empty(0,
+                                                                  np.float64)
     pos = np.searchsorted(wid, way)
     pos_c = np.minimum(pos, len(wid) - 1)
     found = wid[pos_c] == way
@@ -700,7 +701,7 @@ def _snap_to_ways(geom: dict, way: np.ndarray, plat: np.ndarray,
     keep = found & (nseg >= 1)
     reps = nseg[keep]
     if reps.sum() == 0:
-        return keep & False, np.empty(0, np.int64)
+        return keep & False, np.empty(0, np.int64), np.empty(0, np.float64)
     page_idx = np.repeat(np.flatnonzero(keep), reps)
     gstarts = np.cumsum(reps) - reps
     within = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(gstarts,
@@ -714,18 +715,19 @@ def _snap_to_ways(geom: dict, way: np.ndarray, plat: np.ndarray,
     penalty = np.where(d2 == np.repeat(dmin, reps), within,
                        np.iinfo(np.int64).max)
     seg_first = np.minimum.reduceat(penalty, gstarts)
-    return keep, seg_first + 1   # 1-based segment index
+    return keep, seg_first + 1, dmin   # 1-based segment index
 
 
 class PagesSegmentSnap(PagesNearestWay):
     """Actor: nearest named way per page (inherited ring walk) + in-batch
     segment projection against the broadcast geometry — zero exchanges."""
 
-    def __init__(self, index_ref, geom_ref):
+    def __init__(self, index_ref, geom_ref, with_d2: bool = False):
         super().__init__(index_ref)
         from .common import cached_get
 
         self.geom = cached_get(geom_ref)
+        self.with_d2 = with_d2
 
     def __call__(self, b: pa.Table) -> pa.Table:  # noqa: D102
         nn = super().__call__(b)
@@ -733,13 +735,16 @@ class PagesSegmentSnap(PagesNearestWay):
                          np.int64)
         plat = np.asarray(b["lat"].to_numpy(zero_copy_only=False), np.float64)
         plon = np.asarray(b["lon"].to_numpy(zero_copy_only=False), np.float64)
-        keep, seg = _snap_to_ways(self.geom, way, plat, plon)
+        keep, seg, dmin = _snap_to_ways(self.geom, way, plat, plon)
         sel = pa.array(np.flatnonzero(keep).astype(np.int64))
-        return pa.table({
+        cols = {
             "url": nn["url"].take(sel),
             "way_id": pa.array(way[keep], pa.int64()),
             "seg_idx": pa.array(seg, pa.int64()),
-        })
+        }
+        if self.with_d2:
+            cols["d2"] = pa.array(dmin, pa.float64())
+        return pa.table(cols)
 
 
 class PagesNearestWayCoords(PagesNearestWay):
@@ -781,7 +786,7 @@ def _explode_named_segments(b: pa.Table) -> pa.Table:
                      "y2": pa.array(la[vidx + 1])}, schema=_SEG_SCHEMA)
 
 
-def _snap_join_route(nn_ds, ways_ds):
+def _snap_join_route(nn_ds, ways_ds, with_d2: bool = False):
     """Above-cap route: way_id hash join of skinny page rows against
     exploded segment rows, then one url-keyed (d2, seg_idx) argmin fold."""
     from .common import cap_join_partitions, drop_empty_blocks
@@ -807,11 +812,12 @@ def _snap_join_route(nn_ds, ways_ds):
     def pick(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values(["url", "d2", "seg_idx"],
                             kind="stable").drop_duplicates("url")
-        return pa.table({"url": pa.array(df["url"].to_numpy(object),
-                                         pa.string()),
-                         "way_id": pa.array(df["way_id"].to_numpy(np.int64)),
-                         "seg_idx": pa.array(
-                             df["seg_idx"].to_numpy(np.int64))})
+        cols = {"url": pa.array(df["url"].to_numpy(object), pa.string()),
+                "way_id": pa.array(df["way_id"].to_numpy(np.int64)),
+                "seg_idx": pa.array(df["seg_idx"].to_numpy(np.int64))}
+        if with_d2:
+            cols["d2"] = pa.array(df["d2"].to_numpy(np.float64))
+        return pa.table(cols)
 
     return (joined.map_batches(score, batch_format="pyarrow")
             .groupby("url").map_groups(pick, batch_format="pandas"))
@@ -819,10 +825,13 @@ def _snap_join_route(nn_ds, ways_ds):
 
 def pages_segment_snap(pages_ds, ways_ds,
                        broadcast_vertices_max: int =
-                       SNAP_BROADCAST_VERTICES_MAX):
+                       SNAP_BROADCAST_VERTICES_MAX,
+                       with_d2: bool = False):
     """(url, way_id, seg_idx) — every geotagged page snapped to the segment
     of its nearest named way (vertex-L1 nearest way, then squared-Euclidean
-    segment projection with (d2, seg_idx) tie order)."""
+    segment projection with (d2, seg_idx) tie order).  ``with_d2`` appends
+    the squared projection distance (degree^2) for distance-profile
+    consumers."""
     import ray
 
     from .pages import geotag_batch
@@ -839,21 +848,60 @@ def pages_segment_snap(pages_ds, ways_ds,
         geom_ref = ray.put(build_named_geom(ways_ds, broadcast_vertices_max))
         return pts.map_batches(PagesSegmentSnap, batch_format="pyarrow",
                                batch_size=2048, concurrency=n_act,
-                               fn_constructor_args=(idx_ref, geom_ref))
+                               fn_constructor_args=(idx_ref, geom_ref,
+                                                    with_d2))
     nn = pts.map_batches(PagesNearestWayCoords, batch_format="pyarrow",
                          batch_size=2048, concurrency=n_act,
                          fn_constructor_args=(idx_ref,))
-    return _snap_join_route(nn, ways_ds)
+    return _snap_join_route(nn, ways_ds, with_d2=with_d2)
 
 
-def pages_segment_snap_sql(pages_tbl: str, ways_path: str) -> str:
-    """Brute-force oracle: the pages_nearest_way argmin CTE (vertex L1,
+SNAP_BUCKET_M = 50.0   # distance-profile bucket width (meters)
+
+
+def snap_distance_profile(pages_ds, ways_ds,
+                          broadcast_vertices_max: int =
+                          SNAP_BROADCAST_VERTICES_MAX):
+    """(bucket, n_pages) — the distribution of page-to-road snap distances
+    in 50 m buckets (bucket k covers [50k, 50(k+1)) meters): the geotag-
+    quality validation metric of the snap join.  dist = METERS_PER_DEGREE *
+    sqrt(d2) with the exact float chain shared with the SQL oracle.
+
+    Scale shape: the snap's own routes (broadcast or join) produce skinny
+    (url, d2) rows; one more map folds per-batch bucket partials and the
+    only added exchange is the buckets-bounded groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    snapped = pages_segment_snap(pages_ds, ways_ds,
+                                 broadcast_vertices_max=broadcast_vertices_max,
+                                 with_d2=True)
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        d2 = np.asarray(b["d2"].to_numpy(zero_copy_only=False), np.float64)
+        bk = np.floor(METERS_PER_DEGREE * np.sqrt(d2)
+                      / SNAP_BUCKET_M).astype(np.int64)
+        u, c = np.unique(bk, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    out = (snapped.map_batches(bucket_partial, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Sum("n", alias_name="n_pages")))
+    _OUT = pa.schema([("bucket", pa.int64()), ("n_pages", pa.int64())])
+    if out.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(_OUT.empty_table())
+    return out
+
+
+def _snap_sql_cte(pages_tbl: str, ways_path: str) -> str:
+    """Shared oracle CTE chain: the pages_nearest_way argmin (vertex L1,
     (dist, way_id) order) carrying coords, then the segment projection with
-    the engine's EXACT float64 op order and (d2, seg_idx) tie rule."""
+    the engine's EXACT float64 op order and (d2, seg_idx) tie rule, ending
+    at ``pick`` (rn = 1 is the snap row, d2 carried)."""
     from .queries_spatial import NM_SQL
 
-    return f"""
-WITH g0 AS (
+    return f"""g0 AS (
   SELECT url,
          TRY_CAST(regexp_extract(decode(html),
               '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
@@ -894,9 +942,24 @@ sc4 AS (SELECT url, way_id, seg_idx,
                lon - (x1 + t * dx) AS ex, lat - (y1 + t * dy) AS ey
         FROM sc3),
 sc5 AS (SELECT url, way_id, seg_idx, ex * ex + ey * ey AS d2 FROM sc4),
-pick AS (SELECT url, way_id, seg_idx,
+pick AS (SELECT url, way_id, seg_idx, d2,
                 row_number() OVER (PARTITION BY url ORDER BY d2, seg_idx)
                   AS rn
-         FROM sc5)
+         FROM sc5)"""
+
+
+def pages_segment_snap_sql(pages_tbl: str, ways_path: str) -> str:
+    return f"""
+WITH {_snap_sql_cte(pages_tbl, ways_path)}
 SELECT url, way_id, seg_idx::BIGINT AS seg_idx FROM pick WHERE rn = 1
+"""
+
+
+def snap_distance_profile_sql(pages_tbl: str, ways_path: str) -> str:
+    return f"""
+WITH {_snap_sql_cte(pages_tbl, ways_path)}
+SELECT CAST(floor({METERS_PER_DEGREE} * sqrt(d2) / 50.0) AS BIGINT)
+         AS bucket,
+       count(*)::BIGINT AS n_pages
+FROM pick WHERE rn = 1 GROUP BY 1
 """

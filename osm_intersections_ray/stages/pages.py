@@ -59,10 +59,12 @@ def extract_sql(table: str = "pages") -> str:
             f"'(?s)<article>(.*?)</article>', 1) AS text_extracted FROM {table}")
 
 
-def geotag_batch(b: pa.Table) -> pa.Table:
+def geotag_batch(b: pa.Table, carry: tuple = ()) -> pa.Table:
     """Pages whose geo.position tag is absent or does not parse to two
     FINITE doubles are DROPPED (they cannot be placed on a tile) — the SQL
-    mirrors this with TRY_CAST + isfinite."""
+    mirrors this with TRY_CAST + isfinite.  ``carry`` names extra input
+    columns to pass through for the surviving rows (e.g. ``lang`` for the
+    geo-by-content crosses); the default output is unchanged."""
     import pandas as pd
 
     ser = b["html"].cast(pa.string()).to_pandas()
@@ -76,23 +78,25 @@ def geotag_batch(b: pa.Table) -> pa.Table:
     url = b["url"].combine_chunks()
     if isinstance(url, pa.ChunkedArray):
         url = url.chunk(0) if url.num_chunks else pa.array([], pa.string())
+    extras = {c: b[c] for c in carry}
     if not keep.all():
         sel = pa.array(np.nonzero(keep)[0].astype(np.int64))
         url, ext = url.take(sel), ext[keep]
+        extras = {c: v.take(sel) for c, v in extras.items()}
     lat = ext[0].astype(np.float64).to_numpy()
     lon = ext[1].astype(np.float64).to_numpy()
     n = 1 << TILE_RES_MAX
     ix = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
     iy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
     tile = (np.int64(TILE_RES_MAX) << 58) | (ix << 29) | iy
-    return pa.table(
-        {
-            "url": url,
-            "lat": pa.array(lat, pa.float64()),
-            "lon": pa.array(lon, pa.float64()),
-            "tile17": pa.array(tile, pa.int64()),
-        }
-    )
+    cols = {
+        "url": url,
+        "lat": pa.array(lat, pa.float64()),
+        "lon": pa.array(lon, pa.float64()),
+        "tile17": pa.array(tile, pa.int64()),
+    }
+    cols.update(extras)
+    return pa.table(cols)
 
 
 def geotag_sql(table: str = "pages") -> str:
@@ -2568,43 +2572,48 @@ def page_hex_density(pages_ds, size: float = HEX_SIZE_DEG):
     return out
 
 
-def page_hex_density_sql(table: str = "pages",
-                         size: float = HEX_SIZE_DEG) -> str:
+def _hex_cte(table: str, size: float, extra: str = "") -> str:
     # Same operation ORDER as _hex_qr: the two linear forms, floor(v+0.5)
     # rounding, residuals, and the exclusive CASE fixup; sqrt(3.0)/3.0 etc.
     # are correctly-rounded doubles in both engines, so every intermediate
-    # is bit-identical.
+    # is bit-identical.  ``extra`` (e.g. ", lang") carries passthrough
+    # columns into h5 for the geo-by-content crosses.
     s = repr(float(size))
-    return f"""
-WITH g0 AS (
+    return f"""g0 AS (
   SELECT TRY_CAST(regexp_extract(decode(html),
               '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
          TRY_CAST(regexp_extract(decode(html),
-              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon{extra}
   FROM {table}
 ), g AS (
   SELECT * FROM g0
   WHERE lat IS NOT NULL AND lon IS NOT NULL AND isfinite(lat) AND isfinite(lon)
 ), h1 AS (
   SELECT ((sqrt(3.0) / 3.0) * lon - (1.0 / 3.0) * lat) / {s} AS xf,
-         ((2.0 / 3.0) * lat) / {s} AS zf
+         ((2.0 / 3.0) * lat) / {s} AS zf{extra}
   FROM g
 ), h2 AS (
-  SELECT xf, zf, -xf - zf AS yf FROM h1
+  SELECT xf, zf, -xf - zf AS yf{extra} FROM h1
 ), h3 AS (
   SELECT xf, yf, zf,
-         floor(xf + 0.5) AS rx, floor(yf + 0.5) AS ry, floor(zf + 0.5) AS rz
+         floor(xf + 0.5) AS rx, floor(yf + 0.5) AS ry, floor(zf + 0.5) AS rz{extra}
   FROM h2
 ), h4 AS (
   SELECT rx, ry, rz,
-         abs(rx - xf) AS dx, abs(ry - yf) AS dy, abs(rz - zf) AS dz
+         abs(rx - xf) AS dx, abs(ry - yf) AS dy, abs(rz - zf) AS dz{extra}
   FROM h3
 ), h5 AS (
   SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS q,
          CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
-                   THEN -rx - ry ELSE rz END AS BIGINT) AS r
+                   THEN -rx - ry ELSE rz END AS BIGINT) AS r{extra}
   FROM h4
-)
+)"""
+
+
+def page_hex_density_sql(table: str = "pages",
+                         size: float = HEX_SIZE_DEG) -> str:
+    return f"""
+WITH {_hex_cte(table, size)}
 SELECT q, r, count(*)::BIGINT AS n_pages FROM h5 GROUP BY q, r
 """
 
@@ -2780,4 +2789,86 @@ FROM g JOIN boxes
   ON g.lat >= boxes.minlat AND g.lat < boxes.maxlat
  AND g.lon >= boxes.minlon AND g.lon < boxes.maxlon
 GROUP BY box_id
+"""
+
+
+def hex_mode_lang(pages_ds, size: float = HEX_SIZE_DEG):
+    """(q, r, top_lang, n_top, n_pages) — the dominant document language per
+    occupied hex cell (ties break lang-ascending; NULL lang folds to '').
+    The geo-by-content cross a multilingual crawl curates with: where does
+    each language's web live?
+
+    Scale shape: one column-pruned corpus pass (geotag + lang carried) into
+    per-batch (hex, lang) count partials; the single exchange is the
+    hex-keyed groupby, whose per-hex fold (sum by lang, argmax) sees only
+    partial rows — bounded by |langs| per hex per input block."""
+
+    B2 = np.int64(2) * _HEX_PACK_B
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False), np.float64)
+        lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False), np.float64)
+        q, r = _hex_qr(lat, lon, size)
+        lang = pd.Series(b["lang"].to_pylist(), dtype=object).fillna("")
+        df = pd.DataFrame({"hex": (q + _HEX_PACK_B) * B2 + (r + _HEX_PACK_B),
+                           "lang": lang})
+        g = df.groupby(["hex", "lang"], sort=False).size().reset_index(name="n")
+        return pa.table({"hex": pa.array(g["hex"].to_numpy(np.int64)),
+                         "lang": pa.array(g["lang"].to_numpy(object),
+                                          pa.string()),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    _OUT = pa.schema([("q", pa.int64()), ("r", pa.int64()),
+                      ("top_lang", pa.string()), ("n_top", pa.int64()),
+                      ("n_pages", pa.int64())])
+
+    def per_hex(df) -> pa.Table:
+        import pandas as pd
+
+        g = (df.groupby(["hex", "lang"], sort=False)["n"].sum()
+             .reset_index())
+        g = g.sort_values(["hex", "n", "lang"],
+                          ascending=[True, False, True], kind="stable")
+        total = g.groupby("hex", sort=False)["n"].sum()
+        top = g.drop_duplicates("hex")
+        h = top["hex"].to_numpy(np.int64)
+        return pa.table({
+            "q": pa.array(h // np.int64(2 * _HEX_PACK_B) - _HEX_PACK_B,
+                          pa.int64()),
+            "r": pa.array(h % np.int64(2 * _HEX_PACK_B) - _HEX_PACK_B,
+                          pa.int64()),
+            "top_lang": pa.array(top["lang"].to_numpy(object), pa.string()),
+            "n_top": pa.array(top["n"].to_numpy(np.int64)),
+            "n_pages": pa.array(total[h].to_numpy(np.int64)),
+        }, schema=_OUT)
+
+    out = (pages_ds.map_batches(
+        lambda b: geotag_batch(b, carry=("lang",)), batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hex").map_groups(per_hex, batch_format="pandas"))
+    if out.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(_OUT.empty_table())
+    return out
+
+
+def hex_mode_lang_sql(table: str = "pages",
+                      size: float = HEX_SIZE_DEG) -> str:
+    return f"""
+WITH {_hex_cte(table, size, extra=", lang")},
+c AS (
+  SELECT q, r, coalesce(lang, '') AS lang, count(*)::BIGINT AS n
+  FROM h5 GROUP BY 1, 2, 3
+), t AS (
+  SELECT q, r, sum(n)::BIGINT AS n_pages FROM c GROUP BY 1, 2
+), p AS (
+  SELECT q, r, lang, n,
+         row_number() OVER (PARTITION BY q, r ORDER BY n DESC, lang) AS rn
+  FROM c
+)
+SELECT p.q, p.r, p.lang AS top_lang, p.n AS n_top, t.n_pages
+FROM p JOIN t USING (q, r) WHERE rn = 1
 """

@@ -1975,3 +1975,97 @@ def test_task_crash_retry_exactness(ray_session, tmp_path):
         fn, batch_format="pyarrow")
     assert ds.sum("id") == 400 * 399 // 2
     assert os.path.exists(flag)
+
+
+def test_hex_mode_lang_ties_and_nulls(ray_session):
+    """Dominant-language-per-hex: tie breaks lang-ascending, NULL lang
+    folds to '', geotag-less pages drop, totals count every resident."""
+    import duckdb
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.pages import (
+        HEX_SIZE_DEG,
+        hex_mode_lang,
+        hex_mode_lang_sql,
+    )
+
+    s = HEX_SIZE_DEG
+    c1 = np.sqrt(3.0) / 3.0
+
+    def center(q, r):
+        lat = (r * s) / (2.0 / 3.0)
+        lon = (q * s + (1.0 / 3.0) * lat) / c1
+        return lat, lon
+
+    # hex (0,0): de x2, en x2 (tie -> 'de'), fr x1; hex (5,5): NULL lang
+    rows = [(center(0, 0), "de"), (center(0, 0), "de"),
+            (center(0, 0), "en"), (center(0, 0), "en"),
+            (center(0, 0), "fr"), (center(5, 5), None)]
+    htmls = [f'<meta name="geo.position" content="{la};{lo}">'.encode()
+             for (la, lo), _ in rows] + [b"<html>no tag</html>"]
+    langs = [l for _, l in rows] + ["en"]
+    tbl = pa.table({
+        "url": pa.array([f"http://m{i}.com/" for i in range(len(htmls))]),
+        "html": pa.array(htmls, pa.binary()),
+        "lang": pa.array(langs, pa.string()),
+    })
+    eng = hex_mode_lang(rd.from_arrow(tbl)).to_pandas()
+    got = {(q, r): (tl, nt, np_) for q, r, tl, nt, np_ in
+           eng[["q", "r", "top_lang", "n_top", "n_pages"]].to_numpy()}
+    assert got[(0, 0)] == ("de", 2, 5)
+    assert got[(5, 5)] == ("", 1, 1)
+    assert len(got) == 2
+
+    con = duckdb.connect()
+    con.register("pages", tbl)
+    orc = con.execute(hex_mode_lang_sql("pages")).fetchdf()
+    cols = ["q", "r", "top_lang", "n_top", "n_pages"]
+    assert (sorted(map(tuple, eng[cols].to_numpy()))
+            == sorted(map(tuple, orc[cols].to_numpy())))
+
+
+def test_snap_distance_profile_buckets(ray_session, tmp_path):
+    """Snap-distance histogram: an on-segment page lands in bucket 0, a
+    ~0.001-degree offset (~100 m L2) in bucket 2, and the engine matches
+    the SQL chain bit-for-bit."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.knn import (
+        snap_distance_profile,
+        snap_distance_profile_sql,
+    )
+
+    ways = pa.table({
+        "way_id": pa.array([1], pa.int64()),
+        "name": ["Alpha Road"],
+        "ref": pa.array([None], pa.string()),
+        "tagged": [True],
+        "county": ["X"],
+        "way_rank": pa.array([0], pa.int64()),
+        "lats": [[0.0, 0.0]],
+        "lons": [[0.0, 0.01]],
+    })
+    ways_path = str(tmp_path / "ways.parquet")
+    pq.write_table(ways, ways_path)
+    pts = [(0.0, 0.005),      # exactly on the segment -> bucket 0
+           (0.001, 0.005),    # 0.001 deg above -> 100 m -> bucket 2
+           (0.0003, 0.002)]   # 30 m -> bucket 0
+    tbl = pa.table({
+        "url": pa.array([f"http://d{i}.com/" for i in range(len(pts))]),
+        "html": pa.array([
+            f'<meta name="geo.position" content="{la};{lo}">'.encode()
+            for la, lo in pts], pa.binary()),
+    })
+    eng = snap_distance_profile(rd.from_arrow(tbl),
+                                rd.from_arrow(ways)).to_pandas()
+    got = dict(map(tuple, eng[["bucket", "n_pages"]].to_numpy()))
+    assert got == {0: 2, 2: 1}
+
+    con = duckdb.connect()
+    con.register("pages", tbl)
+    orc = con.execute(snap_distance_profile_sql("pages", ways_path)).fetchdf()
+    assert (sorted(map(tuple, eng[["bucket", "n_pages"]].to_numpy()))
+            == sorted(map(tuple, orc[["bucket", "n_pages"]].to_numpy())))
