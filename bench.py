@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "pages_segment_snap",   # map-matching snap: kNN + segment projection (s17)
     "hex_kring_smooth",     # hex-adjacency ring smoothing (s17)
     "bbox_range_count",     # batched viewport range queries, one pass (s17)
+    "hex_mode_lang",        # geo-by-content dominant-language cross (s17)
+    "snap_distance_profile",  # snap-distance histogram, join-quality metric (s17)
 ]
 
 
