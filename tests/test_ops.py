@@ -2069,3 +2069,8 @@ def test_snap_distance_profile_buckets(ray_session, tmp_path):
     orc = con.execute(snap_distance_profile_sql("pages", ways_path)).fetchdf()
     assert (sorted(map(tuple, eng[["bucket", "n_pages"]].to_numpy()))
             == sorted(map(tuple, orc[["bucket", "n_pages"]].to_numpy())))
+
+    # the join route (cap 0) folds the identical histogram
+    eng_j = snap_distance_profile(rd.from_arrow(tbl), rd.from_arrow(ways),
+                                  broadcast_vertices_max=0).to_pandas()
+    assert dict(map(tuple, eng_j[["bucket", "n_pages"]].to_numpy())) == got
