@@ -884,8 +884,12 @@ def snap_distance_profile(pages_ds, ways_ds,
         return pa.table({"bucket": pa.array(u, pa.int64()),
                          "n": pa.array(c.astype(np.int64), pa.int64())})
 
+    # materialize the buckets-bounded histogram BEFORE the empty-guard
+    # count(): otherwise the consumer re-executes the entire snap (the
+    # count() already ran it once — measured 11.0 s vs 5.5 s at sf0.1)
     out = (snapped.map_batches(bucket_partial, batch_format="pyarrow")
-           .groupby("bucket").aggregate(Sum("n", alias_name="n_pages")))
+           .groupby("bucket").aggregate(Sum("n", alias_name="n_pages"))
+           .materialize())
     _OUT = pa.schema([("bucket", pa.int64()), ("n_pages", pa.int64())])
     if out.count() == 0:
         import ray.data as rd

@@ -2563,7 +2563,10 @@ def page_hex_density(pages_ds, size: float = HEX_SIZE_DEG):
                          "r": pa.array(h % B2 - _HEX_PACK_B, pa.int64()),
                          "n_pages": b["n_pages"]}, schema=_SCHEMA)
 
-    out = counts.map_batches(unpack, batch_format="pyarrow")
+    # materialize the grid-bounded result BEFORE the empty-guard count():
+    # count() executes the plan, and returning the un-materialized dataset
+    # would re-execute the whole corpus pass for the consumer (measured 2x)
+    out = counts.map_batches(unpack, batch_format="pyarrow").materialize()
     if out.count() == 0:
         # an all-empty aggregation loses its schema; rebuild it explicitly
         import ray.data as rd
@@ -2676,7 +2679,7 @@ def hex_kring_smooth(pages_ds, size: float = HEX_SIZE_DEG):
                          "n_pages": t["n_pages"], "n_ring": t["n_ring"]},
                         schema=_OUT)
 
-    out = agg.map_batches(finish, batch_format="pyarrow")
+    out = agg.map_batches(finish, batch_format="pyarrow").materialize()
     if out.count() == 0:
         import ray.data as rd
 
@@ -2758,7 +2761,8 @@ def bbox_range_count(pages_ds):
 
     out = (pages_ds.map_batches(geotag_batch, batch_format="pyarrow")
            .map_batches(partial, batch_format="pyarrow")
-           .groupby("box_id").aggregate(Sum("n", alias_name="n_pages")))
+           .groupby("box_id").aggregate(Sum("n", alias_name="n_pages"))
+           .materialize())
     _OUT = pa.schema([("box_id", pa.int64()), ("n_pages", pa.int64())])
     if out.count() == 0:
         import ray.data as rd
@@ -2847,7 +2851,8 @@ def hex_mode_lang(pages_ds, size: float = HEX_SIZE_DEG):
     out = (pages_ds.map_batches(
         lambda b: geotag_batch(b, carry=("lang",)), batch_format="pyarrow")
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("hex").map_groups(per_hex, batch_format="pandas"))
+        .groupby("hex").map_groups(per_hex, batch_format="pandas")
+        .materialize())
     if out.count() == 0:
         import ray.data as rd
 
