@@ -323,6 +323,14 @@ def queries() -> dict:
         return pages.pages_in_city(_pages(sf, columns=["url", "html"]), bounds)
 
     q["pages_in_city"] = pages_in_city
+
+    def pages_near_boundary(sf):
+        fx = ensure_fixtures(sf)
+        bounds = pq.read_table(os.path.join(fx, "boundaries.parquet"))
+        return pages.pages_near_boundary(
+            _pages(sf, columns=["url", "html"]), bounds)
+
+    q["pages_near_boundary"] = pages_near_boundary
     q["mixture_resample"] = lambda sf: pages.mixture_resample(
         _pages(sf, columns=["url", "text"]))
     q["page_links"] = lambda sf: pages.page_links(
@@ -984,6 +992,8 @@ def oracle_sql() -> dict:
         "bbox_range_count": pages.bbox_range_count_sql(pages_tbl),
         "hex_mode_lang": pages.hex_mode_lang_sql(pages_tbl),
         "pages_in_city": pages.pages_in_city_sql(
+            pages_tbl, os.path.join(fx, "boundaries.parquet")),
+        "pages_near_boundary": pages.pages_near_boundary_sql(
             pages_tbl, os.path.join(fx, "boundaries.parquet")),
         "mixture_resample": pages.mixture_resample_sql(pages_tbl),
         "warc_pages": warc_src.warc_pages_sql(pages_tbl),

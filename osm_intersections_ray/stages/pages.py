@@ -2877,3 +2877,162 @@ c AS (
 SELECT p.q, p.r, p.lang AS top_lang, p.n AS n_top, t.n_pages
 FROM p JOIN t USING (q, r) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Geofencing: pages near a city boundary line
+#
+# The proximity-alert primitive (geofence entry/exit, "within X m of an
+# admin border"): every geotagged page within GEOFENCE_RADIUS_M meters of
+# any city boundary EDGE (outer rings and holes alike), with the set of
+# cities whose border it approaches.  Distance = point-to-segment squared
+# Euclidean in degree space (the snap op's exact _project_d2 chain); the
+# threshold constant is computed ONCE driver-side and embedded verbatim in
+# both the engine compare and the SQL literal, so the d2 <= D2 comparison
+# is bit-identical.
+GEOFENCE_RADIUS_M = 100.0
+
+
+def _geofence_d2(radius_m: float) -> float:
+    d = np.float64(radius_m) / np.float64(100000.0)  # METERS_PER_DEGREE
+    return float(d * d)
+
+
+def pages_near_boundary(pages_ds, bounds_tbl: pa.Table,
+                        radius_m: float = GEOFENCE_RADIUS_M):
+    """(url, n_near, cities) for every geotagged page within ``radius_m``
+    of at least one city boundary edge; cities = '/'-joined sorted names.
+
+    Scale shape: boundaries are dimension data — segment arrays built once
+    on the driver, shipped via ray.put, cached per worker; pages stream
+    through ONE pass with a per-city bbox prescreen before the vectorized
+    projection block.  Zero shuffle.  (A planet-scale boundary set would
+    bucket segments by grid cell exactly like pages_way_join's cover index;
+    the per-region segment count this engine targets is dimension-bounded.)"""
+    import ray
+
+    from ..functions.geometry import parse_geom_json
+    from .common import cached_get
+    from .knn import _project_d2
+
+    d_deg = float(np.float64(radius_m) / np.float64(100000.0))
+    d2_max = _geofence_d2(radius_m)
+
+    bd = bounds_tbl.to_pydict()
+    by_name: dict = {}
+    for i in range(len(bd["name"])):
+        if bd["kind"][i] != "city":
+            continue
+        segs = by_name.setdefault(bd["name"][i], [[], [], [], []])
+        for rings in parse_geom_json(bd["geom_json"][i]):
+            for ring in rings:
+                if len(ring) < 2:
+                    continue
+                segs[0].append(np.asarray(ring[:-1, 0], np.float64))
+                segs[1].append(np.asarray(ring[:-1, 1], np.float64))
+                segs[2].append(np.asarray(ring[1:, 0], np.float64))
+                segs[3].append(np.asarray(ring[1:, 1], np.float64))
+    cities = []
+    for name in sorted(by_name):
+        x1, y1, x2, y2 = (np.concatenate(a) for a in by_name[name])
+        bbox = (min(x1.min(), x2.min()) - d_deg,
+                min(y1.min(), y2.min()) - d_deg,
+                max(x1.max(), x2.max()) + d_deg,
+                max(y1.max(), y2.max()) + d_deg)
+        cities.append((name, x1, y1, x2, y2, bbox))
+    ref = ray.put(cities)
+
+    _OUT = pa.schema([("url", pa.string()), ("n_near", pa.int64()),
+                      ("cities", pa.string())])
+
+    def near(b: pa.Table) -> pa.Table:
+        cs = cached_get(ref)
+        lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False), np.float64)
+        lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False), np.float64)
+        n = len(lon)
+        hits = []   # per city: bool mask over pages
+        names = []
+        for name, x1, y1, x2, y2, (bx0, by0, bx1, by1) in cs:
+            pre = (lon >= bx0) & (lon <= bx1) & (lat >= by0) & (lat <= by1)
+            mask = np.zeros(n, bool)
+            if pre.any():
+                idx = np.nonzero(pre)[0]
+                d2, _ = _project_d2(lon[idx, None], lat[idx, None],
+                                    x1[None, :], y1[None, :],
+                                    x2[None, :], y2[None, :])
+                mask[idx] = (d2 <= d2_max).any(axis=1)
+            hits.append(mask)
+            names.append(name)
+        if not hits:
+            return _OUT.empty_table()
+        hm = np.stack(hits, axis=1)          # (pages, cities), city-name asc
+        cnt = hm.sum(axis=1).astype(np.int64)
+        keep = cnt >= 1
+        if not keep.any():
+            return _OUT.empty_table()
+        urls = b["url"].to_pylist()
+        out_u, out_c, out_s = [], [], []
+        for i in np.nonzero(keep)[0]:
+            out_u.append(urls[i])
+            out_c.append(int(cnt[i]))
+            out_s.append("/".join(names[j] for j in np.nonzero(hm[i])[0]))
+        return pa.table({"url": pa.array(out_u, pa.string()),
+                         "n_near": pa.array(out_c, pa.int64()),
+                         "cities": pa.array(out_s, pa.string())},
+                        schema=_OUT)
+
+    out = (pages_ds.map_batches(geotag_batch, batch_format="pyarrow")
+           .map_batches(near, batch_format="pyarrow"))
+    return out
+
+
+def pages_near_boundary_sql(table: str, bounds_path: str,
+                            radius_m: float = GEOFENCE_RADIUS_M) -> str:
+    d2_max = repr(_geofence_d2(radius_m))
+    return f"""
+WITH g0 AS (
+  SELECT url,
+         TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(decode(html),
+              '<meta name="geo\\.position" content="([^;]+);([^"]+)">', 2) AS DOUBLE) AS lon
+  FROM {table}
+), g AS (
+  SELECT * FROM g0
+  WHERE lat IS NOT NULL AND lon IS NOT NULL AND isfinite(lat) AND isfinite(lon)
+), b AS (
+  SELECT name, CAST(geom_json AS DOUBLE[][][]) AS poly
+  FROM read_parquet('{bounds_path}') WHERE kind = 'city'
+), seg AS (
+  SELECT b.name,
+         b.poly[r.ri][s.k][1] AS x1, b.poly[r.ri][s.k][2] AS y1,
+         b.poly[r.ri][s.k + 1][1] AS x2, b.poly[r.ri][s.k + 1][2] AS y2
+  FROM b,
+       LATERAL (SELECT unnest(generate_series(1, len(b.poly))) AS ri) r,
+       LATERAL (SELECT unnest(generate_series(1, len(b.poly[r.ri]) - 1))
+                  AS k) s
+), sc AS (
+  SELECT g.url, seg.name, g.lon, g.lat, seg.x1, seg.y1,
+         seg.x2 - seg.x1 AS dx, seg.y2 - seg.y1 AS dy
+  FROM g CROSS JOIN seg
+), sc2 AS (
+  SELECT url, name, lon, lat, x1, y1, dx, dy,
+         dx * dx + dy * dy AS den,
+         (lon - x1) * dx + (lat - y1) * dy AS num
+  FROM sc
+), sc3 AS (
+  SELECT url, name, lon, lat, x1, y1, dx, dy,
+         CASE WHEN den = 0 THEN 0.0
+              ELSE least(greatest(num / den, 0.0), 1.0) END AS t
+  FROM sc2
+), sc4 AS (
+  SELECT url, name,
+         lon - (x1 + t * dx) AS ex, lat - (y1 + t * dy) AS ey
+  FROM sc3
+), near AS (
+  SELECT DISTINCT url, name FROM sc4 WHERE ex * ex + ey * ey <= {d2_max}
+)
+SELECT url, count(*)::BIGINT AS n_near,
+       array_to_string(list_sort(list(name)), '/') AS cities
+FROM near GROUP BY url
+"""

@@ -2074,3 +2074,70 @@ def test_snap_distance_profile_buckets(ray_session, tmp_path):
     eng_j = snap_distance_profile(rd.from_arrow(tbl), rd.from_arrow(ways),
                                   broadcast_vertices_max=0).to_pandas()
     assert dict(map(tuple, eng_j[["bucket", "n_pages"]].to_numpy())) == got
+
+
+def test_pages_near_boundary_geofence(ray_session):
+    """Geofence hostiles: inclusive exact-radius hit, just-outside miss,
+    two-city shared border (n_near=2), hole edges count as boundary, deep
+    interior excluded."""
+    import json
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.pages import (
+        pages_near_boundary,
+        pages_near_boundary_sql,
+    )
+
+    def poly(*rings):
+        return json.dumps([[list(p) for p in r + (r[0],)] for r in rings])
+
+    bounds = pa.table({
+        "name": ["Aville", "Bville", "Cville", "County"],
+        "kind": ["city", "city", "city", "county"],
+        "file_order": pa.array([0, 1, 2, 3], pa.int64()),
+        # A and B share the x=0.01 border; C has a hole
+        "geom_json": [
+            poly(((0.0, 0.0), (0.01, 0.0), (0.01, 0.01), (0.0, 0.01))),
+            poly(((0.01, 0.0), (0.02, 0.0), (0.02, 0.01), (0.01, 0.01))),
+            poly(((1.0, 1.0), (1.1, 1.0), (1.1, 1.1), (1.0, 1.1)),
+                 ((1.04, 1.04), (1.06, 1.04), (1.06, 1.06), (1.04, 1.06))),
+            poly(((0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (0.0, 5.0))),
+        ],
+    })
+    pts = [
+        (0.005, -0.001),   # exactly 100 m west of A's x=0 edge -> in (<=)
+        (0.005, -0.0011),  # 110 m -> out
+        (0.005, 0.0101),   # 10 m east of the shared border -> A and B
+        (1.05, 1.0601),    # 10 m outside C's hole edge (inside outer) -> C
+        (0.005, 0.005),    # deep interior of A, 500 m from every edge -> out
+    ]
+    tbl = pa.table({
+        "url": pa.array([f"http://g{i}.com/" for i in range(len(pts))]),
+        "html": pa.array([
+            f'<meta name="geo.position" content="{la};{lo}">'.encode()
+            for la, lo in pts], pa.binary()),
+    })
+    eng = pages_near_boundary(rd.from_arrow(tbl),
+                              bounds).to_pandas()
+    got = {u: (n, c) for u, n, c in
+           eng[["url", "n_near", "cities"]].to_numpy()}
+    assert got["http://g0.com/"] == (1, "Aville")
+    assert "http://g1.com/" not in got
+    assert got["http://g2.com/"] == (2, "Aville/Bville")
+    assert got["http://g3.com/"] == (1, "Cville")   # hole edge counts
+    assert "http://g4.com/" not in got              # county kind excluded too
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        bp = os.path.join(td, "boundaries.parquet")
+        pq.write_table(bounds, bp)
+        con = duckdb.connect()
+        con.register("pages", tbl)
+        orc = con.execute(pages_near_boundary_sql("pages", bp)).fetchdf()
+    cols = ["url", "n_near", "cities"]
+    assert (sorted(map(tuple, eng[cols].to_numpy()))
+            == sorted(map(tuple, orc[cols].to_numpy())))
