@@ -213,6 +213,7 @@ def queries() -> dict:
     q["way_components"] = lambda sf: graph.way_components(_ways(sf))
     q["way_triangles"] = lambda sf: graph.way_triangles(_ways(sf))
     q["way_bfs_hops"] = lambda sf: graph.way_bfs_hops(_ways(sf))
+    q["way_reach_meters"] = lambda sf: graph.way_reach_meters(_ways(sf))
 
     def boundary_areas(sf):
         fx = ensure_fixtures(sf)
@@ -959,6 +960,7 @@ def oracle_sql() -> dict:
         "way_components": graph.way_components_sql(ways_path),
         "way_triangles": graph.way_triangles_sql(ways_path),
         "way_bfs_hops": graph.way_bfs_hops_sql(ways_path),
+        "way_reach_meters": graph.way_reach_meters_sql(ways_path),
         "boundary_areas": qs.boundary_areas_sql(
             os.path.join(fx, "boundaries.parquet")),
         "boundary_adjacency": qs.boundary_adjacency_sql(

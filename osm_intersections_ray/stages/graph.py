@@ -822,3 +822,314 @@ bfs(way_id, hops) AS (
 )
 SELECT way_id, min(hops)::BIGINT AS hops FROM bfs GROUP BY way_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hops weighted reach (min-plus relaxation / SSSP-lite)
+#
+# The weighted counterpart of way_bfs_hops: cost to reach each way from the
+# motorway network, where stepping onto way v costs v's fix6-microdegree L1
+# polyline length (the way_l1_lengths metric — INTEGER, so every min/plus is
+# exact).  Unlike BFS, a way can be RE-labeled when a cheaper path arrives
+# later — the rounds are label-correcting (Bellman-Ford shape), bounded by
+# max_hops edges rather than run to fixpoint.
+#
+# Cardinality-routed like way_bfs_hops: the reached ball is result-bounded
+# (broadcast route: two streaming passes over the (node, way) incidence per
+# round, driver-merged integer min-folds); above the budget the rounds run
+# as three skinny sharded exchanges — (way)->node min-cost partials,
+# (node)->candidate way costs, (way)-> relabel fold against the labeled set
+# with the way-length rows riding the same exchange.
+REACH_MAX_HOPS = BFS_MAX_HOPS
+
+_REACH_MIX = pa.schema([("shard", pa.int64()), ("key", pa.int64()),
+                        ("aux", pa.int64()), ("cost", pa.int64()),
+                        ("kind", pa.int8())])
+_REACH_OUT = pa.schema([("way_id", pa.int64()), ("cost_udeg", pa.int64())])
+
+
+def _way_len_rows(b: pa.Table) -> pa.Table:
+    """(way_id, len_udeg) per tagged way — the way_l1_lengths fix6 metric."""
+    t = b.filter(b["tagged"])
+    if t.num_rows == 0:
+        return pa.schema([("way_id", pa.int64()),
+                          ("len_udeg", pa.int64())]).empty_table()
+    lats = t["lats"].combine_chunks()
+    lons = t["lons"].combine_chunks()
+    lens = np.asarray(lats.value_lengths(), dtype=np.int64)
+    la6 = np.floor(np.asarray(lats.flatten(), np.float64) * 1e6
+                   + 0.5).astype(np.int64)
+    lo6 = np.floor(np.asarray(lons.flatten(), np.float64) * 1e6
+                   + 0.5).astype(np.int64)
+    out = np.zeros(len(lens), dtype=np.int64)
+    if len(la6):
+        d = np.abs(np.diff(la6)) + np.abs(np.diff(lo6))
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        cross = starts[1:-1] - 1
+        d[cross[(cross >= 0) & (cross < len(d))]] = 0
+        if len(d):
+            idx = np.minimum(starts[:-1], len(d) - 1)
+            out = np.add.reduceat(d, idx)
+            out[lens < 2] = 0
+    return pa.table({"way_id": t["way_id"].cast(pa.int64()),
+                     "len_udeg": pa.array(out, pa.int64())})
+
+
+def _merge_min(keys: np.ndarray, vals: np.ndarray):
+    """Sorted-unique keys with the min value per key."""
+    if len(keys) == 0:
+        return keys, vals
+    order = np.lexsort((vals, keys))
+    k, v = keys[order], vals[order]
+    first = np.concatenate([[True], k[1:] != k[:-1]])
+    return k[first], v[first]
+
+
+def way_reach_meters(ways_ds, max_hops: int = REACH_MAX_HOPS,
+                     seed_highway: str = BFS_SEED_HIGHWAY,
+                     broadcast_max: int = BFS_BROADCAST_MAX):
+    """(way_id, cost_udeg) — minimum summed fix6-µdeg length of the ways
+    traversed to reach each way from a ``seed_highway`` way in at most
+    ``max_hops`` steps (seeds cost 0; stepping onto way v adds v's
+    length)."""
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data as rd
+
+    nw = ways_ds.map_batches(_bfs_explode, batch_format="pyarrow").materialize()
+    wl_ds = ways_ds.map_batches(_way_len_rows,
+                                batch_format="pyarrow").materialize()
+
+    def seeds_fn(b: pa.Table) -> pa.Table:
+        m = pc.and_kleene(b["tagged"], pc.equal(b["highway"], seed_highway))
+        t = b.filter(m)
+        return pa.table({"v": t["way_id"].cast(pa.int64())})
+
+    seeds = ways_ds.map_batches(seeds_fn, batch_format="pyarrow").materialize()
+    if seeds.count() == 0:
+        return rd.from_arrow(_REACH_OUT.empty_table())
+
+    if seeds.count() > broadcast_max:
+        return _reach_sharded(nw, wl_ds, seeds, max_hops)
+
+    # ---- broadcast route: driver-held integer min maps, two passes/round
+    wl_df = wl_ds.to_pandas()
+    if len(wl_df) > broadcast_max:
+        return _reach_sharded(nw, wl_ds, seeds, max_hops)
+    wl_keys = wl_df["way_id"].to_numpy(np.int64)
+    wl_order = np.argsort(wl_keys)
+    wl_keys = wl_keys[wl_order]
+    wl_vals = wl_df["len_udeg"].to_numpy(np.int64)[wl_order]
+
+    def _len_of(ways: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(wl_keys, ways)
+        return wl_vals[np.minimum(pos, len(wl_keys) - 1)]
+
+    lab_k = np.unique(seeds.to_pandas()["v"].to_numpy(np.int64))
+    lab_c = np.zeros(len(lab_k), np.int64)
+    fr_k, fr_c = lab_k, lab_c
+
+    def _pass(key_col, out_col, keys_ref, costs_ref):
+        from .common import cached_get
+
+        def fn(b: pa.Table) -> pa.Table:
+            keys = cached_get(keys_ref)
+            costs = cached_get(costs_ref)
+            k = np.asarray(b[key_col].to_numpy(zero_copy_only=False),
+                           np.int64)
+            pos = np.searchsorted(keys, k)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hit = keys[pos_c] == k if len(keys) else np.zeros(len(k), bool)
+            o = np.asarray(b[out_col].to_numpy(zero_copy_only=False),
+                           np.int64)[hit]
+            c = costs[pos_c[hit]]
+            u, v = _merge_min(o, c)
+            return pa.table({"k": pa.array(u, pa.int64()),
+                             "c": pa.array(v, pa.int64())})
+
+        df = nw.map_batches(fn, batch_format="pyarrow").to_pandas()
+        return _merge_min(df["k"].to_numpy(np.int64),
+                          df["c"].to_numpy(np.int64))
+
+    for _ in range(max_hops):
+        nd_k, nd_c = _pass("way_id", "node", ray.put(fr_k), ray.put(fr_c))
+        if len(nd_k) == 0:
+            break
+        cw_k, cw_c = _pass("node", "way_id", ray.put(nd_k), ray.put(nd_c))
+        if len(cw_k) == 0:
+            break
+        cand_c = cw_c + _len_of(cw_k)
+        # compare against current labels
+        pos = np.searchsorted(lab_k, cw_k)
+        pos_c = np.minimum(pos, len(lab_k) - 1)
+        known = lab_k[pos_c] == cw_k
+        better = ~known | (cand_c < np.where(known, lab_c[pos_c],
+                                             np.iinfo(np.int64).max))
+        if not better.any():
+            break
+        fr_k, fr_c = cw_k[better], cand_c[better]
+        lab_k = np.concatenate([lab_k, fr_k])
+        lab_c = np.concatenate([lab_c, fr_c])
+        lab_k, lab_c = _merge_min(lab_k, lab_c)
+        if len(lab_k) > broadcast_max:
+            # ball outgrew the budget: restart on the sharded route (rare
+            # hand-off; relaxation is idempotent so a restart is correct)
+            return _reach_sharded(nw, wl_ds, seeds, max_hops)
+
+    return rd.from_arrow(pa.table({"way_id": pa.array(lab_k, pa.int64()),
+                                   "cost_udeg": pa.array(lab_c, pa.int64())},
+                                  schema=_REACH_OUT))
+
+
+def _reach_sharded(nw, wl_ds, seeds, max_hops: int):
+    """Above-budget route: three skinny sharded exchanges per round."""
+    import ray.data as rd
+
+    NS = np.int64(n_shards())
+
+    def _rows(key, aux, cost, kind):
+        return pa.table({"shard": pa.array(key % NS), "key": pa.array(key),
+                         "aux": pa.array(aux), "cost": pa.array(cost),
+                         "kind": pa.array(kind)}, schema=_REACH_MIX)
+
+    def _nw_mix(key_col, aux_col):
+        def fn(b: pa.Table) -> pa.Table:
+            k = np.asarray(b[key_col].to_numpy(zero_copy_only=False),
+                           np.int64)
+            a = np.asarray(b[aux_col].to_numpy(zero_copy_only=False),
+                           np.int64)
+            return _rows(k, a, np.zeros(len(k), np.int64),
+                         np.ones(len(k), np.int8))
+        return fn
+
+    def _labeled_mix(kind):
+        def fn(b: pa.Table) -> pa.Table:
+            k = np.asarray(b["v"].to_numpy(zero_copy_only=False), np.int64)
+            c = np.asarray(b["c"].to_numpy(zero_copy_only=False), np.int64)
+            return _rows(k, np.zeros(len(k), np.int64), c,
+                         np.full(len(k), kind, np.int8))
+        return fn
+
+    def _emit_node_costs(df: pd.DataFrame) -> pa.Table:
+        # kind 0 = frontier (key=way, cost); kind 1 = nw (key=way, aux=node)
+        fr = df[df["kind"] == 0].groupby("key")["cost"].min()
+        hit = df[(df["kind"] == 1) & df["key"].isin(fr.index)]
+        if len(hit) == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        c = fr[hit["key"]].to_numpy(np.int64)
+        g = (pd.DataFrame({"v": hit["aux"].to_numpy(np.int64), "c": c})
+             .groupby("v")["c"].min())
+        return pa.table({"v": pa.array(g.index.to_numpy(np.int64)),
+                         "c": pa.array(g.to_numpy(np.int64))})
+
+    def _relabel(df: pd.DataFrame) -> pa.Table:
+        # kind 0 = candidate (key=way, cost=node-min), kind 1 = labeled,
+        # kind 2 = way length (cost=len)
+        wl = df[df["kind"] == 2].drop_duplicates("key").set_index(
+            "key")["cost"]
+        out_k, out_c, out_f = [], [], []
+        cand = df[df["kind"] == 0]
+        cand_min = (cand.groupby("key")["cost"].min() + wl[
+            cand.groupby("key")["cost"].min().index]) if len(cand) else None
+        old = df[df["kind"] == 1].groupby("key")["cost"].min()
+        keys = set(old.index)
+        if cand_min is not None:
+            keys |= set(cand_min.index)
+        for k in keys:
+            o = old.get(k)
+            c = cand_min.get(k) if cand_min is not None else None
+            if c is not None and (o is None or c < o):
+                out_k.append(k); out_c.append(int(c)); out_f.append(1)
+            elif o is not None:
+                out_k.append(k); out_c.append(int(o)); out_f.append(0)
+        return pa.table({"v": pa.array(out_k, pa.int64()),
+                         "c": pa.array(out_c, pa.int64()),
+                         "imp": pa.array(out_f, pa.int8())})
+
+    nw_by_way = nw.map_batches(_nw_mix("way_id", "node"),
+                               batch_format="pyarrow").materialize()
+    nw_by_node = nw.map_batches(_nw_mix("node", "way_id"),
+                                batch_format="pyarrow").materialize()
+    wl_mix = wl_ds.map_batches(
+        lambda b: _rows(
+            np.asarray(b["way_id"].to_numpy(zero_copy_only=False), np.int64),
+            np.zeros(b.num_rows, np.int64),
+            np.asarray(b["len_udeg"].to_numpy(zero_copy_only=False),
+                       np.int64),
+            np.full(b.num_rows, 2, np.int8)),
+        batch_format="pyarrow").materialize()
+
+    labeled = seeds.map_batches(
+        lambda b: pa.table({"v": b["v"], "c": pa.array(
+            np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow").materialize()
+    frontier = labeled
+    for _ in range(max_hops):
+        nd = (frontier.map_batches(_labeled_mix(0), batch_format="pyarrow")
+              .union(nw_by_way).groupby("shard")
+              .map_groups(_emit_node_costs, batch_format="pandas"))
+        cand = (nd.map_batches(_labeled_mix(0), batch_format="pyarrow")
+                .union(nw_by_node).groupby("shard")
+                .map_groups(_emit_node_costs, batch_format="pandas"))
+        merged = (cand.map_batches(_labeled_mix(0), batch_format="pyarrow")
+                  .union(labeled.map_batches(_labeled_mix(1),
+                                             batch_format="pyarrow"))
+                  .union(wl_mix).groupby("shard")
+                  .map_groups(_relabel, batch_format="pandas")).materialize()
+
+        def _only_imp(b: pa.Table) -> pa.Table:
+            t = b.filter(pa.array(np.asarray(
+                b["imp"].to_numpy(zero_copy_only=False)) == 1))
+            return pa.table({"v": t["v"], "c": t["c"]})
+
+        def _all(b: pa.Table) -> pa.Table:
+            return pa.table({"v": b["v"], "c": b["c"]})
+
+        frontier = merged.map_batches(_only_imp,
+                                      batch_format="pyarrow").materialize()
+        labeled = merged.map_batches(_all,
+                                     batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+
+    return labeled.map_batches(
+        lambda b: pa.table({"way_id": b["v"], "cost_udeg": b["c"]},
+                           schema=_REACH_OUT),
+        batch_format="pyarrow")
+
+
+def way_reach_meters_sql(ways_path: str, max_hops: int = REACH_MAX_HOPS,
+                         seed_highway: str = BFS_SEED_HIGHWAY) -> str:
+    return f"""
+WITH RECURSIVE
+w AS (SELECT way_id, nodes, lats, lons, highway
+      FROM read_parquet('{ways_path}') WHERE tagged),
+nw AS (SELECT DISTINCT way_id, unnest(nodes) AS node FROM w),
+pts AS (
+  SELECT way_id, i AS idx,
+         CAST(floor(lats[i] * 1000000 + 0.5) AS BIGINT) AS la6,
+         CAST(floor(lons[i] * 1000000 + 0.5) AS BIGINT) AS lo6
+  FROM w, UNNEST(generate_series(1, len(lats))) AS u(i)
+),
+seg AS (
+  SELECT way_id,
+         abs(la6 - lag(la6) OVER win) + abs(lo6 - lag(lo6) OVER win) AS d
+  FROM pts WINDOW win AS (PARTITION BY way_id ORDER BY idx)
+),
+wl AS (SELECT way_id, coalesce(sum(d), 0)::BIGINT AS len_udeg
+       FROM seg GROUP BY way_id),
+seeds AS (SELECT way_id FROM w WHERE highway = '{seed_highway}'),
+reach(way_id, cost, hops) AS (
+  SELECT way_id, 0::BIGINT, 0 FROM seeds
+  UNION
+  SELECT b.way_id, reach.cost + wl.len_udeg, reach.hops + 1
+  FROM reach
+  JOIN nw a ON a.way_id = reach.way_id
+  JOIN nw b ON b.node = a.node
+  JOIN wl ON wl.way_id = b.way_id
+  WHERE reach.hops < {max_hops}
+)
+SELECT way_id, min(cost)::BIGINT AS cost_udeg FROM reach GROUP BY way_id
+"""

@@ -2141,3 +2141,28 @@ def test_pages_near_boundary_geofence(ray_session):
     cols = ["url", "n_near", "cities"]
     assert (sorted(map(tuple, eng[cols].to_numpy()))
             == sorted(map(tuple, orc[cols].to_numpy())))
+
+
+def test_way_reach_meters_routes(ray_session, fixtures_dir):
+    """Weighted reach: broadcast and sharded routes emit identical
+    (way_id, cost_udeg); seeds cost 0; costs are exact integers."""
+    import os
+
+    import ray.data as rd
+
+    from osm_intersections_ray.stages.graph import way_reach_meters
+
+    ways = lambda: rd.read_parquet(  # noqa: E731
+        os.path.join(fixtures_dir, "ways.parquet"), override_num_blocks=8)
+
+    def rows(ds):
+        df = ds.to_pandas()
+        return sorted(map(tuple, df[["way_id", "cost_udeg"]].to_numpy()))
+
+    broadcast = rows(way_reach_meters(ways()))
+    assert broadcast
+    zero = [c for _, c in broadcast if c == 0]
+    assert zero, "seeds must carry cost 0"
+    assert all(c >= 0 for _, c in broadcast)
+    sharded = rows(way_reach_meters(ways(), broadcast_max=0))
+    assert sharded == broadcast
