@@ -125,13 +125,19 @@ FROM g
 # 6 x 8-byte columns = 48 B per cover row (ray.put once = one copy per NODE
 # in the shared object store, not per worker), and a way bbox compacts to
 # ~2-8 cells, so the binding budget is COVER ROWS (~96 MB at the 2M-row cap,
-# double-checked on the actual built index before ray.put); the ways count
-# is only a cheap metadata-only pre-screen sized to the same budget at the
-# typical ~2.5 covers/way.  Above either bound the join routes to the
-# native variant that carries bboxes through the shuffle instead of
-# broadcasting.  Measured at 3.2M pages / 8 cpus: broadcast ~8 s vs native
-# ~76 s — the native route is strictly a memory-bound escape hatch.
-BROADCAST_WAYS_MAX = 800_000
+# double-checked on the actual built index before ray.put).  The ways-count
+# pre-screen excludes only CERTAIN overflow: every way has >= 1 cover cell,
+# so ways > BROADCAST_COVER_ROWS_MAX guarantees the cover count would
+# exceed the budget — anything below builds the (distributed, bounded)
+# cover index and lets the EXACT ncov guard decide.  Session 17 measured
+# why the pre-screen must not be tighter: at r128 (1M ways, 2.5M covers)
+# the old 800k pre-screen forced the native route at 63.6 s / 8 cpus while
+# the sharded-block-refs index runs the identical join in 15.5 s (4.1x,
+# rows identical).  Above either bound the join routes to the native
+# variant that carries bboxes through the shuffle instead of broadcasting
+# — strictly a memory-bound escape hatch (measured 8-20x slower at every
+# size this sandbox can hold).
+BROADCAST_WAYS_MAX = 8_000_000  # == BROADCAST_COVER_ROWS_MAX (certain overflow)
 BROADCAST_COVER_ROWS_MAX = 8_000_000  # ~384 MB index: one object-store copy
 BROADCAST_COVER_SHARDED_MIN = 1_000_000  # above this, sorted-block-refs index
                                          # (driver-side build stops scaling)
