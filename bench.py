@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "bbox_range_count",     # batched viewport range queries, one pass (s17)
     "hex_mode_lang",        # geo-by-content dominant-language cross (s17)
     "snap_distance_profile",  # snap-distance histogram, join-quality metric (s17)
+    "pages_near_boundary",  # geofence proximity vs boundary edges (s17)
+    "way_reach_meters",     # weighted bounded-hops reach, integer min-plus (s17)
 ]
 
 
